@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-expression building blocks shared across the engine.
+  *
+  * All are thin wrappers over codegen'd built-ins — no UDFs — so every
+  * use stays inside whole-stage codegen and is pushdown/prune friendly.
+  */
+package object functions {
+
+  /** Postgres day-of-week convention: Sunday = 0 .. Saturday = 6.
+    *
+    * The reference derives `day_of_week` with `EXTRACT(DOW FROM ...)`
+    * (reference `IowaLiquor-RDS.session.sql:117-120`), which is Sun=0;
+    * Spark's `dayofweek` is Sun=1, hence the -1 (SURVEY.md §2.6 F7).
+    */
+  def pgDow(c: Column): Column = (dayofweek(c) - lit(1)).cast("int")
+
+  /** `is_weekend` flag per the reference's `EXTRACT(DOW ...) IN (0, 6)`
+    * (reference `IowaLiquor-RDS.session.sql:121-126`, F8).
+    */
+  def isWeekend(c: Column): Column = pgDow(c).isin(0, 6)
+
+  /** Null-on-error numeric coercion with zero-fill: the reference's
+    * `pd.to_numeric(c, errors="coerce").fillna(0)`
+    * (reference `src/transform.py:15-21`, F2). Unparseable → 0, not
+    * NULL — preserved exactly (SURVEY.md §7.4 risk 1). `try_cast`
+    * because Spark 4 runs ANSI mode by default (plain cast throws).
+    */
+  def coerceNumeric(c: Column, dt: DecimalType): Column =
+    coalesce(c.try_cast(dt), lit(0).cast(dt))
+
+  /** Null-on-error timestamp coercion: the reference's
+    * `pd.to_datetime(..., errors="coerce")` (reference
+    * `src/transform.py:12`, F1): `try_cast` yields NULL on parse
+    * failure under ANSI mode.
+    */
+  def coerceTimestamp(c: Column): Column = c.try_cast("timestamp")
+
+  /** Exact-decimal money cast used so aggregates are order-independent
+    * and DuckDB-oracle-exact (SURVEY.md §7.4 risk 3): decimal sums are
+    * associative, double sums are not.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal with 3 fractional digits (volumes: sale_liters /
+    * sale_gallons analog, reference `include/sql/create_table.sql:24-25`).
+    */
+  def volume(c: Column): Column = c.cast(DecimalType(18, 3))
+
+  /** Cosine similarity between two float-array columns, computed with
+    * codegen'd higher-order functions (no UDF): zip_with multiply then
+    * aggregate-sum, all in DoubleType with deterministic left-to-right
+    * accumulation order (same order DuckDB's list functions use).
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** L2 norm of a float-array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+}

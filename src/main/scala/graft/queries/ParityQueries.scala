@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Clean, Star, Tables}
+import graft.functions._
+
+/** Pipeline + query-surface parity with the reference
+  * (SURVEY.md §2.1-§2.7), expressed over the driver fixtures per the
+  * FIXTURES.md role mapping. Every query is totally ordered and ends in
+  * oracle-exact types (decimal arithmetic internally, double/int/date
+  * at the boundary) so the driver's DuckDB hash compare is stable.
+  */
+object ParityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // F1/F2 — transform-stage coercions (reference src/transform.py:12-21):
+    // null-on-error numeric coercion + zero-fill via exact decimals.
+    "q01_clean_coerce" -> { (s, dir) =>
+      Clean.cleanLineitem(Tables.lineitem(s, dir))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"),
+          col("l_shipdate"))
+        // (l_orderkey, l_linenumber) is not unique in the fixture data —
+        // order by every column so the output is totally ordered.
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+    },
+
+    // F3-F8 + D1 — dim_date derivation (IowaLiquor-RDS.session.sql:104-126):
+    // PG DOW convention (Sun=0) and weekend flag. The day grain is cast
+    // to timestamp at the query boundary so the parquet dump and the
+    // DuckDB oracle agree on physical type (DateType stays the internal
+    // representation in Star.dimDate).
+    "q02_dim_date" -> { (s, dir) =>
+      val d = Star.dimDate(Tables.lineitem(s, dir), "l_shipdate")
+      d.withColumn("date", col("date").cast("timestamp")).orderBy("date")
+    },
+
+    // D1+P4+P5 — dimension build = distinct projection of non-null keys
+    // (dim_item analog; IowaLiquor-RDS.session.sql:138-145).
+    "q03_dim_part" -> { (s, dir) =>
+      Star.dim(Tables.part(s, dir), "p_partkey",
+          "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // dim_vendor analog (IowaLiquor-RDS.session.sql:148-151).
+    "q04_dim_supplier" -> { (s, dir) =>
+      Star.dim(Tables.supplier(s, dir), "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
+    // dim_store analog (IowaLiquor-RDS.session.sql:85-94).
+    "q05_dim_customer" -> { (s, dir) =>
+      Star.dim(Tables.customer(s, dir), "c_custkey",
+          "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // J1 retention + P4 — FK-constrained fact load
+    // (IowaLiquor-RDS.session.sql:159-182): broadcast left-semi against
+    // each dimension's keys; the fact never shuffles.
+    "q06_fact_retained" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      val withOrders = Star.fkRetain(li, Tables.orders(s, dir), "l_orderkey", "o_orderkey")
+      val withPart = Star.fkRetain(withOrders, Tables.part(s, dir), "l_partkey", "p_partkey")
+      Star.fkRetain(withPart, Tables.supplier(s, dir), "l_suppkey", "s_suppkey")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_returnflag")
+    },
+
+    // D2 — ON CONFLICT DO NOTHING append (IowaLiquor-RDS.session.sql:182):
+    // dedup batch on PK, anti-join against existing keys.
+    "q07_conflict_append" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val existing = orders.where(col("o_orderstatus") === "F")
+      Star.conflictIgnoreAppend(orders, existing, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // J1 audit — FK violations via broadcast left-anti
+    // (IowaLiquor-RDS.session.sql:68-72): fact rows whose key is absent
+    // from a restricted dimension.
+    "q08_fk_violations" -> { (s, dir) =>
+      val bigParts = Tables.part(s, dir).where(col("p_size") > 25)
+      Star.fkViolations(Tables.lineitem(s, dir), bigParts, "l_partkey", "p_partkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    },
+
+    // D3 — PRIMARY KEY uniqueness audit (include/sql/create_table.sql:2):
+    // keys with multiplicity > 1 (contract: empty on clean data).
+    "q09_pk_audit" -> { (s, dir) =>
+      Star.pkDuplicates(Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A1 — COUNT(*) validation (tests/test_load.py:14).
+    "q10_count_validation" -> { (s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n"))
+    },
+
+    // P2 — inclusive day-range predicate, replicating the reference's
+    // BETWEEN ...T00:00:00 AND ...T23:59:59 boundary (src/extract.py:21).
+    "q11_date_range" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate").between(
+          lit("1996-01-01 00:00:00").cast("timestamp"),
+          lit("1996-12-31 23:59:59").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+    },
+
+    // P3 — LIMIT/OFFSET pagination as a query op (src/extract.py:22-23).
+    // The sort covers every output column so the page boundary is
+    // deterministic even with duplicate keys.
+    "q12_limit_offset" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")
+        .offset(500).limit(1000)
+    },
+
+    // J2 + A3 — star-schema analytics the dim/fact split exists for:
+    // revenue by region × year, exact-decimal aggregation, broadcast dims.
+    "q13_star_revenue" -> { (s, dir) => starRevenue(s, dir) },
+
+    // F7/F8 aggregate — weekend vs weekday revenue by year.
+    "q14_weekend_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(
+          year(col("l_shipdate")).as("year"),
+          isWeekend(col("l_shipdate")).as("is_weekend"))
+        .agg(
+          sum(money(col("l_extendedprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("year", "is_weekend")
+    },
+
+    // Window/top-N — top-3 parts by revenue per brand (rank with
+    // deterministic tiebreak), the representative consumer query.
+    "q15_topn_brand" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev_dec").desc, col("p_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+          col("rev_dec").cast("double").as("revenue"), col("rnk"))
+        .orderBy("p_brand", "rnk")
+    }
+  )
+
+  /** Flagship star query (SparkEntry.entry runs this on sf0.001):
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, revenue by
+    * region × order-year. Dims broadcast (nation/region/customer are
+    * dimension-sized); the only shuffles are the lineitem⋈orders join
+    * and the final partial+final hash aggregate.
+    */
+  def starRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("year"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1) - volume(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "year")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_clean_coerce" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(COALESCE(CAST(l_quantity AS DECIMAL(18,3)), 0) AS DOUBLE) AS l_quantity,
+        |  CAST(COALESCE(CAST(l_extendedprice AS DECIMAL(18,2)), 0) AS DOUBLE) AS l_extendedprice,
+        |  CAST(COALESCE(CAST(l_discount AS DECIMAL(18,3)), 0) AS DOUBLE) AS l_discount,
+        |  CAST(COALESCE(CAST(l_tax AS DECIMAL(18,3)), 0) AS DOUBLE) AS l_tax,
+        |  l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity,
+        |  l_extendedprice, l_discount, l_tax""".stripMargin,
+    "q02_dim_date" ->
+      """SELECT DISTINCT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS date,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+        |  CAST(EXTRACT(quarter FROM l_shipdate) AS INT) AS quarter,
+        |  CAST(EXTRACT(month FROM l_shipdate) AS INT) AS month,
+        |  CAST(EXTRACT(dow FROM l_shipdate) AS INT) AS day_of_week,
+        |  EXTRACT(dow FROM l_shipdate) IN (0, 6) AS is_weekend
+        |FROM lineitem WHERE l_shipdate IS NOT NULL ORDER BY date""".stripMargin,
+    "q03_dim_part" ->
+      """SELECT DISTINCT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_partkey IS NOT NULL ORDER BY p_partkey""".stripMargin,
+    "q04_dim_supplier" ->
+      """SELECT DISTINCT s_suppkey, s_name, s_acctbal
+        |FROM supplier WHERE s_suppkey IS NOT NULL ORDER BY s_suppkey""".stripMargin,
+    "q05_dim_customer" ->
+      """SELECT DISTINCT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer WHERE c_custkey IS NOT NULL ORDER BY c_custkey""".stripMargin,
+    "q06_fact_retained" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_returnflag""".stripMargin,
+    "q07_conflict_append" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM orders e
+        |                  WHERE e.o_orderstatus = 'F' AND e.o_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_fk_violations" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                  WHERE p.p_size > 25 AND p.p_partkey = l.l_partkey)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "q09_pk_audit" ->
+      """SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |HAVING COUNT(*) > 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q10_count_validation" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+    "q11_date_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+    "q12_limit_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate LIMIT 1000 OFFSET 500""".stripMargin,
+    "q13_star_revenue" ->
+      """SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year ORDER BY r_name, year""".stripMargin,
+    "q14_weekend_revenue" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+        |  EXTRACT(dow FROM l_shipdate) IN (0, 6) AS is_weekend,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY year, is_weekend ORDER BY year, is_weekend""".stripMargin,
+    "q15_topn_brand" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey
+        |), ranked AS (
+        |  SELECT p_brand, p_partkey, rev_dec,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev_dec DESC, p_partkey) AS rnk
+        |  FROM rev
+        |)
+        |SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+  )
+}

@@ -26,7 +26,26 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark 4 refuses to read natively. Read `ts` as raw INT64
+    * nanos via an explicit schema and convert to a microsecond
+    * timestamp (`timestamp_micros(ns / 1000)` — truncation, matching
+    * what DuckDB's ns→us cast does for positive epochs).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+      // integer division: `/` would go through double and lose precision
+      // on ~1.7e18 nanosecond epochs (53-bit mantissa)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 }

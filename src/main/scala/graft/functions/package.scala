@@ -63,6 +63,19 @@ package object functions {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Exact dot product over float-array columns with every element
+    * rounded to DECIMAL(12,6): decimal multiplication and summation are
+    * exact and order-independent, so the result is bit-identical across
+    * engines — the trick that makes similarity queries oracle-checkable
+    * (double summation would be order-dependent).
+    */
+  def decimalDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("decimal(12,6)") * y.cast("decimal(12,6)")),
+      lit(0).cast("decimal(38,12)"),
+      // recast: decimal + rules would widen past 38 and shrink the scale
+      (acc, v) => (acc + v).cast("decimal(38,12)"))
+
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  * - Exact/normalized dedup is one hash-aggregate — partial aggregation
+  *   map-side, shuffle carries one row per distinct key.
+  * - Pairwise similarity is NEVER all-pairs at scale: candidates come
+  *   from an inverted index (shingle join) or LSH band buckets, both of
+  *   which shuffle on the bucket key. Skewed buckets (stop-shingles)
+  *   are capped with a frequency filter, the standard trick.
+  * - Signatures are computed with codegen'd array expressions — no UDFs.
+  */
+object Dedup {
+
+  /** Canonical text normalization for near-exact dedup: lowercase,
+    * collapse whitespace, trim.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup: keep the lowest-id row per exact key. Survivor choice
+    * is deterministic (min id), unlike dropDuplicates' arbitrary pick —
+    * the property PG's ON CONFLICT first-writer gives the reference.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup after normalization. */
+  def normalizedDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDedup(
+      df.withColumn("__norm", normalizeText(col(textCol))),
+      "__norm", idCol).drop("__norm")
+
+  /** Distinct (docId, shingle) pairs — the inverted-index edge list.
+    * `maxDocFreq` drops shingles occurring in more than that many docs
+    * (stop-shingles): they explode the candidate join at scale while
+    * carrying no discriminative signal.
+    */
+  def shingleIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Option[Int] = None): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(
+        TextOps.wordShingles(col(textCol), n))).as("shingle"))
+    maxDocFreq match {
+      case None => pairs
+      case Some(cap) =>
+        val freq = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("shingle")
+        pairs.join(freq, Seq("shingle"), "left_semi")
+    }
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature over word shingles: `numHashes` independent
+    * permutations simulated as xxhash64(seed_i || shingle); signature
+    * element i = min over shingles. Empty shingle set → null signature.
+    */
+  def minhashSignature(textCol: Column, n: Int, numHashes: Int): Column = {
+    val shingles = array_distinct(TextOps.wordShingles(textCol, n))
+    when(size(shingles) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(shingles, s => xxhash64(i, s)))))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the signature
+    * into `bands` bands of `rowsPerBand`, bucket on (band index, band
+    * hash), pair up docs sharing a bucket. Dedups candidate pairs.
+    */
+  def minhashLshCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = docs.select(
+      col(idCol).as("doc"),
+      minhashSignature(col(textCol), n, bands * rowsPerBand).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = sig.select(
+      col("doc"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs: LSH candidates verified with exact
+    * n-gram Jaccard. The candidate set (not all pairs) feeds the
+    * verify join — the 100 TB-safe shape.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cands = minhashLshCandidates(docs, idCol, textCol, n, bands, rowsPerBand)
+    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    cands.join(exact, Seq("id_a", "id_b"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is
+    * the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    * Computed as 64 codegen'd array aggregations — no UDF.
+    */
+  def simhash64(textCol: Column): Column = {
+    val ts = TextOps.tokens(textCol)
+    // shiftright/shiftleft only take Int amounts in the Scala API, so
+    // the variable shift inside the lambda goes through call_function.
+    val bitSums = transform(
+      sequence(lit(0), lit(63)),
+      b => aggregate(ts, lit(0L),
+        (acc, t) => acc + when(
+          call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
+    * generation buckets on the four 16-bit quarters of the fingerprint
+    * (pigeonhole: any pair within Hamming distance 3 shares at least
+    * one exact quarter), then verifies the full distance.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "quarter-banding guarantees recall only for maxDist <= 3")
+    val fp = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("fp"))
+    val banded = fp.select(col("doc"), col("fp"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnsRenamed(Map("pos" -> "quarter", "col" -> "qbits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.quarter") === col("b.quarter") && col("a.qbits") === col("b.qbits") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup pairs. Exact all-pairs within blocking
+    * key `blockCol` (e.g. a label, LSH bucket, or IVF cell) — blocking
+    * is what keeps this from being O(n²) at scale; pass a constant
+    * column to force true all-pairs on small inputs.
+    */
+  def embeddingNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, blockCol: Column,
+      threshold: Double): DataFrame = {
+    import graft.functions.cosineSim
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      blockCol.as("blk"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side shape is real — binary columns, metadata structs,
+  * partition-batched decode via `mapPartitions` on a typed Dataset
+  * (the Scala analog of `mapInPandas` batch processing) — while the
+  * codec itself is a clearly-marked deterministic STUB: the actual
+  * image/audio libraries are not in this container. Swapping
+  * `decodeStub` for a real JNI/JavaCV decoder changes no schema,
+  * partitioning, or call shape.
+  */
+object Multimodal {
+
+  /** Typed row for the decode stage: payload plus its metadata. */
+  case class MediaRow(
+      media_id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(
+      media_id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int,
+      mean_byte: Double, frames_sampled: Int)
+
+  /** Attach a binary payload + deterministic fake metadata to the
+    * documents table — stands in for reading real image/audio bytes.
+    * Payload is the UTF-8 text bytes (opaque to everything downstream).
+    */
+  def attachPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"),
+      (pmod(col(idCol), lit(8)) * 160 + 320).cast("int").as("width"),
+      (pmod(col(idCol), lit(8)) * 90 + 180).cast("int").as("height"))
+
+  /** STUB decode: where a real implementation would parse the codec
+    * (JPEG/PNG/WAV) and extract features, this computes deterministic
+    * stand-ins from the raw bytes (byte count, mean byte value, a fake
+    * frame-sample count from the metadata). Batch shape is the real
+    * one: one iterator pass per partition, no per-row JVM boundary.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      // --- STUB: real codec call goes here (not available in-container).
+      val n = r.payload.length.toLong
+      val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xFF).toLong).sum.toDouble / n
+      val frames = if (r.format == "wav") (n / 64).toInt else 1
+      MediaFeatures(r.media_id, n, r.format, r.width, r.height, mean, frames)
+    }
+
+  /** Feature-extraction pipeline: documents → payload+metadata →
+    * per-partition decode → features DataFrame. Partitioning is
+    * preserved end-to-end; the decode is a narrow transformation.
+    */
+  def extractFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val media: Dataset[MediaRow] =
+      attachPayload(docs, idCol, textCol).as[MediaRow](Encoders.product[MediaRow])
+    media.mapPartitions(decodeStub _)(Encoders.product[MediaFeatures]).toDF()
+  }
+
+  /** "Resize" stage stub: recompute metadata for a target size while
+    * passing the payload through — exercises schema evolution of the
+    * media struct without a real resampler.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+      .withColumn("resized", lit(true))
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.cosineSim
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  * - `bruteForceTopK` — exact cosine top-k, O(|Q|·|C|). Correct baseline;
+  *   fine when |Q| is small (the query side broadcasts) — at 100 TB the
+  *   corpus side stays partitioned and never shuffles.
+  * - `lshTopK` / `ivfTopK` — the scale path: candidates restricted to
+  *   matching random-hyperplane LSH buckets (or coarse IVF cells), so the
+  *   join is bucket-colocated instead of a cross product.
+  *
+  * All hash "randomness" is derived deterministically from xxhash64 of
+  * (plane, dim) — no RNG, reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k corpus neighbors
+    * by descending cosine, tiebroken by corpus id (deterministic).
+    * Query side is broadcast; ranking is a per-query window.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true,
+      simFn: (Column, Column) => Column = cosineSim,
+      simName: String = "cosine"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(simName).desc, col("neighbor_id"))
+    joined
+      .select(col("query_id"), col("neighbor_id"),
+        simFn(col("qv"), col("cv")).as(simName))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for
+    * (plane, dim): parity of xxhash64.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    when(xxhash64(plane, dim).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
+    * long. Vectors in the same bucket agree on every hyperplane side —
+    * cosine-similar vectors collide with high probability.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(signs, sequence(lit(0), lit(nPlanes - 1)),
+        (s, p) => s * call_function("shiftleft", lit(1L), p)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** LSH-bucketed ANN top-k: queries only compare against corpus
+    * vectors in the same bucket. Multi-probe via `nTables` independent
+    * hash tables (different plane seeds) to recover recall; results
+    * are the union of tables, re-ranked exactly.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame, side: String): DataFrame =
+      df.select(
+        col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
+        posexplode(transform(sequence(lit(0), lit(nTables - 1)), t =>
+          // table-specific planes: offset the plane index by table*nPlanes
+          aggregate(
+            zip_with(
+              transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+                val dotp = aggregate(
+                  zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+                    (x, d) => x.cast("double") * planeComponent(t * nPlanes + p, d)),
+                  lit(0.0), (acc, v) => acc + v)
+                when(dotp > 0, lit(1L)).otherwise(lit(0L))
+              }),
+              sequence(lit(0), lit(nPlanes - 1)),
+              (s, p) => s * call_function("shiftleft", lit(1L), p)),
+            lit(0L), (acc, v) => acc + v))))
+        .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    val qb = withBuckets(queries, "query")
+    val cb = withBuckets(corpus, "neighbor")
+    val cands = cb.join(qb, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("queryv"), col("neighborv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("queryv"), col("neighborv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF coarse quantization: assign each vector to its nearest of
+    * `centroids` (id, vec) — the cell id becomes the blocking key.
+    * Centroids are expected to be few (broadcast).
+    */
+  def ivfAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("__cell"))
+    df.select(col("*"), col(idCol).as("__id"))
+      .crossJoin(broadcast(centroids.select(
+        col(cidCol).as("__cell"), col(cvecCol).as("__cvec"))))
+      .withColumn("__sim", cosineSim(col(vecCol), col("__cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__cvec", "__sim", "__rn", "__id")
+      .withColumnRenamed("__cell", "cell")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is pure `Column` expressions (array/lambda higher-order
+  * functions — no UDFs), so the whole module stays inside whole-stage
+  * codegen and scales as embarrassingly-parallel map work: at 100 TB
+  * these run scan→project with zero shuffles.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `split` drops no tokens because input is
+    * trimmed first; empty string → single empty token filtered out.
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Token count over whitespace tokens. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and each
+    * remaining non-space symbol count as one token — the usual cheap
+    * proxy for LLM token budgeting.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Empty array when
+    * fewer than n tokens (guarded — Spark's `sequence` would count
+    * backwards).
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - lit(n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+  }
+
+  /** Character n-gram shingles over the raw string. */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - lit(n - 1)),
+        i => substring(c, i, lit(n))))
+
+  /** Count of tokens that appear in `words` (stopword hits). */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(lit): _*)))
+
+  /** Ratio of alphabetic characters to total length. */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Ratio of punctuation (non-alphanumeric, non-space) characters. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** English stopwords used by the default quality score. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Heuristic document quality score in [0,1]: mixes length band,
+    * mean token length band, stopword presence, and alphabetic purity.
+    * Weights are fixed and the arithmetic is plain double ops with a
+    * deterministic shape, so a SQL oracle can reproduce it bit-exactly.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val meanTokLen = (length(c).cast("double") - (nTok - lit(1.0))) / greatest(nTok, lit(1.0))
+    val lengthOk = (nTok >= 10 && nTok <= 100000).cast("double")
+    val tokLenOk = (meanTokLen >= 2.0 && meanTokLen <= 12.0).cast("double")
+    val stopRatio = stopwordHits(c, EnStopwords).cast("double") / greatest(nTok, lit(1.0))
+    val stopOk = (stopRatio > 0.005).cast("double")
+    lengthOk * lit(0.3) + tokLenOk * lit(0.2) + stopOk * lit(0.2) + alphaRatio(c) * lit(0.3)
+  }
+
+  /** Per-language discriminative word lists for the n-gram/stopword
+    * language-ID heuristic. Real function words — the unit tests feed
+    * genuinely multilingual text through this.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Per-language marker-hit counts as one struct column. */
+  def langScores(c: Column): Column =
+    struct(LangMarkers.map { case (lang, words) =>
+      stopwordHits(c, words).as(s"score_$lang")
+    }: _*)
+
+  /** Argmax language with deterministic first-wins tie-break in
+    * `LangMarkers` order; "und" (undetermined) when no marker hits.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> stopwordHits(c, words) }
+    val best = greatest(scores.map(_._2): _*)
+    val picked = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    picked
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): min and max
+    * of 64-bit hashes over character k-grams, plus the full-text hash.
+    * Near-identical documents collide on min/max k-gram hashes even
+    * when whole-text hashes differ. Rows-only vs the oracle (hash
+    * functions are engine-specific).
+    */
+  def fingerprint(c: Column, k: Int = 8): Column = {
+    val grams = charShingles(c, k)
+    struct(
+      xxhash64(c).as("text_hash"),
+      array_min(transform(grams, g => xxhash64(g))).as("min_gram_hash"),
+      array_max(transform(grams, g => xxhash64(g))).as("max_gram_hash"))
+  }
+}

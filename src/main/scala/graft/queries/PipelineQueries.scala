@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.decimalDot
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
+
+/** LLM-training-data pipeline operators (builder prompt: dedup,
+  * similarity search, multimodal, text analysis) plus event analytics.
+  *
+  * Oracle-exactness rules as in ParityQueries: total ORDER BY, decimal
+  * arithmetic for anything summed, doubles only where both engines
+  * compute the identical IEEE expression shape. Hash-based operators
+  * (minhash/simhash/fingerprint/LSH) have no portable SQL equivalent →
+  * registered without oracle (rows-only check) and verified in specs.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Streaming-shaped batch: hourly rollup (same transform serves
+    // readStream with a watermark — graft.streaming.EventStreams).
+    "q16_events_hourly" -> { (s, dir) =>
+      EventStreams.hourlyRollup(Tables.events(s, dir))
+        .orderBy("hour", "event_type")
+    },
+
+    // Gaps-and-islands sessionization (30-minute inactivity gap).
+    "q17_sessionization" -> { (s, dir) =>
+      EventStreams.sessionize(Tables.events(s, dir), 30)
+        .orderBy("user_id", "session_seq")
+    },
+
+    // Token counting: whitespace tokens + BPE-ish subword proxy.
+    "q18_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("n_subtokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/token/stopword/alpha signals + composite.
+    "q19_quality_score" -> { (s, dir) =>
+      val nTok = TextOps.tokenCount(col("text")).cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          ((length(col("text")).cast("double") - (nTok - lit(1.0))) /
+            greatest(nTok, lit(1.0))).as("mean_tok_len"),
+          TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+          (TextOps.stopwordHits(col("text"), TextOps.EnStopwords).cast("double") /
+            greatest(nTok, lit(1.0))).as("stop_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: per-language marker scores + argmax with
+    // deterministic tie-break.
+    "q20_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id")) ++
+          TextOps.LangMarkers.map { case (lang, words) =>
+            TextOps.stopwordHits(col("text"), words).as(s"score_$lang")
+          } ++ Seq(TextOps.langId(col("text")).as("pred_lang")): _*)
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting (rolling k-gram hashes) — engine-specific
+    // hash, rows-only vs oracle; collision semantics spec-tested.
+    "q21_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text"), 8).as("fp"))
+        .select(col("doc_id"), col("fp.text_hash"), col("fp.min_gram_hash"),
+          col("fp.max_gram_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: survivor = lowest doc_id per identical text.
+    "q22_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Near-exact dedup after whitespace/case normalization.
+    "q23_dedup_normalized" -> { (s, dir) =>
+      Dedup.normalizedDedup(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard near-dup pairs via shingle inverted-index join.
+    "q24_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash + banded LSH candidates, verified with exact Jaccard —
+    // the 100 TB dedup shape. Hash-based → rows-only vs oracle.
+    "q25_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash 64-bit fingerprints, Hamming ≤ 3 via quarter-banding.
+    "q26_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding near-dup pairs: exact decimal dot product (order-
+    // independent ⇒ oracle-exact), blocked by label.
+    "q27_embedding_neardup" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label"))
+      a.join(b, Seq("label")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          decimalDot(col("va"), col("vb")).cast("double").as("dot"))
+        .where(col("dot") >= 0.25)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Brute-force ANN top-k (exact baseline): 10 query vectors vs the
+    // full corpus, ranked by exact decimal dot, deterministic tiebreak.
+    "q28_ann_topk" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          simFn = (q, c) => decimalDot(q, c).cast("double"), simName = "dot")
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN (the scale path) — hash buckets are engine-
+    // specific → rows-only; recall measured in the spec suite.
+    "q29_ann_lsh" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+          k = 5, nPlanes = 6, nTables = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // Multimodal plumbing: binary payload + metadata → per-partition
+    // decode stub → features. Deterministic but JVM-side → rows-only.
+    "q30_multimodal_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("media_id")
+    }
+  )
+
+  private val tokensSql =
+    """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"""
+
+  private def stopHitsSql(words: Seq[String]): String =
+    s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "q17_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL
+        |           OR CAST(epoch(ts_s) AS BIGINT) - CAST(epoch(lag(ts_s) OVER w) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_s,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM g
+        |)
+        |SELECT user_id, session_seq, MIN(ts_s) AS session_start,
+        |  MAX(ts_s) AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q18_token_count" ->
+      s"""SELECT doc_id, CAST(len($tokensSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subtokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_tokens, alpha_ratio, stop_hits,
+         |    (CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
+         |  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |  + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |  + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |  + alpha_ratio * 0.3 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q20_lang_id" -> {
+      val scoreCols = TextOps.LangMarkers.map { case (lang, words) =>
+        s"  CAST(${stopHitsSql(words)} AS INT) AS score_$lang"
+      }.mkString(",\n")
+      val best = s"greatest(${TextOps.LangMarkers.map(m => s"score_${m._1}").mkString(", ")})"
+      val pick = TextOps.LangMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+        s"CASE WHEN score_$lang = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+      }
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |$scoreCols
+         |  FROM documents
+         |)
+         |SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+         |  $pick AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q22_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q23_dedup_normalized" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q24_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q27_embedding_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(SUM(CAST(a.embedding[i] AS DECIMAL(12,6))
+        |             * CAST(b.embedding[i] AS DECIMAL(12,6))) AS DOUBLE) AS dot
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+        |       range(1, 65) t(i)
+        |  GROUP BY a.vec_id, b.vec_id
+        |)
+        |SELECT id_a, id_b, dot FROM pairs WHERE dot >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+    "q28_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        |), dots AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(SUM(CAST(qv[i] AS DECIMAL(12,6)) * CAST(cv[i] AS DECIMAL(12,6))) AS DOUBLE) AS dot
+        |  FROM q JOIN c ON query_id <> neighbor_id, range(1, 65) t(i)
+        |  GROUP BY query_id, neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, dot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        |  FROM dots
+        |)
+        |SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}

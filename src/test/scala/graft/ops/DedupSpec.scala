@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Dedup-family semantics on crafted corpora with planted duplicates. */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+  private val nearDup = base.replace("warm", "cold") // one token differs
+  private val unrelated =
+    "completely different content about distributed query engines and columnar storage formats for analytics"
+
+  private def corpus = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated),
+    (3L, base), // exact dup of 0
+    (4L, "  " + base.toUpperCase + "  ") // normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per identical text") {
+    val kept = Dedup.exactDedup(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L)) // 3 dropped (dup of 0)
+  }
+
+  test("normalizedDedup also folds case/whitespace variants") {
+    val kept = Dedup.normalizedDedup(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L)) // 3 and 4 both fold into 0
+  }
+
+  test("ngramJaccardPairs finds planted near-dups and skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // near-dup found
+    assert(pairs.contains((0L, 3L))) // exact dup found (jaccard 1.0)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
+  }
+
+  test("minhashLshPairs recovers the exact-jaccard pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+    assert(lsh.contains((0L, 3L))) // identical docs always collide in LSH
+  }
+
+  test("simhashPairs: identical docs at distance 0, unrelated docs apart") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val d03 = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(d03.exists(_._3 == 0)) // exact dup -> identical fingerprint
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("embeddingNearDupPairs with constant block = true all-pairs") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.001f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f))      // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        lit(1), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("shingleIndex maxDocFreq drops stop-shingles") {
+    val docs = Seq((1L, "a b c x y z"), (2L, "a b c q r s"), (3L, "a b c t u v"))
+      .toDF("doc_id", "text")
+    val full = Dedup.shingleIndex(docs, "doc_id", "text", 3).count()
+    val capped = Dedup.shingleIndex(docs, "doc_id", "text", 3, Some(2)).count()
+    assert(capped < full) // "a b c" (df=3) filtered out
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Small deterministic corpus: three tight clusters around axes.
+  private def corpus = {
+    val rows = for {
+      axis <- 0 until 3
+      i <- 0 until 5
+    } yield {
+      val v = Array.fill(8)(0.01f * (i + 1))
+      v(axis) = 1.0f
+      (axis * 5 + i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: neighbors come from the query's own cluster") {
+    val q = corpus.where(col("vec_id") === 0) // cluster-0 member
+    val top = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L)) // the other cluster-0 members
+  }
+
+  test("bruteForceTopK: rank is dense 1..k and self excluded") {
+    val q = corpus.where(col("vec_id") < 2)
+    val rows = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+      assert(!rs.exists(_._2 == qid))
+    }
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    val q = corpus.where(col("vec_id").isin(0, 5, 10))
+    val exact = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, corpus, "vec_id", "embedding", k = 3,
+        nPlanes = 4, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.65, s"LSH recall $recall too low (found ${approx.size} of ${exact.size})")
+  }
+
+  test("ivfAssign puts each vector in its nearest centroid cell") {
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("cid", "cvec")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        centroids, "cid", "cvec")
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    assigned.foreach { case (vid, cell) => assert(cell == vid / 5) }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens/tokenCount: whitespace runs, leading/trailing space, empty") {
+    val df = Seq("a  b\tc", "  x ", "", "one").toDF("t")
+      .select(TextOps.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 1, 0, 1))
+  }
+
+  test("bpeishTokenCount splits letter runs, digit runs, symbols") {
+    val df = Seq("hello world42!", "a,b").toDF("t")
+      .select(TextOps.bpeishTokenCount(col("t")).as("n"))
+    // hello|world|42|! = 4 ; a|,|b = 3
+    assert(df.as[Int].collect().toSeq == Seq(4, 3))
+  }
+
+  test("wordShingles: sliding n-grams; short docs give empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextOps.wordShingles(col("t"), 3).as("s"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("langId discriminates genuinely multilingual text") {
+    val samples = Seq(
+      ("en", "the cat is on the roof and the dog is in the garden with a ball"),
+      ("fr", "le chat est sur le toit et la porte des voisins est ouverte"),
+      ("es", "el gato esta en el tejado y los perros estan en una casa"),
+      ("de", "der hund ist im garten und die katze ist auf dem dach das ist gut"),
+      ("zh", "我 的 猫 是 在 屋 顶 了 我 的 狗 是 在 花 园"),
+      ("und", "zzz qqq xxx"))
+    val got = samples.toDF("expected", "text")
+      .select(col("expected"), TextOps.langId(col("text")).as("pred"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("qualityScore: clean English prose scores higher than junk") {
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine day in the park"
+    val junk = "@@@@ #### 1234 %%%%"
+    val scores = Seq(good, junk).toDF("t")
+      .select(TextOps.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(scores(0) > 0.9 && scores(1) < 0.5)
+  }
+
+  test("fingerprint: near-identical docs share min/max gram hashes") {
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnopqrstuvwxyz"
+    val b = a.dropRight(1) + "!" // tail perturbation
+    val fps = Seq(a, b).toDF("t")
+      .select(TextOps.fingerprint(col("t"), 8).as("fp"))
+      .select("fp.text_hash", "fp.min_gram_hash").as[(Long, Long)].collect()
+    assert(fps(0)._1 != fps(1)._1) // whole-text hashes differ
+    assert(fps(0)._2 == fps(1)._2) // rolling min-gram hash collides
+  }
+
+  test("alphaRatio/punctRatio bounds") {
+    val df = Seq("abc", "!!!", "a!b").toDF("t")
+      .select(TextOps.alphaRatio(col("t")).as("a"), TextOps.punctRatio(col("t")).as("p"))
+    val got = df.as[(Double, Double)].collect()
+    assert(got(0) == ((1.0, 0.0)) && got(1) == ((0.0, 1.0)))
+    assert(math.abs(got(2)._1 - 2.0 / 3) < 1e-12)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -63,6 +63,14 @@ package object functions {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Fast double dot product (order-dependent rounding — NOT oracle
+    * safe; use as a prefilter with a margin, then confirm with
+    * [[decimalDot]]).
+    */
+  def doubleDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Exact dot product over float-array columns with every element
     * rounded to DECIMAL(12,6): decimal multiplication and summation are
     * exact and order-independent, so the result is bit-identical across
@@ -75,6 +83,15 @@ package object functions {
       lit(0).cast("decimal(38,12)"),
       // recast: decimal + rules would widen past 38 and shrink the scale
       (acc, v) => (acc + v).cast("decimal(38,12)"))
+
+  /** Native codegen'd MinHash signature (graft.expressions.MinHashSignature). */
+  def minhashNative(c: Column, n: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      graft.expressions.MinHashSignature(GraftSqlBridge.expression(c), n, numHashes))
+
+  /** Native codegen'd 64-bit SimHash (graft.expressions.SimHash64). */
+  def simhash64Native(c: Column): Column =
+    GraftSqlBridge.column(graft.expressions.SimHash64(GraftSqlBridge.expression(c)))
 
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column =

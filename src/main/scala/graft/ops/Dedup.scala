@@ -84,17 +84,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature over word shingles: `numHashes` independent
-    * permutations simulated as xxhash64(seed_i || shingle); signature
-    * element i = min over shingles. Empty shingle set → null signature.
+  /** MinHash signature from an already-materialized shingle-array
+    * COLUMN (not an inline expression): the signature references the
+    * shingle array `numHashes` times, and lambda-referenced
+    * subexpressions re-evaluate per reference — passing a plain
+    * attribute makes each reference a cheap row read. Empty shingle
+    * set → null signature.
     */
-  def minhashSignature(textCol: Column, n: Int, numHashes: Int): Column = {
-    val shingles = array_distinct(TextOps.wordShingles(textCol, n))
-    when(size(shingles) === 0, lit(null).cast("array<bigint>"))
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    when(size(shinglesCol) === 0, lit(null).cast("array<bigint>"))
       .otherwise(transform(
         sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(shingles, s => xxhash64(i, s)))))
-  }
+        i => array_min(transform(shinglesCol, s => xxhash64(i, s)))))
 
   /** LSH candidate pairs from MinHash signatures: split the signature
     * into `bands` bands of `rowsPerBand`, bucket on (band index, band
@@ -103,9 +104,10 @@ object Dedup {
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = docs.select(
-      col(idCol).as("doc"),
-      minhashSignature(col(textCol), n, bands * rowsPerBand).as("sig"))
+    val sig = docs
+      // native one-pass signature (graft.expressions.MinHashSignature)
+      .select(col(idCol).as("doc"),
+        graft.functions.minhashNative(col(textCol), n, bands * rowsPerBand).as("sig"))
       .where(col("sig").isNotNull)
     val banded = sig.select(
       col("doc"),
@@ -121,36 +123,63 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs: LSH candidates verified with exact
-    * n-gram Jaccard. The candidate set (not all pairs) feeds the
-    * verify join — the 100 TB-safe shape.
+    * Jaccard computed PER CANDIDATE PAIR (array_intersect on the two
+    * docs' shingle sets) — never a global all-pairs or full inverted-
+    * index pass. Cost is O(|candidates| · shingles), the 100 TB-safe
+    * shape: false-positive candidates cost one local set intersection,
+    * nothing global.
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val withShingles = docs.select(
+      col(idCol).as("doc"),
+      array_distinct(TextOps.wordShingles(col(textCol), n)).as("shingles"))
     val cands = minhashLshCandidates(docs, idCol, textCol, n, bands, rowsPerBand)
-    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    cands.join(exact, Seq("id_a", "id_b"))
+    cands
+      .join(withShingles.select(col("doc").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(withShingles.select(col("doc").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
     * Computed as 64 codegen'd array aggregations — no UDF.
     */
-  def simhash64(textCol: Column): Column = {
-    val ts = TextOps.tokens(textCol)
+  /** SimHash fold over an already-materialized token-hash array COLUMN
+    * (see [[minhashSignature]] for why: the 64 bit-sum lambdas each
+    * reference the array, and only an attribute read is cheap enough
+    * to reference 64 times).
+    */
+  def simhash64FromHashes(hashesCol: Column): Column = {
     // shiftright/shiftleft only take Int amounts in the Scala API, so
     // the variable shift inside the lambda goes through call_function.
     val bitSums = transform(
       sequence(lit(0), lit(63)),
-      b => aggregate(ts, lit(0L),
-        (acc, t) => acc + when(
-          call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+      b => aggregate(hashesCol, lit(0L),
+        (acc, h) => acc + when(
+          call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
           .otherwise(lit(-1L))))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
+
+  /** 64-bit SimHash fingerprints per row via the native codegen'd
+    * expression (graft.expressions.SimHash64) — bit-identical to
+    * [[simhash64FromHashes]] over `transform(tokens, xxhash64)`, but
+    * one tight loop per row instead of 64 interpreted aggregations.
+    */
+  def simhashFingerprints(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.simhash64Native(col(textCol)).as("fp"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -163,7 +192,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "quarter-banding guarantees recall only for maxDist <= 3")
-    val fp = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("fp"))
+    val fp = simhashFingerprints(docs, idCol, textCol)
     val banded = fp.select(col("doc"), col("fp"),
       posexplode(transform(
         sequence(lit(0), lit(3)),

@@ -43,29 +43,36 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic ±1 pseudo-random hyperplane component for
-    * (plane, dim): parity of xxhash64.
+  /** Deterministic ±1 hyperplane component for (table, plane, dim):
+    * driver-side splitmix64-style bit mix of the coordinates. Row-
+    * independent, so planes are materialized ONCE as literals — the
+    * per-row work is only multiplies, never hashing.
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    when(xxhash64(plane, dim).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a
-    * long. Vectors in the same bucket agree on every hyperplane side —
-    * cosine-similar vectors collide with high probability.
-    */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(signs, sequence(lit(0), lit(nPlanes - 1)),
-        (s, p) => s * call_function("shiftleft", lit(1L), p)),
-      lit(0L), (acc, v) => acc + v)
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    var x = table * 1000003L + plane * 7919L + dim * 104729L + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x = x ^ (x >>> 31)
+    if ((x & 1L) == 1L) 1.0 else -1.0
   }
+
+  /** Literal plane matrix for one (table, plane): a dim-length ±1 row. */
+  private def planeLit(table: Int, plane: Int, dim: Int): Column =
+    typedLit((0 until dim).map(d => planeComponent(table, plane, d)))
+
+  /** Random-hyperplane LSH bucket id for one table: `nPlanes` sign bits
+    * packed into a long. Vectors in the same bucket agree on every
+    * hyperplane side — cosine-similar vectors collide with high
+    * probability. `dim` is the embedding dimensionality (planes are
+    * driver-side literals).
+    */
+  def lshBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, planeLit(table, p, dim), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN top-k: queries only compare against corpus
     * vectors in the same bucket. Multi-probe via `nTables` independent
@@ -75,24 +82,12 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
     def withBuckets(df: DataFrame, side: String): DataFrame =
       df.select(
         col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
-        posexplode(transform(sequence(lit(0), lit(nTables - 1)), t =>
-          // table-specific planes: offset the plane index by table*nPlanes
-          aggregate(
-            zip_with(
-              transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-                val dotp = aggregate(
-                  zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-                    (x, d) => x.cast("double") * planeComponent(t * nPlanes + p, d)),
-                  lit(0.0), (acc, v) => acc + v)
-                when(dotp > 0, lit(1L)).otherwise(lit(0L))
-              }),
-              sequence(lit(0), lit(nPlanes - 1)),
-              (s, p) => s * call_function("shiftleft", lit(1L), p)),
-            lit(0L), (acc, v) => acc + v))))
+        posexplode(array((0 until nTables).map(t =>
+          lshBucket(col(vecCol), t, nPlanes, dim)): _*)))
         .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val qb = withBuckets(queries, "query")
     val cb = withBuckets(corpus, "neighbor")

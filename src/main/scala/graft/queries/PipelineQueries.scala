@@ -102,9 +102,12 @@ object PipelineQueries {
 
     // MinHash + banded LSH candidates, verified with exact Jaccard —
     // the 100 TB dedup shape. Hash-based → rows-only vs oracle.
+    // 4 bands × 8 rows: band-collision probability p^8 keeps the
+    // false-candidate rate tiny even on low-vocabulary corpora, while
+    // jaccard≈0.99 near-dups still collide with probability ~1.
     "q25_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, bands = 8, rowsPerBand = 4, threshold = 0.6)
+          n = 3, bands = 4, rowsPerBand = 8, threshold = 0.6)
         .orderBy("id_a", "id_b")
     },
 
@@ -115,12 +118,16 @@ object PipelineQueries {
     },
 
     // Embedding near-dup pairs: exact decimal dot product (order-
-    // independent ⇒ oracle-exact), blocked by label.
+    // independent ⇒ oracle-exact), blocked by label. A fast double-dot
+    // prefilter (margin 0.01 ≫ double-summation error) keeps the
+    // expensive exact-decimal arithmetic off the non-candidate pairs.
     "q27_embedding_neardup" -> { (s, dir) =>
+      import graft.functions.doubleDot
       val e = Tables.embeddings(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label"))
       a.join(b, Seq("label")).where(col("id_a") < col("id_b"))
+        .where(doubleDot(col("va"), col("vb")) >= 0.24)
         .select(col("id_a"), col("id_b"),
           decimalDot(col("va"), col("vb")).cast("double").as("dot"))
         .where(col("dot") >= 0.25)

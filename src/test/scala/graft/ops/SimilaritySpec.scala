@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpecBase {
     val exact = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val approx = Similarity.lshTopK(q, corpus, "vec_id", "embedding", k = 3,
-        nPlanes = 4, nTables = 8)
+        nPlanes = 4, nTables = 8, dim = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.65, s"LSH recall $recall too low (found ${approx.size} of ${exact.size})")

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions._
+
+/** Analytics extensions over the star schema: multi-dimensional
+  * aggregation (rollup/cube), set operations, distinct counting (exact
+  * and HLL), and JSON property extraction — the consumer-side query
+  * surface the reference's dimensional model exists to serve.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ROLLUP: region × year revenue with subtotals and grand total.
+    "q31_rollup_revenue" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), year(col("o_orderdate")).as("year"))
+        .agg(sum(money(col("l_extendedprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name").asc_nulls_first, col("year").asc_nulls_first)
+    },
+
+    // CUBE: all 2^2 grouping combinations over returnflag × linestatus.
+    "q32_cube_flags" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(volume(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Set ops: customers ordering in 1995 ∩ 1996, minus any who ordered
+    // in 1997 — INTERSECT and EXCEPT with set (distinct) semantics.
+    "q33_setops_customers" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def inYear(y: Int) =
+        o.where(year(col("o_orderdate")) === y).select("o_custkey")
+      inYear(1995).intersect(inYear(1996)).except(inYear(1997))
+        .orderBy("o_custkey")
+    },
+
+    // Exact distinct counting per group (the DISTINCT-as-aggregation
+    // surface, A3, at consumer grain).
+    "q34_distinct_counts" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // HLL sketch counting — the 100 TB path for distinct counts (fixed
+    // memory, mergeable partial sketches). Sketch internals are engine-
+    // specific → rows-only; accuracy asserted in the spec suite.
+    "q35_hll_counts" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // JSON property extraction from the events props column.
+    "q36_events_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_rollup_revenue" ->
+      """SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, year)
+        |ORDER BY r_name NULLS FIRST, year NULLS FIRST""".stripMargin,
+    "q32_cube_flags" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q33_setops_customers" ->
+      """(SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+    "q34_distinct_counts" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q36_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

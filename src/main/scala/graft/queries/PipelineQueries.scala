@@ -158,6 +158,25 @@ object PipelineQueries {
     "q30_multimodal_features" -> { (s, dir) =>
       Multimodal.extractFeatures(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("media_id")
+    },
+
+    // Custom DSv2 paginated source (S1/P3 parity): date-range pushdown
+    // prunes pages server-side, then monthly rollup. The feed is
+    // closed-form arithmetic, reproduced exactly by the oracle's
+    // range()-based generator (sfDir unused by design — the source IS
+    // the dataset).
+    "q37_paged_source" -> { (s, _) =>
+      s.read.format("graft.sources.PagedProvider")
+        .option("totalRows", "100000").option("pageSize", "7919")
+        .load()
+        .where(col("date").between(
+          lit("2020-06-01 00:00:00").cast("timestamp"),
+          lit("2020-08-31 23:59:59").cast("timestamp")))
+        .groupBy(date_trunc("month", col("date")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sale_dollars").cast("decimal(18,2)")).cast("double").as("sales"),
+          countDistinct(col("store")).as("n_stores"))
+        .orderBy("month")
     }
   )
 
@@ -293,6 +312,21 @@ object PipelineQueries {
         |  FROM dots
         |)
         |SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
-        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q37_paged_source" ->
+      """WITH g AS (SELECT range AS i FROM range(100000)),
+        |feed AS (
+        |  SELECT TIMESTAMP '2020-01-01' + (i // 10) * INTERVAL 1 DAY AS date,
+        |    'store_' || (i % 37) AS store,
+        |    ((i * 7 + 13) % 10000) / 100.0 AS sale_dollars
+        |  FROM g
+        |)
+        |SELECT CAST(date_trunc('month', date) AS TIMESTAMP) AS month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(sale_dollars AS DECIMAL(18,2))) AS DOUBLE) AS sales,
+        |  COUNT(DISTINCT store) AS n_stores
+        |FROM feed
+        |WHERE date BETWEEN TIMESTAMP '2020-06-01 00:00:00' AND TIMESTAMP '2020-08-31 23:59:59'
+        |GROUP BY month ORDER BY month""".stripMargin
   )
 }

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 paginated source — the architecture the reference's
+  * Socrata HTTP pager maps to (SURVEY.md §2.1 S1, §4):
+  *
+  * - `$limit`/`$offset` pages (reference `src/extract.py:22-23`) become
+  *   one `InputPartition` per page, read in parallel instead of a
+  *   serial cursor loop;
+  * - the `$where=date BETWEEN …` server-side predicate (reference
+  *   `src/extract.py:21`) becomes `SupportsPushDownFilters`: date
+  *   bounds translate to generator index bounds, so non-matching pages
+  *   are never planned;
+  * - `$select` (reference `src/extract.py:20`) becomes
+  *   `SupportsPushDownRequiredColumns`;
+  * - LIMIT pushdown (`SupportsPushDownLimit`) truncates the row range.
+  *
+  * The "endpoint" is a deterministic row generator (no network in this
+  * environment): row i has a monotonically non-decreasing date (10 rows
+  * per day from 2020-01-01), a cyclic store id, and an arithmetic
+  * sale_dollars — pure closed-form, so a SQL oracle can reproduce the
+  * feed exactly. Options: `totalRows` (default 100000), `pageSize`
+  * (default 50000 = the reference's CHUNK_ROWS, `src/config.py:19`).
+  */
+class PagedProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    // getTable receives the original case-sensitive option keys
+    val opts = properties.asScala.map { case (k, v) => k.toLowerCase -> v }
+    new PagedTable(
+      opts.getOrElse("totalrows", "100000").toLong,
+      opts.getOrElse("pagesize", "50000").toInt)
+  }
+}
+
+object PagedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("invoice_line_no", StringType, nullable = false),
+    StructField("date", TimestampType, nullable = false),
+    StructField("store", StringType, nullable = false),
+    StructField("sale_dollars", DoubleType, nullable = false)))
+
+  val EpochMicros: Long = 1577836800000000L // 2020-01-01T00:00:00Z
+  val DayMicros: Long = 86400000000L
+  val RowsPerDay: Long = 10L
+
+  def dateMicros(i: Long): Long = EpochMicros + (i / RowsPerDay) * DayMicros
+  def invoice(i: Long): String = "INV" + i
+  def store(i: Long): String = "store_" + (i % 37)
+  def saleDollars(i: Long): Double = ((i * 7 + 13) % 10000) / 100.0
+
+  /** Smallest row index whose date >= t (micros), given monotone dates. */
+  def lowerIndexForDateGte(t: Long): Long = {
+    if (t <= EpochMicros) 0L
+    else {
+      val d = (t - EpochMicros + DayMicros - 1) / DayMicros // ceil
+      d * RowsPerDay
+    }
+  }
+
+  /** One-past-largest row index whose date <= t (micros). */
+  def upperIndexForDateLte(t: Long): Long = {
+    if (t < EpochMicros) 0L
+    else {
+      val d = (t - EpochMicros) / DayMicros // floor
+      (d + 1) * RowsPerDay
+    }
+  }
+}
+
+class PagedTable(totalRows: Long, pageSize: Int) extends Table with SupportsRead {
+  override def name(): String = s"paged(totalRows=$totalRows, pageSize=$pageSize)"
+  override def schema(): StructType = PagedSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(totalRows, pageSize)
+}
+
+class PagedScanBuilder(totalRows: Long, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = PagedSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = totalRows
+  private var pushed: Array[Filter] = Array.empty
+
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant.toEpochMilli * 1000L + (t.getNanos / 1000) % 1000)
+    case t: java.time.Instant => Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable: Array[Filter] = filters.flatMap {
+      case f @ GreaterThanOrEqual("date", v) => tsMicros(v).map { t =>
+        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t)); f
+      }
+      case f @ GreaterThan("date", v) => tsMicros(v).map { t =>
+        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t + 1)); f
+      }
+      case f @ LessThanOrEqual("date", v) => tsMicros(v).map { t =>
+        hi = math.min(hi, PagedSource.upperIndexForDateLte(t)); f
+      }
+      case f @ LessThan("date", v) => tsMicros(v).map { t =>
+        hi = math.min(hi, PagedSource.upperIndexForDateLte(t - 1)); f
+      }
+      case _ => None
+    }
+    pushed = usable
+    // Residual = everything: bounds prune pages, Spark still re-applies
+    // exact predicates (same contract as parquet row-group pruning).
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true // partial: pages may still overshoot within a partition
+  }
+
+  override def build(): Scan = new PagedScan(required, lo, math.max(lo, hi), pageSize)
+}
+
+class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val nPages = ((hi - lo) + pageSize - 1) / pageSize
+    s"PagedScan(range=[$lo,$hi), pages=$nPages, cols=${required.fieldNames.mkString(",")})"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Iterator.iterate(lo)(_ + pageSize).takeWhile(_ < hi)
+      .map(start => PagedPartition(start, math.min(start + pageSize, hi)): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required)
+}
+
+case class PagedPartition(start: Long, end: Long) extends InputPartition
+
+class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedPartition]
+    new PagedReader(p.start, p.end, required)
+  }
+}
+
+class PagedReader(start: Long, end: Long, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var i = start - 1
+  private val getters: Array[Long => Any] = required.fieldNames.map {
+    case "invoice_line_no" => (i: Long) => UTF8String.fromString(PagedSource.invoice(i))
+    case "date" => (i: Long) => PagedSource.dateMicros(i)
+    case "store" => (i: Long) => UTF8String.fromString(PagedSource.store(i))
+    case "sale_dollars" => (i: Long) => PagedSource.saleDollars(i)
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def next(): Boolean = { i += 1; i < end }
+  override def get(): InternalRow = InternalRow.fromSeq(getters.map(_(i)).toSeq)
+  override def close(): Unit = ()
+}

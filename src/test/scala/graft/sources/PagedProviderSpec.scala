@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PagedProviderSpec extends SparkSpecBase {
+
+  private def feed(total: Long = 1000, page: Int = 100) =
+    spark.read.format("graft.sources.PagedProvider")
+      .option("totalRows", total.toString)
+      .option("pageSize", page.toString)
+      .load()
+
+  test("full scan yields totalRows with closed-form values") {
+    val df = feed(1000, 100)
+    assert(df.count() == 1000)
+    val r = df.where(col("invoice_line_no") === "INV42").collect()(0)
+    assert(r.getAs[String]("store") == s"store_${42 % 37}")
+    assert(r.getAs[Double]("sale_dollars") == ((42 * 7 + 13) % 10000) / 100.0)
+    assert(r.getAs[java.sql.Timestamp]("date").toInstant.toString
+      .startsWith("2020-01-05")) // row 42 -> day 4
+  }
+
+  test("pagination plans one partition per page") {
+    val df = feed(1000, 100)
+    assert(df.rdd.getNumPartitions == 10)
+  }
+
+  test("date range filter prunes pages (server-side pushdown)") {
+    // rows 0..999 span 100 days from 2020-01-01; restrict to days 50-59
+    val df = feed(1000, 100)
+      .where(col("date") >= lit("2020-02-20 00:00:00").cast("timestamp") &&
+        col("date") <= lit("2020-02-29 23:59:59").cast("timestamp"))
+    assert(df.count() == 100)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PagedScan(range=[500,600)"), s"plan was:\n$plan")
+    assert(df.rdd.getNumPartitions == 1) // 1 page instead of 10
+  }
+
+  test("column pruning reaches the scan ($select pushdown)") {
+    val df = feed(1000, 100).select("store")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("cols=store"), s"plan was:\n$plan")
+    assert(df.distinct().count() == 37)
+  }
+
+  test("limit pushdown truncates the planned range") {
+    val df = feed(100000, 1000).limit(5)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("range=[0,5)"), s"plan was:\n$plan")
+    assert(df.count() == 5)
+  }
+
+  test("boundary semantics: inclusive BETWEEN day-range (P2 parity)") {
+    // the reference's `BETWEEN d1T00:00:00 AND d2T23:59:59` window
+    val df = feed(1000, 100)
+      .where(col("date").between(
+        lit("2020-01-01 00:00:00").cast("timestamp"),
+        lit("2020-01-02 23:59:59").cast("timestamp")))
+    assert(df.count() == 20) // 2 days x 10 rows/day
+  }
+}

@@ -70,9 +70,25 @@ object Dedup {
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
     val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
-    val inter = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    // Postings formulation instead of an index self-join: one shuffle
+    // groups docs per shingle (sorted, so pairs come out ordered), then
+    // C(p,2) pairs are generated map-side from each posting list and
+    // partially aggregated before the pair shuffle — half the shuffled
+    // bytes of idx⨝idx and no join at all.
+    val postings = idx.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .where(size(col("docs")) > 1)
+    // Long posting lists (stop-shingles) would make single tasks
+    // generate O(p²) pairs — at scale, always set maxDocFreq to cap p.
+    val pairs = postings.select(explode(flatten(transform(
+      sequence(lit(0), size(col("docs")) - 2),
+      i => transform(
+        sequence(i + 1, size(col("docs")) - 1),
+        j => struct(element_at(col("docs"), i + 1).as("id_a"),
+          element_at(col("docs"), j + 1).as("id_b")))))).as("pair"))
+      .select(col("pair.id_a"), col("pair.id_b"))
+    val inter = pairs
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")

@@ -67,4 +67,53 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Input/state/output types for the stateful streaming sessionizer. */
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionSeq: Long, start: Long, last: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_seq: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Custom-state streaming sessionization via flatMapGroupsWithState:
+    * per-user state tracks the open session; a batch closes sessions
+    * whose gap to the next event exceeds `gapMinutes` and emits them.
+    * The open session is emitted only on state timeout in production;
+    * here the contract is: emit closed sessions, keep the live one in
+    * state (visible to the spec through the final batch).
+    *
+    * This is the incremental counterpart of [[sessionize]]: the batch
+    * window scan becomes O(state) per micro-batch instead of a full
+    * re-sort of history.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += SessionOut(user, s.sessionSeq,
+                  new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.nEvents)
+                cur = Some(SessionState(s.sessionSeq + 1, t, t, 1))
+              case None =>
+                cur = Some(SessionState(1, t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

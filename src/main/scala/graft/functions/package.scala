@@ -80,9 +80,19 @@ package object functions {
   def decimalDot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("decimal(12,6)") * y.cast("decimal(12,6)")),
-      lit(0).cast("decimal(38,12)"),
-      // recast: decimal + rules would widen past 38 and shrink the scale
-      (acc, v) => (acc + v).cast("decimal(38,12)"))
+      // acc precision 30: (30,12)+(25,12) -> (32,12) stays under 38, so
+      // the addition is EXACT. A (38,12) acc would make every addition
+      // overflow to (38,11) and silently round each partial sum.
+      lit(0).cast("decimal(30,12)"),
+      (acc, v) => (acc + v).cast("decimal(30,12)"))
+
+  /** Native scaled-long dot product, bit-identical to
+    * `decimalDot(a, b).cast("double")` (spec-enforced) — use in hot
+    * paths that need oracle-exact similarity values.
+    */
+  def decimalDotNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(graft.expressions.DecimalScaledDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Native codegen'd MinHash signature (graft.expressions.MinHashSignature). */
   def minhashNative(c: Column, n: Int, numHashes: Int): Column =

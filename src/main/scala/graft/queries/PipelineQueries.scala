@@ -122,14 +122,13 @@ object PipelineQueries {
     // prefilter (margin 0.01 ≫ double-summation error) keeps the
     // expensive exact-decimal arithmetic off the non-candidate pairs.
     "q27_embedding_neardup" -> { (s, dir) =>
-      import graft.functions.doubleDot
+      import graft.functions.decimalDotNative
       val e = Tables.embeddings(s, dir)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label"))
       a.join(b, Seq("label")).where(col("id_a") < col("id_b"))
-        .where(doubleDot(col("va"), col("vb")) >= 0.24)
         .select(col("id_a"), col("id_b"),
-          decimalDot(col("va"), col("vb")).cast("double").as("dot"))
+          decimalDotNative(col("va"), col("vb")).as("dot"))
         .where(col("dot") >= 0.25)
         .orderBy("id_a", "id_b")
     },
@@ -140,7 +139,7 @@ object PipelineQueries {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(
           e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
-          simFn = (q, c) => decimalDot(q, c).cast("double"), simName = "dot")
+          simFn = (q, c) => graft.functions.decimalDotNative(q, c), simName = "dot")
         .orderBy("query_id", "rank")
     },
 
@@ -285,11 +284,17 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    // Scaled-integer dot: round(x*1e6) is exact for floats in both
+    // engines (float mantissa x 10^6 < 2^53, ties away from zero), all
+    // partial sums are exact integers < 2^53 (order-independent), and
+    // the final /1e12 is one correctly-rounded division — bit-identical
+    // to graft.expressions.DecimalScaledDot. Engine decimal CASTs are
+    // NOT used: DuckDB rounds float->decimal half-even, Spark half-up.
     "q27_embedding_neardup" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    CAST(SUM(CAST(a.embedding[i] AS DECIMAL(12,6))
-        |             * CAST(b.embedding[i] AS DECIMAL(12,6))) AS DOUBLE) AS dot
+        |    SUM(round(CAST(a.embedding[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(b.embedding[i] AS DOUBLE) * 1e6)) / 1e12 AS dot
         |  FROM embeddings a
         |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
         |       range(1, 65) t(i)
@@ -303,7 +308,8 @@ object PipelineQueries {
         |  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
         |), dots AS (
         |  SELECT query_id, neighbor_id,
-        |    CAST(SUM(CAST(qv[i] AS DECIMAL(12,6)) * CAST(cv[i] AS DECIMAL(12,6))) AS DOUBLE) AS dot
+        |    SUM(round(CAST(qv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(cv[i] AS DOUBLE) * 1e6)) / 1e12 AS dot
         |  FROM q JOIN c ON query_id <> neighbor_id, range(1, 65) t(i)
         |  GROUP BY query_id, neighbor_id
         |), ranked AS (

@@ -62,7 +62,9 @@ def main():
                     status.append(f"dtype[{c}] {a[c].dtype} vs {b[c].dtype}")
         if not status:
             try:
-                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                # exact: a hash-based driver has no float tolerance
+                pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                              check_exact=True)
             except AssertionError as e:
                 status.append("values differ: " + str(e).split("\n")[0:3].__str__())
         if status:

@@ -130,4 +130,28 @@ object Pipeline {
   def registerTable(spark: SparkSession, name: String, dir: String): Unit =
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$dir'")
+
+  /** Bucketed catalog table: co-locates join/aggregation keys at write
+    * time so repeated joins on `keys` skip the shuffle entirely — the
+    * pre-partitioning strategy for fact tables read by many downstream
+    * star joins at 100 TB. (Bucketed joins require catalog tables;
+    * plain parquet directories don't carry bucket metadata.)
+    */
+  def writeBucketedTable(
+      df: DataFrame, table: String, keys: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Hive-style partitioned directory layout: queries filtering on
+    * `partitionCols` prune whole directories at planning time
+    * (PartitionFilters), the coarse-grained complement to parquet
+    * row-group pushdown.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
 }

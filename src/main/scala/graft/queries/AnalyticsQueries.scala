@@ -82,6 +82,38 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy("event_type")
+    },
+
+    // As-of join: each non-signup event enriched with the user's most
+    // recent at-or-before signup (second granularity; signups deduped
+    // per (user, second) keeping the max event_id so the as-of pick is
+    // deterministic). Union+window implementation, DuckDB ASOF oracle.
+    "q38_asof_enrich" -> { (s, dir) =>
+      import graft.ops.AsofJoin
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+      val signups = ev.where(col("event_type") === "signup")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("ts_s"))
+            .orderBy(col("event_id").desc)))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts_s"), col("value").as("signup_value"))
+      val others = ev.where(col("event_type") =!= "signup")
+        .select("event_id", "user_id", "ts_s")
+      AsofJoin.asofJoin(others, signups, "user_id", "ts_s", Seq("signup_value"))
+        .select("event_id", "user_id", "signup_value")
+        .orderBy("event_id")
+    },
+
+    // Pivot: daily event counts fanned out per type into columns.
+    "q39_pivot_daily" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
     }
   )
 
@@ -121,6 +153,31 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q38_asof_enrich" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |), signups AS (
+        |  SELECT user_id, ts_s, value AS signup_value FROM ev
+        |  WHERE event_type = 'signup'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts_s ORDER BY event_id DESC) = 1
+        |), others AS (
+        |  SELECT event_id, user_id, ts_s FROM ev WHERE event_type <> 'signup'
+        |)
+        |SELECT o.event_id, o.user_id, s.signup_value
+        |FROM others o
+        |ASOF LEFT JOIN signups s
+        |  ON o.user_id = s.user_id AND o.ts_s >= s.ts_s
+        |ORDER BY o.event_id""".stripMargin,
+    "q39_pivot_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin
   )
 }

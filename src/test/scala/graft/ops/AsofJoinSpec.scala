@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import java.sql.Timestamp
+
+class AsofJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks latest at-or-before right row per key") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:00:00"), 50.0)
+    ).toDF("user_id", "t", "price")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 08:00:00")), // before any quote -> null
+      (11L, 1L, ts("2024-01-01 09:00:00")), // equal ts -> inclusive match 100
+      (12L, 1L, ts("2024-01-01 11:59:59")), // -> 100
+      (13L, 1L, ts("2024-01-01 12:00:01")), // -> 110
+      (14L, 2L, ts("2024-01-02 00:00:00")), // -> 50
+      (15L, 3L, ts("2024-01-01 12:00:00"))  // unseen key -> null
+    ).toDF("event_id", "user_id", "t")
+    val got = AsofJoin.asofJoin(events, quotes, "user_id", "t", Seq("price"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("price")))))
+    assert(got.toSeq == Seq(
+      (10L, None), (11L, Some(100.0)), (12L, Some(100.0)),
+      (13L, Some(110.0)), (14L, Some(50.0)), (15L, None)))
+  }
+
+  test("left columns are preserved untouched") {
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), "payload")).toDF("k", "t", "p")
+    val left = Seq((1L, ts("2024-01-02 00:00:00"), "own-data", 42))
+      .toDF("k", "t", "extra", "num")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("p"))
+    assert(out.columns.toSeq == Seq("k", "t", "extra", "num", "p"))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("extra") == "own-data" && r.getAs[Int]("num") == 42)
+    assert(r.getAs[String]("p") == "payload")
+  }
+}

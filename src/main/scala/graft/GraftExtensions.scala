@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{DecimalScaledDot, MinHashSignature, SimHash64}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
+  * ...")` works in sessions built with
+  * `.withExtensions(new GraftExtensions)` or launched with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Registered functions:
+  * - `simhash64(text)` → BIGINT
+  * - `minhash_signature(text, n, numHashes)` → ARRAY<BIGINT>
+  * - `decimal_scaled_dot(a, b)` → DOUBLE
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  /** The registrations, shared by the extensions class (session-build
+    * time, `spark.sql.extensions`) and [[register]] (runtime, for
+    * sessions the caller didn't build).
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(text, n, numHashes) - MinHash over word n-gram shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "minhash_signature(text, n, numHashes) takes 3 arguments")
+        val n = children(1).eval().asInstanceOf[Number].intValue()
+        val k = children(2).eval().asInstanceOf[Number].intValue()
+        MinHashSignature(children.head, n, k)
+      }),
+    (FunctionIdentifier("decimal_scaled_dot"),
+      info("decimal_scaled_dot",
+        "decimal_scaled_dot(a, b) - exact dot product of float arrays at 6-decimal scale"),
+      (children: Seq[Expression]) => DecimalScaledDot(children(0), children(1))))
+
+  /** Register into an ALREADY-RUNNING session's function registry —
+    * the path for environments where the session is handed to us
+    * (notebooks, the round driver) rather than built with
+    * `.withExtensions`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}

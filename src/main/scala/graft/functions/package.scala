@@ -99,6 +99,11 @@ package object functions {
     GraftSqlBridge.column(
       graft.expressions.MinHashSignature(GraftSqlBridge.expression(c), n, numHashes))
 
+  /** Native codegen'd word n-gram shingles (graft.expressions.WordShingles). */
+  def wordShinglesNative(c: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      graft.expressions.WordShingles(GraftSqlBridge.expression(c), n))
+
   /** Native codegen'd 64-bit SimHash (graft.expressions.SimHash64). */
   def simhash64Native(c: Column): Column =
     GraftSqlBridge.column(graft.expressions.SimHash64(GraftSqlBridge.expression(c)))

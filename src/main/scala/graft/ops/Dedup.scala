@@ -51,7 +51,7 @@ object Dedup {
       n: Int, maxDocFreq: Option[Int] = None): DataFrame = {
     val pairs = docs
       .select(col(idCol).as("doc"), explode(array_distinct(
-        TextOps.wordShingles(col(textCol), n))).as("shingle"))
+        graft.functions.wordShinglesNative(col(textCol), n))).as("shingle"))
     maxDocFreq match {
       case None => pairs
       case Some(cap) =>
@@ -150,7 +150,7 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val withShingles = docs.select(
       col(idCol).as("doc"),
-      array_distinct(TextOps.wordShingles(col(textCol), n)).as("shingles"))
+      array_distinct(graft.functions.wordShinglesNative(col(textCol), n)).as("shingles"))
     val cands = minhashLshCandidates(docs, idCol, textCol, n, bands, rowsPerBand)
     cands
       .join(withShingles.select(col("doc").as("id_a"), col("shingles").as("sh_a")), "id_a")

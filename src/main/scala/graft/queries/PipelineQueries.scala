@@ -159,6 +159,27 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // End-to-end corpus curation — the composed training-data filter:
+    // exact-dedup survivors, quality-scored, token-counted, grouped per
+    // declared language with kept/dropped accounting. Every piece is
+    // portable, so the whole composition is oracle-checked.
+    "q40_corpus_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+      val scored = deduped.select(
+        col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      scored
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality") >= 0.5 && col("n_tokens") >= 10, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    },
+
     // Custom DSv2 paginated source (S1/P3 parity): date-range pushdown
     // prunes pages server-side, then monthly rollup. The feed is
     // closed-form arithmetic, reproduced exactly by the oracle's
@@ -319,6 +340,36 @@ object PipelineQueries {
         |)
         |SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q40_corpus_curation" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |), t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM surv
+         |), m AS (
+         |  SELECT doc_id, lang, n_tokens, alpha_ratio, stop_hits,
+         |    (n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3 AS quality
+         |  FROM m
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN quality >= 0.5 AND n_tokens >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     "q37_paged_source" ->
       """WITH g AS (SELECT range AS i FROM range(100000)),
         |feed AS (

@@ -104,6 +104,48 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic IVF centroid training: k-means over the embedding
+    * column with hash-seeded initialization (lowest xxhash64(id) rows —
+    * reproducible, no RNG) and `iters` Lloyd iterations, each one
+    * assignment (broadcast centroids) + one mean-reduction per cell
+    * (partial aggregation map-side). Each iteration is two narrow
+    * passes over the data — the shape that holds at corpus scale where
+    * k ≪ n and centroids always fit in a broadcast.
+    */
+  def trainIvfCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    var centroids = df
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("__h"), col(idCol))) - 1).cast("long"))
+      .select(col("cid"), col(vecCol).cast("array<double>").as("cvec"))
+    centroids.cache()
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(df, idCol, vecCol, centroids, "cid", "cvec")
+      // mean per cell, dimension-wise: aggregate element-sums + count
+      val next = assigned
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until dimOf(df, vecCol)).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double"))): _*).as("sums"))
+        .select(col("cell").as("cid"),
+          transform(col("sums"), s => s / col("n")).as("cvec"))
+      val materialized = next.cache()
+      materialized.count()
+      centroids.unpersist()
+      centroids = materialized
+    }
+    centroids
+  }
+
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** IVF coarse quantization: assign each vector to its nearest of
     * `centroids` (id, vec) — the cell id becomes the blocking key.
     * Centroids are expected to be few (broadcast).

@@ -152,6 +152,28 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF ANN (the second scale path besides LSH): deterministic
+    // hash-seeded k-means centroids, cell-blocked candidate search,
+    // exact re-rank inside the cell. Rows-only (iterative training has
+    // no portable SQL equivalent); clustering quality spec-checked.
+    "q41_ann_ivf" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents, "cid", "cvec")
+      val q = assigned.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+      val c = assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
+      c.join(q, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.decimalDotNative(col("qv"), col("cv")).as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Multimodal plumbing: binary payload + metadata → per-partition
     // decode stub → features. Deterministic but JVM-side → rows-only.
     "q30_multimodal_features" -> { (s, dir) =>

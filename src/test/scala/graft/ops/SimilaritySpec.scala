@@ -48,6 +48,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.65, s"LSH recall $recall too low (found ${approx.size} of ${exact.size})")
   }
 
+  test("trainIvfCentroids recovers the three planted clusters") {
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents, "cid", "cvec")
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    // cluster purity: every member of an axis-cluster lands in one cell
+    val byCluster = assigned.groupBy(_._1 / 5).values
+    byCluster.foreach { members =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"cluster split across cells: ${members.toSeq}")
+    }
+    // and the three clusters occupy three distinct cells
+    assert(assigned.map(_._2).distinct.length == 3)
+  }
+
   test("ivfAssign puts each vector in its nearest centroid cell") {
     val centroids = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0f, 0f, 0f, 0f, 0f)),

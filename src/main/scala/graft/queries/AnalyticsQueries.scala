@@ -114,6 +114,45 @@ object AnalyticsQueries {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("day")
+    },
+
+    // Exact interpolated percentiles per group (both engines use the
+    // p*(n-1) linear-interpolation definition).
+    "q42_percentiles" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          median(col("l_quantity")).as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // Term frequency: top-5 tokens per language with deterministic
+    // tiebreak — the corpus-statistics staple.
+    "q43_term_freq" -> { (s, dir) =>
+      import graft.ops.TextOps
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("lang"), col("token"), col("n"), col("rnk"))
+        .orderBy("lang", "rnk")
+    },
+
+    // Histogram binning with portable floor arithmetic (DuckDB 1.0 has
+    // no width_bucket).
+    "q44_histogram" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(floor(col("value") / 10.0).cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
     }
   )
 
@@ -178,6 +217,29 @@ object AnalyticsQueries {
         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY day ORDER BY day""".stripMargin
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q42_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q43_term_freq" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                  t -> t <> '')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+        |)
+        |SELECT lang, token, n, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT lang, token, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+        |  FROM counts
+        |) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "q44_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS INT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -99,6 +99,11 @@ package object functions {
     GraftSqlBridge.column(
       graft.expressions.MinHashSignature(GraftSqlBridge.expression(c), n, numHashes))
 
+  /** Native one-pass [min,max] of char k-gram hashes (graft.expressions.GramHashRange). */
+  def gramHashRangeNative(c: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      graft.expressions.GramHashRange(GraftSqlBridge.expression(c), k))
+
   /** Native codegen'd word n-gram shingles (graft.expressions.WordShingles). */
   def wordShinglesNative(c: Column, n: Int): Column =
     GraftSqlBridge.column(

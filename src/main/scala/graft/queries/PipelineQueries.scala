@@ -72,10 +72,7 @@ object PipelineQueries {
     // Document fingerprinting (rolling k-gram hashes) — engine-specific
     // hash, rows-only vs oracle; collision semantics spec-tested.
     "q21_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.fingerprint(col("text"), 8).as("fp"))
-        .select(col("doc_id"), col("fp.text_hash"), col("fp.min_gram_hash"),
-          col("fp.max_gram_hash"))
+      TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text", 8)
         .orderBy("doc_id")
     },
 

@@ -38,4 +38,22 @@ class WordShinglesSpec extends SparkSpecBase {
       .select(graft.functions.wordShinglesNative(col("s"), 3)).collect()
     assert(got(0).isNullAt(0))
   }
+
+  for (k <- Seq(3, 8)) {
+    test(s"gramHashRange == declarative min/max of xxhash64(charShingles) for k=$k") {
+      val rows = samples.toDF("s").select(
+        graft.functions.gramHashRangeNative(col("s"), k).as("nat"),
+        array_min(transform(TextOps.charShingles(col("s"), k), g => xxhash64(g))).as("mn"),
+        array_max(transform(TextOps.charShingles(col("s"), k), g => xxhash64(g))).as("mx"))
+        .collect()
+      rows.foreach { r =>
+        if (r.isNullAt(0)) {
+          assert(r.isNullAt(1) && r.isNullAt(2))
+        } else {
+          val arr = r.getSeq[Long](0)
+          assert(arr(0) == r.getLong(1) && arr(1) == r.getLong(2))
+        }
+      }
+    }
+  }
 }

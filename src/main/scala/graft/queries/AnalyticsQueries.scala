@@ -153,6 +153,38 @@ object AnalyticsQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    },
+
+    // Moving aggregate over an ordered frame: 7-row trailing average of
+    // daily revenue (days are unique -> deterministic frame).
+    "q45_moving_avg" -> { (s, dir) =>
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).cast("timestamp").as("day"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("revenue", col("rev_dec").cast("double"))
+        .withColumn("avg7",
+          (sum(col("rev_dec")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")))
+        .select("day", "revenue", "avg7")
+        .orderBy("day")
+    },
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders — per-part
+    // average quantity as a correlated aggregate, decimal-exact
+    // internals, identical double threshold arithmetic on both sides.
+    "q46_small_qty_revenue" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val avgQty = li.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(volume(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      li.join(broadcast(avgQty), col("l_partkey") === col("pk"))
+        .where(volume(col("l_quantity")).cast("double") < lit(0.5) * col("avg_qty"))
+        .agg(
+          (sum(money(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
@@ -240,6 +272,29 @@ object AnalyticsQueries {
         |) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "q44_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS INT) AS bucket, COUNT(*) AS n
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q45_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS day,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM lineitem GROUP BY day
+        |)
+        |SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS avg7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q46_small_qty_revenue" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN avgq ON l_partkey = pk
+        |WHERE CAST(CAST(l_quantity AS DECIMAL(18,3)) AS DOUBLE) < 0.5 * avg_qty""".stripMargin
   )
 }

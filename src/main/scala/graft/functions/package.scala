@@ -99,6 +99,15 @@ package object functions {
     GraftSqlBridge.column(
       graft.expressions.MinHashSignature(GraftSqlBridge.expression(c), n, numHashes))
 
+  /** Oracle-exact cosine: all three dots are scaled-integer-exact, and
+    * sqrt/division are single correctly-rounded IEEE ops — the full
+    * expression is bit-reproducible across engines when the oracle
+    * mirrors the same shape.
+    */
+  def cosineExact(a: Column, b: Column): Column =
+    decimalDotNative(a, b) /
+      (sqrt(decimalDotNative(a, a)) * sqrt(decimalDotNative(b, b)))
+
   /** Native one-pass [min,max] of char k-gram hashes (graft.expressions.GramHashRange). */
   def gramHashRangeNative(c: Column, k: Int): Column =
     GraftSqlBridge.column(

@@ -223,6 +223,48 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair list (id_a, id_b) —
+    * the clustering step between pair detection and survivor
+    * selection: every document in a connected cluster gets the
+    * cluster's minimum id as its label (which is also the canonical
+    * survivor under min-id survivorship).
+    *
+    * Iterative min-label propagation over the undirected edge list:
+    * each round joins labels across edges and keeps the minimum;
+    * converges in O(diameter) rounds (near-dup clusters are shallow —
+    * `maxIters` bounds pathological chains). Each round is one
+    * shuffle on id — the large-graph-safe shape (this is the standard
+    * hash-join CC; no driver-side graph).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // localCheckpoint (eager) per round: iterative self-referential
+    // plans otherwise nest exponentially and blow up analysis.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // candidate labels: own label ∪ neighbors' labels, keep min
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select("id", "label").union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.label") =!= col("o.label")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs. Exact all-pairs within blocking
     * key `blockCol` (e.g. a label, LSH bucket, or IVF cell) — blocking
     * is what keeps this from being O(n²) at scale; pass a constant

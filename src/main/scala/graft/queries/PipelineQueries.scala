@@ -149,6 +149,28 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Cosine ANN top-k with an ORACLE-EXACT metric: every dot is
+    // scaled-integer exact and sqrt/divide are single correctly-rounded
+    // IEEE ops, so even the float similarity values hash-match.
+    "q47_cosine_topk" -> { (s, dir) =>
+      import graft.functions.cosineExact
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          simFn = (q, c) => cosineExact(q, c), simName = "cosine")
+        .orderBy("query_id", "rank")
+    },
+
+    // Near-dup clustering: Jaccard pairs → connected components →
+    // cluster label (= min-id survivor) per member document.
+    "q48_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.6)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
+    },
+
     // IVF ANN (the second scale path besides LSH): deterministic
     // hash-seeded k-means centroids, cell-blocked candidate search,
     // exact re-rank inside the cell. Rows-only (iterative training has
@@ -359,6 +381,61 @@ object PipelineQueries {
         |)
         |SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q47_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        |), dots AS (
+        |  SELECT query_id, neighbor_id,
+        |    SUM(round(CAST(qv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(cv[i] AS DOUBLE) * 1e6)) / 1e12 AS dab,
+        |    SUM(round(CAST(qv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(qv[i] AS DOUBLE) * 1e6)) / 1e12 AS daa,
+        |    SUM(round(CAST(cv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(cv[i] AS DOUBLE) * 1e6)) / 1e12 AS dbb
+        |  FROM q JOIN c ON query_id <> neighbor_id, range(1, 65) t(i)
+        |  GROUP BY query_id, neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    dab / (sqrt(daa) * sqrt(dbb)) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dab / (sqrt(daa) * sqrt(dbb)) DESC, neighbor_id) AS rnk
+        |  FROM dots
+        |)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q48_dedup_clusters" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), jp AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION SELECT id_b, id_a FROM jp
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT src, dst FROM edges
+         |    UNION
+         |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+         |  ) SELECT a, b FROM r
+         |)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q40_corpus_curation" ->
       s"""WITH surv AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -36,7 +36,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Subtotals: q01-q15 cover the reference's own operator surface
+    // (BASELINE.md compares against that); the rest are the LLM-
+    // pipeline / analytics extensions the reference does not have.
+    val parity = results.filter(_._1 <= "q15_zz").map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""parity_sec":$parity,"extensions_sec":${total - parity},""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,13 +69,26 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
-    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    // Per-doc set sizes: map-side from the source text when no cap is
+    // applied (recomputing the shingle array is one narrow pass —
+    // cheaper than a dedicated 500k-row shuffle of the index); from the
+    // capped index when maxDocFreq filters shingles.
+    val sizes = maxDocFreq match {
+      case None => docs.select(col(idCol).as("doc"),
+        size(array_distinct(
+          graft.functions.wordShinglesNative(col(textCol), n))).as("n_shingles"))
+        .where(col("n_shingles") > 0)
+      case Some(_) => idx.groupBy("doc").agg(count(lit(1)).as("n_shingles"))
+    }
     // Postings formulation instead of an index self-join: one shuffle
     // groups docs per shingle (sorted, so pairs come out ordered), then
     // C(p,2) pairs are generated map-side from each posting list and
     // partially aggregated before the pair shuffle — half the shuffled
-    // bytes of idx⨝idx and no join at all.
-    val postings = idx.groupBy("shingle")
+    // bytes of idx⨝idx and no join at all. The posting key is
+    // xxhash64(shingle), not the string: 8 shuffled bytes instead of
+    // ~n·8 and cheap comparisons (a cross-shingle collision within one
+    // doc pair would need 2^-64 odds — the standard at-scale trade).
+    val postings = idx.groupBy(xxhash64(col("shingle")).as("sh"))
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
       .where(size(col("docs")) > 1)
     // Long posting lists (stop-shingles) would make single tasks
@@ -87,6 +100,8 @@ object Dedup {
         j => struct(element_at(col("docs"), i + 1).as("id_a"),
           element_at(col("docs"), j + 1).as("id_b")))))).as("pair"))
       .select(col("pair.id_a"), col("pair.id_b"))
+      // guards the (collision-only) case of one doc listed twice
+      .where(col("id_a") < col("id_b"))
     val inter = pairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -243,11 +258,21 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Fused first round: label = min(self, direct neighbors) — one
+    // aggregation replaces init + one propagation round.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("label"))
       .localCheckpoint(true)
+    // Convergence via the label-sum invariant: min-propagation only
+    // ever DECREASES labels, so the label sum is strictly monotone and
+    // stalls exactly at convergence. One tiny aggregate on the already-
+    // checkpointed round result — no join-and-count job.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIters) {
       // candidate labels: own label ∪ neighbors' labels, keep min
       val viaEdges = edges
@@ -256,10 +281,10 @@ object Dedup {
       val next = labels.select("id", "label").union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.label") =!= col("o.label")).limit(1).count() > 0
+      val nextSum = labelSum(next)
       labels = next
-      converged = !changed
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     labels

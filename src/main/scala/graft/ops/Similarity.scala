@@ -106,61 +106,79 @@ object Similarity {
 
   /** Deterministic IVF centroid training: k-means over the embedding
     * column with hash-seeded initialization (lowest xxhash64(id) rows —
-    * reproducible, no RNG) and `iters` Lloyd iterations, each one
-    * assignment (broadcast centroids) + one mean-reduction per cell
-    * (partial aggregation map-side). Each iteration is two narrow
-    * passes over the data — the shape that holds at corpus scale where
-    * k ≪ n and centroids always fit in a broadcast.
+    * reproducible, no RNG) and `iters` Lloyd iterations.
+    *
+    * Centroids live on the DRIVER between iterations — k·dim doubles,
+    * tiny by definition (a coarse quantizer must broadcast at query
+    * time anyway). Each iteration is then exactly ONE distributed job:
+    * a map-side argmax assignment against literal centroids (no join,
+    * no window, no shuffle for assignment) followed by one k-row
+    * groupBy whose partial aggregation runs map-side. This is the
+    * k-means shape that holds at corpus scale: the data never moves,
+    * only k·dim numbers do.
     */
   def trainIvfCentroids(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val spark = df.sparkSession
-    var centroids = df
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h"), col(idCol))
+      k: Int, iters: Int): Seq[Seq[Double]] = {
+    // TakeOrdered (orderBy+limit) — never a global sort or window.
+    var centroids: Seq[Seq[Double]] = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(col("__id")))
+      .orderBy(col("__h"), col("__id"))
       .limit(k)
-      .withColumn("cid", (row_number().over(
-        Window.orderBy(col("__h"), col(idCol))) - 1).cast("long"))
-      .select(col("cid"), col(vecCol).cast("array<double>").as("cvec"))
-    centroids.cache()
+      .select("__v")
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val dim = centroids.head.size
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(df, idCol, vecCol, centroids, "cid", "cvec")
-      // mean per cell, dimension-wise: aggregate element-sums + count
-      val next = assigned
-        .groupBy(col("cell"))
-        .agg(
-          count(lit(1)).as("n"),
-          array((0 until dimOf(df, vecCol)).map(i =>
-            sum(element_at(col(vecCol), i + 1).cast("double"))): _*).as("sums"))
-        .select(col("cell").as("cid"),
-          transform(col("sums"), s => s / col("n")).as("cvec"))
-      val materialized = next.cache()
-      materialized.count()
-      centroids.unpersist()
-      centroids = materialized
+      val sums = df
+        .select(assignCell(col(vecCol), centroids).as("cell"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("__v"), i + 1))): _*).as("sums"))
+        .collect()
+        .map(r => r.getLong(0).toInt ->
+          (r.getLong(1), r.getSeq[Double](2)))
+        .toMap
+      centroids = centroids.indices.map { c =>
+        sums.get(c) match {
+          case Some((n, s)) => s.map(_ / n)
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
     }
     centroids
   }
 
-  private def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
-
-  /** IVF coarse quantization: assign each vector to its nearest of
-    * `centroids` (id, vec) — the cell id becomes the blocking key.
-    * Centroids are expected to be few (broadcast).
+  /** Nearest-centroid cell id for a vector column, against driver-side
+    * centroids materialized as literals: argmax of dot(vec, ĉ) over
+    * L2-normalized centroids (equivalent to argmax cosine — the row
+    * vector's own norm is constant across candidates), ties to the
+    * lowest cell id. Pure map-side expression; no join, no shuffle.
     */
-  def ivfAssign(
-      df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("__cell"))
-    df.select(col("*"), col(idCol).as("__id"))
-      .crossJoin(broadcast(centroids.select(
-        col(cidCol).as("__cell"), col(cvecCol).as("__cvec"))))
-      .withColumn("__sim", cosineSim(col(vecCol), col("__cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__cvec", "__sim", "__rn", "__id")
-      .withColumnRenamed("__cell", "cell")
+  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val centLit = typedLit(normed)
+    // (dot, -cell) structs: array_max picks max dot, then min cell.
+    val scored = transform(
+      sequence(lit(0), lit(centroids.size - 1)),
+      i => struct(
+        aggregate(
+          zip_with(vec, element_at(centLit, i + 1),
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v).as("dot"),
+        (-i).as("ncell")))
+    (-array_max(scored).getField("ncell")).cast("long")
   }
+
+  /** IVF coarse quantization: tag each row with its nearest-centroid
+    * `cell` — the blocking key for cell-local candidate search.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cell", assignCell(col(vecCol), centroids))
 }

@@ -178,7 +178,7 @@ object PipelineQueries {
     "q41_ann_ivf" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
-      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents, "cid", "cvec")
+      val assigned = Similarity.ivfAssign(e, "embedding", cents)
       val q = assigned.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
       val c = assigned

@@ -50,8 +50,8 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("trainIvfCentroids recovers the three planted clusters") {
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", k = 3, iters = 4)
-    assert(cents.count() == 3)
-    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents, "cid", "cvec")
+    assert(cents.size == 3)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", cents)
       .select("vec_id", "cell").as[(Long, Long)].collect()
     // cluster purity: every member of an axis-cluster lands in one cell
     val byCluster = assigned.groupBy(_._1 / 5).values
@@ -65,13 +65,20 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("ivfAssign puts each vector in its nearest centroid cell") {
     val centroids = Seq(
-      (0L, Array(1.0f, 0.0f, 0.0f, 0f, 0f, 0f, 0f, 0f)),
-      (1L, Array(0.0f, 1.0f, 0.0f, 0f, 0f, 0f, 0f, 0f)),
-      (2L, Array(0.0f, 0.0f, 1.0f, 0f, 0f, 0f, 0f, 0f))
-    ).toDF("cid", "cvec")
-    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
-        centroids, "cid", "cvec")
+      Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    val assigned = Similarity.ivfAssign(corpus, "embedding", centroids)
       .select("vec_id", "cell").as[(Long, Long)].collect()
     assigned.foreach { case (vid, cell) => assert(cell == vid / 5) }
+  }
+
+  test("assignCell ties break to the lowest cell id") {
+    val centroids = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) // identical → tie on every row
+    val cells = Similarity.ivfAssign(corpus, "embedding", centroids)
+      .select("cell").as[Long].collect()
+    assert(cells.forall(_ == 0L))
   }
 }

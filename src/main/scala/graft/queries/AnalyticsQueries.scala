@@ -156,18 +156,20 @@ object AnalyticsQueries {
     },
 
     // Moving aggregate over an ordered frame: 7-row trailing average of
-    // daily revenue (days are unique -> deterministic frame).
+    // daily revenue (days are unique -> deterministic frame). Computed
+    // with a year-partitioned window + boundary carries
+    // (ScalableWindows) instead of a global ORDER BY window, so the
+    // plan holds when the series is long enough to matter.
     "q45_moving_avg" -> { (s, dir) =>
       val daily = Tables.lineitem(s, dir)
         .groupBy(to_date(col("l_shipdate")).cast("timestamp").as("day"))
         .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("day")).rowsBetween(-6, 0)
-      daily
+      graft.ops.ScalableWindows.trailingByBucket(
+          daily, "day", year(_), lookback = 6,
+          aggs = Seq(
+            "avg7" -> (w => sum(col("rev_dec")).over(w).cast("double") /
+              count(lit(1)).over(w).cast("double"))))
         .withColumn("revenue", col("rev_dec").cast("double"))
-        .withColumn("avg7",
-          (sum(col("rev_dec")).over(w).cast("double") /
-            count(lit(1)).over(w).cast("double")))
         .select("day", "revenue", "avg7")
         .orderBy("day")
     },

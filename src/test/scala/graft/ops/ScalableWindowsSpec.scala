@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ScalableWindowsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 3 "years" of a daily-ish series with gaps and non-uniform density
+  private def series = Seq(
+    (100L, 1.0), (101L, 2.0), (103L, 3.0), (105L, 4.0), (107L, 5.0),
+    (109L, 6.0), (111L, 7.0), (113L, 8.0),
+    (200L, 9.0), (201L, 10.0), (202L, 11.0), (204L, 12.0), (206L, 13.0),
+    (208L, 14.0), (210L, 15.0),
+    (300L, 16.0), (301L, 17.0), (305L, 18.0), (307L, 19.0), (309L, 20.0),
+    (311L, 21.0), (313L, 22.0)
+  ).toDF("t", "v")
+
+  private val lookback = 4
+
+  private def globalResult = {
+    val w = Window.orderBy(col("t")).rowsBetween(-lookback.toLong, 0L)
+    series
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select("t", "v", "s", "n")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  private def bucketedResult(bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    ScalableWindows.trailingByBucket(series, "t", bucket, lookback,
+        Seq("s" -> (w => sum(col("v")).over(w)),
+            "n" -> (w => count(lit(1)).over(w))))
+      .select("t", "v", "s", "n")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+
+  test("bucketed trailing frame is bit-identical to the global window") {
+    assert(bucketedResult(c => c / 100) == globalResult)
+  }
+
+  test("holds when buckets are sparse (successor map skips empty buckets)") {
+    // bucket by t/50: buckets 2,4,6 present; 3,5 absent entirely
+    assert(bucketedResult(c => (c / 100) * 2) == globalResult)
+  }
+
+  test("single-bucket degenerate case matches too") {
+    assert(bucketedResult(_ => lit(7)) == globalResult)
+  }
+
+  test("no single-partition window in the physical plan") {
+    val df = ScalableWindows.trailingByBucket(series, "t", c => c / 100,
+      lookback, Seq("s" -> (w => sum(col("v")).over(w))))
+    // optimized logical plan: stable under AQE's physical re-wrapping
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a Window with no partition spec (global window)")
+  }
+}

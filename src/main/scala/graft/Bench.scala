@@ -24,14 +24,22 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every column
     // the count doesn't need, silently skipping projection work (token
     // counts, coercions) — noop materializes the full output rows.
+    // SPARK_GRAFT_BENCH_REPEAT > 1 (local profiling only; driver runs
+    // the default 1) re-runs each query and reports the MIN — the
+    // steady-state plan cost with one-time codegen/IO and GC noise
+    // stripped out.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

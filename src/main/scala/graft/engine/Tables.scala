@@ -19,6 +19,33 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Match scan parallelism to the cluster when the input layout can't
+    * — for CPU-BOUND pipelines only.
+    *
+    * A parquet file is only splittable at row-group boundaries; the
+    * fixtures are written as ONE row group, so every scan plans a
+    * single task and each narrow stage downstream runs on one core of
+    * 32. For pipelines whose per-row compute dominates (shingling,
+    * hashing, vector math, wide coercions), a round-robin repartition
+    * to full width is a tiny shuffle that buys a 32-wide pipeline; the
+    * guard makes it a no-op on a real cluster where the scan already
+    * yields at least half-parallelism splits.
+    *
+    * Deliberately NOT applied in the default readers: measured at
+    * sf0.1, aggregation-first pipelines (distinct, cube, groupBy-then-
+    * tiny-output) LOSE from it — the full-row shuffle costs more than
+    * the single-threaded-but-collapsing partial aggregate it replaces.
+    * Catalyst pushes deterministic filters and column pruning through
+    * `Repartition`, so scan pushdown is unaffected either way.
+    */
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanParts < target / 2 && bytes > 256 * 1024) df.repartition(target)
+    else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")

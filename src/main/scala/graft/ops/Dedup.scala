@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pairwise-similarity inputs go through [[graft.engine.Tables.fanOut]]:
+    * shingling/hashing is per-row-CPU-dominated, so a one-row-group
+    * input file would otherwise pin the whole signature stage to a
+    * single core (no-op when the scan already matches the cluster).
+    */
+  private def fanned(docs: DataFrame): DataFrame =
+    graft.engine.Tables.fanOut(docs.sparkSession, docs)
+
   /** Canonical text normalization for near-exact dedup: lowercase,
     * collapse whitespace, trim.
     */
@@ -68,13 +76,14 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val src = fanned(docs)
+    val idx = shingleIndex(src, idCol, textCol, n, maxDocFreq)
     // Per-doc set sizes: map-side from the source text when no cap is
     // applied (recomputing the shingle array is one narrow pass —
     // cheaper than a dedicated 500k-row shuffle of the index); from the
     // capped index when maxDocFreq filters shingles.
     val sizes = maxDocFreq match {
-      case None => docs.select(col(idCol).as("doc"),
+      case None => src.select(col(idCol).as("doc"),
         size(array_distinct(
           graft.functions.wordShinglesNative(col(textCol), n))).as("n_shingles"))
         .where(col("n_shingles") > 0)
@@ -135,7 +144,7 @@ object Dedup {
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = docs
+    val sig = fanned(docs)
       // native one-pass signature (graft.expressions.MinHashSignature)
       .select(col(idCol).as("doc"),
         graft.functions.minhashNative(col(textCol), n, bands * rowsPerBand).as("sig"))
@@ -163,7 +172,7 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val withShingles = docs.select(
+    val withShingles = fanned(docs).select(
       col(idCol).as("doc"),
       array_distinct(graft.functions.wordShinglesNative(col(textCol), n)).as("shingles"))
     val cands = minhashLshCandidates(docs, idCol, textCol, n, bands, rowsPerBand)
@@ -209,7 +218,7 @@ object Dedup {
     */
   def simhashFingerprints(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"),
+    fanned(docs).select(col(idCol).as("doc"),
       graft.functions.simhash64Native(col(textCol)).as("fp"))
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -299,7 +308,7 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String, blockCol: Column,
       threshold: Double): DataFrame = {
     import graft.functions.cosineSim
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val e = fanned(emb).select(col(idCol).as("id"), col(vecCol).as("vec"),
       blockCol.as("blk"))
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))

@@ -18,7 +18,9 @@ object ParityQueries {
     // F1/F2 — transform-stage coercions (reference src/transform.py:12-21):
     // null-on-error numeric coercion + zero-fill via exact decimals.
     "q01_clean_coerce" -> { (s, dir) =>
-      Clean.cleanLineitem(Tables.lineitem(s, dir))
+      // 8-column decimal coercion is CPU-bound — fan a one-row-group
+      // scan out to cluster width before it (no-op on split inputs).
+      Clean.cleanLineitem(Tables.fanOut(s, Tables.lineitem(s, dir)))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("double").as("l_quantity"),

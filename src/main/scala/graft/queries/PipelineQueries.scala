@@ -120,7 +120,8 @@ object PipelineQueries {
     // expensive exact-decimal arithmetic off the non-candidate pairs.
     "q27_embedding_neardup" -> { (s, dir) =>
       import graft.functions.decimalDotNative
-      val e = Tables.embeddings(s, dir)
+      // all-pairs-in-block decimal dots are CPU-bound → scan at width
+      val e = Tables.fanOut(s, Tables.embeddings(s, dir))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label"))
       a.join(b, Seq("label")).where(col("id_a") < col("id_b"))

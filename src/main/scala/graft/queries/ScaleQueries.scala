@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.money
+import graft.ops.{BloomPrune, RangeJoin, Scd2, Sketches}
+
+/** Scale-pattern operators as registered queries: runtime-filter
+  * (bloom) join pruning, binned range join, SCD2 dimension versioning,
+  * mergeable sketches. These are the shapes that distinguish a 100 TB
+  * plan from a laptop plan; each exact-output one has a DuckDB oracle.
+  */
+object ScaleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // Bloom-filter join pruning (runtime-filter pattern): lineitems of
+    // one brand's parts — bloom prunes the fact scan in-place, exact
+    // broadcast semi join removes false positives; output is exact.
+    "q49_bloom_semi" -> { (s, dir) =>
+      val dim = Tables.part(s, dir).where(col("p_brand") === "Brand#19")
+      BloomPrune.bloomSemiJoin(
+          Tables.lineitem(s, dir), "l_partkey", dim, "p_partkey",
+          expectedItems = 1000L)
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
+    },
+
+    // Binned range join: lineitem ship events falling inside the
+    // 3-day windows of the 10 highest-numbered orders — equi-join on
+    // time bin + exact predicate instead of a nested-loop theta join.
+    "q50_range_join" -> { (s, dir) =>
+      val iv = Tables.orders(s, dir)
+        .orderBy(col("o_orderkey").desc).limit(10)
+        .select(col("o_orderkey"), col("o_orderdate").as("ws"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("we"))
+      val matched = RangeJoin.binnedRangeJoinTs(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_shipdate"),
+          "l_shipdate", iv, "ws", "we", binWidthSeconds = 3L * 86400)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(money(col("l_extendedprice"))).as("rev_dec"))
+      iv.select("o_orderkey").join(matched, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_matched"), lit(0L)).as("n"),
+          coalesce(col("rev_dec").cast("double"), lit(0.0)).as("revenue"))
+        .orderBy("o_orderkey")
+    },
+
+    // SCD2 dimension merge: customers with custkey%14=0 arrive changed
+    // (segment -> PROMO, acctbal +100), custkey%7=0 but %14!=0 arrive
+    // identical (must NOT version), everyone else is absent from the
+    // feed. One full-outer join on the key — no windows, no iteration.
+    "q51_scd2_merge" -> { (s, dir) =>
+      val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val current = Tables.customer(s, dir).select(
+        (col("c_custkey") +: attrs.map(col)) :+
+          lit("1995-01-01").cast("timestamp").as("valid_from") :+
+          lit(null).cast("timestamp").as("valid_to"): _*)
+      val incoming = Tables.customer(s, dir)
+        .where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          when(col("c_custkey") % 14 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 14 === 0, lit("PROMO"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Scd2.merge(current, incoming, "c_custkey", attrs,
+          asOf = lit("2000-01-01").cast("timestamp"))
+        .orderBy("c_custkey", "valid_from")
+    },
+
+    // Count-min heavy hitters: distributed sketch build, estimates for
+    // the (small) candidate key set. Sketch-specific values → rows-only
+    // vs the oracle; the error bound is spec-enforced.
+    "q52_countmin_topk" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val keys = ev.select("event_type").distinct()
+        .orderBy("event_type").collect().map(_.getString(0)).toSeq
+      Sketches.countMinEstimates(ev, col("event_type"), keys)
+        .orderBy("key")
+    },
+
+    // HLL sketch rollup: daily user sketches merged to a single
+    // month estimate — pre-aggregation that re-aggregates to any
+    // coarser grain without touching raw data. Rows-only (estimate);
+    // accuracy spec-enforced.
+    "q53_hll_union" -> { (s, dir) =>
+      val daily = Sketches.hllSketches(
+        Tables.events(s, dir),
+        Seq(to_date(col("ts")).as("day")), col("user_id"))
+      Sketches.hllRollup(daily, Seq(lit(1).as("one")), "users_est")
+        .select(col("users_est").cast("long").as("users_est"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q49_bloom_semi" ->
+      """SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#19')
+        |""".stripMargin,
+
+    "q50_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_orderdate AS ws,
+        |         o_orderdate + INTERVAL 3 DAY AS we
+        |  FROM orders ORDER BY o_orderkey DESC LIMIT 10)
+        |SELECT iv.o_orderkey,
+        |       COUNT(l.l_orderkey) AS n,
+        |       CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
+        |FROM iv LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= iv.ws AND l.l_shipdate < iv.we
+        |GROUP BY iv.o_orderkey
+        |ORDER BY iv.o_orderkey
+        |""".stripMargin,
+
+    "q51_scd2_merge" ->
+      """WITH chg AS (SELECT c_custkey FROM customer WHERE c_custkey % 14 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       TIMESTAMP '1995-01-01' AS valid_from,
+        |       CASE WHEN c_custkey IN (SELECT c_custkey FROM chg)
+        |            THEN TIMESTAMP '2000-01-01' ELSE CAST(NULL AS TIMESTAMP) END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'PROMO',
+        |       TIMESTAMP '2000-01-01', CAST(NULL AS TIMESTAMP)
+        |FROM customer WHERE c_custkey % 14 = 0
+        |ORDER BY c_custkey, valid_from
+        |""".stripMargin
+  )
+}

@@ -93,6 +93,51 @@ object ScaleQueries {
         Seq(to_date(col("ts")).as("day")), col("user_id"))
       Sketches.hllRollup(daily, Seq(lit(1).as("one")), "users_est")
         .select(col("users_est").cast("long").as("users_est"))
+    },
+
+    // TF-IDF, scaled-integer variant: idf = (1e6·N) div df keeps the
+    // whole score in BIGINT arithmetic (ln() differs in final ulps
+    // across libm implementations — not oracle-safe). df is derived
+    // from the tf aggregate (one explode, two aggregations), the
+    // doc subset filter applies to tf only — df stays corpus-global.
+    "q54_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val tfAll = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tfAll.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tfAll.where(col("doc_id") < 50)
+        .join(dfreq, "token")
+        .withColumn("score", col("tf") * expr(s"(${1000000L * n}L div df)"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // Stratified exact-fraction sampling (per-language 10%):
+    // deterministic systematic sample, window-partitioned by stratum.
+    "q55_stratified_sample" -> { (s, dir) =>
+      graft.ops.Sampling.stratifiedExact(
+          Tables.documents(s, dir), col("lang"), col("doc_id"), 0.1)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // Deterministic train/val/test hash split: assignment is a pure
+    // function of doc_id (stable under retries/re-partitioning, unlike
+    // randomSplit). Hash-based -> rows-only; invariants spec-enforced.
+    "q56_hash_split" -> { (s, dir) =>
+      graft.ops.Sampling.hashSplit(
+          Tables.documents(s, dir), col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
     }
   )
 
@@ -131,6 +176,38 @@ object ScaleQueries {
         |       TIMESTAMP '2000-01-01', CAST(NULL AS TIMESTAMP)
         |FROM customer WHERE c_custkey % 14 = 0
         |ORDER BY c_custkey, valid_from
+        |""".stripMargin,
+
+    "q54_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |         tf.tf * ((1000000 * n.n) // dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |  WHERE tf.doc_id < 50),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, token, tf, score, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk
+        |""".stripMargin,
+
+    "q55_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, doc_id FROM s
+        |WHERE rn <= CEIL(cnt * 0.1)
+        |ORDER BY lang, doc_id
         |""".stripMargin
   )
 }

@@ -116,4 +116,58 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  /** Event-time-timeout sessionization: like [[sessionizeStream]], but
+    * the open session is EMITTED when the watermark passes its gap
+    * deadline (state times out) instead of lingering forever — the
+    * production contract, where every session eventually closes and
+    * per-user state is bounded by the watermark.
+    *
+    * Requires a watermark on `ts` upstream (EventTimeTimeout is
+    * undefined without one); the timeout deadline is `last event +
+    * gap`, re-armed on every update.
+    */
+  def sessionizeStreamEventTime(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int, watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is closed for
+            // good (no on-time event can extend it any more)
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.sessionSeq,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.nEvents))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.sessionSeq,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.nEvents)
+                  cur = Some(SessionState(s.sessionSeq + 1, t, t, 1))
+                case None =>
+                  cur = Some(SessionState(1, t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

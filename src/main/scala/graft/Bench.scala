@@ -18,6 +18,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional ingest stage (reference-parity: the extract stage
+    // re-chunks its source for downstream parallelism): re-lay the
+    // tables as cluster-width part-files once, query the engine's own
+    // layout. Default OFF: measured twice at sf0.1, the relayout jobs
+    // cost ~10 s to save ~3 s of query time — the tables are only
+    // 17 MB, so scan parallelism barely matters; at production SF the
+    // same stage is what makes scans wide at all. Enable with
+    // SPARK_GRAFT_BENCH_RELAYOUT=1 (ingest_sec is reported and counted
+    // into total either way).
+    val tIngest0 = System.nanoTime()
+    val benchDir =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_RELAYOUT", "0") == "1")
+        graft.engine.Layout.relayout(spark, sfDir,
+          s"/tmp/graft_bench_layout_${cpus}", targetFiles = cpus.toInt)
+      else sfDir
+    val ingestSec = (System.nanoTime() - tIngest0) / 1e9
     // Warm-up: a small scan+shuffle+write-free pipeline touching the
     // main code paths (parquet reader, hash agg, sort) on tiny data.
     SparkEntry.entry(spark).count()
@@ -30,7 +46,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_WARMUP=0.
     val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     for (_ <- 1 to warmupPasses; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
@@ -46,7 +62,7 @@ object Bench {
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          fn(spark, benchDir).write.format("noop").mode("overwrite").save()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
@@ -56,13 +72,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total includes the one-time ingest/relayout cost — the queries
+    // run against the layout that stage produced.
+    val total = results.map(_._2).sum + ingestSec
     // Subtotals: q01-q15 cover the reference's own operator surface
     // (BASELINE.md compares against that); the rest are the LLM-
     // pipeline / analytics extensions the reference does not have.
     val parity = results.filter(_._1 <= "q15_zz").map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""parity_sec":$parity,"extensions_sec":${total - parity},""" +
+      s""""parity_sec":$parity,"extensions_sec":${total - ingestSec - parity},""" +
+      s""""ingest_sec":$ingestSec,""" +
       s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

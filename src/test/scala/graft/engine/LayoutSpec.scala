@@ -1,48 +1,22 @@
 package graft.engine
 
 import graft.SparkSpecBase
-import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Physical-layout strategies: bucketed co-located joins (no shuffle)
-  * and partition pruning — asserted at the PLAN level, not just results.
-  */
 class LayoutSpec extends SparkSpecBase {
-  import spark.implicits._
 
-  test("bucketed tables join without any shuffle exchange") {
-    val fact = (1 to 1000).map(i => (i % 100, i.toLong)).toDF("k", "v")
-    val dim = (0 until 100).map(i => (i, s"attr$i")).toDF("k", "attr")
-    Pipeline.writeBucketedTable(fact, "graft_fact_b", Seq("k"), 4)
-    Pipeline.writeBucketedTable(dim, "graft_dim_b", Seq("k"), 4)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      val joined = spark.table("graft_fact_b").join(spark.table("graft_dim_b"), "k")
-      val plan = joined.queryExecution.executedPlan.toString()
-      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
-      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
-      assert(joined.count() == 1000)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE graft_fact_b")
-      spark.sql("DROP TABLE graft_dim_b")
+  test("relayout preserves every table's rows and widens big scans") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft_layout").toString
+    Layout.relayout(spark, sf, out, targetFiles = 4, smallCutoffBytes = 64 * 1024)
+    for (t <- Tables.all if t != "events") { // events: nanos ts needs the typed reader
+      val a = Tables.read(spark, sf, t)
+      val b = Tables.read(spark, out, t)
+      assert(a.count() == b.count(), s"$t row count changed")
     }
-  }
-
-  test("partitioned layout prunes directories at plan time") {
-    val dir = Files.createTempDirectory("graft-part").toString + "/t"
-    val df = Seq((1995, 1L, "a"), (1995, 2L, "b"), (1996, 3L, "c"), (1997, 4L, "d"))
-      .toDF("year", "id", "s")
-    Pipeline.writePartitioned(df, dir, Seq("year"))
-    val read = spark.read.parquet(dir).where(col("year") === 1995)
-    val plan = read.queryExecution.executedPlan.toString()
-    assert(plan.contains("PartitionFilters"), s"plan:\n$plan")
-    assert(read.count() == 2)
-    // only the matching partition directory is read
-    val scanned = read.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
-    assert(scanned.contains("year=1995") || plan.contains("(year#"),
-      s"pruned scan expected:\n$scanned")
+    // events survives the INT64-nanos carry: typed reader still works
+    val ev = Tables.events(spark, out)
+    assert(ev.count() == Tables.events(spark, sf).count())
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
   }
 }

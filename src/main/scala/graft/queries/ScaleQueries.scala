@@ -138,6 +138,21 @@ object ScaleQueries {
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")
+    },
+
+    // Grouped approximate percentiles (KLL-style mergeable sketch,
+    // deterministic): the fixed-memory path where exact per-group
+    // percentiles (q42) would need a full sort per group. Sketch
+    // values differ from DuckDB's t-digest -> rows-only; rank-error
+    // bound vs exact is spec-enforced.
+    "q57_approx_percentiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy("event_type")
     }
   )
 

@@ -94,12 +94,14 @@ class PagedTable(totalRows: Long, pageSize: Int) extends Table with SupportsRead
 
 class PagedScanBuilder(totalRows: Long, pageSize: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = PagedSource.schema
   private var lo: Long = 0L
   private var hi: Long = totalRows
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   private def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(t.toInstant.toEpochMilli * 1000L + (t.getNanos / 1000) % 1000)
@@ -139,7 +141,48 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int)
     true // partial: pages may still overshoot within a partition
   }
 
-  override def build(): Scan = new PagedScan(required, lo, math.max(lo, hi), pageSize)
+  /** COUNT(*) pushdown: the feed is a closed-form row range, so the
+    * count is `hi - lo` — answered without generating a single row
+    * (the `$select=count(*)` a SoQL endpoint would serve). Complete
+    * pushdown: no partial aggregation needed above the scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (supportCompletePushDown(agg)) { countPushed = true; true }
+    else false
+  }
+
+  override def build(): Scan =
+    if (countPushed) new PagedCountScan(math.max(0L, hi - lo))
+    else new PagedScan(required, lo, math.max(lo, hi), pageSize)
+}
+
+/** Single-row scan answering a fully-pushed COUNT(*). */
+class PagedCountScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"PagedCountScan(count=$count)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagedPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedCountReaderFactory(count)
+}
+
+class PagedCountReaderFactory(count: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = InternalRow(count)
+      override def close(): Unit = ()
+    }
 }
 
 class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int)

@@ -68,6 +68,33 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join: impressions ⋈ clicks on a
+    * key, click required within `withinSeconds` AFTER the impression.
+    * Both sides carry watermarks so the join state is bounded: an
+    * impression can be dropped from state once the click-side
+    * watermark passes `impression_ts + within` (the time-bound is part
+    * of the join condition, which is what makes streaming state
+    * finite — an unconstrained stream-stream join would buffer
+    * forever).
+    */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame,
+      withinSeconds: Int, watermark: String = "1 minute"): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+      imp("user_id") === clk("user_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("imp_id"), col("click_id"), imp("user_id").as("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Input/state/output types for the stateful streaming sessionizer. */
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(sessionSeq: Long, start: Long, last: Long, nEvents: Long)

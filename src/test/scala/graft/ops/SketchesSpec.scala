@@ -42,4 +42,15 @@ class SketchesSpec extends SparkSpecBase {
       assert(e <= exact(k) + (1e-3 * 10000).ceil.toLong + 1, s"$k: estimate too high")
     }
   }
+
+  test("percentile_approx rank error is within the accuracy bound") {
+    // 10k distinct values 0..9999: exact pth percentile ~ p*9999
+    val vals = (0 until 10000).map(_.toDouble).toDF("v")
+    val row = vals.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000)).as("p50"),
+      percentile_approx(col("v"), lit(0.99), lit(1000)).as("p99")).head()
+    // accuracy=1000 -> rank error <= n/1000 = 10 ranks (use 2x slack)
+    assert(math.abs(row.getDouble(0) - 4999.0) <= 20.0)
+    assert(math.abs(row.getDouble(1) - 9899.0) <= 20.0)
+  }
 }

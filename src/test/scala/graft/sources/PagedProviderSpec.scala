@@ -59,4 +59,19 @@ class PagedProviderSpec extends SparkSpecBase {
         lit("2020-01-02 23:59:59").cast("timestamp")))
     assert(df.count() == 20) // 2 days x 10 rows/day
   }
+
+  test("COUNT(*) pushes to the source: closed-form, no row generation") {
+    val df = feed(1000000, 1000).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PagedCountScan(count=1000000)"), s"plan was:\n$plan")
+    assert(df.collect()(0).getLong(0) == 1000000L)
+  }
+
+  test("COUNT(*) with a residual filter is NOT pushed (stays correct)") {
+    val df = feed(1000, 100).where(col("store") === "store_3")
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("PagedCountScan"), s"plan was:\n$plan")
+    assert(df.collect()(0).getLong(0) == 1000L / 37 + (if (3 < 1000 % 37) 1 else 0))
+  }
 }

@@ -103,11 +103,7 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int)
   private var pushed: Array[Filter] = Array.empty
   private var countPushed = false
 
-  private def tsMicros(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp => Some(t.toInstant.toEpochMilli * 1000L + (t.getNanos / 1000) % 1000)
-    case t: java.time.Instant => Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
-    case _ => None
-  }
+  private def tsMicros(v: Any): Option[Long] = PagedScanBuilderUtil.tsMicros(v)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable: Array[Filter] = filters.flatMap {
@@ -186,21 +182,59 @@ class PagedCountReaderFactory(count: Long) extends PartitionReaderFactory {
 }
 
 class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  // runtime-narrowed bounds (dynamic 'partition' pruning at page grain)
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val nPages = ((hi - lo) + pageSize - 1) / pageSize
-    s"PagedScan(range=[$lo,$hi), pages=$nPages, cols=${required.fieldNames.mkString(",")})"
+    val nPages = ((rhi - rlo) + pageSize - 1) / pageSize
+    s"PagedScan(range=[$rlo,$rhi), pages=$nPages, cols=${required.fieldNames.mkString(",")})"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    Iterator.iterate(lo)(_ + pageSize).takeWhile(_ < hi)
-      .map(start => PagedPartition(start, math.min(start + pageSize, hi)): InputPartition)
+  /** DPP hook: a join against a small date dimension hands the scan
+    * the build side's date values at RUNTIME; monotone dates → narrow
+    * the page range to [min, max] before planning partitions — the
+    * page-grain analog of dynamic partition pruning (exact predicate
+    * re-applied by Spark above the scan).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("date"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("date", vs) if vs.nonEmpty =>
+      val micros = vs.flatMap(PagedScanBuilderUtil.tsMicros)
+      if (micros.length == vs.length) {
+        rlo = math.max(rlo, PagedSource.lowerIndexForDateGte(micros.min))
+        rhi = math.min(rhi, PagedSource.upperIndexForDateLte(micros.max))
+      }
+    case EqualTo("date", v) => PagedScanBuilderUtil.tsMicros(v).foreach { t =>
+      rlo = math.max(rlo, PagedSource.lowerIndexForDateGte(t))
+      rhi = math.min(rhi, PagedSource.upperIndexForDateLte(t))
+    }
+    case _ => ()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val end = math.max(rlo, rhi)
+    Iterator.iterate(rlo)(_ + pageSize).takeWhile(_ < end)
+      .map(start => PagedPartition(start, math.min(start + pageSize, end)): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(required)
+}
+
+/** Timestamp-literal decoding shared by plan-time and runtime filter paths. */
+object PagedScanBuilderUtil {
+  def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant.toEpochMilli * 1000L + (t.getNanos / 1000) % 1000)
+    case t: java.time.Instant => Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case _ => None
+  }
 }
 
 case class PagedPartition(start: Long, end: Long) extends InputPartition

@@ -60,6 +60,22 @@ class PagedProviderSpec extends SparkSpecBase {
     assert(df.count() == 20) // 2 days x 10 rows/day
   }
 
+  test("runtime date filter narrows the planned page range (DPP at page grain)") {
+    val b = new PagedScanBuilder(100000, 1000)
+    val scan = b.build().asInstanceOf[PagedScan]
+    assert(scan.toBatch.planInputPartitions().length == 100)
+    // join build side delivered two dates: 2020-01-03 and 2020-01-05
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("date", Array(
+        java.sql.Timestamp.valueOf("2020-01-03 00:00:00"),
+        java.sql.Timestamp.valueOf("2020-01-05 00:00:00")))))
+    val parts = scan.toBatch.planInputPartitions()
+    // rows 20..50 (days 2..4, 10 rows/day) -> a single page remains
+    assert(parts.length == 1)
+    val p = parts.head.asInstanceOf[PagedPartition]
+    assert(p.start == 20 && p.end == 50, s"got [${p.start},${p.end})")
+  }
+
   test("COUNT(*) pushes to the source: closed-form, no row generation") {
     val df = feed(1000000, 1000).agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString()

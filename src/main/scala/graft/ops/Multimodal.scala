@@ -74,4 +74,26 @@ object Multimodal {
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
       .withColumn("resized", lit(true))
+
+  /** One sampled frame: parent media id, frame index, frame payload. */
+  case class Frame(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame-sampling stage: every `stride`-th fixed-size chunk of the
+    * payload becomes one frame row (1→N explode, the row-multiplying
+    * shape real video sampling has). A real implementation would seek
+    * keyframes in the container; the chunking STUB keeps the same
+    * schema, batch shape, and output cardinality contract
+    * (ceil(nChunks / stride) frames per media row).
+    */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0)
+    implicit val enc = Encoders.product[Frame]
+    media.flatMap { r =>
+      // --- STUB: real keyframe-seek goes here (no codec in-container).
+      r.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 =>
+          Frame(r.media_id, i, chunk) }
+    }
+  }
 }

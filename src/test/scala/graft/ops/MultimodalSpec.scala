@@ -35,4 +35,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(resized.forall(r =>
       r.getAs[Int]("width") == 224 && r.getAs[Boolean]("resized")))
   }
+
+  test("frameSampleStub explodes every stride-th chunk with stable indices") {
+    import org.apache.spark.sql.Encoders
+    val media = Multimodal.attachPayload(docs, "doc_id", "text")
+      .as[Multimodal.MediaRow](Encoders.product[Multimodal.MediaRow])
+    // "hello" (5 bytes), frameBytes=2 -> chunks 0..2, stride 2 -> 0 and 2
+    val frames = Multimodal.frameSampleStub(media, frameBytes = 2, stride = 2)
+      .collect().filter(_.media_id == 0L).sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2))
+    assert(new String(frames(0).frame, "UTF-8") == "he")
+    assert(new String(frames(1).frame, "UTF-8") == "o")
+    // empty payload -> zero frames, not a null row
+    val empty = Multimodal.frameSampleStub(media, 2, 2)
+      .collect().filter(_.media_id == 2L)
+    assert(empty.isEmpty)
+  }
 }

@@ -23,13 +23,26 @@ object AsofJoin {
     * @param key       equi-join column present on both sides
     * @param ts        event-time column present on both sides
     * @param payload   right-side columns to carry onto left rows
-    *                  (null when no right row is at-or-before)
+    *                  (null when no right row qualifies)
+    * @param direction "backward" (default): latest right row with
+    *                  right.ts <= left.ts; "forward": earliest right
+    *                  row with right.ts >= left.ts (both inclusive,
+    *                  matching DuckDB/pandas asof conventions)
+    * @param toleranceSeconds when set, a match farther than this from
+    *                  the left timestamp is nulled out (pandas
+    *                  merge_asof `tolerance`)
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
-      key: String, ts: String, payload: Seq[String]): DataFrame = {
+      key: String, ts: String, payload: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
-    val payloadStruct = struct(payload.map(col): _*)
+    // right event time rides inside the payload struct so tolerance
+    // can compare it against the left timestamp after the carry
+    val payloadStruct = struct(payload.map(col) :+ col(ts).as("__rts"): _*)
     val l = left
       .withColumn("__tag", lit(1))
       .withColumn("__p", lit(null).cast(
@@ -41,14 +54,24 @@ object AsofJoin {
       .withColumn("__p", payloadStruct)
       .select(col(key), col(ts).as("__ts"), col("__tag"), col("__p"),
         lit(null).cast(l.schema("__lrow").dataType).as("__lrow"))
-    // right (tag 0) sorts before left (tag 1) at equal ts -> inclusive.
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
+    // right (tag 0) sorts before left (tag 1) at equal ts -> inclusive;
+    // forward = the same carry over the REVERSED time order.
+    val ord =
+      if (direction == "backward") Seq(col("__ts").asc, col("__tag").asc)
+      else Seq(col("__ts").desc, col("__tag").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val joined = l.unionByName(r)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
+    val withinTol = toleranceSeconds match {
+      case None => joined
+      case Some(tol) => joined.withColumn("__last",
+        when(abs(unix_timestamp(col("__ts")) -
+          unix_timestamp(col("__last.__rts"))) <= tol, col("__last")))
+    }
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
       payload.map(p => col(s"__last.$p").as(p))
-    joined.select(out: _*)
+    withinTol.select(out: _*)
   }
 }

@@ -140,6 +140,30 @@ object ScaleQueries {
         .orderBy("split")
     },
 
+    // Forward as-of join with tolerance (pandas merge_asof semantics):
+    // each event picks the EARLIEST signup at-or-after it, nulled when
+    // farther than 1 hour. Same union+window shape as backward (q38) —
+    // one shuffle, no range join.
+    "q58_asof_forward" -> { (s, dir) =>
+      import graft.ops.AsofJoin
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+      val signups = ev.where(col("event_type") === "signup")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("ts_s"))
+            .orderBy(col("event_id").desc)))
+        .where(col("__rn") === 1)
+        .select(col("user_id"), col("ts_s"), col("value").as("signup_value"))
+      val others = ev.where(col("event_type") =!= "signup")
+        .select("event_id", "user_id", "ts_s")
+      AsofJoin.asofJoin(others, signups, "user_id", "ts_s",
+          Seq("signup_value"), direction = "forward",
+          toleranceSeconds = Some(3600L))
+        .select("event_id", "user_id", "signup_value")
+        .orderBy("event_id")
+    },
+
     // Grouped approximate percentiles (KLL-style mergeable sketch,
     // deterministic): the fixed-memory path where exact per-group
     // percentiles (q42) would need a full sort per group. Sketch
@@ -212,6 +236,26 @@ object ScaleQueries {
         |  FROM scored)
         |SELECT doc_id, token, tf, score, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk
+        |""".stripMargin,
+
+    "q58_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_s, value AS signup_value FROM (
+        |    SELECT user_id, ts_s, value,
+        |           row_number() OVER (PARTITION BY user_id, ts_s
+        |                              ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'signup') WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |       (SELECT s.signup_value FROM s
+        |        WHERE s.user_id = e.user_id AND s.ts_s >= e.ts_s
+        |          AND s.ts_s <= e.ts_s + INTERVAL 3600 SECOND
+        |        ORDER BY s.ts_s LIMIT 1) AS signup_value
+        |FROM e WHERE e.event_type <> 'signup'
+        |ORDER BY e.event_id
         |""".stripMargin,
 
     "q55_stratified_sample" ->

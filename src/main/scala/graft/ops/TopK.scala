@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k as a PARTIAL-AGGREGATING operator.
+  *
+  * The window formulation (`row_number().over(partitionBy(g).orderBy(
+  * v.desc)) <= k`, q15) must shuffle and SORT every row of every
+  * group. This Aggregator keeps k rows per group in the aggregation
+  * buffer instead: map-side partial aggregation trims to k before the
+  * shuffle, so the exchange carries ≤ k rows per group per partition
+  * and nothing is ever globally sorted — the shape that wins when
+  * groups are large (the common 100 TB case).
+  *
+  * Deterministic order: value DESC, then key ASC on ties.
+  */
+object TopK {
+
+  /** One scored entry: `value` ranks (desc), `key` breaks ties (asc). */
+  case class Entry(value: Double, key: Long)
+
+  class TopKAggregator(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
+    require(k > 0)
+    private def trim(s: Seq[Entry]): Seq[Entry] =
+      s.sortBy(e => (-e.value, e.key)).take(k)
+    override def zero: Seq[Entry] = Nil
+    override def reduce(b: Seq[Entry], a: Entry): Seq[Entry] =
+      // keep the buffer bounded at every step, not just at merge
+      if (b.sizeIs >= k && {
+        val w = b.last; a.value < w.value || (a.value == w.value && a.key > w.key)
+      }) b
+      else trim(a +: b)
+    override def merge(x: Seq[Entry], y: Seq[Entry]): Seq[Entry] = trim(x ++ y)
+    override def finish(r: Seq[Entry]): Seq[Entry] = trim(r)
+    override def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+    override def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** Untyped-API handle: `df.groupBy(g).agg(TopK.topK(3)(col(v), col(id)))`
+    * yields an array<struct<value,key>> column sorted best-first.
+    */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggregator(k))
+    (value, key) => fn(value, key)
+  }
+}

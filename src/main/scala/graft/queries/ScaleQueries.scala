@@ -140,6 +140,24 @@ object ScaleQueries {
         .orderBy("split")
     },
 
+    // Top-k per group as a PARTIAL-AGGREGATING operator (bounded heap
+    // in the aggregation buffer): map-side combine trims to k before
+    // the shuffle — vs the window formulation (q15) that sorts every
+    // group's every row. Same result as q15's ranking, oracle-exact.
+    "q59_topk_agg" -> { (s, dir) =>
+      import graft.ops.TopK
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
+      rev.groupBy(col("p_brand"))
+        .agg(TopK.topK(3)(col("revenue"), col("p_partkey")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")))
+        .select(col("p_brand"), col("col.key").as("p_partkey"),
+          col("col.value").as("revenue"), (col("pos") + 1).cast("int").as("rnk"))
+        .orderBy("p_brand", "rnk")
+    },
+
     // Forward as-of join with tolerance (pandas merge_asof semantics):
     // each event picks the EARLIEST signup at-or-after it, nulled when
     // farther than 1 hour. Same union+window shape as backward (q38) —
@@ -236,6 +254,20 @@ object ScaleQueries {
         |  FROM scored)
         |SELECT doc_id, token, tf, score, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk
+        |""".stripMargin,
+
+    "q59_topk_agg" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY p_brand
+        |            ORDER BY revenue DESC, p_partkey) AS INT) AS rnk
+        |  FROM rev)
+        |SELECT p_brand, p_partkey, revenue, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY p_brand, rnk
         |""".stripMargin,
 
     "q58_asof_forward" ->

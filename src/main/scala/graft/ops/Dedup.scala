@@ -299,6 +299,27 @@ object Dedup {
     labels
   }
 
+  /** Edit-distance near-dup pairs: candidate pairs from equality
+    * blocking (same `blockCol` value), verified with full Levenshtein.
+    * Blocking is the scale guard — edit distance is O(len²) per pair,
+    * so candidates must come from a cheap equi-join, never all-pairs.
+    * Standard block for text: (lang, length bucket); recall is bounded
+    * by the block (near-dups straddling a bucket boundary are missed —
+    * callers widen with a second shifted-bucket pass when that
+    * matters).
+    */
+  def editDistancePairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: Column,
+      maxDist: Int): DataFrame = {
+    val e = fanned(docs).select(col(idCol).as("id"), col(textCol).as("txt"),
+      blockCol.as("blk"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.txt"), col("b.txt")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup pairs. Exact all-pairs within blocking
     * key `blockCol` (e.g. a label, LSH bucket, or IVF cell) — blocking
     * is what keeps this from being O(n²) at scale; pass a constant

@@ -140,6 +140,18 @@ object ScaleQueries {
         .orderBy("split")
     },
 
+    // Edit-distance near-dup pairs: (lang, length-bucket) equality
+    // blocking -> Levenshtein verify. Both engines implement standard
+    // unit-cost edit distance -> oracle-exact.
+    "q60_editdist_pairs" -> { (s, dir) =>
+      import graft.ops.Dedup
+      val d = Tables.documents(s, dir)
+      Dedup.editDistancePairs(d, "doc_id", "text",
+          struct(col("lang"), expr("n_chars div 40")),
+          maxDist = 20)
+        .orderBy("id_a", "id_b")
+    },
+
     // Top-k per group as a PARTIAL-AGGREGATING operator (bounded heap
     // in the aggregation buffer): map-side combine trims to k before
     // the shuffle — vs the window formulation (q15) that sorts every
@@ -254,6 +266,18 @@ object ScaleQueries {
         |  FROM scored)
         |SELECT doc_id, token, tf, score, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk
+        |""".stripMargin,
+
+    "q60_editdist_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang, n_chars // 40 AS lb
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 20
+        |ORDER BY id_a, id_b
         |""".stripMargin,
 
     "q59_topk_agg" ->

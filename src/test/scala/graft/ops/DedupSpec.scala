@@ -76,4 +76,17 @@ class DedupSpec extends SparkSpecBase {
     val capped = Dedup.shingleIndex(docs, "doc_id", "text", 3, Some(2)).count()
     assert(capped < full) // "a b c" (df=3) filtered out
   }
+
+  test("editDistancePairs finds blocked near-dups with exact distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "the quick brown fox jumped", "en"),  // dist 2 from doc 1
+      (3L, "a completely different text here", "en"),
+      (4L, "the quick brown fox jumps", "de")    // same text, other block
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang"), maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 2)))  // cross-block pair (1,4) not considered
+  }
 }

@@ -312,12 +312,17 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, blockCol: Column,
       maxDist: Int): DataFrame = {
     val e = fanned(docs).select(col(idCol).as("id"), col(textCol).as("txt"),
-      blockCol.as("blk"))
+      blockCol.as("blk"), length(col(textCol)).as("len"))
     e.as("a").join(e.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          // |len(a)-len(b)| <= maxDist is a NECESSARY condition for
+          // dist <= maxDist: prunes candidates before any DP runs
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.txt"), col("b.txt")).as("dist"))
-      .where(col("dist") <= maxDist)
+        // 3-arg levenshtein: banded DP, O(len·maxDist) with early exit
+        // (returns -1 past the threshold) instead of full O(len²)
+        levenshtein(col("a.txt"), col("b.txt"), maxDist).as("dist"))
+      .where(col("dist") >= 0)
   }
 
   /** Embedding-cosine near-dup pairs. Exact all-pairs within blocking

@@ -18,8 +18,12 @@ import graft.expressions.{DecimalScaledDot, MinHashSignature, SimHash64}
   * - `decimal_scaled_dot(a, b)` → DOUBLE
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // pure-range inner joins -> binned equi-joins (config-gated:
+    // spark.graft.rangeJoin.binWidth > 0)
+    ext.injectOptimizerRule(graft.plans.BinnedRangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -55,9 +59,15 @@ object GraftExtensions {
     * (notebooks, the round driver) rather than built with
     * `.withExtensions`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+    // the running-session analog of injectOptimizerRule (idempotent)
+    val rule = graft.plans.BinnedRangeJoinRule(spark)
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }

@@ -140,6 +140,20 @@ object ScaleQueries {
         .orderBy("split")
     },
 
+    // Declarative data-quality report: all row-local checks in ONE
+    // conditional-aggregation pass, plus a uniqueness self-agg and a
+    // broadcast-anti FK check — the generalized form of the
+    // reference's NOT NULL / PRIMARY KEY / FK constraints.
+    "q61_quality_report" -> { (s, dir) =>
+      import graft.ops.Quality._
+      audit(Tables.lineitem(s, dir), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 50),
+        Matches("l_returnflag", "^[ARN]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        FkIn("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+    },
+
     // Edit-distance near-dup pairs: (lang, length-bucket) equality
     // blocking -> Levenshtein verify. Both engines implement standard
     // unit-cost edit distance -> oracle-exact.
@@ -266,6 +280,37 @@ object ScaleQueries {
         |  FROM scored)
         |SELECT doc_id, token, tf, score, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk
+        |""".stripMargin,
+
+    "q61_quality_report" ->
+      """WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
+        |SELECT 'fk:l_orderkey' AS chk,
+        |       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |          ON l.l_orderkey = o.o_orderkey
+        |        WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS violations,
+        |       total FROM t
+        |UNION ALL
+        |SELECT 'in_range:l_quantity',
+        |       (SELECT COUNT(*) FROM lineitem
+        |        WHERE l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 50),
+        |       total FROM t
+        |UNION ALL
+        |SELECT 'matches:l_returnflag',
+        |       (SELECT COUNT(*) FROM lineitem
+        |        WHERE l_returnflag IS NOT NULL
+        |          AND NOT regexp_matches(l_returnflag, '^[ARN]$')),
+        |       total FROM t
+        |UNION ALL
+        |SELECT 'not_null:l_orderkey',
+        |       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+        |       total FROM t
+        |UNION ALL
+        |SELECT 'unique:l_orderkey,l_linenumber',
+        |       (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
+        |          SELECT COUNT(*) AS n FROM lineitem
+        |          GROUP BY l_orderkey, l_linenumber) WHERE n > 1),
+        |       total FROM t
+        |ORDER BY chk
         |""".stripMargin,
 
     "q60_editdist_pairs" ->

@@ -140,6 +140,27 @@ object ScaleQueries {
         .orderBy("split")
     },
 
+    // Incremental aggregate maintenance: a pre-aggregated "state"
+    // (orders before 1998) merged with a partial aggregate of the new
+    // "delta" partition — re-aggregation is exact because the decimal
+    // sum is associative, so the merged table is bit-identical to a
+    // full recompute (the oracle computes the full recompute). The
+    // pattern that replaces rescanning history on every batch.
+    "q62_incremental_agg" -> { (s, dir) =>
+      def daily(df: DataFrame) = df
+        .groupBy(to_date(col("o_orderdate")).cast("timestamp").as("day"))
+        .agg(sum(money(col("o_totalprice"))).as("rev_dec"),
+          count(lit(1)).as("n"))
+      val orders = Tables.orders(s, dir)
+      val state = daily(orders.where(col("o_orderdate") < "1998-01-01"))
+      val delta = daily(orders.where(col("o_orderdate") >= "1998-01-01"))
+      state.unionByName(delta)
+        .groupBy("day")
+        .agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n")).as("n"))
+        .select(col("day"), col("rev_dec").cast("double").as("revenue"), col("n"))
+        .orderBy("day")
+    },
+
     // Declarative data-quality report: all row-local checks in ONE
     // conditional-aggregation pass, plus a uniqueness self-agg and a
     // broadcast-anti FK check — the generalized form of the
@@ -280,6 +301,15 @@ object ScaleQueries {
         |  FROM scored)
         |SELECT doc_id, token, tf, score, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk
+        |""".stripMargin,
+
+    "q62_incremental_agg" ->
+      """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY day
+        |ORDER BY day
         |""".stripMargin,
 
     "q61_quality_report" ->

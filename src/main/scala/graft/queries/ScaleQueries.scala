@@ -140,6 +140,17 @@ object ScaleQueries {
         .orderBy("split")
     },
 
+    // Sequence packing: curated docs -> fixed-token-budget training
+    // sequences (next-fit within partition — the distributed packing
+    // contract). Stats output; packing invariants spec-enforced.
+    "q63_pack_sequences" -> { (s, dir) =>
+      import graft.ops.{Packing, TextOps}
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      val packed = Packing.packGreedy(withTokens, "doc_id", "n_tokens", budget = 512)
+      Packing.packingStats(packed, budget = 512)
+    },
+
     // Incremental aggregate maintenance: a pre-aggregated "state"
     // (orders before 1998) merged with a partial aggregate of the new
     // "delta" partition — re-aggregation is exact because the decimal

@@ -19,6 +19,34 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(Seq(20L, 21L).forall(labels(_) == 20L))
   }
 
+  test("random graphs match a driver-side union-find (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (trial <- 0 until 5) {
+      val n = 40
+      val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      val raw = gen(Gen.Parameters.default, Seed(trial.toLong)).get
+      val edges = raw.filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map { v =>
+          // min id reachable = root after path compression by min
+          def minRoot(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+          (v, minRoot(v.toInt).toLong)
+        }.toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), maxIters = 20)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("long chain converges within iteration bound") {
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(pairs, maxIters = 12)

@@ -49,6 +49,50 @@ class BinnedRangeJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("closed upper bound (BETWEEN shape) rewrites and stays exact") {
+    val naive = points.join(intervals,
+      col("x") >= col("s") && col("x") <= col("e"))
+    val expected = naive.select("pid", "iid").as[(Long, Long)]
+      .collect().sorted.toSeq
+    withRule(100L) {
+      val df = points.join(intervals,
+        col("x") >= col("s") && col("x") <= col("e"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = df.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expected)
+      // single-point intervals (s == e) must survive the closed filter
+      val single = points.join(Seq((9L, 13L, 13L)).toDF("iid", "s", "e"),
+          col("x") >= col("s") && col("x") <= col("e"))
+        .select("pid").as[Long].collect()
+      assert(single.length == points.where(col("x") === 13).count())
+    }
+  }
+
+  test("timestamp axes: theta join on time windows rewrites exactly") {
+    def ts(days: Long) = to_timestamp(lit("2024-01-01")) + expr(s"INTERVAL $days DAYS")
+    val evs = (0L until 200L).map(d => (d, d % 60)).toDF("eid", "d")
+      .select(col("eid"), (to_timestamp(lit("2024-01-01")) +
+        expr("make_interval(0, 0, 0, d, 0, 0, 0)")).as("t"))
+    val windows = Seq((1L, 0L, 10L), (2L, 15L, 16L), (3L, 40L, 70L))
+      .toDF("wid", "ds", "de")
+      .select(col("wid"),
+        (to_timestamp(lit("2024-01-01")) +
+          expr("make_interval(0, 0, 0, ds, 0, 0, 0)")).as("ws"),
+        (to_timestamp(lit("2024-01-01")) +
+          expr("make_interval(0, 0, 0, de, 0, 0, 0)")).as("we"))
+    val naive = evs.join(windows, col("t") >= col("ws") && col("t") < col("we"))
+      .select("eid", "wid").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    withRule(86400L * 7) { // weekly bins on epoch seconds
+      val df = evs.join(windows, col("t") >= col("ws") && col("t") < col("we"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = df.select("eid", "wid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive)
+    }
+  }
+
   test("flipped operand order still matches; swapped sides still match") {
     val expected = thetaJoin.select("pid", "iid")
       .as[(Long, Long)].collect().sorted.toSeq

@@ -20,16 +20,25 @@ object ZOrder {
     * (even positions): the 2-D Morton code. Inputs must be
     * non-negative and < 2^bitsPer.
     */
-  def interleave(a: Column, b: Column, bitsPer: Int): Column = {
-    require(bitsPer >= 1 && bitsPer <= 31)
+  def interleave(a: Column, b: Column, bitsPer: Int): Column =
+    interleaveN(Seq(a, b), bitsPer)
+
+  /** k-dimensional Morton code: bit `i` of dimension `d` lands at
+    * position `i·k + (k-1-d)` (dimension 0 owns the most significant
+    * position of each bit group). Requires `bitsPer · k ≤ 63`.
+    */
+  def interleaveN(cols: Seq[Column], bitsPer: Int): Column = {
+    val k = cols.size
+    require(k >= 2 && bitsPer >= 1 && bitsPer * k <= 63,
+      s"need 2+ dims and bitsPer*dims <= 63, got $k x $bitsPer")
     aggregate(
       sequence(lit(0), lit(bitsPer - 1)),
       lit(0L),
-      (acc, i) => acc
-        .bitwiseOR(call_function("shiftleft",
-          call_function("shiftright", a, i).bitwiseAND(lit(1L)), i * 2 + 1))
-        .bitwiseOR(call_function("shiftleft",
-          call_function("shiftright", b, i).bitwiseAND(lit(1L)), i * 2)))
+      (acc, i) => cols.zipWithIndex.foldLeft(acc) { case (a2, (c, d)) =>
+        a2.bitwiseOR(call_function("shiftleft",
+          call_function("shiftright", c, i).bitwiseAND(lit(1L)),
+          i * k + (k - 1 - d)))
+      })
   }
 
   /** Map a numeric column to a [0, 2^bits) rank using min/max bounds
@@ -49,15 +58,21 @@ object ZOrder {
     * dimensions), drop the helper column.
     */
   def zorderBy2(df: DataFrame, c1: String, c2: String,
+      numFiles: Int, bitsPer: Int = 16): DataFrame =
+    zorderByN(df, Seq(c1, c2), numFiles, bitsPer)
+
+  /** k-dimensional variant: Morton value over all `cols`, one stats
+    * pass for all min/max bounds.
+    */
+  def zorderByN(df: DataFrame, cols: Seq[String],
       numFiles: Int, bitsPer: Int = 16): DataFrame = {
     val stats = df.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-    val z = interleave(
-      bucketed(col(c1), stats.getDouble(0), stats.getDouble(1), bitsPer),
-      bucketed(col(c2), stats.getDouble(2), stats.getDouble(3), bitsPer),
-      bitsPer)
-    df.withColumn("__z", z)
+      cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*).head()
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      bucketed(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bitsPer)
+    }
+    df.withColumn("__z", interleaveN(ranks, bitsPer))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -22,6 +22,17 @@ class ZOrderSpec extends SparkSpecBase {
     assert(got == Seq(morton(0, 0), morton(1, 0), morton(0, 1), morton(3, 5)))
   }
 
+  test("interleaveN generalizes: 3-dim Morton positions") {
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 1L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .as[Long].collect().toSeq
+    def morton3(a: Long, b: Long, c: Long): Long =
+      (0 until 3).map(i => (((a >> i) & 1) << (3 * i + 2)) |
+        (((b >> i) & 1) << (3 * i + 1)) | (((c >> i) & 1) << (3 * i))).reduce(_ | _)
+    assert(got == Seq(morton3(1, 1, 1), morton3(2, 0, 1)))
+  }
+
   private def filesTouched(dir: String, pred: org.apache.spark.sql.Column): (Int, Int) = {
     val parts = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

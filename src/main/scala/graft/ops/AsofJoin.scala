@@ -40,16 +40,23 @@ object AsofJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
+    // SQL join semantics: NULL never matches NULL. Window.partitionBy
+    // groups null keys together, so null-key rows must be routed around
+    // the window pass — left ones pass through with null payload, right
+    // ones can enrich nothing (matches pandas merge_asof / DuckDB ASOF).
+    val leftNullKeys = left.where(col(key).isNull)
+    val leftKeyed = left.where(col(key).isNotNull)
+    val rightKeyed = right.where(col(key).isNotNull)
     // right event time rides inside the payload struct so tolerance
     // can compare it against the left timestamp after the carry
     val payloadStruct = struct(payload.map(col) :+ col(ts).as("__rts"): _*)
-    val l = left
+    val l = leftKeyed
       .withColumn("__tag", lit(1))
       .withColumn("__p", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
       .select(col(key), col(ts).as("__ts"), col("__tag"), col("__p"),
         struct(leftCols.map(col): _*).as("__lrow"))
-    val r = right
+    val r = rightKeyed
       .withColumn("__tag", lit(0))
       .withColumn("__p", payloadStruct)
       .select(col(key), col(ts).as("__ts"), col("__tag"), col("__p"),
@@ -72,6 +79,9 @@ object AsofJoin {
     }
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
       payload.map(p => col(s"__last.$p").as(p))
-    withinTol.select(out: _*)
+    val nullKeyOut = leftNullKeys.select(
+      leftCols.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    withinTol.select(out: _*).unionByName(nullKeyOut)
   }
 }

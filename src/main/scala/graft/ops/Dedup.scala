@@ -277,8 +277,11 @@ object Dedup {
     // ever DECREASES labels, so the label sum is strictly monotone and
     // stalls exactly at convergence. One tiny aggregate on the already-
     // checkpointed round result — no join-and-count job.
+    // coalesce: an empty labels frame (no near-dup pairs at all) sums
+    // to NULL, and the convergence compare must not NPE on it
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 1

@@ -81,6 +81,9 @@ object Quality {
         parts += Seq((f.name, v, total)).toDF("chk", "violations", "total")
       case _ => ()
     }
-    parts.result().reduce(_ unionByName _).orderBy("chk")
+    parts.result() match {
+      case Nil => Seq.empty[(String, Long, Long)].toDF("chk", "violations", "total")
+      case ps => ps.reduce(_ unionByName _).orderBy("chk")
+    }
   }
 }

@@ -69,6 +69,9 @@ object ZOrder {
     val stats = df.agg(
       cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).head,
       cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*).head()
+    // empty input or an all-null dimension has no bounds — layout is
+    // then meaningless, so no-op instead of NPE on getDouble
+    if ((0 until 2 * cols.size).exists(stats.isNullAt)) return df
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       bucketed(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bitsPer)
     }

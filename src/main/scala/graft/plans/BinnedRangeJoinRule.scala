@@ -26,8 +26,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   */
 case class BinnedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
+  // toLongOption: this rule runs on EVERY plan in the session, so an
+  // unparseable conf value must disable the rule, not poison all queries
   private def widthConf: Long =
-    session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong
+    session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLongOption
+      .getOrElse {
+        logWarning("spark.graft.rangeJoin.binWidth is not a long; rule disabled")
+        0L
+      }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = widthConf

@@ -69,6 +69,21 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((10L, None), (11L, Some(100.0))))
   }
 
+  test("null keys never match null keys (SQL join semantics)") {
+    val quotes = Seq(
+      (Some(1L), ts("2024-01-01 09:00:00"), 100.0),
+      (None, ts("2024-01-01 08:00:00"), 666.0) // null-key right row enriches nothing
+    ).toDF("user_id", "t", "price")
+    val events = Seq(
+      (10L, Some(1L), ts("2024-01-01 10:00:00")), // normal match -> 100
+      (11L, Option.empty[Long], ts("2024-01-01 10:00:00")) // null key -> null payload
+    ).toDF("event_id", "user_id", "t")
+    val got = AsofJoin.asofJoin(events, quotes, "user_id", "t", Seq("price"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("price")))))
+    assert(got.toSeq == Seq((10L, Some(100.0)), (11L, None)))
+  }
+
   test("left columns are preserved untouched") {
     val right = Seq((1L, ts("2024-01-01 00:00:00"), "payload")).toDF("k", "t", "p")
     val left = Seq((1L, ts("2024-01-02 00:00:00"), "own-data", 42))

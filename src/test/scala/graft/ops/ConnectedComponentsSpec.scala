@@ -47,6 +47,13 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("empty pair list yields empty labeling (no NPE)") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(noPairs)
+    assert(labels.columns.toSeq == Seq("id", "label"))
+    assert(labels.count() == 0L)
+  }
+
   test("long chain converges within iteration bound") {
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(pairs, maxIters = 12)

@@ -30,6 +30,12 @@ class QualitySpec extends SparkSpecBase {
       "fk:k" -> 1L))          // key 9 (null key not counted)
   }
 
+  test("empty check list yields an empty report, not an exception") {
+    val got = audit(df, Seq.empty)
+    assert(got.columns.toSeq == Seq("chk", "violations", "total"))
+    assert(got.count() == 0L)
+  }
+
   test("clean table reports zero violations everywhere") {
     val clean = Seq((Some(1L), Some(10.0), "A")).toDF("k", "v", "flag")
     val got = audit(clean, Seq(NotNull("k"), InRange("v", 1, 50),

@@ -42,6 +42,16 @@ class ZOrderSpec extends SparkSpecBase {
     (touched, parts.length)
   }
 
+  test("empty input and all-null dimensions no-op instead of failing") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(ZOrder.zorderBy2(empty, "x", "y", numFiles = 4).count() == 0L)
+    val allNull = Seq((Some(1L), Option.empty[Long]), (Some(2L), None))
+      .toDF("x", "y")
+    val out = ZOrder.zorderBy2(allNull, "x", "y", numFiles = 4)
+    assert(out.count() == 2L)
+    assert(out.columns.toSeq == Seq("x", "y"))
+  }
+
   test("z-order layout prunes both dimensions; linear sort only one") {
     val zDir = Files.createTempDirectory("graft_z").toString
     val xDir = Files.createTempDirectory("graft_x").toString

@@ -93,6 +93,18 @@ class BinnedRangeJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("unparseable bin-width conf disables the rule instead of failing queries") {
+    graft.GraftExtensions.register(spark)
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "not-a-number")
+    try {
+      // the rule runs on every plan — even a trivial query would throw
+      // if the conf were parsed with a bare toLong
+      assert(Seq(1, 2, 3).toDF("v").agg(sum(col("v"))).head().getLong(0) == 6L)
+      val plan = thetaJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("flipped operand order still matches; swapped sides still match") {
     val expected = thetaJoin.select("pid", "iid")
       .as[(Long, Long)].collect().sorted.toSeq

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, ParityQueries, PipelineQueries, ScaleQueries}
+import graft.queries.{AnalyticsQueries, OrchestrationQueries, ParityQueries, PipelineQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries ++ ScaleQueries.queries
+      AnalyticsQueries.queries ++ ScaleQueries.queries ++
+      OrchestrationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      AnalyticsQueries.oracleSql ++ ScaleQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ ScaleQueries.oracleSql ++
+      OrchestrationQueries.oracleSql
 }

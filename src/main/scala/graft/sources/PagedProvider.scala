@@ -32,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * per day from 2020-01-01), a cyclic store id, and an arithmetic
   * sale_dollars — pure closed-form, so a SQL oracle can reproduce the
   * feed exactly. Options: `totalRows` (default 100000), `pageSize`
-  * (default 50000 = the reference's CHUNK_ROWS, `src/config.py:19`).
+  * (default 50000 = the reference's CHUNK_ROWS, `src/config.py:19`),
+  * `failFirstAttempt` (default false — O3 test hook: every task's
+  * FIRST attempt throws mid-page, so a session with task maxFailures>1
+  * must retry every page; models the transient HTTP failures the
+  * reference absorbs with Airflow `retries=1`,
+  * `dags/iowa_liquor_dag.py:24-25`, `task_extract.log:3` try_number=2).
   */
 class PagedProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -44,7 +49,8 @@ class PagedProvider extends TableProvider {
     val opts = properties.asScala.map { case (k, v) => k.toLowerCase -> v }
     new PagedTable(
       opts.getOrElse("totalrows", "100000").toLong,
-      opts.getOrElse("pagesize", "50000").toInt)
+      opts.getOrElse("pagesize", "50000").toInt,
+      opts.getOrElse("failfirstattempt", "false").toBoolean)
   }
 }
 
@@ -83,16 +89,17 @@ object PagedSource {
   }
 }
 
-class PagedTable(totalRows: Long, pageSize: Int) extends Table with SupportsRead {
+class PagedTable(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"paged(totalRows=$totalRows, pageSize=$pageSize)"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(totalRows, pageSize)
+    new PagedScanBuilder(totalRows, pageSize, failFirstAttempt)
 }
 
-class PagedScanBuilder(totalRows: Long, pageSize: Int)
+class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -156,7 +163,7 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int)
 
   override def build(): Scan =
     if (countPushed) new PagedCountScan(math.max(0L, hi - lo))
-    else new PagedScan(required, lo, math.max(lo, hi), pageSize)
+    else new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt)
 }
 
 /** Single-row scan answering a fully-pushed COUNT(*). */
@@ -181,7 +188,8 @@ class PagedCountReaderFactory(count: Long) extends PartitionReaderFactory {
     }
 }
 
-class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int)
+class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int,
+    failFirstAttempt: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering {
   // runtime-narrowed bounds (dynamic 'partition' pruning at page grain)
   private var rlo: Long = lo
@@ -225,7 +233,7 @@ class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required)
+    new PagedReaderFactory(required, failFirstAttempt)
 }
 
 /** Timestamp-literal decoding shared by plan-time and runtime filter paths. */
@@ -239,16 +247,27 @@ object PagedScanBuilderUtil {
 
 case class PagedPartition(start: Long, end: Long) extends InputPartition
 
-class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
+class PagedReaderFactory(required: StructType, failFirstAttempt: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedPartition]
-    new PagedReader(p.start, p.end, required)
+    new PagedReader(p.start, p.end, required, failFirstAttempt)
   }
 }
 
-class PagedReader(start: Long, end: Long, required: StructType)
+class PagedReader(start: Long, end: Long, required: StructType,
+    failFirstAttempt: Boolean = false)
     extends PartitionReader[InternalRow] {
   private var i = start - 1
+  // O3 failure injection: throw MID-page (half the rows already emitted)
+  // on the task's first attempt only, so a successful query proves the
+  // scheduler retried the task and the committer discarded the partial
+  // attempt — duplicate-free, identical output.
+  private val failAt: Long =
+    if (failFirstAttempt &&
+        Option(org.apache.spark.TaskContext.get()).exists(_.attemptNumber() == 0))
+      (start + end) / 2
+    else Long.MinValue
   private val getters: Array[Long => Any] = required.fieldNames.map {
     case "invoice_line_no" => (i: Long) => UTF8String.fromString(PagedSource.invoice(i))
     case "date" => (i: Long) => PagedSource.dateMicros(i)
@@ -257,7 +276,13 @@ class PagedReader(start: Long, end: Long, required: StructType)
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
-  override def next(): Boolean = { i += 1; i < end }
+  override def next(): Boolean = {
+    i += 1
+    if (i == failAt)
+      throw new RuntimeException(
+        s"graft: injected transient failure at row $i (first attempt)")
+    i < end
+  }
   override def get(): InternalRow = InternalRow.fromSeq(getters.map(_(i)).toSeq)
   override def close(): Unit = ()
 }

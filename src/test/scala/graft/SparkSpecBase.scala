@@ -12,8 +12,11 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpecBase {
+  // local[4, 2]: task maxFailures=2 so retry-semantics specs (O3
+  // failure injection) can exercise a real task re-attempt; harmless
+  // elsewhere — a passing task never retries.
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

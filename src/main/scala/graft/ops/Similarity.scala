@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.cosineSim
 
@@ -20,9 +19,24 @@ import graft.functions.cosineSim
   */
 object Similarity {
 
+  /** k-bounded ranking: (query_id, neighbor_id, sim) triples →
+    * per-query top-k with rank, via the partial-aggregating TopK
+    * operator instead of a row_number window. Map-side partial
+    * aggregation trims every partition's contribution to k rows per
+    * query BEFORE the shuffle, and nothing is ever sorted group-wide —
+    * the ranking shape that survives a corpus-scale candidate list.
+    */
+  def rankTopK(scored: DataFrame, k: Int, simName: String): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(k)(col(simName).cast("double"), col("neighbor_id")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), col("col.key").as("neighbor_id"),
+        col("col.value").as(simName), (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact cosine top-k: for each query vector, the k corpus neighbors
     * by descending cosine, tiebroken by corpus id (deterministic).
-    * Query side is broadcast; ranking is a per-query window.
+    * Query side is broadcast; ranking is the bounded TopK aggregate.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -34,13 +48,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col(simName).desc, col("neighbor_id"))
-    joined
-      .select(col("query_id"), col("neighbor_id"),
-        simFn(col("qv"), col("cv")).as(simName))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    rankTopK(
+      joined.select(col("query_id"), col("neighbor_id"),
+        simFn(col("qv"), col("cv")).as(simName)),
+      k, simName)
   }
 
   /** Deterministic ±1 hyperplane component for (table, plane, dim):
@@ -83,25 +94,31 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    // Bucketing carries IDS ONLY: the multi-table dedup (`distinct` on
+    // the id pair — a row is a candidate once even if it collides in
+    // several tables) shuffles 16-byte pairs, never dim×8-byte vectors.
     def withBuckets(df: DataFrame, side: String): DataFrame =
       df.select(
-        col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
+        col(idCol).as(s"${side}_id"),
         posexplode(array((0 until nTables).map(t =>
           lshBucket(col(vecCol), t, nPlanes, dim)): _*)))
         .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val qb = withBuckets(queries, "query")
     val cb = withBuckets(corpus, "neighbor")
-    val cands = cb.join(qb, Seq("table", "bucket"))
+    val candIds = cb.join(qb, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("queryv"), col("neighborv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands
-      .select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("queryv"), col("neighborv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // Re-attach vectors AFTER dedup: the (small) query side broadcasts;
+    // the corpus joins on its id, so each corpus vector crosses the
+    // wire at most once regardless of how many tables it collided in.
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighborv"))
+    val cands = candIds.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+    rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("queryv"), col("neighborv")).as("cosine")),
+      k, "cosine")
   }
 
   /** Deterministic IVF centroid training: k-means over the embedding

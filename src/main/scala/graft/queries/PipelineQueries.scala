@@ -184,13 +184,13 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
       val c = assigned
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id"))
-      c.join(q, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
+      val scored = c.join(q, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           graft.functions.decimalDotNative(col("qv"), col("cv")).as("dot"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
+      // cell-local exact re-rank via the k-bounded TopK aggregate —
+      // map-side trim, no per-query window sort
+      Similarity.rankTopK(scored, 5, "dot")
         .orderBy("query_id", "rank")
     },
 

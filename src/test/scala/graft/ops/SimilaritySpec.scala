@@ -81,4 +81,35 @@ class SimilaritySpec extends SparkSpecBase {
       .select("cell").as[Long].collect()
     assert(cells.forall(_ == 0L))
   }
+
+  test("top-k ranking plans the bounded aggregate, never a window sort") {
+    val q = corpus.where(col("vec_id") < 2)
+    Seq(
+      Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3),
+      Similarity.lshTopK(q, corpus, "vec_id", "embedding", k = 3,
+        nPlanes = 4, nTables = 2, dim = 8)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window in plan:\n$plan")
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("HashAggregate")
+        || plan.contains("SortAggregate"), plan)
+    }
+  }
+
+  test("lshTopK candidate dedup happens on id pairs, not on vector payloads") {
+    val q = corpus.where(col("vec_id") < 2)
+    val df = Similarity.lshTopK(q, corpus, "vec_id", "embedding", k = 3,
+      nPlanes = 4, nTables = 2, dim = 8)
+    // the distinct (HashAggregate with both ids as grouping keys and no
+    // other columns) must not carry the embedding arrays
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.map(_.name).toSet == Set("query_id", "neighbor_id") => a
+    }
+    assert(aggs.nonEmpty, "expected an id-pair distinct in the plan")
+    aggs.foreach { a =>
+      assert(!a.output.exists(_.dataType.simpleString.contains("array")),
+        s"vectors flow through the dedup: ${a.output}")
+    }
+  }
 }

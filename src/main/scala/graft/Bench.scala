@@ -8,7 +8,38 @@ import org.apache.spark.sql.SparkSession
   * not JVM warm-up.
   */
 object Bench {
+
+  /** Host load average triple from /proc/loadavg as a JSON array
+    * ("[]" where unavailable) — a contended box shows load ≫ the
+    * process's own parallelism.
+    */
+  private def loadavgJson(): String =
+    try {
+      val parts = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).map(_.toDouble)
+      parts.mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+
+  /** Fixed single-thread CPU calibration: the wall seconds for a
+    * constant arithmetic workload. On an idle box this is a stable
+    * machine constant; a contended run inflates it proportionally —
+    * so a polluted bench artifact is detectable from the JSON alone
+    * (compare calib across rounds, not absolute query times).
+    */
+  private def calibrationSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0.0
+    var i = 0
+    while (i < 50000000) { x += math.sqrt(i.toDouble); i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == Double.MinValue) sys.error("unreachable") // defeat DCE
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavgJson()
+    val calibStart = calibrationSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -79,9 +110,16 @@ object Bench {
     // (BASELINE.md compares against that); the rest are the LLM-
     // pipeline / analytics extensions the reference does not have.
     val parity = results.filter(_._1 <= "q15_zz").map(_._2).sum
+    // Contention sentinel: loadavg + a fixed CPU calibration sampled at
+    // start and end. If calib_sec here is ≫ its idle-box value (or
+    // loadavg ≫ this process's core count), the numbers above measured
+    // a contended machine, not the engine.
+    val sentinel =
+      s""""sentinel":{"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()},""" +
+        s""""calib_sec_start":$calibStart,"calib_sec_end":${calibrationSec()}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""parity_sec":$parity,"extensions_sec":${total - ingestSec - parity},""" +
-      s""""ingest_sec":$ingestSec,""" +
+      s""""ingest_sec":$ingestSec,$sentinel,""" +
       s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

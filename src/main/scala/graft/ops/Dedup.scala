@@ -331,14 +331,32 @@ object Dedup {
   /** Embedding-cosine near-dup pairs. Exact all-pairs within blocking
     * key `blockCol` (e.g. a label, LSH bucket, or IVF cell) — blocking
     * is what keeps this from being O(n²) at scale; pass a constant
-    * column to force true all-pairs on small inputs.
+    * column to force true all-pairs on small inputs (and raise or
+    * disable the budget accordingly).
+    *
+    * `maxPairsPerBlock` is the loud-failure guard: a low-cardinality
+    * block key silently degenerates to O(n²/k), so before planning the
+    * join, one cheap ids-only aggregate checks every block's pair count
+    * against the budget and REFUSES (naming the worst blocks) rather
+    * than launching a quadratic job. 0 disables the guard.
     */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxPairsPerBlock: Long = 100000000L): DataFrame = {
     import graft.functions.cosineSim
     val e = fanned(emb).select(col(idCol).as("id"), col(vecCol).as("vec"),
       blockCol.as("blk"))
+    if (maxPairsPerBlock > 0) {
+      val budget = maxPairsPerBlock.toDouble
+      val offenders = e.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+        .where(col("n").cast("double") * (col("n") - 1).cast("double") / 2.0 > budget)
+        .orderBy(col("n").desc).limit(5)
+        .collect()
+      require(offenders.isEmpty,
+        s"embeddingNearDupPairs: block(s) exceed the $maxPairsPerBlock-pair budget: " +
+          offenders.map(r => s"${r.get(0)} (${r.getLong(1)} rows)").mkString(", ") +
+          " — use a finer blockCol (LSH bucket / IVF cell) or raise maxPairsPerBlock")
+    }
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -100,11 +100,13 @@ object ScaleQueries {
     // across libm implementations — not oracle-safe). df is derived
     // from the tf aggregate (one explode, two aggregations), the
     // doc subset filter applies to tf only — df stays corpus-global.
+    // N enters the plan as a broadcast 1-row aggregate (cross join),
+    // not a driver-side count() — the whole query is ONE job.
     "q54_tfidf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import graft.ops.TextOps
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tfAll = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -113,7 +115,8 @@ object ScaleQueries {
         .orderBy(col("score").desc, col("token"))
       tfAll.where(col("doc_id") < 50)
         .join(dfreq, "token")
-        .withColumn("score", col("tf") * expr(s"(${1000000L * n}L div df)"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", expr("tf * ((1000000 * n_docs) div df)"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .select(col("doc_id"), col("token"), col("tf"), col("score"), col("rnk"))

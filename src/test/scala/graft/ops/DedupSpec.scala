@@ -69,6 +69,21 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embeddingNearDupPairs refuses a block over the pair budget") {
+    // pathological single-label input: one block of 100 rows = 4950 pairs
+    val emb = (0L until 100L).map(i => (i, Array(1.0f, 0.0f), "all"))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", col("label"),
+        threshold = 0.9, maxPairsPerBlock = 1000L)
+    }
+    assert(ex.getMessage.contains("all (100 rows)"))
+    // same input under a sufficient budget plans and runs fine
+    val n = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", col("label"),
+      threshold = 0.9, maxPairsPerBlock = 5000L).count()
+    assert(n == 4950L)
+  }
+
   test("shingleIndex maxDocFreq drops stop-shingles") {
     val docs = Seq((1L, "a b c x y z"), (2L, "a b c q r s"), (3L, "a b c t u v"))
       .toDF("doc_id", "text")

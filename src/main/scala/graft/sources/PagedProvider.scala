@@ -108,7 +108,6 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
   private var lo: Long = 0L
   private var hi: Long = totalRows
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
 
   private def tsMicros(v: Any): Option[Long] = PagedScanBuilderUtil.tsMicros(v)
 
@@ -144,46 +143,79 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
     true // partial: pages may still overshoot within a partition
   }
 
-  /** COUNT(*) pushdown: the feed is a closed-form row range, so the
-    * count is `hi - lo` — answered without generating a single row
-    * (the `$select=count(*)` a SoQL endpoint would serve). Complete
-    * pushdown: no partial aggregation needed above the scan.
+  /** COUNT(*) / MIN(date) / MAX(date) pushdown: the feed is a
+    * closed-form row range with MONOTONE dates, so all three are
+    * answered without generating a single row — count is `hi - lo`,
+    * min/max are the dates of the range endpoints (the
+    * `$select=count(*)/min(date)/max(date)` a SoQL endpoint would
+    * serve). Complete pushdown: no partial aggregation above the scan.
     */
   override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isDate(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.sameElements(Array("date"))
+        case _ => false
+      }
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isDate(m.column)
+        case m: Max => isDate(m.column)
+        case _ => false
+      }
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (supportCompletePushDown(agg)) { countPushed = true; true }
+    if (supportCompletePushDown(agg)) { pushedAgg = Some(agg); true }
     else false
   }
 
-  override def build(): Scan =
-    if (countPushed) new PagedCountScan(math.max(0L, hi - lo))
-    else new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt)
+  private var pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      val n = math.max(0L, hi - lo)
+      val fieldsAndValues: Seq[(StructField, Any)] = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => (StructField("count", LongType, nullable = false), n)
+        case _: Min => (StructField("min_date", TimestampType),
+          if (n == 0) null else PagedSource.dateMicros(lo))
+        case _: Max => (StructField("max_date", TimestampType),
+          if (n == 0) null else PagedSource.dateMicros(hi - 1))
+        case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+      }
+      new PagedAggScan(StructType(fieldsAndValues.map(_._1)),
+        fieldsAndValues.map(_._2).toArray)
+    case None =>
+      new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt)
+  }
 }
 
-/** Single-row scan answering a fully-pushed COUNT(*). */
-class PagedCountScan(count: Long) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count", LongType, nullable = false)))
+/** Single-row scan answering a fully-pushed aggregation (closed form —
+  * no row generation). `values` are internal representations
+  * (Long / micros-Long / null) aligned with `schema`.
+  */
+class PagedAggScan(aggSchema: StructType, values: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
-  override def description(): String = s"PagedCountScan(count=$count)"
+  override def description(): String =
+    s"PagedAggScan(${aggSchema.fieldNames.zip(values).map { case (f, v) => s"$f=$v" }.mkString(", ")})"
   override def planInputPartitions(): Array[InputPartition] =
     Array(PagedPartition(0, 1))
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedCountReaderFactory(count)
+    new PagedAggReaderFactory(values)
 }
 
-class PagedCountReaderFactory(count: Long) extends PartitionReaderFactory {
+class PagedAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var done = false
       override def next(): Boolean = { val r = !done; done = true; r }
-      override def get(): InternalRow = InternalRow(count)
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
       override def close(): Unit = ()
     }
 }

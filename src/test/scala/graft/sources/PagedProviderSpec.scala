@@ -79,7 +79,7 @@ class PagedProviderSpec extends SparkSpecBase {
   test("COUNT(*) pushes to the source: closed-form, no row generation") {
     val df = feed(1000000, 1000).agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString()
-    assert(plan.contains("PagedCountScan(count=1000000)"), s"plan was:\n$plan")
+    assert(plan.contains("PagedAggScan(count=1000000)"), s"plan was:\n$plan")
     assert(df.collect()(0).getLong(0) == 1000000L)
   }
 
@@ -87,7 +87,32 @@ class PagedProviderSpec extends SparkSpecBase {
     val df = feed(1000, 100).where(col("store") === "store_3")
       .agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString()
-    assert(!plan.contains("PagedCountScan"), s"plan was:\n$plan")
+    assert(!plan.contains("PagedAggScan"), s"plan was:\n$plan")
     assert(df.collect()(0).getLong(0) == 1000L / 37 + (if (3 < 1000 % 37) 1 else 0))
+  }
+
+  test("MIN/MAX(date) push to the source: closed-form range endpoints") {
+    val df = feed(1000000, 1000)
+      .agg(min(col("date")).as("lo"), max(col("date")).as("hi"),
+        count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PagedAggScan"), s"plan was:\n$plan")
+    // no PagedScan of actual pages anywhere: answered without rows
+    assert(!plan.contains("PagedScan(range"), s"plan was:\n$plan")
+    val r = df.collect()(0)
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    // 1M rows / 10 per day -> last row is day 99999 after epoch
+    assert(r.getTimestamp(1) ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z")
+        .plus(java.time.Duration.ofDays(99999))))
+    assert(r.getLong(2) == 1000000L)
+  }
+
+  test("MIN/MAX over a non-date column is NOT pushed (stays correct)") {
+    val df = feed(1000, 100).agg(max(col("sale_dollars")).as("m"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("PagedAggScan"), s"plan was:\n$plan")
+    // max of ((i*7+13) % 10000)/100 over i<1000: no wrap, i=999 -> 70.06
+    assert(df.collect()(0).getDouble(0) == 70.06)
   }
 }

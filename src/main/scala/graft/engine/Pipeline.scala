@@ -154,4 +154,21 @@ object Pipeline {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(dir)
+
+  /** Z-ordered writer: Morton-cluster on `zorderCols` (ZOrder.zorderByN)
+    * before the partitioned write, so WITHIN each Hive partition the
+    * part-files carry tight min/max footer statistics on EVERY z
+    * dimension — directory pruning handles `partitionCols` predicates,
+    * row-group stats pruning handles multi-dimensional `zorderCols`
+    * predicates. Each write task owns a contiguous Morton range
+    * (range partitioning), so per-(task × partition-dir) files stay
+    * range-tight even after the writer's internal partition-column
+    * sort. `partitionCols` empty = plain z-ordered layout.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, partitionCols: Seq[String],
+      zorderCols: Seq[String], numFiles: Int, bitsPer: Int = 16): Unit = {
+    val z = graft.ops.ZOrder.zorderByN(df, zorderCols, numFiles, bitsPer)
+    if (partitionCols.isEmpty) z.write.mode(SaveMode.Overwrite).parquet(dir)
+    else writePartitioned(z, dir, partitionCols)
+  }
 }

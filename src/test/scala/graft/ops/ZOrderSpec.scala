@@ -75,4 +75,24 @@ class ZOrderSpec extends SparkSpecBase {
     // both layouts prune the box on x; z must not be worse
     assert(zBox <= math.max(xBox, zTotal / 2), s"box: z=$zBox x=$xBox")
   }
+
+  test("writeZOrdered: directory pruning on partition col, file pruning on z dims") {
+    val dir = Files.createTempDirectory("graft_zw").toString
+    val data = grid.withColumn("p", (col("id") % 2).cast("string"))
+    graft.engine.Pipeline.writeZOrdered(data, dir, Seq("p"), Seq("x", "y"),
+      numFiles = 16, bitsPer = 7)
+    val sub = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("p=")).map(_.getName).sorted
+    assert(sub.toSeq == Seq("p=0", "p=1"))
+    // the partition predicate prunes at the DIRECTORY level (plan-visible)
+    val rd = spark.read.parquet(dir)
+      .where(col("p") === "0" && col("x") < 10 && col("y") < 10)
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(rd.count() == 50) // 10x10 box, even ids only
+    // within the surviving directory the z layout prunes BOTH dimensions
+    val (touched, total) = filesTouched(s"$dir/p=0", col("x") < 10 && col("y") < 10)
+    assert(total >= 8, s"expected one file per z range in p=0, got $total")
+    assert(touched <= total / 4, s"z-order should prune the box: $touched of $total")
+  }
 }

@@ -47,6 +47,77 @@ object Packing {
     }(Encoders.product[Packed]).toDF()
   }
 
+  /** Chunk-oversized pre-stage: split every document whose token count
+    * exceeds `budget` into `ceil(n/budget)` chunks of ≤ budget tokens
+    * (last chunk carries the remainder; a 0-token doc keeps one empty
+    * chunk). Pure expression-level explode — no UDF, no shuffle. After
+    * this stage EVERY row fits the budget, so a downstream packer can
+    * guarantee no sequence ever exceeds it.
+    *
+    * Output: (doc_id, chunk, n_tokens) — `chunk` is the 0-based index
+    * within the source document.
+    */
+  def chunkOversized(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("__n"))
+      .withColumn("__k",
+        greatest(lit(1L), expr(s"(__n + ${budget - 1}) div $budget")))
+      .select(col("doc_id"), col("__n"),
+        explode(sequence(lit(0L), col("__k") - 1)).as("chunk"))
+      .select(col("doc_id"), col("chunk").cast("int").as("chunk"),
+        least(lit(budget), col("__n") - col("chunk") * budget).as("n_tokens"))
+  }
+
+  /** Fill-targeted packing: best-fit-decreasing WITHIN partition.
+    * Docs are sorted descending by size inside each partition, then
+    * each doc lands in the open sequence with the TIGHTEST remaining
+    * gap that still fits (TreeMap ceiling lookup — O(log bins) per
+    * doc, deterministic). Compared to next-fit this closes the
+    * fragmentation gap (classical bound 11/9·OPT vs 2·OPT) at the cost
+    * of holding open-bin state (16 bytes per sequence) for the
+    * partition — bounded, since sequences ≈ partition tokens / budget.
+    * Same distributed contract as [[packGreedy]]: sequences never
+    * cross partitions, ids are partition-prefixed.
+    *
+    * A doc larger than `budget` still gets a sequence of its own —
+    * run [[chunkOversized]] first to guarantee zero overflow.
+    */
+  def packBestFitDecreasing(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0)
+    val src = docs
+      .select(col(idCol).cast("long").as("__id"), col(tokensCol).cast("long").as("__n"))
+      .sortWithinPartitions(col("__n").desc, col("__id"))
+    src.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var nextSeq = 0L
+      // remaining gap -> LIFO of open sequence ids at that gap
+      val byGap = new java.util.TreeMap[Long, java.util.ArrayDeque[Long]]()
+      val nextPos = scala.collection.mutable.LongMap.empty[Int]
+      rows.map { r =>
+        val id = r.getLong(0); val n = r.getLong(1)
+        val entry = byGap.ceilingEntry(n) // tightest open gap that fits
+        val (seq, gap) =
+          if (entry == null) { val s = nextSeq; nextSeq += 1; (s, budget) }
+          else {
+            val q = entry.getValue
+            val s = q.pop()
+            if (q.isEmpty) byGap.remove(entry.getKey)
+            (s, entry.getKey)
+          }
+        val remaining = gap - n
+        if (remaining > 0)
+          byGap.computeIfAbsent(remaining, _ => new java.util.ArrayDeque[Long]()).push(seq)
+        val pos = nextPos.getOrElse(seq, 0)
+        nextPos(seq) = pos + 1
+        Packed(id, n, (pid << 40) | seq, pos)
+      }
+    }(Encoders.product[Packed]).toDF()
+  }
+
   /** Packing quality report: sequences, mean fill ratio, max overflow. */
   def packingStats(packed: DataFrame, budget: Long): DataFrame =
     packed.groupBy("seq_id")

@@ -150,7 +150,11 @@ object ScaleQueries {
       import graft.ops.{Packing, TextOps}
       val withTokens = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
-      val packed = Packing.packGreedy(withTokens, "doc_id", "n_tokens", budget = 512)
+      // full packing pipeline: chunk oversized docs to the budget, then
+      // best-fit-decreasing within partition — zero overflow possible
+      val chunks = Packing.chunkOversized(withTokens, "doc_id", "n_tokens", budget = 512)
+        .select((col("doc_id") * 4096 + col("chunk")).as("chunk_id"), col("n_tokens"))
+      val packed = Packing.packBestFitDecreasing(chunks, "chunk_id", "n_tokens", budget = 512)
       Packing.packingStats(packed, budget = 512)
     },
 

@@ -49,4 +49,67 @@ class PackingSpec extends SparkSpecBase {
       .distinct().count()
     assert(n <= 3)
   }
+
+  test("chunkOversized: every chunk fits, token mass is preserved") {
+    val chunked = Packing.chunkOversized(docs, "doc_id", "n_tokens", budget = 1024)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(chunked.forall(_._3 <= 1024))
+    // doc 5 (2000 tokens) -> chunks of 1024 + 976; everything else intact
+    assert(chunked.filter(_._1 == 5L).map(_._3).sorted == Seq(976L, 1024L))
+    val mass = chunked.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    Seq(1L -> 400L, 2L -> 500L, 3L -> 200L, 4L -> 900L, 5L -> 2000L, 6L -> 10L)
+      .foreach { case (id, n) => assert(mass(id) == n, s"doc $id") }
+    // chunk indices are contiguous from 0
+    chunked.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (0 until g.size))
+    }
+  }
+
+  test("chunkOversized keeps a single empty chunk for a zero-token doc") {
+    val z = Seq((9L, 0L)).toDF("doc_id", "n_tokens")
+    val got = Packing.chunkOversized(z, "doc_id", "n_tokens", 100)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((9L, 0, 0L)))
+  }
+
+  test("best-fit-decreasing: no overflow, every doc packed once, deterministic") {
+    val packed = Packing.packBestFitDecreasing(docs, "doc_id", "n_tokens", 1024)
+    val seqs = packed.groupBy("seq_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(seqs.filter(_._3 > 1).forall(_._2 <= 1024))
+    assert(packed.count() == 6)
+    assert(packed.select("doc_id").distinct().count() == 6)
+    val again = Packing.packBestFitDecreasing(docs, "doc_id", "n_tokens", 1024)
+    assert(packed.as[Packing.Packed].collect().sortBy(_.doc_id).toSeq ==
+      again.as[Packing.Packed].collect().sortBy(_.doc_id).toSeq)
+    // positions contiguous per sequence
+    packed.as[Packing.Packed].collect().groupBy(_.seq_id).values.foreach { g =>
+      assert(g.map(_.seq_pos).sorted.toSeq == (0 until g.size))
+    }
+  }
+
+  test("best-fit-decreasing beats next-fit fill on a fragmenting input") {
+    // next-fit in this order wastes gaps: 600,500 -> [600],[500,...]...
+    val frag = Seq((1L, 600L), (2L, 500L), (3L, 400L), (4L, 500L), (5L, 24L),
+      (6L, 424L)).toDF("doc_id", "n_tokens").coalesce(1)
+    def nSeqs(df: org.apache.spark.sql.DataFrame) =
+      df.select("seq_id").distinct().count()
+    val nf = nSeqs(Packing.packGreedy(frag, "doc_id", "n_tokens", 1024))
+    val bfd = nSeqs(Packing.packBestFitDecreasing(frag, "doc_id", "n_tokens", 1024))
+    // same mass (2448 tokens -> lower bound 3 sequences of 1024)
+    assert(bfd <= nf)
+    assert(bfd == 3)
+  }
+
+  test("chunk + best-fit-decreasing: NO sequence over budget, ever") {
+    val chunks = Packing.chunkOversized(docs, "doc_id", "n_tokens", 512)
+      .select((col("doc_id") * 4096 + col("chunk")).as("chunk_id"), col("n_tokens"))
+    val packed = Packing.packBestFitDecreasing(chunks, "chunk_id", "n_tokens", 512)
+    val over = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+      .where(col("t") > 512).count()
+    assert(over == 0L)
+    // all chunk mass survives
+    assert(packed.agg(sum("n_tokens")).head().getLong(0) == 4010L)
+  }
 }

@@ -29,6 +29,17 @@ class MultimodalSpec extends SparkSpecBase {
     assert(empty.getAs[Long]("n_bytes") == 0L && empty.getAs[Double]("mean_byte") == 0.0)
   }
 
+  test("Arrow columnar decode matches the row-path decode exactly") {
+    // larger corpus than the batch size so partitions span several batches
+    val many = (0L until 100L).map(i => (i, "x" * (i.toInt % 17))).toDF("doc_id", "text")
+    val rowPath = Multimodal.extractFeatures(many, "doc_id", "text")
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    val arrowPath = Multimodal.extractFeaturesArrow(many, "doc_id", "text", batchSize = 16)
+      .orderBy("media_id").collect().map(_.toSeq).toSeq
+    assert(arrowPath == rowPath)
+    assert(arrowPath.length == 100)
+  }
+
   test("resizeStub rewrites metadata and flags the row") {
     val resized = Multimodal.resizeStub(
       Multimodal.attachPayload(docs, "doc_id", "text"), 224, 224).collect()

@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.LongAccumulator
 
 /** Pipeline control-plane parity (SURVEY.md §2.1, §2.10): the
   * reference's 3-stage Airflow DAG `extract >> transform >> load`
@@ -19,7 +18,8 @@ import org.apache.spark.util.LongAccumulator
   *   a re-run of any stage overwrites its own output atomically
   *   (S9 — FileOutputCommitter job commit).
   * - Progress telemetry (O4, reference `src/load.py:61-66`) via
-  *   `LongAccumulator` row counts per stage instead of per-chunk prints.
+  *   `Observation` row-count metrics on each stage's write job instead
+  *   of per-chunk prints.
   */
 object Pipeline {
 
@@ -89,9 +89,13 @@ object Pipeline {
     // Append is not atomic with respect to the existence check —
     // single-writer semantics assumed, matching the reference's single
     // loader process (src/load.py runs alone).
-    val n = novel.count()
-    if (n > 0) novel.write.mode(SaveMode.Append).parquet(dir)
-    n
+    // The loaded-row count rides the WRITE job as an Observation metric
+    // — counting first and writing second would compute the anti-join
+    // twice (or force a full-row cache).
+    val obs = org.apache.spark.sql.Observation()
+    novel.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Append).parquet(dir)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** O1/O2 — the full extract → transform → load flow over directories
@@ -105,22 +109,27 @@ object Pipeline {
       clean: DataFrame => DataFrame,
       rawDir: String, cleanDir: String, tableDir: String,
       keys: Seq[String]): RunStats = {
-    val extractedAcc = new LongAccumulator
-    spark.sparkContext.register(extractedAcc, "rows_extracted")
+    // Per-stage row telemetry (A2/O4) rides each stage's OWN write job
+    // as Observation metrics — the reference's per-chunk progress prints
+    // (src/load.py:61-66) without any extra count jobs or re-scans:
+    // the whole pipeline is exactly one job per stage.
+    import org.apache.spark.sql.Observation
 
     // extract: source scan → raw parquet (S3)
-    writeStage(source, rawDir)
-    val raw = spark.read.parquet(rawDir)
-    extractedAcc.add(raw.count())
+    val obsExtract = Observation()
+    writeStage(source.observe(obsExtract, count(lit(1)).as("rows")), rawDir)
+    val nExtracted = obsExtract.get("rows").asInstanceOf[Long]
 
     // transform: stateless clean, one whole-stage-codegen'd pass (S4/S5)
-    val cleaned = clean(raw)
-    writeStage(cleaned, cleanDir)
-    val nClean = spark.read.parquet(cleanDir).count()
+    val obsClean = Observation()
+    writeStage(
+      clean(spark.read.parquet(rawDir)).observe(obsClean, count(lit(1)).as("rows")),
+      cleanDir)
+    val nClean = obsClean.get("rows").asInstanceOf[Long]
 
     // load: conflict-ignoring keyed append (S7 analog over files)
     val nLoaded = conflictIgnoringAppend(spark, spark.read.parquet(cleanDir), tableDir, keys)
-    RunStats(extractedAcc.value, nClean, nLoaded)
+    RunStats(nExtracted, nClean, nLoaded)
   }
 
   /** S8 — DDL bootstrap: register the parquet table directory in the

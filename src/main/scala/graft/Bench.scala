@@ -76,7 +76,14 @@ object Bench {
     // is warm after the first of 285 chunks). Disable with
     // SPARK_GRAFT_BENCH_WARMUP=0.
     val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
-    for (_ <- 1 to warmupPasses; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    // Local-profiling filter: SPARK_GRAFT_BENCH_ONLY=q64,q41 restricts
+    // the inventory to the named query prefixes (driver runs unfiltered).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    for (_ <- 1 to warmupPasses; (name, fn) <- selected)
       try fn(spark, benchDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -89,7 +96,7 @@ object Bench {
     // steady-state plan cost with one-time codegen/IO and GC noise
     // stripped out.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -33,7 +33,12 @@ object OrchestrationQueries {
       import s.implicits._
       val tmp = Files.createTempDirectory("graft_q64_").toString
       val keys = Seq("l_orderkey", "l_linenumber")
-      def once() = Pipeline.run(s, Tables.lineitem(s, dir), Clean.cleanLineitem,
+      // fan the one-row-group fixture scan out to cluster width so the
+      // raw stage writes in parallel — downstream stages then inherit
+      // the multi-file layout and parallelize for free (the reference's
+      // CHUNK_ROWS re-chunking, done once at extract)
+      def once() = Pipeline.run(s, Tables.fanOut(s, Tables.lineitem(s, dir)),
+        Clean.cleanLineitem,
         s"$tmp/raw", s"$tmp/clean", s"$tmp/table", keys)
       val first = once()
       val rerun = once()

@@ -48,6 +48,13 @@ object Quality {
 
   /** Run all checks; returns (chk, violations, total) rows, one per
     * check, ordered by check name.
+    *
+    * Fully LAZY: the report is one composed plan — no check triggers a
+    * driver-side action at build time. The grand total is a single
+    * shared 1-row aggregate cross-joined (broadcast) into the Unique/
+    * FkIn branches, so the table is never counted once per check, and
+    * all branches execute inside the one job that materializes the
+    * report.
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
@@ -55,6 +62,11 @@ object Quality {
     val rowLocal = checks.filter {
       case _: NotNull | _: InRange | _: Matches => true; case _ => false
     }
+    lazy val totalDf = df.agg(count(lit(1)).as("__grand_total"))
+    def withTotal(oneRow: DataFrame, chkName: String): DataFrame =
+      oneRow.crossJoin(broadcast(totalDf))
+        .select(lit(chkName).as("chk"), col("violations"),
+          col("__grand_total").as("total"))
     val parts = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {
       // one pass, one counter column per check + the row total
@@ -68,17 +80,17 @@ object Quality {
     }
     checks.foreach {
       case u @ Unique(cols) =>
-        val total = df.count()
-        parts += df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1)
-          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
-          .select(lit(u.name).as("chk"), col("violations"), lit(total).as("total"))
+        parts += withTotal(
+          df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+            .where(col("__n") > 1)
+            .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations")),
+          u.name)
       case f @ FkIn(c, dim, dimCol) =>
-        val total = df.count()
-        val v = df.where(col(c).isNotNull)
-          .join(broadcast(dim.select(col(dimCol).as(c)).distinct()), Seq(c), "left_anti")
-          .count()
-        parts += Seq((f.name, v, total)).toDF("chk", "violations", "total")
+        parts += withTotal(
+          df.where(col(c).isNotNull)
+            .join(broadcast(dim.select(col(dimCol).as(c)).distinct()), Seq(c), "left_anti")
+            .agg(count(lit(1)).as("violations")),
+          f.name)
       case _ => ()
     }
     parts.result() match {

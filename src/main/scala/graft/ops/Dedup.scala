@@ -69,6 +69,30 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: drop every corpus document sharing ANY
+    * word n-gram with the benchmark (eval-set) corpus — the filter that
+    * keeps test data out of training data.
+    *
+    * Scale shape: eval sets are small by definition, so the benchmark's
+    * distinct shingle set BROADCASTS; the corpus-side shingle explode
+    * is map-side work against the broadcast (left_semi — corpus
+    * shingles never shuffle), and only the contaminated-id set (small)
+    * reaches the final anti-join. Documents shorter than n tokens have
+    * no shingles and are never flagged.
+    */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(array_distinct(
+        graft.functions.wordShinglesNative(col(benchTextCol), n))).as("shingle"))
+      .distinct()
+    val contaminated = shingleIndex(fanned(docs), idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(col("doc").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup pairs via inverted-index self-join:
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.

@@ -52,6 +52,28 @@ object TextOps {
   def stopwordHits(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(lit): _*)))
 
+  /** Repeated-line fraction: 1 − distinct/total over non-empty trimmed
+    * lines — the classic boilerplate/spam signal (repeated nav bars,
+    * chat logs, SEO keyword walls). 0.0 for documents with no lines.
+    */
+  def dupLineRatio(c: Column): Column = {
+    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    when(size(lines) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Repeated word-n-gram fraction: 1 − distinct/total over ALL n-gram
+    * occurrences (duplicates included) — high values flag within-
+    * document repetition loops. 0.0 when fewer than n tokens.
+    */
+  def dupNgramRatio(c: Column, n: Int): Column = {
+    val sh = wordShingles(c, n)
+    when(size(sh) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
   /** Ratio of alphabetic characters to total length. */
   def alphaRatio(c: Column): Column =
     length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /

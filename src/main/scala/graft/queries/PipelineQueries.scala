@@ -222,6 +222,28 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // Benchmark decontamination: docs 0-19 play the eval set; any
+    // corpus doc sharing a word 3-gram with them is dropped. The
+    // benchmark shingle set broadcasts — corpus shingles never shuffle.
+    "q66_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Within-document repetition signals: duplicate-line fraction and
+    // duplicate-3-gram fraction — boilerplate/repetition-loop filters.
+    "q67_repetition" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.dupLineRatio(col("text")).as("dup_line_ratio"),
+          TextOps.dupNgramRatio(col("text"), 3).as("dup_3gram_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Custom DSv2 paginated source (S1/P3 parity): date-range pushdown
     // prunes pages server-side, then monthly rollup. The feed is
     // closed-form arithmetic, reproduced exactly by the oracle's
@@ -467,6 +489,40 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN quality >= 0.5 AND n_tokens >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
          |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q66_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20
+         |)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin,
+    "q67_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |                l -> l <> '') AS lines,
+         |    list_transform(range(1, greatest(len($tokensSql) - 2, 0) + 1),
+         |                   i -> array_to_string(($tokensSql)[i:i+2], ' ')) AS grams
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN len(lines) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END
+         |    AS dup_line_ratio,
+         |  CASE WHEN len(grams) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END
+         |    AS dup_3gram_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q37_paged_source" ->
       """WITH g AS (SELECT range AS i FROM range(100000)),
         |feed AS (

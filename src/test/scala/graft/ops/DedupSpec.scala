@@ -84,6 +84,29 @@ class DedupSpec extends SparkSpecBase {
     assert(n == 4950L)
   }
 
+  test("decontaminate drops docs sharing any n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a sentence with the quick brown fox inside it"), // contaminated
+      (2L, "completely unrelated words only here"),          // clean
+      (3L, "quick brown cats sleep all day"),                // no shared 3-gram
+      (4L, "so short")                                       // < n tokens: never flagged
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("decontaminate broadcasts the benchmark shingle set") {
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "some words the quick brown fox here"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected a broadcast semi join:\n$plan")
+  }
+
   test("shingleIndex maxDocFreq drops stop-shingles") {
     val docs = Seq((1L, "a b c x y z"), (2L, "a b c q r s"), (3L, "a b c t u v"))
       .toDF("doc_id", "text")

@@ -66,4 +66,25 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(0) == ((1.0, 0.0)) && got(1) == ((0.0, 1.0)))
     assert(math.abs(got(2)._1 - 2.0 / 3) < 1e-12)
   }
+
+  test("dupLineRatio: repeated lines raise the ratio, empty lines ignored") {
+    val df = Seq(
+      "one\ntwo\nthree",          // all distinct -> 0
+      "spam\nspam\nspam\nspam",   // 1 distinct of 4 -> 0.75
+      "a\n\n  \na",               // blanks dropped: 2 lines, 1 distinct -> 0.5
+      ""                          // no lines -> 0
+    ).toDF("t").select(TextOps.dupLineRatio(col("t")).as("r"))
+    assert(df.as[Double].collect().toSeq == Seq(0.0, 0.75, 0.5, 0.0))
+  }
+
+  test("dupNgramRatio: repetition loops flagged, short docs are 0") {
+    val df = Seq(
+      "a b c a b c a b c a b c",  // "a b c" loop: many repeated 3-grams
+      "all words here are unique today",
+      "too short"                 // < 3 tokens -> 0
+    ).toDF("t").select(TextOps.dupNgramRatio(col("t"), 3).as("r"))
+    val got = df.as[Double].collect()
+    assert(got(0) > 0.6, s"loop doc ratio ${got(0)}")
+    assert(got(1) == 0.0 && got(2) == 0.0)
+  }
 }

@@ -80,18 +80,37 @@ object Dedup {
     * reaches the final anti-join. Documents shorter than n tokens have
     * no shingles and are never flagged.
     */
-  def decontaminate(
-      docs: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
-    val benchShingles = benchmark
+  private def benchShingleSet(
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    benchmark
       .select(explode(array_distinct(
         graft.functions.wordShinglesNative(col(benchTextCol), n))).as("shingle"))
       .distinct()
+
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
     val contaminated = shingleIndex(fanned(docs), idCol, textCol, n)
-      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .join(broadcast(benchShingleSet(benchmark, benchTextCol, n)),
+        Seq("shingle"), "left_semi")
       .select(col("doc").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Gram-grain contamination report: for each contaminated corpus
+    * document, HOW MANY distinct benchmark n-grams it shares — the
+    * triage view behind [[decontaminate]]'s binary verdict (borderline
+    * one-gram hits vs wholesale test-set copies). Same broadcast
+    * shape; output is (idCol, n_hits), contaminated docs only.
+    */
+  def contaminationReport(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame =
+    shingleIndex(fanned(docs), idCol, textCol, n)
+      .join(broadcast(benchShingleSet(benchmark, benchTextCol, n)),
+        Seq("shingle"), "left_semi")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
 
   /** n-gram Jaccard near-dup pairs via inverted-index self-join:
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|.

@@ -25,6 +25,43 @@ object Sampling {
       .drop("__rn", "__cnt")
   }
 
+  /** Token-budget mixture sampling: per stratum, keep documents in
+    * `orderCol` order while budget remains BEFORE each document — the
+    * data-mixture primitive ("2B tokens of code, 500M of forum text").
+    * The first document of a stratum is always kept; the sample may
+    * overshoot by at most that one crossing document (the standard
+    * take-until-budget contract). Deterministic, re-runnable, and
+    * SQL-portable when `orderCol` is (pass `xxhash64(id)` for an
+    * unbiased pseudorandom order instead — engine-specific).
+    * One per-stratum window; no global pass.
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: Column, orderCol: Column,
+      tokensCol: Column, budgetPerStratum: Long): DataFrame = {
+    require(budgetPerStratum > 0)
+    val w = Window.partitionBy(strataCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .where(col("__before") < budgetPerStratum)
+      .drop("__before")
+  }
+
+  /** Per-stratum budget variant: each stratum value gets its own token
+    * budget (strata absent from the map get `defaultBudget`; 0 drops
+    * the stratum entirely).
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: Column, orderCol: Column,
+      tokensCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(strataCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .where(col("__before") < budgetCol)
+      .drop("__before")
+  }
+
   /** Train/val/test hash split: bucket = xxhash64(id) mod 100 routed by
     * cumulative `weights` percentages (e.g. Seq("train"->80, "val"->10,
     * "test"->10)). Pure map-side expression — each row's split is a

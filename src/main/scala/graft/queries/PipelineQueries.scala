@@ -244,6 +244,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Gram-grain contamination triage: distinct shared-benchmark-gram
+    // counts per contaminated doc (the report behind q66's verdict).
+    "q68_contamination_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+          docs.where(col("doc_id") >= 20), "doc_id", "text",
+          docs.where(col("doc_id") < 20), "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture sampling: per-language documents in doc_id
+    // order until 2000 tokens are spent per language (doc_id order =
+    // SQL-portable; production uses xxhash64 order for unbiased picks).
+    "q69_token_budget_mix" -> { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Sampling.tokenBudgetSample(
+          withTokens, col("lang"), col("doc_id"), col("n_tokens"), 2000L)
+        .orderBy("doc_id")
+    },
+
     // Custom DSv2 paginated source (S1/P3 parity): date-range pushdown
     // prunes pages server-side, then monthly rollup. The feed is
     // closed-form arithmetic, reproduced exactly by the oracle's
@@ -523,6 +545,33 @@ object PipelineQueries {
          |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END
          |    AS dup_3gram_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q68_contamination_report" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |)
+         |SELECT s.doc_id, COUNT(*) AS n_hits
+         |FROM sh s JOIN bench b USING (shingle)
+         |WHERE s.doc_id >= 20
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q69_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($tokensSql) AS INT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, n_tokens FROM c WHERE before < 2000
+         |ORDER BY doc_id""".stripMargin,
     "q37_paged_source" ->
       """WITH g AS (SELECT range AS i FROM range(100000)),
         |feed AS (

@@ -107,6 +107,18 @@ class DedupSpec extends SparkSpecBase {
       s"expected a broadcast semi join:\n$plan")
   }
 
+  test("contaminationReport counts distinct shared grams per doc") {
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares 3 distinct 3-grams
+      (2L, "nothing in common at all"),
+      (3L, "see the quick brown dog run") // shares exactly "the quick brown"
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, "doc_id", "text", bench, "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L))
+  }
+
   test("shingleIndex maxDocFreq drops stop-shingles") {
     val docs = Seq((1L, "a b c x y z"), (2L, "a b c q r s"), (3L, "a b c t u v"))
       .toDF("doc_id", "text")

@@ -48,4 +48,32 @@ class SamplingSpec extends SparkSpecBase {
       (col("bucket") >= 90 && col("split") =!= "test")).count()
     assert(bad == 0)
   }
+
+  test("tokenBudgetSample takes docs in order until the budget crosses") {
+    val docs = Seq(
+      ("en", 1L, 400L), ("en", 2L, 500L), ("en", 3L, 200L), ("en", 4L, 50L),
+      ("fr", 10L, 2000L), ("fr", 11L, 1L), // first doc overshoots alone
+      ("de", 20L, 999L), ("de", 21L, 1L), ("de", 22L, 1L) // exact boundary
+    ).toDF("lang", "doc_id", "n_tokens")
+    val kept = Sampling.tokenBudgetSample(
+        docs, col("lang"), col("doc_id"), col("n_tokens"), 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    // en: 400+500 = 900 < 1000 -> doc 3 crosses (kept), doc 4 sees 1100 -> out
+    // fr: first doc always kept, second sees 2000 -> out
+    // de: 999+1 = 1000 -> next sees budget exactly spent -> out
+    assert(kept == Set(1L, 2L, 3L, 10L, 20L, 21L))
+  }
+
+  test("tokenBudgetSample per-stratum budgets, zero drops the stratum") {
+    val docs = Seq(
+      ("code", 1L, 10L), ("code", 2L, 10L),
+      ("web", 10L, 10L), ("web", 11L, 10L),
+      ("spam", 20L, 1L)
+    ).toDF("lang", "doc_id", "n_tokens")
+    val kept = Sampling.tokenBudgetSample(
+        docs, col("lang"), col("doc_id"), col("n_tokens"),
+        Map("code" -> 20L, "spam" -> 0L), defaultBudget = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 10L)) // code: both; web: default 10 -> one; spam: none
+  }
 }

@@ -62,4 +62,49 @@ class OpsProperties extends SparkSpecBase {
       .where(col("n") > 1).count()
     assert(splits == 0)
   }
+
+  test("chunk+BFD packing invariants hold on random doc sizes") {
+    val sizes = sample(Gen.choose(0L, 3000L), 400, 21L)
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+    val docs = sizes.toDF("doc_id", "n_tokens").repartition(4)
+    for (budget <- Seq(512L, 1024L, 4096L)) {
+      val chunks = Packing.chunkOversized(docs, "doc_id", "n_tokens", budget)
+        .select((col("doc_id") * 4096 + col("chunk")).as("cid"), col("n_tokens"))
+      val packed = Packing.packBestFitDecreasing(chunks, "cid", "n_tokens", budget)
+      // zero overflow, ever (chunking guarantees every row fits)
+      val over = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+        .where(col("t") > budget).count()
+      assert(over == 0, s"budget=$budget overflowed")
+      // token mass and chunk count conserved
+      assert(packed.agg(sum("n_tokens")).head().getLong(0) == sizes.map(_._2).sum,
+        s"budget=$budget lost mass")
+      assert(packed.select("doc_id").distinct().count() == chunks.count(),
+        s"budget=$budget lost or duplicated chunks")
+      // fill efficiency: can't use fewer sequences than ceil(mass/budget);
+      // BFD within partitions stays within 2x of that floor on this data
+      val nSeqs = packed.select("seq_id").distinct().count()
+      val floor = (sizes.map(_._2).sum + budget - 1) / budget
+      assert(nSeqs >= floor && nSeqs <= 2 * floor + 4,
+        s"budget=$budget: $nSeqs seqs vs floor $floor")
+    }
+  }
+
+  test("tokenBudgetSample ≡ SQL prefix-sum formulation on random strata") {
+    val rows = sample(Gen.zip(Gen.choose(0, 4), Gen.choose(1L, 700L)), 300, 33L)
+      .zipWithIndex.map { case ((s, n), i) => (s"s$s", i.toLong, n) }
+    val df = rows.toDF("stratum", "id", "n_tokens")
+    for (budget <- Seq(1L, 1000L, 100000L)) {
+      val got = Sampling.tokenBudgetSample(
+          df, col("stratum"), col("id"), col("n_tokens"), budget)
+        .select("id").as[Long].collect().sorted.toSeq
+      // reference: per-stratum running total in plain Scala
+      val exp = rows.groupBy(_._1).values.flatMap { g =>
+        g.sortBy(_._2).scanLeft((0L, -1L)) { case ((tot, _), (_, id, n)) =>
+          (tot + n, id)
+        }.tail.zip(g.sortBy(_._2))
+          .collect { case ((totAfter, id), (_, _, n)) if totAfter - n < budget => id }
+      }.toSeq.sorted
+      assert(got == exp, s"budget=$budget diverged")
+    }
+  }
 }

@@ -382,28 +382,59 @@ object Dedup {
     * join, one cheap ids-only aggregate checks every block's pair count
     * against the budget and REFUSES (naming the worst blocks) rather
     * than launching a quadratic job. 0 disables the guard.
+    *
+    * `subBlockApprox = true` degrades gracefully instead of refusing:
+    * over-budget blocks are refined by a deterministic IVF cell key
+    * (k-means over the offending rows, k sized so an even split lands
+    * under budget), and pairs are generated within (block, cell).
+    * APPROXIMATE by construction — near-dups straddling a cell
+    * boundary are missed (standard recall/cost trade; one refinement
+    * level, so pathological duplication can still exceed the budget
+    * inside a cell). In-budget blocks stay exact.
     */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: Column,
-      threshold: Double, maxPairsPerBlock: Long = 100000000L): DataFrame = {
+      threshold: Double, maxPairsPerBlock: Long = 100000000L,
+      subBlockApprox: Boolean = false): DataFrame = {
     import graft.functions.cosineSim
     val e = fanned(emb).select(col(idCol).as("id"), col(vecCol).as("vec"),
       blockCol.as("blk"))
-    if (maxPairsPerBlock > 0) {
-      val budget = maxPairsPerBlock.toDouble
-      val offenders = e.groupBy(col("blk")).agg(count(lit(1)).as("n"))
-        .where(col("n").cast("double") * (col("n") - 1).cast("double") / 2.0 > budget)
-        .orderBy(col("n").desc).limit(5)
-        .collect()
-      require(offenders.isEmpty,
+    def pairsWithin(src: DataFrame, blkCols: Seq[String]): DataFrame =
+      src.as("a").join(src.as("b"),
+          blkCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    if (maxPairsPerBlock <= 0) return pairsWithin(e, Seq("blk"))
+    val budget = maxPairsPerBlock.toDouble
+    val offenders = e.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .where(col("n").cast("double") * (col("n") - 1).cast("double") / 2.0 > budget)
+      .orderBy(col("n").desc).limit(1001)
+      .collect()
+    if (offenders.isEmpty) return pairsWithin(e, Seq("blk"))
+    if (!subBlockApprox)
+      throw new IllegalArgumentException(
         s"embeddingNearDupPairs: block(s) exceed the $maxPairsPerBlock-pair budget: " +
-          offenders.map(r => s"${r.get(0)} (${r.getLong(1)} rows)").mkString(", ") +
-          " — use a finer blockCol (LSH bucket / IVF cell) or raise maxPairsPerBlock")
-    }
-    e.as("a").join(e.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
-      .where(col("cosine") >= threshold)
+          offenders.take(5).map(r => s"${r.get(0)} (${r.getLong(1)} rows)").mkString(", ") +
+          " — use a finer blockCol (LSH bucket / IVF cell), raise" +
+          " maxPairsPerBlock, or opt into subBlockApprox")
+    require(offenders.length <= 1000,
+      "embeddingNearDupPairs: >1000 over-budget blocks — the block key is" +
+        " not doing its job; choose a finer blockCol instead of sub-blocking")
+    val offKeys = offenders.map(_.get(0)).toSeq
+    val worst = offenders.map(_.getLong(1)).max
+    // cell size target m with m(m-1)/2 ≤ budget ⇒ m ≈ sqrt(2·budget)
+    val k = math.min(64, math.max(2,
+      math.ceil(worst / math.sqrt(2.0 * budget)).toInt))
+    val isOff = col("blk").isin(offKeys: _*)
+    val ok = e.where(coalesce(!isOff, lit(true))) // null-key rows never pair anyway
+    val off = e.where(isOff)
+    val cents = Similarity.trainIvfCentroids(off, "id", "vec", k, iters = 2)
+    val okPairs = pairsWithin(ok, Seq("blk"))
+    val offPairs = pairsWithin(
+      off.withColumn("cell", Similarity.assignCell(col("vec"), cents)),
+      Seq("blk", "cell"))
+    okPairs.unionByName(offPairs)
   }
 }

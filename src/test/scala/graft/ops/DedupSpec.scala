@@ -84,6 +84,27 @@ class DedupSpec extends SparkSpecBase {
     assert(n == 4950L)
   }
 
+  test("subBlockApprox refines over-budget blocks: subset of exact, high recall") {
+    // 3 tight clusters under ONE label: 90 rows = 4005 pairs > 1000 budget
+    val rows = for { axis <- 0 until 3; i <- 0 until 30 } yield {
+      val v = Array.fill(8)(0.001f * (i % 7 + 1)); v(axis) = 1.0f
+      (axis * 30 + i.toLong, v, "all")
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def run(budget: Long, sub: Boolean) =
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", col("label"),
+          threshold = 0.99, maxPairsPerBlock = budget, subBlockApprox = sub)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = run(0L, sub = false)
+    assert(exact.nonEmpty)
+    val approx = run(1000L, sub = true)
+    assert(approx.subsetOf(exact), "sub-blocking must not invent pairs")
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${approx.size}/${exact.size})")
+    // without the opt-in the same input still refuses
+    intercept[IllegalArgumentException](run(1000L, sub = false))
+  }
+
   test("decontaminate drops docs sharing any n-gram with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -159,7 +159,9 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
           nr.fieldNames.sameElements(Array("date"))
         case _ => false
       }
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    val gb = agg.groupByExpressions
+    val gbOk = gb.isEmpty || (gb.length == 1 && isDate(gb.head))
+    gbOk && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => isDate(m.column)
@@ -177,7 +179,7 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
   private var pushedAgg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) =>
+    case Some(agg) if agg.groupByExpressions.isEmpty =>
       import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
       val n = math.max(0L, hi - lo)
       val fieldsAndValues: Seq[(StructField, Any)] = agg.aggregateExpressions.toSeq.map {
@@ -190,6 +192,25 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
       }
       new PagedAggScan(StructType(fieldsAndValues.map(_._1)),
         fieldsAndValues.map(_._2).toArray)
+    case Some(agg) =>
+      // GROUP BY date: one closed-form row per day in [lo, hi) — the
+      // `$group=date` a SoQL endpoint serves. Dates are day-aligned, so
+      // per-day COUNT is range overlap and per-day MIN/MAX(date) is the
+      // day itself.
+      import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      val kinds: Array[Int] = agg.aggregateExpressions.map {
+        case _: CountStar => 0
+        case _: Min => 1
+        case _: Max => 2
+        case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+      }
+      val fields = StructField("date", TimestampType, nullable = false) +:
+        kinds.toSeq.map {
+          case 0 => StructField("count", LongType, nullable = false)
+          case 1 => StructField("min_date", TimestampType)
+          case _ => StructField("max_date", TimestampType)
+        }
+      new PagedDailyAggScan(StructType(fields), lo, math.max(lo, hi), kinds)
     case None =>
       new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt)
   }
@@ -208,6 +229,48 @@ class PagedAggScan(aggSchema: StructType, values: Array[Any]) extends Scan with 
     Array(PagedPartition(0, 1))
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedAggReaderFactory(values)
+}
+
+/** Per-day grouped aggregate scan: emits (date, aggs…) closed-form for
+  * each day overlapping [lo, hi) — no row generation, one partition.
+  * `kinds`: 0 = COUNT(*), 1 = MIN(date), 2 = MAX(date).
+  */
+class PagedDailyAggScan(aggSchema: StructType, lo: Long, hi: Long, kinds: Array[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val days = if (hi <= lo) 0L else (hi - 1) / PagedSource.RowsPerDay - lo / PagedSource.RowsPerDay + 1
+    s"PagedDailyAggScan(days=$days, range=[$lo,$hi))"
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PagedPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedDailyAggReaderFactory(kinds)
+}
+
+class PagedDailyAggReaderFactory(kinds: Array[Int]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[PagedPartition]
+    new PartitionReader[InternalRow] {
+      private val lo = part.start
+      private val hi = part.end
+      private val firstDay = lo / PagedSource.RowsPerDay
+      private val lastDay = if (hi <= lo) firstDay - 1 else (hi - 1) / PagedSource.RowsPerDay
+      private var day = firstDay - 1
+      override def next(): Boolean = { day += 1; day <= lastDay }
+      override def get(): InternalRow = {
+        val start = math.max(lo, day * PagedSource.RowsPerDay)
+        val end = math.min(hi, (day + 1) * PagedSource.RowsPerDay)
+        val date = PagedSource.EpochMicros + day * PagedSource.DayMicros
+        InternalRow.fromSeq(date +: kinds.toSeq.map {
+          case 0 => end - start
+          case _ => date
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class PagedAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {

@@ -108,6 +108,26 @@ class PagedProviderSpec extends SparkSpecBase {
     assert(r.getLong(2) == 1000000L)
   }
 
+  test("GROUP BY date pushes: one closed-form row per day, no row generation") {
+    val df = feed(995, 100).groupBy(col("date")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PagedDailyAggScan(days=100"), s"plan was:\n$plan")
+    val rows = df.orderBy("date").collect()
+    assert(rows.length == 100)
+    // full days carry 10 rows; the last (partial) day carries 5
+    assert(rows.take(99).forall(_.getLong(1) == 10L))
+    assert(rows.last.getLong(1) == 5L)
+    assert(rows.head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+  }
+
+  test("GROUP BY a non-date column is NOT pushed (stays correct)") {
+    val df = feed(1000, 100).groupBy(col("store")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("PagedDailyAggScan"), s"plan was:\n$plan")
+    assert(df.count() == 37)
+  }
+
   test("MIN/MAX over a non-date column is NOT pushed (stays correct)") {
     val df = feed(1000, 100).agg(max(col("sale_dollars")).as("m"))
     val plan = df.queryExecution.executedPlan.toString()

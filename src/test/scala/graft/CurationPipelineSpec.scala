@@ -58,4 +58,45 @@ class CurationPipelineSpec extends SparkSpecBase {
       .where(col("n") > 1 && col("t") > 512).count()
     assert(over == 0)
   }
+
+  test("full round-3 pipeline: decontaminate -> filter -> mix -> chunk -> pack") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.where(col("doc_id") < 20)
+    val corpus = docs.where(col("doc_id") >= 20)
+    val corpusN = corpus.count()
+
+    // 1. decontaminate against the "eval set"; report agrees with the drop
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", 3)
+    val flagged = Dedup.contaminationReport(corpus, "doc_id", "text", bench, "text", 3)
+    assert(clean.count() == corpusN - flagged.count(),
+      "binary verdict and triage report must agree")
+    // no flagged doc survives; every dropped doc is accounted for
+    assert(clean.join(flagged, Seq("doc_id"), "left_semi").count() == 0)
+
+    // 2. quality + repetition gate
+    val gated = clean
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .where(TextOps.qualityScore(col("text")) >= 0.3 &&
+        TextOps.dupLineRatio(col("text")) <= 0.5)
+    assert(gated.count() > 0)
+
+    // 3. per-language token-budget mixture
+    val mixed = Sampling.tokenBudgetSample(
+      gated, col("lang"), col("doc_id"), col("n_tokens"), 3000L)
+    val mixedStats = mixed.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+    // each stratum stays within budget + one overshoot doc
+    val maxDoc = gated.agg(max("n_tokens")).head().getInt(0).toLong
+    assert(mixedStats.forall(_.getLong(1) <= 3000L + maxDoc))
+
+    // 4. chunk + BFD pack: zero overflow by construction
+    val chunks = Packing.chunkOversized(mixed, "doc_id", "n_tokens", 512)
+      .select((col("doc_id") * 4096 + col("chunk")).as("cid"), col("n_tokens"))
+    val packed = Packing.packBestFitDecreasing(chunks, "cid", "n_tokens", 512)
+    assert(packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+      .where(col("t") > 512).count() == 0)
+    // token mass is conserved through chunking and packing
+    assert(packed.agg(sum("n_tokens")).head().getLong(0) ==
+      mixed.agg(sum(col("n_tokens").cast("long"))).head().getLong(0))
+  }
 }

@@ -66,9 +66,14 @@ object TextOps {
   /** Repeated word-n-gram fraction: 1 − distinct/total over ALL n-gram
     * occurrences (duplicates included) — high values flag within-
     * document repetition loops. 0.0 when fewer than n tokens.
+    *
+    * Uses the NATIVE WordShingles expression: the declarative
+    * [[wordShingles]] HOF re-evaluates `tokens` per shingle position
+    * (O(len²) per doc — NOTES invariant 4), which measured 17 s for
+    * this query at sf0.1 vs ~1 s native.
     */
   def dupNgramRatio(c: Column, n: Int): Column = {
-    val sh = wordShingles(c, n)
+    val sh = graft.functions.wordShinglesNative(c, n)
     when(size(sh) <= 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))

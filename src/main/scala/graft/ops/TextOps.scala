@@ -79,6 +79,35 @@ object TextOps {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  /** PII/link scrubbing patterns — conservative subsets that parse and
+    * match identically under Java regex (Spark) and RE2 (DuckDB), so
+    * the scrub is oracle-checkable. Application order matters (URLs can
+    * contain emails): URL → EMAIL → IPV4, in [[scrubPii]] and in any
+    * SQL mirror.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub URLs, emails, and IPv4 addresses to placeholder tokens —
+    * the standard pre-training redaction pass. Pure codegen'd
+    * `regexp_replace` chain (global replace in both engines).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Match counts per PII class on the RAW text (overlaps counted in
+    * every class they match — same rule in the SQL mirror).
+    */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(UrlPattern)).as("n_urls"),
+    regexp_count(c, lit(EmailPattern)).as("n_emails"),
+    regexp_count(c, lit(Ipv4Pattern)).as("n_ipv4"))
+
   /** Ratio of alphabetic characters to total length. */
   def alphaRatio(c: Column): Column =
     length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /

@@ -266,6 +266,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PII/link scrubbing: per-class match counts on the raw text plus
+    // the scrubbed length — the standard pre-training redaction pass.
+    "q70_pii_scrub" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id")) ++ TextOps.piiCounts(col("text")) ++ Seq(
+          length(TextOps.scrubPii(col("text"))).as("scrubbed_len")): _*)
+        .orderBy("doc_id")
+    },
+
     // Custom DSv2 paginated source (S1/P3 parity): date-range pushdown
     // prunes pages server-side, then monthly rollup. The feed is
     // closed-form arithmetic, reproduced exactly by the oracle's
@@ -572,6 +581,17 @@ object PipelineQueries {
          |)
          |SELECT doc_id, lang, n_tokens FROM c WHERE before < 2000
          |ORDER BY doc_id""".stripMargin,
+    "q70_pii_scrub" -> {
+      val (u, e, i4) = (TextOps.UrlPattern, TextOps.EmailPattern, TextOps.Ipv4Pattern)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$u')) AS INT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$e')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$i4')) AS INT) AS n_ipv4,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$i4', '<IP>', 'g')) AS INT)
+         |    AS scrubbed_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q37_paged_source" ->
       """WITH g AS (SELECT range AS i FROM range(100000)),
         |feed AS (

@@ -67,6 +67,27 @@ class TextOpsSpec extends SparkSpecBase {
     assert(math.abs(got(2)._1 - 2.0 / 3) < 1e-12)
   }
 
+  test("scrubPii replaces URLs, emails, IPs; order protects URL-embedded emails") {
+    val df = Seq(
+      "mail me at alice@example.com or visit https://a.example.com/u?user=bob@x.io now",
+      "server 10.0.0.1 talks to 192.168.1.255 but v6 ::1 stays",
+      "no pii here at all"
+    ).toDF("t").select(TextOps.scrubPii(col("t")).as("s"))
+    val got = df.as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> or visit <URL> now") // URL eats its email
+    assert(got(1) == "server <IP> talks to <IP> but v6 ::1 stays")
+    assert(got(2) == "no pii here at all")
+  }
+
+  test("piiCounts counts per class on the raw text") {
+    val df = Seq("a@b.co and c@d.org at 1.2.3.4 via http://x.y/z")
+      .toDF("t").select(TextOps.piiCounts(col("t")): _*)
+    val r = df.collect()(0)
+    assert(r.getInt(r.fieldIndex("n_urls")) == 1)
+    assert(r.getInt(r.fieldIndex("n_emails")) == 2)
+    assert(r.getInt(r.fieldIndex("n_ipv4")) == 1)
+  }
+
   test("dupLineRatio: repeated lines raise the ratio, empty lines ignored") {
     val df = Seq(
       "one\ntwo\nthree",          // all distinct -> 0

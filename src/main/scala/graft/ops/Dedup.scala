@@ -80,6 +80,48 @@ object Dedup {
     * reaches the final anti-join. Documents shorter than n tokens have
     * no shingles and are never flagged.
     */
+  /** Paragraph-grain dedup (corpus-wide): split documents on blank
+    * lines, keep only the FIRST occurrence (lowest (doc, idx)) of each
+    * distinct non-empty trimmed paragraph across the whole corpus —
+    * the boilerplate-killer that document-grain dedup misses (repeated
+    * headers/footers/nav blocks shared across different documents).
+    *
+    * Scale shape: first-occurrence is a paragraph-keyed AGGREGATE
+    * (`min(struct(doc, idx))` — map-side partial aggregation collapses
+    * within-partition duplicates before the shuffle) followed by one
+    * join back; no window over the full occurrence list. Returns kept
+    * occurrences (id, idx, para); use [[rebuildFromParagraphs]] to
+    * reassemble documents.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = fanned(docs)
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n\n")))
+      .select(col("id"), col("pos").as("idx"), trim(col("col")).as("para"))
+      .where(col("para") =!= "")
+    val firstOcc = paras
+      .groupBy(col("para"))
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+      .select(col("para").as("__fp"), col("first"))
+    paras.join(firstOcc,
+        col("para") === col("__fp") &&
+          struct(col("id"), col("idx")) === col("first"))
+      .select(col("id"), col("idx"), col("para"))
+  }
+
+  /** Reassemble documents from kept paragraph occurrences: paragraphs
+    * back in document order, joined by blank lines. Documents whose
+    * every paragraph was deduplicated away disappear (fully-boilerplate
+    * docs).
+    */
+  def rebuildFromParagraphs(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            s => s.getField("para")),
+          "\n\n").as("text"))
+
   private def benchShingleSet(
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame =
     benchmark

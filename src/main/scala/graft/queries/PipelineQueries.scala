@@ -266,6 +266,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Paragraph-grain dedup: corpus-wide first-occurrence per distinct
+    // paragraph, documents rebuilt in order (Dolma-style boilerplate
+    // removal). Output = per-doc kept-paragraph count + rebuilt length.
+    "q71_paragraph_dedup" -> { (s, dir) =>
+      val kept = Dedup.paragraphDedup(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.rebuildFromParagraphs(kept, "doc_id")
+        .select(col("doc_id"), col("n_paras"),
+          length(col("text")).as("rebuilt_len"))
+        .orderBy("doc_id")
+    },
+
     // PII/link scrubbing: per-class match counts on the raw text plus
     // the scrubbed length — the standard pre-training redaction pass.
     "q70_pii_scrub" -> { (s, dir) =>
@@ -581,6 +592,23 @@ object PipelineQueries {
          |)
          |SELECT doc_id, lang, n_tokens FROM c WHERE before < 2000
          |ORDER BY doc_id""".stripMargin,
+    "q71_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |    i -> {'idx': i, 'para': trim(ps[i])})) AS o
+        |  FROM d
+        |), np AS (
+        |  SELECT doc_id, o.idx AS idx, o.para AS para FROM p WHERE o.para <> ''
+        |), kept AS (
+        |  SELECT doc_id, idx, para FROM np
+        |  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1
+        |)
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |  CAST(length(string_agg(para, chr(10) || chr(10) ORDER BY idx)) AS INT)
+        |    AS rebuilt_len
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q70_pii_scrub" -> {
       val (u, e, i4) = (TextOps.UrlPattern, TextOps.EmailPattern, TextOps.Ipv4Pattern)
       s"""SELECT doc_id,

@@ -105,6 +105,28 @@ class DedupSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](run(1000L, sub = false))
   }
 
+  test("paragraphDedup keeps the first corpus-wide occurrence of each paragraph") {
+    val docs = Seq(
+      (1L, "unique one\n\nshared footer\n\nunique two"),
+      (2L, "other text\n\nshared footer"),       // footer already seen in doc 1
+      (3L, "shared footer"),                     // fully boilerplate -> vanishes
+      (4L, "  \n\nlast bit")                     // empty para dropped, rest kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.paragraphDedup(docs, "doc_id", "text")
+    val byDoc = kept.select("id", "para").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == Set("unique one", "shared footer", "unique two"))
+    assert(byDoc(2L) == Set("other text"))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L) == Set("last bit"))
+    // rebuild preserves document order and drops the vanished doc
+    val rebuilt = Dedup.rebuildFromParagraphs(kept, "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == "unique one\n\nshared footer\n\nunique two")
+    assert(rebuilt(2L) == "other text")
+    assert(!rebuilt.contains(3L))
+  }
+
   test("decontaminate drops docs sharing any n-gram with the benchmark") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val corpus = Seq(

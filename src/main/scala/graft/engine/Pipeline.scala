@@ -89,13 +89,16 @@ object Pipeline {
     // Append is not atomic with respect to the existence check —
     // single-writer semantics assumed, matching the reference's single
     // loader process (src/load.py runs alone).
-    // The loaded-row count rides the WRITE job as an Observation metric
-    // — counting first and writing second would compute the anti-join
-    // twice (or force a full-row cache).
-    val obs = org.apache.spark.sql.Observation()
-    novel.observe(obs, count(lit(1)).as("rows"))
-      .write.mode(SaveMode.Append).parquet(dir)
-    obs.get("rows").asInstanceOf[Long]
+    // Cache the novel rows across count + write so the anti-join runs
+    // once AND a zero-novel rerun writes nothing — an unconditional
+    // append would leave empty part files behind on every scheduled
+    // no-op re-run, degrading the table directory over time.
+    novel.persist()
+    try {
+      val n = novel.count()
+      if (n > 0) novel.write.mode(SaveMode.Append).parquet(dir)
+      n
+    } finally novel.unpersist()
   }
 
   /** O1/O2 — the full extract → transform → load flow over directories

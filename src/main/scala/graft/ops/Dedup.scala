@@ -69,17 +69,6 @@ object Dedup {
     }
   }
 
-  /** Benchmark decontamination: drop every corpus document sharing ANY
-    * word n-gram with the benchmark (eval-set) corpus — the filter that
-    * keeps test data out of training data.
-    *
-    * Scale shape: eval sets are small by definition, so the benchmark's
-    * distinct shingle set BROADCASTS; the corpus-side shingle explode
-    * is map-side work against the broadcast (left_semi — corpus
-    * shingles never shuffle), and only the contaminated-id set (small)
-    * reaches the final anti-join. Documents shorter than n tokens have
-    * no shingles and are never flagged.
-    */
   /** Paragraph-grain dedup (corpus-wide): split documents on blank
     * lines, keep only the FIRST occurrence (lowest (doc, idx)) of each
     * distinct non-empty trimmed paragraph across the whole corpus —
@@ -129,6 +118,17 @@ object Dedup {
         graft.functions.wordShinglesNative(col(benchTextCol), n))).as("shingle"))
       .distinct()
 
+  /** Benchmark decontamination: drop every corpus document sharing ANY
+    * word n-gram with the benchmark (eval-set) corpus — the filter that
+    * keeps test data out of training data.
+    *
+    * Scale shape: eval sets are small by definition, so the benchmark's
+    * distinct shingle set BROADCASTS; the corpus-side shingle explode
+    * is map-side work against the broadcast (left_semi — corpus
+    * shingles never shuffle), and only the contaminated-id set (small)
+    * reaches the final anti-join. Documents shorter than n tokens have
+    * no shingles and are never flagged.
+    */
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {

@@ -20,19 +20,34 @@ import graft.functions.cosineSim
 object Similarity {
 
   /** k-bounded ranking: (query_id, neighbor_id, sim) triples →
-    * per-query top-k with rank, via the partial-aggregating TopK
-    * operator instead of a row_number window. Map-side partial
-    * aggregation trims every partition's contribution to k rows per
-    * query BEFORE the shuffle, and nothing is ever sorted group-wide —
-    * the ranking shape that survives a corpus-scale candidate list.
+    * per-query top-k with rank. Null similarities (e.g. null/empty
+    * vectors) are EXCLUDED from ranking.
+    *
+    * Integral neighbor ids take the partial-aggregating TopK operator:
+    * map-side partial aggregation trims every partition's contribution
+    * to k rows per query BEFORE the shuffle, and nothing is ever
+    * sorted group-wide — the ranking shape that survives a
+    * corpus-scale candidate list. Non-integral ids (string/uuid keys)
+    * fall back to the type-generic row_number window rather than
+    * silently null-casting the id into the aggregator.
     */
-  def rankTopK(scored: DataFrame, k: Int, simName: String): DataFrame =
-    scored
-      .groupBy(col("query_id"))
-      .agg(TopK.topK(k)(col(simName).cast("double"), col("neighbor_id")).as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), col("col.key").as("neighbor_id"),
-        col("col.value").as(simName), (col("pos") + 1).cast("int").as("rank"))
+  def rankTopK(scored: DataFrame, k: Int, simName: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val nonNull = scored.where(col(simName).isNotNull)
+    val idType = scored.schema("neighbor_id").dataType
+    if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+      nonNull
+        .groupBy(col("query_id"))
+        .agg(TopK.topK(k)(col(simName).cast("double"), col("neighbor_id")).as("__topk"))
+        .select(col("query_id"), posexplode(col("__topk")))
+        .select(col("query_id"), col("col.key").cast(idType).as("neighbor_id"),
+          col("col.value").as(simName), (col("pos") + 1).cast("int").as("rank"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col(simName).desc, col("neighbor_id"))
+      nonNull.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+  }
 
   /** Exact cosine top-k: for each query vector, the k corpus neighbors
     * by descending cosine, tiebroken by corpus id (deterministic).
@@ -109,12 +124,14 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    // Re-attach vectors AFTER dedup: the (small) query side broadcasts;
-    // the corpus joins on its id, so each corpus vector crosses the
-    // wire at most once regardless of how many tables it collided in.
+    // Re-attach vectors AFTER dedup: each side joins on its id, so a
+    // vector crosses the wire at most once regardless of how many
+    // tables it collided in. No broadcast hint — a small query side
+    // auto-broadcasts (threshold/AQE), while corpus-vs-corpus search
+    // (queries = corpus) must stay a shuffle join.
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighborv"))
-    val cands = candIds.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+    val cands = candIds.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
     rankTopK(
       cands.select(col("query_id"), col("neighbor_id"),
         cosineSim(col("queryv"), col("neighborv")).as("cosine")),

@@ -69,13 +69,19 @@ object ZOrder {
     val stats = df.agg(
       cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).head,
       cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double")))).tail: _*).head()
-    // empty input or an all-null dimension has no bounds — layout is
-    // then meaningless, so no-op instead of NPE on getDouble
-    if ((0 until 2 * cols.size).exists(stats.isNullAt)) return df
-    val ranks = cols.zipWithIndex.map { case (c, i) =>
+    // A dimension with no bounds (all-null column) cannot be ranked —
+    // skip IT, not the whole layout: the remaining bounded dimensions
+    // still get clustered. Only when no dimension has bounds (empty
+    // input) does the layout no-op.
+    val usable = cols.zipWithIndex.filter { case (_, i) =>
+      !stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1)
+    }
+    if (usable.isEmpty) return df
+    val ranks = usable.map { case (c, i) =>
       bucketed(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bitsPer)
     }
-    df.withColumn("__z", interleaveN(ranks, bitsPer))
+    val zCol = if (ranks.size == 1) ranks.head else interleaveN(ranks, bitsPer)
+    df.withColumn("__z", zCol)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

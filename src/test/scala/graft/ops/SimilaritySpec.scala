@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cells.forall(_ == 0L))
   }
 
+  test("rankTopK handles string ids (window fallback) and null sims") {
+    val scored = Seq(
+      (1L, "doc-a", Some(0.9)), (1L, "doc-b", Some(0.9)), // tie -> id order
+      (1L, "doc-c", Some(0.5)), (1L, "doc-null", Option.empty[Double])
+    ).toDF("query_id", "neighbor_id", "sim")
+    val got = Similarity.rankTopK(scored, k = 3, "sim")
+      .orderBy("rank").select("neighbor_id", "rank")
+      .as[(String, Int)].collect().toSeq
+    // null sim excluded; string ids rank correctly instead of null-casting
+    assert(got == Seq(("doc-a", 1), ("doc-b", 2), ("doc-c", 3)))
+    // long ids with a null sim: aggregator path must not crash either
+    val longIds = Seq((1L, 10L, Some(0.9)), (1L, 11L, Option.empty[Double]))
+      .toDF("query_id", "neighbor_id", "sim")
+    val got2 = Similarity.rankTopK(longIds, k = 2, "sim")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got2 == Seq(10L))
+  }
+
   test("top-k ranking plans the bounded aggregate, never a window sort") {
     val q = corpus.where(col("vec_id") < 2)
     Seq(

@@ -42,14 +42,18 @@ class ZOrderSpec extends SparkSpecBase {
     (touched, parts.length)
   }
 
-  test("empty input and all-null dimensions no-op instead of failing") {
+  test("empty input no-ops; an all-null dimension is skipped, not the layout") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     assert(ZOrder.zorderBy2(empty, "x", "y", numFiles = 4).count() == 0L)
-    val allNull = Seq((Some(1L), Option.empty[Long]), (Some(2L), None))
-      .toDF("x", "y")
-    val out = ZOrder.zorderBy2(allNull, "x", "y", numFiles = 4)
-    assert(out.count() == 2L)
+    // y unbounded -> layout proceeds on x alone (range-sorted), no NPE
+    val halfNull = Seq((Some(9L), Option.empty[Long]), (Some(1L), None),
+      (Some(5L), None)).toDF("x", "y")
+    val out = ZOrder.zorderBy2(halfNull, "x", "y", numFiles = 2)
     assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.count() == 3L)
+    // clustering on the surviving dimension is real: x arrives ordered
+    // across the range partitions
+    assert(out.select("x").collect().map(_.getLong(0)).toSeq == Seq(1L, 5L, 9L))
   }
 
   test("z-order layout prunes both dimensions; linear sort only one") {

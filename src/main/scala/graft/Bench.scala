@@ -108,8 +108,10 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Millisecond precision is all the measurement supports (±1.5 s
+    // run-to-run noise, NOTES.md invariant 8); full nanosecond decimals
+    // tripled the line length for no information.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // total includes the one-time ingest/relayout cost — the queries
     // run against the layout that stage produced.
     val total = results.map(_._2).sum + ingestSec
@@ -123,11 +125,29 @@ object Bench {
     // a contended machine, not the engine.
     val sentinel =
       s""""sentinel":{"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()},""" +
-        s""""calib_sec_start":$calibStart,"calib_sec_end":${calibrationSec()}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""parity_sec":$parity,"extensions_sec":${total - ingestSec - parity},""" +
-      s""""ingest_sec":$ingestSec,$sentinel,""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+        s""""calib_sec_start":${r3(calibStart)},"calib_sec_end":${r3(calibrationSec())}}"""
+    // A filtered (SPARK_GRAFT_BENCH_ONLY) run must be distinguishable
+    // from a real full round in the artifact itself.
+    val onlyField = only.map(o =>
+      s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
+    // Long-form record (full query names, sentinel) → stderr for humans.
+    val qsLong = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    System.err.println(s"""[bench-detail] {"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
+      s""""ingest_sec":${r3(ingestSec)},$onlyField$sentinel,""" +
+      s""""queries":$qsLong,"sf":"$sfDir"}""")
+    // Machine record → stdout, ONE SHORT line: the driver captures only
+    // the last ~2 KB of stdout, and rounds 1-3 all lost the JSON because
+    // the full-precision/full-name line overflowed that window
+    // (BENCH_r0N "parsed": null). Short keys (the qNN prefix is unique
+    // by construction) + 3-decimal values keep 71 queries ≈ 1.1 KB.
+    val qsShort = results.map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
+      s""""ingest_sec":${r3(ingestSec)},$onlyField""" +
+      s""""queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

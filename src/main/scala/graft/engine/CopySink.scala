@@ -70,4 +70,52 @@ object CopySink {
       it.foreach(p => writer(stmt, p))
     }
   }
+
+  /** Caller-supplied COPY transport with the full connection lifecycle
+    * pgjdbc's CopyManager expects: one transport per PARTITION
+    * (`open → copyIn × payloads → close`), created executor-side by the
+    * serializable `factory`. A pgjdbc-backed implementation is
+    * `conn = DriverManager.getConnection(url)` in `open`,
+    * `new CopyManager(conn).copyIn(stmt, new ByteArrayInputStream(p))`
+    * in `copyIn`, `conn.close()` in `close` — no engine change needed.
+    * A transport failure fails the task; Spark's retry re-runs the
+    * whole partition, so `copyIn` should ride one transaction per
+    * partition (what COPY FROM STDIN gives naturally).
+    */
+  trait CopyTransport {
+    def open(): Unit = ()
+    def copyIn(statement: String, payload: Array[Byte]): Unit
+    def close(): Unit = ()
+  }
+
+  /** S7 end-to-end: format + transport. Returns rows loaded, counted
+    * at encode time and carried next to each payload (a newline count
+    * over the bytes would miscount quoted embedded newlines) — no
+    * extra job.
+    */
+  def load(df: DataFrame, table: String,
+      factory: () => CopyTransport): Long = {
+    val stmt = copyStatement(df, table)
+    val rows = df.sparkSession.sparkContext.longAccumulator("copy_rows")
+    val payloads = df.mapPartitions { rs =>
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val sb = new StringBuilder
+        var n = 0L
+        rs.foreach { r => sb.append(encodeRow(r)); sb.append('\n'); n += 1 }
+        Iterator.single((sb.toString.getBytes(StandardCharsets.UTF_8), n))
+      }
+    }(Encoders.tuple(Encoders.BINARY, Encoders.scalaLong))
+    payloads.foreachPartition { (it: Iterator[(Array[Byte], Long)]) =>
+      if (it.nonEmpty) {
+        val t = factory()
+        t.open()
+        try it.foreach { case (p, n) =>
+          t.copyIn(stmt, p)
+          rows.add(n)
+        } finally t.close()
+      }
+    }
+    rows.value
+  }
 }

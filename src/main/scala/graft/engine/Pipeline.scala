@@ -80,9 +80,15 @@ object Pipeline {
     */
   def conflictIgnoringAppend(
       spark: SparkSession, batch: DataFrame, dir: String, keys: Seq[String]): Long = {
-    val exists = try {
-      spark.read.parquet(dir).limit(1).count() >= 0
-    } catch { case _: Throwable => false }
+    // Filesystem-level first-write probe, NOT a spark.read that throws
+    // on a missing path: a failed analysis is memoized on its
+    // QueryExecution and resurfaces later on the async
+    // ExecutionListenerBus as a spurious PATH_NOT_FOUND ERROR per run.
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p)
+    }
     val novel =
       if (!exists) batch.dropDuplicates(keys)
       else Star.conflictIgnoreAppend(batch, spark.read.parquet(dir), keys)

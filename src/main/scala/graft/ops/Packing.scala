@@ -23,6 +23,19 @@ object Packing {
 
   case class Packed(doc_id: Long, n_tokens: Long, seq_id: Long, seq_pos: Int)
 
+  /** All packers key rows by a LONG id. A silent `cast("long")` of a
+    * non-numeric id would null it and collapse every such row onto one
+    * doc_id — so the integral-id contract is enforced up front (the
+    * same explicit check rankTopK applies).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"Packing requires an integral id column; '$idCol' is $dt " +
+        "(hash or dense-rank string ids to LONG upstream)")
+  }
+
   /** Assign each doc a (seq_id, seq_pos): next-fit greedy per
     * partition. A doc larger than `budget` gets a sequence of its own
     * (callers chunk oversized docs upstream if that matters).
@@ -32,6 +45,7 @@ object Packing {
   def packGreedy(docs: DataFrame, idCol: String, tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0)
+    requireIntegralId(docs, idCol)
     val src = docs.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
     src.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -60,6 +74,7 @@ object Packing {
   def chunkOversized(docs: DataFrame, idCol: String, tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0)
+    requireIntegralId(docs, idCol)
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         col(tokensCol).cast("long").as("__n"))
@@ -88,6 +103,7 @@ object Packing {
   def packBestFitDecreasing(docs: DataFrame, idCol: String, tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0)
+    requireIntegralId(docs, idCol)
     val src = docs
       .select(col(idCol).cast("long").as("__id"), col(tokensCol).cast("long").as("__n"))
       .sortWithinPartitions(col("__n").desc, col("__id"))

@@ -45,7 +45,11 @@ object Similarity {
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col(simName).desc, col("neighbor_id"))
+      // same output contract as the TopK path: exactly these four
+      // columns, extra input columns dropped
       nonNull.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col(simName).cast("double").as(simName), col("rank"))
     }
   }
 

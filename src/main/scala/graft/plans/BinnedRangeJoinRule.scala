@@ -15,10 +15,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * the exact range predicate as a residual. Every point has exactly
   * one bin, so no dedup is needed and results are identical.
   *
-  * Registered through [[graft.GraftExtensions]]; OFF unless
-  * `spark.graft.rangeJoin.binWidth` is set to a positive long (bin
-  * width is workload-dependent — pick ≈ the median interval length;
-  * SECONDS for timestamp axes). Scope is deliberately conservative:
+  * Registered through [[graft.GraftExtensions]]. Bin width
+  * (`spark.graft.rangeJoin.binWidth`, SECONDS for timestamp axes):
+  * - set to a positive long → that width (pick ≈ the median interval
+  *   length);
+  * - UNSET → derived per join from bound-side statistics: the median
+  *   interval length via `percentile_approx` over (a bounded prefix
+  *   of) the bound side. The probe is ONE small aggregation job at
+  *   planning time against the interval side — the side this rewrite
+  *   only makes sense for when it is the small one — cached per
+  *   canonicalized bound plan;
+  * - set to 0 / negative / unparseable → rule disabled (the explicit
+  *   off switch; unparseable warns rather than poisoning every query).
+  *
+  * Scope is deliberately conservative:
   * INNER join, condition exactly `p >= s AND p < e` or
   * `p >= s AND p <= e` (either operand order), all three LONG or all
   * three TIMESTAMP (binned on epoch seconds), point side and bound
@@ -26,28 +36,72 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   */
 case class BinnedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  // toLongOption: this rule runs on EVERY plan in the session, so an
-  // unparseable conf value must disable the rule, not poison all queries
-  private def widthConf: Long =
-    session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLongOption
-      .getOrElse {
-        logWarning("spark.graft.rangeJoin.binWidth is not a long; rule disabled")
-        0L
+  /** Some(w > 0) = fixed width; Some(0) = disabled; None = derive. */
+  private def widthConf: Option[Long] =
+    session.conf.getOption("spark.graft.rangeJoin.binWidth").map { v =>
+      v.toLongOption match {
+        case Some(w) if w > 0 => w
+        case Some(_) => 0L
+        case None =>
+          logWarning("spark.graft.rangeJoin.binWidth is not a long; rule disabled")
+          0L
       }
+    }
+
+  // re-entrance guard: the derivation probe runs through this same
+  // optimizer on this thread; it must pass through untouched
+  private val deriving = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  // derived widths keyed by canonicalized bound-side plan (bounded)
+  private val derivedCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+
+  /** Median interval length of (a ≤100k-row prefix of) the bound side,
+    * ≥ 1. Returns 0 — leave the join alone — if the probe fails or the
+    * side is empty; a failed probe must never fail the user's query.
+    */
+  private def deriveWidth(boundSide: LogicalPlan,
+      s: Expression, e: Expression): Long = {
+    val key = boundSide.canonicalized
+    val cached = derivedCache.get(key)
+    if (cached != null) return cached.longValue()
+    deriving.set(java.lang.Boolean.TRUE)
+    val w =
+      try {
+        val len = Alias(Subtract(axisLong(e), axisLong(s)), "__graft_len")()
+        val probe = org.apache.spark.sql.graft.PlanDataset.ofRows(
+          session, Limit(Literal(100000), Project(Seq(len), boundSide)))
+        val r = probe.selectExpr("percentile_approx(__graft_len, 0.5, 1000)").head()
+        if (r.isNullAt(0)) 0L else math.max(1L, r.getLong(0))
+      } catch {
+        case t: Throwable =>
+          logWarning(s"bin-width derivation failed, join left untouched: $t")
+          0L
+      } finally deriving.set(java.lang.Boolean.FALSE)
+    if (derivedCache.size > 32) derivedCache.clear()
+    derivedCache.put(key, java.lang.Long.valueOf(w))
+    w
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = widthConf
-    if (width <= 0) return plan
+    if (deriving.get()) return plan
+    val conf = widthConf
+    if (conf.contains(0L)) return plan
+    def width(boundSide: LogicalPlan, s: Expression, e: Expression): Long =
+      conf.getOrElse(deriveWidth(boundSide, s, e))
     plan.transformUp {
       case j @ Join(l, r, Inner, Some(cond), hint) =>
         matchRange(cond, l, r) match {
           case Some((p, s, e, closed)) =>
-            rewrite(l, r, p, s, e, closed, width, cond, hint)
+            val w = width(r, s, e)
+            if (w <= 0) j else rewrite(l, r, p, s, e, closed, w, cond, hint)
           case None => matchRange(cond, r, l) match {
             case Some((p, s, e, closed)) =>
               // point side is the RIGHT input: swap, rewrite, restore order
-              val swapped = rewrite(r, l, p, s, e, closed, width, cond, hint)
-              Project(j.output, swapped)
+              val w = width(l, s, e)
+              if (w <= 0) j
+              else Project(j.output, rewrite(r, l, p, s, e, closed, w, cond, hint))
             case None => j
           }
         }

@@ -27,10 +27,16 @@ import graft.engine.{Clean, Pipeline, Tables}
 object OrchestrationQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def deleteRecursively(root: Path): Unit =
+  /** Drain async query-execution listeners, then delete: the listener
+    * bus resolves written paths asynchronously, so deleting first logs
+    * a spurious PATH_NOT_FOUND ERROR on every bench/test run.
+    */
+  private def drainAndDelete(s: SparkSession, root: Path): Unit = {
+    org.apache.spark.graft.ListenerDrain.drain(s)
     if (Files.exists(root))
       Files.walk(root).sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+  }
 
   val queries: Map[String, Q] = Map(
     // O1/O2/O4 + S3/S5/S8/S9/A2 + D2-at-the-sink: the full 3-stage run,
@@ -60,7 +66,75 @@ object OrchestrationQueries {
         finally s.sql(s"DROP TABLE IF EXISTS $tbl")
         Seq((first.extracted, first.cleaned, first.loaded, rerun.loaded, tableRows))
           .toDF("extracted", "cleaned", "loaded_first", "loaded_rerun", "table_rows")
-      } finally deleteRecursively(tmp)
+      } finally drainAndDelete(s, tmp)
+    },
+
+    // The real Iowa star schema, driver-checked end to end: a
+    // deterministic 24-column raw feed (every value a pure SQL function
+    // of lineitem, with malformed dates/numerics injected on fixed key
+    // residues) goes through the ACTUAL reference path — IowaStar.clean
+    // (F1 null-on-error dates, F2 zero-fill numerics) → the five named
+    // dims → fact_sales → fkAudit — and reduces to counts + a decimal
+    // revenue sum the DuckDB oracle computes directly from lineitem.
+    "q72_iowa_star" -> { (s, dir) =>
+      import s.implicits._
+      import graft.engine.IowaStar
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val store = str(col("l_suppkey") % 200)
+      val itemno = str(col("l_partkey") % 500)
+      val vendor = str(col("l_suppkey") % 100)
+      val category = str(col("l_partkey") % 50)
+      val raw = Tables.lineitem(s, dir).select(
+        concat_ws("-", lit("INV"), col("l_orderkey"), col("l_linenumber"))
+          .as("invoice_line_no"),
+        when(col("l_orderkey") % 97 === 0, lit("bad-date"))
+          .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("date"),
+        store.as("store"),
+        concat(lit("Store "), store).as("name"),
+        concat(store, lit(" Main St")).as("address"),
+        concat(lit("City "), str(col("l_suppkey") % 20)).as("city"),
+        str(col("l_suppkey") % 200 + 50000).as("zipcode"),
+        concat(lit("POINT("), store, lit(" "), store, lit(")")).as("store_location"),
+        str(col("l_suppkey") % 10).as("county_number"),
+        concat(lit("County "), str(col("l_suppkey") % 10)).as("county"),
+        category.as("category"),
+        concat(lit("Cat "), category).as("category_name"),
+        vendor.as("vendor_no"),
+        concat(lit("Vendor "), vendor).as("vendor_name"),
+        itemno.as("itemno"),
+        concat(lit("Item "), itemno).as("im_desc"),
+        when(col("l_orderkey") % 89 === 0, lit("NaN"))
+          .otherwise(str(col("l_partkey") % 12 + 1)).as("pack"),
+        str(col("l_partkey") % 10 * 50 + 500).as("bottle_volume_ml"),
+        concat(str(col("l_partkey") % 30 + 5), lit(".25")).as("state_bottle_cost"),
+        concat(str(col("l_partkey") % 30 + 8), lit(".75")).as("state_bottle_retail"),
+        when(col("l_orderkey") % 101 === 0, lit("oops"))
+          .otherwise(str(col("l_quantity").cast("long"))).as("sale_bottles"),
+        concat(str(floor(col("l_extendedprice")).cast("long")), lit(".50"))
+          .as("sale_dollars"),
+        concat(str(col("l_partkey") % 20), lit(".250")).as("sale_liters"),
+        concat(str(col("l_partkey") % 5), lit(".125")).as("sale_gallons"))
+      val base = IowaStar.clean(raw).persist()
+      try {
+        val dimStore = IowaStar.dimStore(base)
+        val dimDate = IowaStar.dimDate(base)
+        val dimItem = IowaStar.dimItem(base)
+        val dimVendor = IowaStar.dimVendor(base)
+        val dimCategory = IowaStar.dimCategory(base)
+        val fact = IowaStar.factSales(base)
+        val fkTotal = IowaStar
+          .fkAudit(fact, dimStore, dimDate, dimItem, dimVendor, dimCategory)
+          .values.sum
+        val r = fact.agg(
+          count(lit(1)).as("n_fact"),
+          countDistinct(col("invoice_line_no")).as("n_loaded"),
+          sum(col("sale_dollars")).cast("double").as("revenue")).head()
+        Seq((dimStore.count(), dimDate.count(), dimItem.count(),
+          dimVendor.count(), dimCategory.count(),
+          r.getLong(0), r.getLong(1), fkTotal, r.getDouble(2)))
+          .toDF("n_dim_store", "n_dim_date", "n_dim_item", "n_dim_vendor",
+            "n_dim_category", "n_fact", "n_loaded", "fk_violations", "revenue")
+      } finally base.unpersist()
     },
 
     // S6/F10 — COPY-format CSV round-trip: inject NULLs (→ `\N`) and
@@ -95,7 +169,7 @@ object OrchestrationQueries {
         Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getDouble(5)))
           .toDF("n_rows", "n_name", "n_empty_seg", "n_seg", "key_sum", "bal_sum")
-      } finally deleteRecursively(tmp)
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -111,6 +185,28 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS loaded_first,
         |  CAST(0 AS BIGINT) AS loaded_rerun,
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS table_rows""".stripMargin,
+    // Replays the same deterministic raw-feed derivation and the
+    // reference's star semantics (DISTINCT dims over non-null keys,
+    // PK-distinct load, zero FK violations by construction) directly
+    // over lineitem.
+    "q72_iowa_star" ->
+      """SELECT
+        |  (SELECT COUNT(DISTINCT l_suppkey % 200) FROM lineitem) AS n_dim_store,
+        |  (SELECT COUNT(DISTINCT CAST(l_shipdate AS DATE)) FROM lineitem
+        |    WHERE l_orderkey % 97 <> 0) AS n_dim_date,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT l_partkey % 500,
+        |       CASE WHEN l_orderkey % 89 = 0 THEN 0 ELSE l_partkey % 12 + 1 END,
+        |       l_partkey % 10, l_partkey % 30
+        |     FROM lineitem)) AS n_dim_item,
+        |  (SELECT COUNT(DISTINCT l_suppkey % 100) FROM lineitem) AS n_dim_vendor,
+        |  (SELECT COUNT(DISTINCT l_partkey % 50) FROM lineitem) AS n_dim_category,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_fact,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS n_loaded,
+        |  CAST(0 AS BIGINT) AS fk_violations,
+        |  (SELECT CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS DOUBLE)
+        |     + CAST(COUNT(*) AS DOUBLE) * 0.5 FROM lineitem) AS revenue""".stripMargin,
     "q65_csv_null_roundtrip" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN c_custkey % 7 <> 0 AND c_name IS NOT NULL THEN 1 END) AS n_name,

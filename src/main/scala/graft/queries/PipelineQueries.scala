@@ -69,10 +69,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Document fingerprinting (rolling k-gram hashes) — engine-specific
-    // hash, rows-only vs oracle; collision semantics spec-tested.
+    // Document fingerprinting (rolling k-gram hashes). The hash VALUES
+    // are engine-specific (xxhash64 — bit-identity is spec-tested, incl.
+    // the native≡declarative parity spec), so the driver-compared output
+    // is the per-doc fingerprint CONTRACT, which a SQL oracle states
+    // exactly: defined ⟺ the text has ≥ k characters, and min ≤ max
+    // whenever defined.
     "q21_fingerprint" -> { (s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"),
+          col("min_gram_hash").isNotNull.as("fp_defined"),
+          coalesce(col("min_gram_hash") <= col("max_gram_hash"), lit(true))
+            .as("min_le_max"))
         .orderBy("doc_id")
     },
 
@@ -379,6 +387,11 @@ object PipelineQueries {
          |  $pick AS pred_lang
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // States the fingerprint contract (defined ⟺ ≥ k chars; min ≤ max)
+    // — the hash values themselves are engine-specific and spec-tested.
+    "q21_fingerprint" ->
+      """SELECT doc_id, length(text) >= 8 AS fp_defined, TRUE AS min_le_max
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1

@@ -73,26 +73,45 @@ object ScaleQueries {
     },
 
     // Count-min heavy hitters: distributed sketch build, estimates for
-    // the (small) candidate key set. Sketch-specific values → rows-only
-    // vs the oracle; the error bound is spec-enforced.
+    // the (small) candidate key set. The estimate VALUE is sketch-
+    // specific, but count-min carries a one-sided GUARANTEE the oracle
+    // states exactly: est ≥ true always, and est ≤ true + eps·N (holds
+    // w.p. 1−δ per build; deterministic for fixed data+seed). True
+    // per-key counts ride along exactly.
     "q52_countmin_topk" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val keys = ev.select("event_type").distinct()
         .orderBy("event_type").collect().map(_.getString(0)).toSeq
-      Sketches.countMinEstimates(ev, col("event_type"), keys)
+      val eps = 1e-3
+      val est = Sketches.countMinEstimates(ev, col("event_type"), keys, eps = eps)
+      val truth = ev.groupBy(col("event_type").as("key"))
+        .agg(count(lit(1)).as("n_true"))
+      val total = ev.agg(count(lit(1)).as("__n_total"))
+      est.join(truth, "key").crossJoin(broadcast(total))
+        .select(col("key"), col("n_true"),
+          (col("est") >= col("n_true")).as("ge_true"),
+          (col("est") <= col("n_true")
+            + ceil(col("__n_total") * eps)).as("le_bound"))
         .orderBy("key")
     },
 
     // HLL sketch rollup: daily user sketches merged to a single
     // month estimate — pre-aggregation that re-aggregates to any
-    // coarser grain without touching raw data. Rows-only (estimate);
-    // accuracy spec-enforced.
+    // coarser grain without touching raw data. The compared output is
+    // the merge CONTRACT: the unioned estimate lands within 5% of the
+    // exact overall distinct count (lgConfigK 12 ⇒ ~1.6% se;
+    // deterministic for fixed data). Exact count rides along.
     "q53_hll_union" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
       val daily = Sketches.hllSketches(
-        Tables.events(s, dir),
-        Seq(to_date(col("ts")).as("day")), col("user_id"))
-      Sketches.hllRollup(daily, Seq(lit(1).as("one")), "users_est")
-        .select(col("users_est").cast("long").as("users_est"))
+        ev, Seq(to_date(col("ts")).as("day")), col("user_id"))
+      val est = Sketches.hllRollup(daily, Seq(lit(1).as("one")), "users_est")
+        .select(col("users_est").cast("double").as("users_est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_users"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_users"),
+          (abs(col("users_est") - col("n_users"))
+            <= col("n_users") * 0.05).as("within_tol"))
     },
 
     // TF-IDF, scaled-integer variant: idf = (1e6·N) div df keeps the
@@ -134,28 +153,53 @@ object ScaleQueries {
 
     // Deterministic train/val/test hash split: assignment is a pure
     // function of doc_id (stable under retries/re-partitioning, unlike
-    // randomSplit). Hash-based -> rows-only; invariants spec-enforced.
+    // randomSplit). Per-split sizes are hash-specific, but the split
+    // CONTRACT is SQL-stateable and the oracle checks it hash-exact:
+    // every row assigned (exhaustive), each doc exactly once (disjoint),
+    // only the three requested labels, all three non-empty, and the
+    // train fraction within 5 points of the requested 80%.
     "q56_hash_split" -> { (s, dir) =>
       graft.ops.Sampling.hashSplit(
           Tables.documents(s, dir), col("doc_id"),
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
-        .groupBy("split").agg(count(lit(1)).as("n"))
-        .orderBy("split")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          sum(when(col("split").isin("train", "val", "test"), 0L)
+            .otherwise(1L)).as("bad_labels"),
+          (abs(avg(when(col("split") === "train", 1.0).otherwise(0.0)) - 0.8)
+            < 0.05).as("train_frac_ok"))
     },
 
     // Sequence packing: curated docs -> fixed-token-budget training
-    // sequences (next-fit within partition — the distributed packing
-    // contract). Stats output; packing invariants spec-enforced.
+    // sequences (chunk oversized, then best-fit-decreasing within
+    // partition — the distributed packing contract). The sequence
+    // LAYOUT depends on partitioning, but the packing CONTRACT is
+    // SQL-stateable and the oracle checks it hash-exact: the chunk
+    // pre-stage yields exactly ceil(tokens/budget) chunks per doc with
+    // total token mass conserved, no chunk and (after chunking) no
+    // SEQUENCE exceeds the budget, and every sequence is non-empty
+    // (n_sequences ≤ n_chunks as a count identity via min 1 chunk/seq).
     "q63_pack_sequences" -> { (s, dir) =>
       import graft.ops.{Packing, TextOps}
+      val budget = 512L
       val withTokens = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
-      // full packing pipeline: chunk oversized docs to the budget, then
-      // best-fit-decreasing within partition — zero overflow possible
-      val chunks = Packing.chunkOversized(withTokens, "doc_id", "n_tokens", budget = 512)
-        .select((col("doc_id") * 4096 + col("chunk")).as("chunk_id"), col("n_tokens"))
-      val packed = Packing.packBestFitDecreasing(chunks, "chunk_id", "n_tokens", budget = 512)
-      Packing.packingStats(packed, budget = 512)
+      // chunk index < 2^32 by construction (ceil(tokens/512) chunks),
+      // so a 32-bit shift keys (doc, chunk) collision-free
+      val chunks = Packing.chunkOversized(withTokens, "doc_id", "n_tokens", budget)
+        .select((col("doc_id") * lit(1L << 32) + col("chunk")).as("chunk_id"),
+          col("n_tokens"))
+      val packed = Packing.packBestFitDecreasing(chunks, "chunk_id", "n_tokens", budget)
+      val seqs = packed.groupBy("seq_id")
+        .agg(sum(col("n_tokens")).as("seq_tokens"), count(lit(1)).as("n_chunks"))
+      seqs.agg(
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("seq_tokens")).as("token_mass"),
+        sum(when(col("seq_tokens") > budget, 1L).otherwise(0L)).as("n_overflow_seqs"),
+        sum(when(col("n_chunks") < 1, 1L).otherwise(0L)).as("n_empty_seqs"),
+        (count(lit(1)) <= sum(col("n_chunks"))).as("seq_count_le_chunks"))
     },
 
     // Incremental aggregate maintenance: a pre-aggregated "state"
@@ -250,15 +294,30 @@ object ScaleQueries {
     // Grouped approximate percentiles (KLL-style mergeable sketch,
     // deterministic): the fixed-memory path where exact per-group
     // percentiles (q42) would need a full sort per group. Sketch
-    // values differ from DuckDB's t-digest -> rows-only; rank-error
-    // bound vs exact is spec-enforced.
+    // values differ from DuckDB's t-digest, so the compared output is
+    // the RANK-ERROR contract percentile_approx guarantees (error ≤
+    // n/accuracy): for each group and q ∈ {.5,.95,.99}, the number of
+    // values ≤/< the approximate quantile brackets rank q·n within
+    // n/1000 (+1 slack for ties). Checked by counting against the
+    // group's own rows; the oracle states per-group counts + TRUE.
     "q57_approx_percentiles" -> { (s, dir) =>
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir).select("event_type", "value")
+      val ap = ev.groupBy("event_type").agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+      def rankOk(q: Double, p: String) = {
+        val n = count(lit(1)).cast("double")
+        val tol = n / 1000.0 + 1.0
+        (sum(when(col("value") < col(p), 1.0).otherwise(0.0)) <= n * q + tol) &&
+          (sum(when(col("value") <= col(p), 1.0).otherwise(0.0)) >= n * q - tol)
+      }
+      ev.join(broadcast(ap), "event_type")
         .groupBy("event_type")
-        .agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .agg(count(lit(1)).as("n_rows"),
+          rankOk(0.5, "p50").as("p50_ok"),
+          rankOk(0.95, "p95").as("p95_ok"),
+          rankOk(0.99, "p99").as("p99_ok"))
         .orderBy("event_type")
     }
   )
@@ -416,6 +475,57 @@ object ScaleQueries {
         |SELECT lang, doc_id FROM s
         |WHERE rn <= CEIL(cnt * 0.1)
         |ORDER BY lang, doc_id
+        |""".stripMargin,
+
+    // States the percentile_approx rank-error contract + exact counts.
+    "q57_approx_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type
+        |""".stripMargin,
+
+    // States the count-min guarantee (overestimate-only, eps-bounded)
+    // plus the exact per-key counts; estimate values are sketch-internal.
+    "q52_countmin_topk" ->
+      """SELECT event_type AS key, COUNT(*) AS n_true,
+        |       TRUE AS ge_true, TRUE AS le_bound
+        |FROM events GROUP BY event_type ORDER BY key
+        |""".stripMargin,
+
+    // States the HLL merge accuracy contract + the exact distinct count.
+    "q53_hll_union" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS within_tol
+        |FROM events
+        |""".stripMargin,
+
+    // States the split contract exactly: every doc assigned exactly
+    // once, only the requested labels, all three splits realized, and
+    // the train share within 5 points of the requested 80. The per-doc
+    // routing is xxhash64-specific (spec-tested deterministic).
+    "q56_hash_split" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT doc_id) AS n_docs,
+        |       CAST(3 AS BIGINT) AS n_splits,
+        |       CAST(0 AS BIGINT) AS bad_labels,
+        |       TRUE AS train_frac_ok
+        |FROM documents
+        |""".stripMargin,
+
+    // States the packing contract: the chunk pre-stage yields exactly
+    // ceil(tokens/budget) chunks (min 1) per doc with token mass
+    // conserved; chunked BFD can never overflow a sequence; sequences
+    // are non-empty. The sequence layout itself is partition-dependent
+    // (spec-tested: determinism, fill bounds).
+    "q63_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n
+        |  FROM documents)
+        |SELECT CAST(SUM(GREATEST(1, (n + 511) // 512)) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(n) AS BIGINT) AS token_mass,
+        |       CAST(0 AS BIGINT) AS n_overflow_seqs,
+        |       CAST(0 AS BIGINT) AS n_empty_seqs,
+        |       TRUE AS seq_count_le_chunks
+        |FROM t
         |""".stripMargin
   )
 }

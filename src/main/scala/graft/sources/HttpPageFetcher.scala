@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import scala.io.Source
+
+/** HTTP transport for [[PagedProvider]] — the reference's actual
+  * extract path (reference `src/extract.py:18-31`: Socrata paging with
+  * `$limit`/`$offset`/`$select`/`$where`), JDK-only (HttpURLConnection,
+  * no extra dependencies, works against any loopback or real endpoint).
+  *
+  * Request shape per page:
+  * `GET <endpoint>?$limit=N&$offset=M[&$select=a,b][&$where=date between
+  * 'ISO' and 'ISO']` — exactly the query the reference builds, with the
+  * pushed-down projection and date bounds forwarded server-side.
+  *
+  * Response contract: CSV with a header row naming the served columns
+  * (a `$format=csv` SoQL response); timestamps as ISO local date-time.
+  * Fields never contain commas in this feed — a production fetcher
+  * would swap in a full CSV parser, which changes nothing structural.
+  *
+  * Fault handling: any non-200 or I/O failure throws, failing the TASK;
+  * Spark's task retry re-issues the idempotent page GET — the
+  * reference's Airflow `retries=1` story (O3) at page grain. Verified
+  * against a flaky loopback server in `HttpPagedSourceSpec`.
+  */
+class HttpPageFetcher extends PageFetcher {
+  private var endpoint: String = _
+  private var timeoutMs: Int = 10000
+
+  override def init(options: Map[String, String]): Unit = {
+    endpoint = options.getOrElse("endpoint",
+      throw new IllegalArgumentException("HttpPageFetcher requires option 'endpoint'"))
+    timeoutMs = options.get("timeoutms").map(_.toInt).getOrElse(10000)
+  }
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  private def isoUtc(micros: Long): String =
+    DateTimeFormatter.ISO_LOCAL_DATE_TIME.format(
+      LocalDateTime.ofInstant(
+        Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L),
+        ZoneOffset.UTC))
+
+  private def parseMicros(iso: String): Long = {
+    val t = LocalDateTime.parse(iso, DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      .toInstant(ZoneOffset.UTC)
+    t.getEpochSecond * 1000000L + t.getNano / 1000L
+  }
+
+  override def fetch(req: PageRequest): Iterator[PageRecord] = {
+    val params = new StringBuilder
+    params.append("%24limit=").append(req.limit)
+    params.append("&%24offset=").append(req.offset)
+    if (req.select.nonEmpty)
+      params.append("&%24select=").append(enc(req.select.mkString(",")))
+    (req.dateGteMicros, req.dateLteMicros) match {
+      case (None, None) => ()
+      case (gte, lte) =>
+        val w = (gte.map(t => s"date >= '${isoUtc(t)}'") ++
+          lte.map(t => s"date <= '${isoUtc(t)}'")).mkString(" and ")
+        params.append("&%24where=").append(enc(w))
+    }
+    val conn = URI.create(s"$endpoint?$params").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new java.io.IOException(s"page fetch failed: HTTP $code for $params")
+      val body = Source.fromInputStream(conn.getInputStream, StandardCharsets.UTF_8.name())
+        .mkString
+      val lines = body.split("\n").iterator.filter(_.nonEmpty)
+      if (!lines.hasNext) Iterator.empty
+      else {
+        val header = lines.next().split(",").map(_.trim)
+        val idx = header.zipWithIndex.toMap
+        def get(fields: Array[String], name: String): Option[String] =
+          idx.get(name).map(fields(_)).filter(_.nonEmpty)
+        lines.map { line =>
+          val f = line.split(",", -1)
+          PageRecord(
+            get(f, "invoice_line_no").orNull,
+            get(f, "date").map(parseMicros).map(Long.box).orNull,
+            get(f, "store").orNull,
+            get(f, "sale_dollars").map(_.toDouble).map(Double.box).orNull)
+        }.toVector.iterator // drain fully so the connection can close
+      }
+    } finally conn.disconnect()
+  }
+}

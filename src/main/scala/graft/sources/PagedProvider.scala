@@ -50,7 +50,49 @@ class PagedProvider extends TableProvider {
     new PagedTable(
       opts.getOrElse("totalrows", "100000").toLong,
       opts.getOrElse("pagesize", "50000").toInt,
-      opts.getOrElse("failfirstattempt", "false").toBoolean)
+      opts.getOrElse("failfirstattempt", "false").toBoolean,
+      opts.get("fetcher"),
+      opts.toMap)
+  }
+}
+
+/** One page request — the reference's Socrata query-parameter tuple
+  * (`src/extract.py:18-31`): `$offset`/`$limit` paging, `$select`
+  * column projection, `$where` date bounds. Pushed-down filters and
+  * pruned columns arrive here, so a transport forwards them to the
+  * endpoint instead of over-fetching.
+  */
+case class PageRequest(offset: Long, limit: Int, select: Seq[String],
+    dateGteMicros: Option[Long], dateLteMicros: Option[Long])
+
+/** One fetched record; fields not requested via `select` may be null. */
+case class PageRecord(invoiceLineNo: String, dateMicros: java.lang.Long,
+    store: String, saleDollars: java.lang.Double)
+
+/** Caller-supplied page transport (SURVEY §7.4 risk 4 remedy): the
+  * reference fetches pages over HTTPS; this environment has no egress,
+  * so the transport is pluggable — `option("fetcher", fqcn)` names a
+  * zero-arg-constructible implementation instantiated ON THE EXECUTOR
+  * per partition (the DSv2 pattern JDBC uses for driver classes).
+  * Failures propagate to the task, and Spark's task retry re-issues
+  * the idempotent page GET — the Airflow-retry story (O3) at page
+  * grain, with no transport-level state to rewind.
+  *
+  * With an external fetcher the closed-form COUNT/MIN/MAX aggregate
+  * pushdown is DISABLED: the engine can only answer closed-form for
+  * its own generator feed, not for an arbitrary endpoint.
+  */
+trait PageFetcher extends Serializable {
+  def init(options: Map[String, String]): Unit = ()
+  def fetch(req: PageRequest): Iterator[PageRecord]
+}
+
+object PageFetcher {
+  def instantiate(fqcn: String, options: Map[String, String]): PageFetcher = {
+    val f = Class.forName(fqcn).getDeclaredConstructor().newInstance()
+      .asInstanceOf[PageFetcher]
+    f.init(options)
+    f
   }
 }
 
@@ -89,17 +131,19 @@ object PagedSource {
   }
 }
 
-class PagedTable(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = false)
+class PagedTable(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = false,
+    fetcher: Option[String] = None, fetcherOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"paged(totalRows=$totalRows, pageSize=$pageSize)"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(totalRows, pageSize, failFirstAttempt)
+    new PagedScanBuilder(totalRows, pageSize, failFirstAttempt, fetcher, fetcherOptions)
 }
 
-class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = false)
+class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = false,
+    fetcher: Option[String] = None, fetcherOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -108,22 +152,30 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
   private var lo: Long = 0L
   private var hi: Long = totalRows
   private var pushed: Array[Filter] = Array.empty
+  // pushed date bounds in micros, forwarded to an external transport
+  // as the endpoint's `$where` clause
+  private var dateGte: Option[Long] = None
+  private var dateLte: Option[Long] = None
 
   private def tsMicros(v: Any): Option[Long] = PagedScanBuilderUtil.tsMicros(v)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable: Array[Filter] = filters.flatMap {
       case f @ GreaterThanOrEqual("date", v) => tsMicros(v).map { t =>
-        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t)); f
+        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t))
+        dateGte = Some(dateGte.fold(t)(math.max(_, t))); f
       }
       case f @ GreaterThan("date", v) => tsMicros(v).map { t =>
-        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t + 1)); f
+        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t + 1))
+        dateGte = Some(dateGte.fold(t + 1)(math.max(_, t + 1))); f
       }
       case f @ LessThanOrEqual("date", v) => tsMicros(v).map { t =>
-        hi = math.min(hi, PagedSource.upperIndexForDateLte(t)); f
+        hi = math.min(hi, PagedSource.upperIndexForDateLte(t))
+        dateLte = Some(dateLte.fold(t)(math.min(_, t))); f
       }
       case f @ LessThan("date", v) => tsMicros(v).map { t =>
-        hi = math.min(hi, PagedSource.upperIndexForDateLte(t - 1)); f
+        hi = math.min(hi, PagedSource.upperIndexForDateLte(t - 1))
+        dateLte = Some(dateLte.fold(t - 1)(math.min(_, t - 1))); f
       }
       case _ => None
     }
@@ -159,6 +211,9 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
           nr.fieldNames.sameElements(Array("date"))
         case _ => false
       }
+    // closed-form answers are only truthful for the built-in generator
+    // feed — an external transport must serve real rows
+    if (fetcher.isDefined) return false
     val gb = agg.groupByExpressions
     val gbOk = gb.isEmpty || (gb.length == 1 && isDate(gb.head))
     gbOk && agg.aggregateExpressions.nonEmpty &&
@@ -212,7 +267,8 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
         }
       new PagedDailyAggScan(StructType(fields), lo, math.max(lo, hi), kinds)
     case None =>
-      new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt)
+      new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt,
+        fetcher, fetcherOptions, dateGte, dateLte)
   }
 }
 
@@ -284,7 +340,9 @@ class PagedAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
 }
 
 class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int,
-    failFirstAttempt: Boolean = false)
+    failFirstAttempt: Boolean = false,
+    fetcher: Option[String] = None, fetcherOptions: Map[String, String] = Map.empty,
+    dateGte: Option[Long] = None, dateLte: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
   // runtime-narrowed bounds (dynamic 'partition' pruning at page grain)
   private var rlo: Long = lo
@@ -327,8 +385,11 @@ class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required, failFirstAttempt)
+  override def createReaderFactory(): PartitionReaderFactory = fetcher match {
+    case Some(fqcn) =>
+      new FetchedPageReaderFactory(required, fqcn, fetcherOptions, dateGte, dateLte)
+    case None => new PagedReaderFactory(required, failFirstAttempt)
+  }
 }
 
 /** Timestamp-literal decoding shared by plan-time and runtime filter paths. */
@@ -341,6 +402,38 @@ object PagedScanBuilderUtil {
 }
 
 case class PagedPartition(start: Long, end: Long) extends InputPartition
+
+/** Reader factory for transport-backed pages: instantiates the named
+  * [[PageFetcher]] executor-side (top-level class — never captures the
+  * Scan, see the DSv2 serialization note) and issues ONE PageRequest
+  * per partition with the pushed-down projection and date bounds.
+  */
+class FetchedPageReaderFactory(required: StructType, fqcn: String,
+    options: Map[String, String], dateGte: Option[Long], dateLte: Option[Long])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedPartition]
+    val it = PageFetcher.instantiate(fqcn, options).fetch(PageRequest(
+      p.start, (p.end - p.start).toInt, required.fieldNames.toSeq, dateGte, dateLte))
+    new PartitionReader[InternalRow] {
+      private val getters: Array[PageRecord => Any] = required.fieldNames.map {
+        case "invoice_line_no" => (r: PageRecord) =>
+          if (r.invoiceLineNo == null) null else UTF8String.fromString(r.invoiceLineNo)
+        case "date" => (r: PageRecord) =>
+          if (r.dateMicros == null) null else r.dateMicros.longValue()
+        case "store" => (r: PageRecord) =>
+          if (r.store == null) null else UTF8String.fromString(r.store)
+        case "sale_dollars" => (r: PageRecord) =>
+          if (r.saleDollars == null) null else r.saleDollars.doubleValue()
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      private var cur: PageRecord = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = InternalRow.fromSeq(getters.map(_(cur)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class PagedReaderFactory(required: StructType, failFirstAttempt: Boolean = false)
     extends PartitionReaderFactory {

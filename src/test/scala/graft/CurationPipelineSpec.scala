@@ -91,7 +91,7 @@ class CurationPipelineSpec extends SparkSpecBase {
 
     // 4. chunk + BFD pack: zero overflow by construction
     val chunks = Packing.chunkOversized(mixed, "doc_id", "n_tokens", 512)
-      .select((col("doc_id") * 4096 + col("chunk")).as("cid"), col("n_tokens"))
+      .select((col("doc_id") * lit(1L << 32) + col("chunk")).as("cid"), col("n_tokens"))
     val packed = Packing.packBestFitDecreasing(chunks, "cid", "n_tokens", 512)
     assert(packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
       .where(col("t") > 512).count() == 0)

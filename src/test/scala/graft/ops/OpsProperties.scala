@@ -69,7 +69,7 @@ class OpsProperties extends SparkSpecBase {
     val docs = sizes.toDF("doc_id", "n_tokens").repartition(4)
     for (budget <- Seq(512L, 1024L, 4096L)) {
       val chunks = Packing.chunkOversized(docs, "doc_id", "n_tokens", budget)
-        .select((col("doc_id") * 4096 + col("chunk")).as("cid"), col("n_tokens"))
+        .select((col("doc_id") * lit(1L << 32) + col("chunk")).as("cid"), col("n_tokens"))
       val packed = Packing.packBestFitDecreasing(chunks, "cid", "n_tokens", budget)
       // zero overflow, ever (chunking guarantees every row fits)
       val over = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))

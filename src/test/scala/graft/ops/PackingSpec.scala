@@ -104,7 +104,7 @@ class PackingSpec extends SparkSpecBase {
 
   test("chunk + best-fit-decreasing: NO sequence over budget, ever") {
     val chunks = Packing.chunkOversized(docs, "doc_id", "n_tokens", 512)
-      .select((col("doc_id") * 4096 + col("chunk")).as("chunk_id"), col("n_tokens"))
+      .select((col("doc_id") * lit(1L << 32) + col("chunk")).as("chunk_id"), col("n_tokens"))
     val packed = Packing.packBestFitDecreasing(chunks, "chunk_id", "n_tokens", 512)
     val over = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
       .where(col("t") > 512).count()

@@ -87,6 +87,10 @@ class SimilaritySpec extends SparkSpecBase {
       (1L, "doc-a", Some(0.9)), (1L, "doc-b", Some(0.9)), // tie -> id order
       (1L, "doc-c", Some(0.5)), (1L, "doc-null", Option.empty[Double])
     ).toDF("query_id", "neighbor_id", "sim")
+    // both id-type paths honor the SAME output contract: exactly
+    // (query_id, neighbor_id, <sim>, rank), extra columns dropped
+    val viaWindow = Similarity.rankTopK(scored.withColumn("extra", lit(1)), k = 3, "sim")
+    assert(viaWindow.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
     val got = Similarity.rankTopK(scored, k = 3, "sim")
       .orderBy("rank").select("neighbor_id", "rank")
       .as[(String, Int)].collect().toSeq

@@ -21,9 +21,25 @@ class BinnedRangeJoinRuleSpec extends SparkSpecBase {
     try body finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
-  test("rule off: pure range join plans a nested loop (the problem)") {
-    val plan = thetaJoin.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  test("rule disabled (binWidth=0): pure range join plans a nested loop (the problem)") {
+    withRule(0L) {
+      val plan = thetaJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("conf unset: width auto-derived from bound-side stats, join rewrites exactly") {
+    graft.GraftExtensions.register(spark)
+    spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    val expected = withRule(0L) { // disabled -> nested loop reference run
+      thetaJoin.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    }
+    val df = thetaJoin
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    val got = df.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
   }
 
   test("rule on: same join plans bin-equi (no nested loop), same rows") {

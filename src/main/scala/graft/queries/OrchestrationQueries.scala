@@ -84,7 +84,11 @@ object OrchestrationQueries {
       val itemno = str(col("l_partkey") % 500)
       val vendor = str(col("l_suppkey") % 100)
       val category = str(col("l_partkey") % 50)
-      val raw = Tables.lineitem(s, dir).select(
+      // the fixture is one row group ⇒ one task; fan out BEFORE the
+      // 24-column string-building projection so the CPU-heavy feed
+      // construction parallelizes across the cluster (invariant 7:
+      // fanOut pays off exactly for projection-bound pipelines)
+      val raw = Tables.fanOut(s, Tables.lineitem(s, dir)).select(
         concat_ws("-", lit("INV"), col("l_orderkey"), col("l_linenumber"))
           .as("invoice_line_no"),
         when(col("l_orderkey") % 97 === 0, lit("bad-date"))
@@ -116,22 +120,41 @@ object OrchestrationQueries {
         concat(str(col("l_partkey") % 5), lit(".125")).as("sale_gallons"))
       val base = IowaStar.clean(raw).persist()
       try {
+        import graft.engine.Star
         val dimStore = IowaStar.dimStore(base)
         val dimDate = IowaStar.dimDate(base)
         val dimItem = IowaStar.dimItem(base)
         val dimVendor = IowaStar.dimVendor(base)
         val dimCategory = IowaStar.dimCategory(base)
         val fact = IowaStar.factSales(base)
-        val fkTotal = IowaStar
-          .fkAudit(fact, dimStore, dimDate, dimItem, dimVendor, dimCategory)
-          .values.sum
+        // the fkAudit composition (same Star.fkViolations frames), but
+        // unioned with the dim counts into ONE job over the cached base
+        // instead of ten sequential driver-side count() actions
+        val fks = Seq(
+          ("store", dimStore), ("date", dimDate), ("itemno", dimItem),
+          ("vendor_no", dimVendor), ("category", dimCategory)).map {
+          case (k, d) => Star.fkViolations(fact.where(col(k).isNotNull), d, k, k)
+        }
+        // n_loaded as distinct→count inside the same union — a mixed
+        // countDistinct + sum aggregate plans through Expand (×2 rows),
+        // the same pathology measured on q35
+        val labelled =
+          (Seq("n_dim_store" -> dimStore, "n_dim_date" -> dimDate,
+            "n_dim_item" -> dimItem, "n_dim_vendor" -> dimVendor,
+            "n_dim_category" -> dimCategory,
+            "n_loaded" -> fact.select("invoice_line_no").distinct())
+            .map { case (k, d) =>
+              d.agg(count(lit(1)).as("n")).select(lit(k).as("k"), col("n"))
+            }) ++ fks.map(f =>
+            f.agg(count(lit(1)).as("n")).select(lit("fk").as("k"), col("n")))
+        val counts = labelled.reduce(_ unionByName _).collect()
+          .groupMapReduce(_.getString(0))(_.getLong(1))(_ + _)
         val r = fact.agg(
           count(lit(1)).as("n_fact"),
-          countDistinct(col("invoice_line_no")).as("n_loaded"),
           sum(col("sale_dollars")).cast("double").as("revenue")).head()
-        Seq((dimStore.count(), dimDate.count(), dimItem.count(),
-          dimVendor.count(), dimCategory.count(),
-          r.getLong(0), r.getLong(1), fkTotal, r.getDouble(2)))
+        Seq((counts("n_dim_store"), counts("n_dim_date"), counts("n_dim_item"),
+          counts("n_dim_vendor"), counts("n_dim_category"),
+          r.getLong(0), counts("n_loaded"), counts("fk"), r.getDouble(1)))
           .toDF("n_dim_store", "n_dim_date", "n_dim_item", "n_dim_vendor",
             "n_dim_category", "n_fact", "n_loaded", "fk_violations", "revenue")
       } finally base.unpersist()

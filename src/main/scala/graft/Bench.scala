@@ -37,6 +37,33 @@ object Bench {
     dt
   }
 
+  /** Millisecond precision is all the measurement supports (±1.5 s
+    * run-to-run noise, NOTES.md invariant 8); full nanosecond decimals
+    * tripled the line length for no information.
+    */
+  def r3(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The machine-read stdout record. ONE SHORT line: the driver
+    * captures only the last ~2 KB of stdout, and rounds 1-3 all lost
+    * the JSON because the full-precision/full-name line overflowed
+    * that window (BENCH_r0N "parsed": null). Short keys (the qNN
+    * prefix is unique by construction) + 3-decimal values keep 72
+    * queries ≈ 1.1 KB — spec-bounded in `BenchRecordSpec`.
+    */
+  def compactRecord(results: Seq[(String, Double)], totalSec: Double,
+      paritySec: Double, ingestSec: Double, only: Option[Seq[String]],
+      sfDir: String): String = {
+    val onlyField = only.map(o =>
+      s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
+    val qs = results.map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(totalSec)},"unit":"sec",""" +
+      s""""parity_sec":${r3(paritySec)},"extensions_sec":${r3(totalSec - ingestSec - paritySec)},""" +
+      s""""ingest_sec":${r3(ingestSec)},$onlyField""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadavgJson()
     val calibStart = calibrationSec()
@@ -108,10 +135,6 @@ object Bench {
       }
       name -> times.min
     }
-    // Millisecond precision is all the measurement supports (±1.5 s
-    // run-to-run noise, NOTES.md invariant 8); full nanosecond decimals
-    // tripled the line length for no information.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // total includes the one-time ingest/relayout cost — the queries
     // run against the layout that stage produced.
     val total = results.map(_._2).sum + ingestSec
@@ -137,17 +160,7 @@ object Bench {
       s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
       s""""ingest_sec":${r3(ingestSec)},$onlyField$sentinel,""" +
       s""""queries":$qsLong,"sf":"$sfDir"}""")
-    // Machine record → stdout, ONE SHORT line: the driver captures only
-    // the last ~2 KB of stdout, and rounds 1-3 all lost the JSON because
-    // the full-precision/full-name line overflowed that window
-    // (BENCH_r0N "parsed": null). Short keys (the qNN prefix is unique
-    // by construction) + 3-decimal values keep 71 queries ≈ 1.1 KB.
-    val qsShort = results.map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
-      s""""ingest_sec":${r3(ingestSec)},$onlyField""" +
-      s""""queries":$qsShort,"sf":"$sfDir"}""")
+    println(compactRecord(results, total, parity, ingestSec, only, sfDir))
     spark.stop()
   }
 }

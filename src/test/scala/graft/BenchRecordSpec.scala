@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench artifact's parseability: the round driver captures
+  * only the last ~2 KB of stdout, and three rounds of BENCH artifacts
+  * were lost (`"parsed": null`) because the JSON line overflowed that
+  * window. The compact record must stay comfortably inside it for the
+  * full query inventory, forever.
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private def fullInventoryRecord: String = {
+    // every registered query, worst-case ≥10s values (6 chars each)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
+    Bench.compactRecord(results, totalSec = 888.888, paritySec = 88.888,
+      ingestSec = 8.888, only = None, sfDir = "/root/testdata/sf0.1")
+  }
+
+  test("compact record for the FULL inventory fits the driver's tail window") {
+    val rec = fullInventoryRecord
+    // window is ~2 KB and sbt's trailing [success] line costs ~80 bytes
+    assert(rec.length < 1800, s"record is ${rec.length} bytes:\n$rec")
+    assert(!rec.contains("\n"))
+  }
+
+  test("compact record is valid JSON with the driver's contract fields") {
+    val rec = fullInventoryRecord
+    // no JSON lib on the offline classpath: check the structural frame
+    assert(rec.startsWith("""{"metric":"total","value":"""))
+    assert(rec.endsWith(""","sf":"/root/testdata/sf0.1"}"""))
+    assert(rec.contains(""""unit":"sec""""))
+    assert(rec.count(_ == '{') == 2 && rec.count(_ == '}') == 2)
+    assert(rec.count(_ == '"') % 2 == 0)
+    // one short key per query, all unique (qNN prefix is the contract)
+    val keys = """"(q\d+)":""".r.findAllMatchIn(rec).map(_.group(1)).toSeq
+    assert(keys.length == SparkEntry.queries.size)
+    assert(keys.distinct.length == keys.length, "short query keys must stay unique")
+  }
+
+  test("filtered runs are stamped with the only field") {
+    val rec = Bench.compactRecord(Seq("q64_pipeline_run" -> 5.591),
+      totalSec = 5.591, paritySec = 0.0, ingestSec = 0.0,
+      only = Some(Seq("q64")), sfDir = "/tmp/x")
+    assert(rec.contains(""""only":["q64"]"""))
+  }
+
+  test("values are millisecond-rounded, never scientific notation") {
+    assert(Bench.r3(0.0000001) == "0.000")
+    assert(Bench.r3(1.0 / 3.0) == "0.333")
+    assert(Bench.r3(12345.6789) == "12345.679")
+  }
+}

@@ -44,6 +44,11 @@ object Bench {
   def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** `"only":[...],` fragment stamping a filtered run, "" when unfiltered. */
+  def onlyJson(only: Option[Seq[String]]): String =
+    only.map(o =>
+      s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
+
   /** The machine-read stdout record. ONE SHORT line: the driver
     * captures only the last ~2 KB of stdout, and rounds 1-3 all lost
     * the JSON because the full-precision/full-name line overflowed
@@ -54,13 +59,11 @@ object Bench {
   def compactRecord(results: Seq[(String, Double)], totalSec: Double,
       paritySec: Double, ingestSec: Double, only: Option[Seq[String]],
       sfDir: String): String = {
-    val onlyField = only.map(o =>
-      s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
     val qs = results.map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(totalSec)},"unit":"sec",""" +
       s""""parity_sec":${r3(paritySec)},"extensions_sec":${r3(totalSec - ingestSec - paritySec)},""" +
-      s""""ingest_sec":${r3(ingestSec)},$onlyField""" +
+      s""""ingest_sec":${r3(ingestSec)},${onlyJson(only)}""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
   }
 
@@ -149,16 +152,14 @@ object Bench {
     val sentinel =
       s""""sentinel":{"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()},""" +
         s""""calib_sec_start":${r3(calibStart)},"calib_sec_end":${r3(calibrationSec())}}"""
-    // A filtered (SPARK_GRAFT_BENCH_ONLY) run must be distinguishable
-    // from a real full round in the artifact itself.
-    val onlyField = only.map(o =>
-      s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
-    // Long-form record (full query names, sentinel) → stderr for humans.
+    // Long-form record (full query names, sentinel) → stderr for
+    // humans. A filtered (SPARK_GRAFT_BENCH_ONLY) run must be
+    // distinguishable from a real full round in both records.
     val qsLong = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
-      s""""ingest_sec":${r3(ingestSec)},$onlyField$sentinel,""" +
+      s""""ingest_sec":${r3(ingestSec)},${onlyJson(only)}$sentinel,""" +
       s""""queries":$qsLong,"sf":"$sfDir"}""")
     println(compactRecord(results, total, parity, ingestSec, only, sfDir))
     spark.stop()

@@ -37,18 +37,27 @@ object CopySink {
   def encodeRow(row: Row): String =
     (0 until row.length).map(i => encodeField(row.get(i))).mkString(",")
 
-  /** Distributed formatting: one COPY-ready byte payload per partition
-    * (the unit `CopyManager.copyIn` consumes as a stream).
+  /** One (payload, rowCount) pair per non-empty partition — the single
+    * encode path both public entry points build on; the count is taken
+    * at encode time (a newline count over the bytes would miscount
+    * quoted embedded newlines).
     */
-  def copyPayloads(df: DataFrame): Dataset[Array[Byte]] =
+  def payloadsWithCounts(df: DataFrame): Dataset[(Array[Byte], Long)] =
     df.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
         val sb = new StringBuilder
-        rows.foreach { r => sb.append(encodeRow(r)); sb.append('\n') }
-        Iterator.single(sb.toString.getBytes(StandardCharsets.UTF_8))
+        var n = 0L
+        rows.foreach { r => sb.append(encodeRow(r)); sb.append('\n'); n += 1 }
+        Iterator.single((sb.toString.getBytes(StandardCharsets.UTF_8), n))
       }
-    }(Encoders.BINARY)
+    }(Encoders.tuple(Encoders.BINARY, Encoders.scalaLong))
+
+  /** Distributed formatting: one COPY-ready byte payload per partition
+    * (the unit `CopyManager.copyIn` consumes as a stream).
+    */
+  def copyPayloads(df: DataFrame): Dataset[Array[Byte]] =
+    payloadsWithCounts(df).map(_._1)(Encoders.BINARY)
 
   /** The COPY statement the payloads pair with — column list from the
     * DataFrame, like the reference enumerates chunk columns
@@ -88,25 +97,14 @@ object CopySink {
     def close(): Unit = ()
   }
 
-  /** S7 end-to-end: format + transport. Returns rows loaded, counted
-    * at encode time and carried next to each payload (a newline count
-    * over the bytes would miscount quoted embedded newlines) — no
+  /** S7 end-to-end: format + transport. Returns rows loaded — no
     * extra job.
     */
   def load(df: DataFrame, table: String,
       factory: () => CopyTransport): Long = {
     val stmt = copyStatement(df, table)
     val rows = df.sparkSession.sparkContext.longAccumulator("copy_rows")
-    val payloads = df.mapPartitions { rs =>
-      if (rs.isEmpty) Iterator.empty
-      else {
-        val sb = new StringBuilder
-        var n = 0L
-        rs.foreach { r => sb.append(encodeRow(r)); sb.append('\n'); n += 1 }
-        Iterator.single((sb.toString.getBytes(StandardCharsets.UTF_8), n))
-      }
-    }(Encoders.tuple(Encoders.BINARY, Encoders.scalaLong))
-    payloads.foreachPartition { (it: Iterator[(Array[Byte], Long)]) =>
+    payloadsWithCounts(df).foreachPartition { (it: Iterator[(Array[Byte], Long)]) =>
       if (it.nonEmpty) {
         val t = factory()
         t.open()

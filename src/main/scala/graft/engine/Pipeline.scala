@@ -84,10 +84,17 @@ object Pipeline {
     // on a missing path: a failed analysis is memoized on its
     // QueryExecution and resurfaces later on the async
     // ExecutionListenerBus as a spurious PATH_NOT_FOUND ERROR per run.
+    // "Exists" means at least one COMMITTED data file — a directory
+    // holding only _temporary/_SUCCESS debris (a crashed first append)
+    // must count as first-write, or every retry would wedge on an
+    // unreadable empty table.
     val exists = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p)
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !(n.startsWith("_") || n.startsWith("."))
+      }
     }
     val novel =
       if (!exists) batch.dropDuplicates(keys)

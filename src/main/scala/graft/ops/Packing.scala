@@ -33,7 +33,9 @@ object Packing {
     val dt = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"Packing requires an integral id column; '$idCol' is $dt " +
-        "(hash or dense-rank string ids to LONG upstream)")
+        "(dense-rank or monotonically_increasing_id string ids upstream; " +
+        "avoid raw 64-bit hashes if you later compose ids arithmetically " +
+        "— doc_id * 2^32 + chunk needs doc_id < 2^31)")
   }
 
   /** Assign each doc a (seq_id, seq_pos): next-fit greedy per
@@ -69,7 +71,11 @@ object Packing {
     * guarantee no sequence ever exceeds it.
     *
     * Output: (doc_id, chunk, n_tokens) — `chunk` is the 0-based index
-    * within the source document.
+    * within the source document. Callers composing the pair into one
+    * long key (`doc_id * 2^32 + chunk`) must keep doc_id < 2^31: wider
+    * ids (e.g. xxhash64 of a string id) overflow the shift and collide
+    * on their low 32 bits — use dense_rank/monotonically_increasing_id
+    * ids, or keep (doc_id, chunk) as a two-column key.
     */
   def chunkOversized(docs: DataFrame, idCol: String, tokensCol: String,
       budget: Long): DataFrame = {

@@ -53,9 +53,11 @@ case class BinnedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
   private val deriving = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
   }
-  // derived widths keyed by canonicalized bound-side plan (bounded)
-  private val derivedCache =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+  // derived widths keyed by canonicalized (bound plan, s, e) — the
+  // SAME bound relation joined on different interval columns has
+  // different median lengths, so the plan alone is not a valid key
+  private val derivedCache = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, Expression, Expression), java.lang.Long]()
 
   /** Median interval length of (a ≤100k-row prefix of) the bound side,
     * ≥ 1. Returns 0 — leave the join alone — if the probe fails or the
@@ -63,7 +65,7 @@ case class BinnedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     */
   private def deriveWidth(boundSide: LogicalPlan,
       s: Expression, e: Expression): Long = {
-    val key = boundSide.canonicalized
+    val key = (boundSide.canonicalized, s.canonicalized, e.canonicalized)
     val cached = derivedCache.get(key)
     if (cached != null) return cached.longValue()
     deriving.set(java.lang.Boolean.TRUE)

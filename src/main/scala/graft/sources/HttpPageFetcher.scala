@@ -76,7 +76,15 @@ class HttpPageFetcher extends PageFetcher {
         throw new java.io.IOException(s"page fetch failed: HTTP $code for $params")
       val body = Source.fromInputStream(conn.getInputStream, StandardCharsets.UTF_8.name())
         .mkString
-      val lines = body.split("\n").iterator.filter(_.nonEmpty)
+      // An empty line is a REAL row whose only selected field is empty
+      // (one nullable column projected) and must surface as a
+      // null-field record, not vanish. split(limit 0) would drop a
+      // trailing empty line — i.e. a null LAST row of the page — so
+      // split with -1 and strip only the artifact of the body's final
+      // newline.
+      val raw = body.split("\n", -1)
+      val lines =
+        (if (body.endsWith("\n")) raw.dropRight(1) else raw).iterator
       if (!lines.hasNext) Iterator.empty
       else {
         val header = lines.next().split(",").map(_.trim)

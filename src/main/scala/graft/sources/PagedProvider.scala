@@ -40,8 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `dags/iowa_liquor_dag.py:24-25`, `task_extract.log:3` try_number=2).
   */
 class PagedProvider extends TableProvider {
+  // The generator feed never produces nulls (nullable=false lets
+  // Catalyst elide null checks); an external endpoint can serve empty
+  // fields, so a fetcher-backed table must declare honest nullability —
+  // Catalyst TRUSTS nullable=false and optimizes isNotNull filters away.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PagedSource.schema
+    if (options.containsKey("fetcher")) PagedSource.schemaNullable
+    else PagedSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -103,6 +108,13 @@ object PagedSource {
     StructField("store", StringType, nullable = false),
     StructField("sale_dollars", DoubleType, nullable = false)))
 
+  /** Same columns, nullable — the honest contract for external
+    * transports (a PageRecord field may be null for unserved columns
+    * or empty endpoint fields).
+    */
+  val schemaNullable: StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
   val EpochMicros: Long = 1577836800000000L // 2020-01-01T00:00:00Z
   val DayMicros: Long = 86400000000L
   val RowsPerDay: Long = 10L
@@ -135,7 +147,8 @@ class PagedTable(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean = fal
     fetcher: Option[String] = None, fetcherOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"paged(totalRows=$totalRows, pageSize=$pageSize)"
-  override def schema(): StructType = PagedSource.schema
+  override def schema(): StructType =
+    if (fetcher.isDefined) PagedSource.schemaNullable else PagedSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -148,7 +161,8 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
 
-  private var required: StructType = PagedSource.schema
+  private var required: StructType =
+    if (fetcher.isDefined) PagedSource.schemaNullable else PagedSource.schema
   private var lo: Long = 0L
   private var hi: Long = totalRows
   private var pushed: Array[Filter] = Array.empty
@@ -156,25 +170,34 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
   // as the endpoint's `$where` clause
   private var dateGte: Option[Long] = None
   private var dateLte: Option[Long] = None
+  // Date→offset page pruning assumes THIS feed's row layout (monotone
+  // dates, fixed rows/day) — always true for the built-in generator,
+  // but an arbitrary endpoint's offsets index a different ordering, so
+  // pruning there would silently skip pages holding matching rows.
+  // External transports get it only by declaring option
+  // "monotonicDates=true"; otherwise they page the full range and rely
+  // on the forwarded $where + Spark's residual predicate.
+  private val indexPruning: Boolean =
+    fetcher.isEmpty || fetcherOptions.getOrElse("monotonicdates", "false") == "true"
 
   private def tsMicros(v: Any): Option[Long] = PagedScanBuilderUtil.tsMicros(v)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable: Array[Filter] = filters.flatMap {
       case f @ GreaterThanOrEqual("date", v) => tsMicros(v).map { t =>
-        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t))
+        if (indexPruning) lo = math.max(lo, PagedSource.lowerIndexForDateGte(t))
         dateGte = Some(dateGte.fold(t)(math.max(_, t))); f
       }
       case f @ GreaterThan("date", v) => tsMicros(v).map { t =>
-        lo = math.max(lo, PagedSource.lowerIndexForDateGte(t + 1))
+        if (indexPruning) lo = math.max(lo, PagedSource.lowerIndexForDateGte(t + 1))
         dateGte = Some(dateGte.fold(t + 1)(math.max(_, t + 1))); f
       }
       case f @ LessThanOrEqual("date", v) => tsMicros(v).map { t =>
-        hi = math.min(hi, PagedSource.upperIndexForDateLte(t))
+        if (indexPruning) hi = math.min(hi, PagedSource.upperIndexForDateLte(t))
         dateLte = Some(dateLte.fold(t)(math.min(_, t))); f
       }
       case f @ LessThan("date", v) => tsMicros(v).map { t =>
-        hi = math.min(hi, PagedSource.upperIndexForDateLte(t - 1))
+        if (indexPruning) hi = math.min(hi, PagedSource.upperIndexForDateLte(t - 1))
         dateLte = Some(dateLte.fold(t - 1)(math.min(_, t - 1))); f
       }
       case _ => None
@@ -191,6 +214,11 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
     required = requiredSchema
 
   override def pushLimit(limit: Int): Boolean = {
+    // With an external transport AND a date predicate in play, whether
+    // the endpoint applies $where before $offset is its business — a
+    // truncated page range could then under-deliver matching rows, so
+    // leave the limit to Spark in that combination.
+    if (!indexPruning && (dateGte.nonEmpty || dateLte.nonEmpty)) return false
     hi = math.min(hi, lo + limit)
     true // partial: pages may still overshoot within a partition
   }
@@ -268,7 +296,7 @@ class PagedScanBuilder(totalRows: Long, pageSize: Int, failFirstAttempt: Boolean
       new PagedDailyAggScan(StructType(fields), lo, math.max(lo, hi), kinds)
     case None =>
       new PagedScan(required, lo, math.max(lo, hi), pageSize, failFirstAttempt,
-        fetcher, fetcherOptions, dateGte, dateLte)
+        fetcher, fetcherOptions, dateGte, dateLte, indexPruning)
   }
 }
 
@@ -342,7 +370,8 @@ class PagedAggReaderFactory(values: Array[Any]) extends PartitionReaderFactory {
 class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int,
     failFirstAttempt: Boolean = false,
     fetcher: Option[String] = None, fetcherOptions: Map[String, String] = Map.empty,
-    dateGte: Option[Long] = None, dateLte: Option[Long] = None)
+    dateGte: Option[Long] = None, dateLte: Option[Long] = None,
+    indexPruning: Boolean = true)
     extends Scan with Batch with SupportsRuntimeFiltering {
   // runtime-narrowed bounds (dynamic 'partition' pruning at page grain)
   private var rlo: Long = lo
@@ -364,7 +393,7 @@ class PagedScan(required: StructType, lo: Long, hi: Long, pageSize: Int,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("date"))
 
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+  override def filter(filters: Array[Filter]): Unit = if (indexPruning) filters.foreach {
     case In("date", vs) if vs.nonEmpty =>
       val micros = vs.flatMap(PagedScanBuilderUtil.tsMicros)
       if (micros.length == vs.length) {

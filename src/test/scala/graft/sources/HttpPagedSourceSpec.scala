@@ -41,11 +41,16 @@ class HttpPagedSourceSpec extends SparkSpecBase {
     super.afterAll()
   }
 
-  private def httpRead(pageSize: Int = 100): DataFrame =
+  // monotonicDates=true: the stub serves the generator feed verbatim,
+  // so date→offset page pruning is sound here. A real endpoint leaves
+  // it unset and pages the full range (tested separately below).
+  private def httpRead(pageSize: Int = 100,
+      monotonicDates: Boolean = true): DataFrame =
     spark.read.format("graft.sources.PagedProvider")
       .option("totalRows", TotalRows.toString)
       .option("pageSize", pageSize.toString)
       .option("fetcher", "graft.sources.HttpPageFetcher")
+      .option("monotonicDates", monotonicDates.toString)
       .option("endpoint", s"http://127.0.0.1:$port/feed")
       .load()
 
@@ -77,6 +82,34 @@ class HttpPagedSourceSpec extends SparkSpecBase {
     // pages below were never requested (pushdown pruned them pre-HTTP)
     assert(reqs.nonEmpty && reqs.map(_.offset).min == 40L)
     assert(reqs.forall(_.where.exists(_.contains("date >= '2020-01-05T00:00:00'"))))
+  }
+
+  test("without monotonicDates, date filters page the FULL range (no offset math)") {
+    reset()
+    val cutoff = "2020-01-05 00:00:00"
+    val got = httpRead(monotonicDates = false)
+      .where(col("date") >= lit(cutoff).cast("timestamp"))
+    val want = builtinRead().where(col("date") >= lit(cutoff).cast("timestamp"))
+    assert(canon(got) == canon(want))
+    val reqs = requests.toArray(Array.empty[Req])
+    // generator offset math must NOT apply to an arbitrary endpoint:
+    // all pages requested, $where still forwarded for server pruning
+    assert(reqs.map(_.offset).min == 0L)
+    assert(reqs.forall(_.where.nonEmpty))
+  }
+
+  test("external transport schema is nullable; empty endpoint fields become NULLs") {
+    reset()
+    nullSaleDollarsEvery = 7
+    try {
+      val df = httpRead()
+      assert(df.schema.forall(_.nullable), "fetcher-backed schema must be nullable")
+      val n = df.where(col("sale_dollars").isNull).count()
+      assert(n == TotalRows / 7 + (if (TotalRows % 7 > 0) 1 else 0))
+      // isNotNull must actually filter (Catalyst would elide it on a
+      // nullable=false schema and surface garbage)
+      assert(df.where(col("sale_dollars").isNotNull).count() == TotalRows - n)
+    } finally nullSaleDollarsEvery = 0
   }
 
   test("pruned columns reach the endpoint as $select") {
@@ -121,8 +154,12 @@ object HttpFeedServer {
   val seenOffsets: java.util.Set[Long] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
   @volatile var flaky = false
+  /** >0: every Nth row (by index, 0-based) serves an EMPTY sale_dollars. */
+  @volatile var nullSaleDollarsEvery = 0
 
-  def reset(): Unit = { requests.clear(); seenOffsets.clear(); flaky = false }
+  def reset(): Unit = {
+    requests.clear(); seenOffsets.clear(); flaky = false; nullSaleDollarsEvery = 0
+  }
 
   private val Iso = DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
@@ -177,11 +214,14 @@ object HttpFeedServer {
         while (i < end) {
           val d = PagedSource.dateMicros(i)
           if (gte.forall(d >= _) && lte.forall(d <= _)) {
+            val nullSale =
+              nullSaleDollarsEvery > 0 && i % nullSaleDollarsEvery == 0
             sb.append(select.map {
               case "invoice_line_no" => PagedSource.invoice(i)
               case "date" => isoOf(d)
               case "store" => PagedSource.store(i)
-              case "sale_dollars" => PagedSource.saleDollars(i).toString
+              case "sale_dollars" =>
+                if (nullSale) "" else PagedSource.saleDollars(i).toString
               case other => throw new IllegalArgumentException(other)
             }.mkString(",")).append('\n')
           }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway scale probe: replicate the documents fixture N× (ids
+  * offset, text perturbed per replica so replicas are near- but not
+  * exact-dups) and time the superlinear-risk dedup operators at 1× vs
+  * N× — the local stand-in for "does the postings/banding formulation
+  * stay near-linear when the corpus grows".
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val docs1 = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "n_chars")
+    val n1 = docs1.count()
+    val docsN = docs1
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        // perturb: prepend a replica tag word so replicas are near-dups,
+        // not byte-dups (keeps shingle sets overlapping but distinct)
+        concat(lit("rep"), col("rep"), lit(" "), col("text")).as("text"),
+        col("lang"), col("n_chars"))
+      .repartition(32)
+      .persist()
+    val nN = docsN.count()
+    def t[A](label: String)(body: => A): Unit = {
+      val t0 = System.nanoTime(); body
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    println(s"[probe] corpus 1x=$n1 docs, ${mult}x=$nN docs")
+    import graft.ops.Dedup
+    t(s"ngramJaccardPairs 1x") {
+      Dedup.ngramJaccardPairs(docs1, "doc_id", "text", n = 3, threshold = 0.6,
+        maxDocFreq = Some(500)).count()
+    }
+    t(s"ngramJaccardPairs ${mult}x") {
+      Dedup.ngramJaccardPairs(docsN, "doc_id", "text", n = 3, threshold = 0.6,
+        maxDocFreq = Some(500)).count()
+    }
+    t(s"minhashLshPairs 1x") {
+      Dedup.minhashLshPairs(docs1, "doc_id", "text", n = 3, bands = 4,
+        rowsPerBand = 8, threshold = 0.6).count()
+    }
+    t(s"minhashLshPairs ${mult}x") {
+      Dedup.minhashLshPairs(docsN, "doc_id", "text", n = 3, bands = 4,
+        rowsPerBand = 8, threshold = 0.6).count()
+    }
+    t(s"dedupClusters ${mult}x (CC over LSH pairs)") {
+      val pairs = Dedup.minhashLshPairs(docsN, "doc_id", "text", n = 3,
+        bands = 4, rowsPerBand = 8, threshold = 0.6)
+      Dedup.connectedComponents(pairs).count()
+    }
+    docsN.unpersist()
+    spark.stop()
+  }
+}

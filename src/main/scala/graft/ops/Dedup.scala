@@ -157,6 +157,14 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs via inverted-index self-join:
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * Scale contract (measured, ScaleProbe 16×): linear in corpus size
+    * but QUADRATIC in duplicate-cluster size — exact all-pair output
+    * necessarily generates C(cluster, 2) pairs per shared shingle. On
+    * corpora
+    * with non-trivial dup density, cap `maxDocFreq` aggressively and
+    * prefer [[minhashLshPairs]] (measured sublinear per doc); this
+    * exact form is the small-scale / verification tool.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,

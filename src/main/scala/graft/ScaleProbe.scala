@@ -60,6 +60,51 @@ object ScaleProbe {
       Dedup.connectedComponents(pairs).count()
     }
     docsN.unpersist()
+
+    // ANN side: replicate embeddings Nx with a deterministic per-replica
+    // rotation (component shift keeps vectors distinct but realistic);
+    // corpus grows Nx while the query set stays fixed — the production
+    // shape (a query batch against an ever-growing corpus).
+    val emb1 = graft.engine.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val e1 = emb1.count()
+    val embN = emb1
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        // rotate: drop `rep % 8` leading components to the tail
+        concat(slice(col("embedding"), (col("rep") % 8 + 1).cast("int"), lit(64)),
+          slice(col("embedding"), lit(1), (col("rep") % 8).cast("int")))
+          .as("embedding"))
+      .repartition(32)
+      .persist()
+    val eN = embN.count()
+    println(s"[probe] corpus 1x=$e1 vecs, ${mult}x=$eN vecs")
+    import graft.ops.Similarity
+    val queries = emb1.where(col("vec_id") < 10)
+    t(s"bruteForceTopK 1x") {
+      Similarity.bruteForceTopK(queries, emb1, "vec_id", "embedding", k = 5).count()
+    }
+    t(s"bruteForceTopK ${mult}x") {
+      Similarity.bruteForceTopK(queries, embN, "vec_id", "embedding", k = 5).count()
+    }
+    t(s"lshTopK 1x") {
+      Similarity.lshTopK(queries, emb1, "vec_id", "embedding", k = 5).count()
+    }
+    t(s"lshTopK ${mult}x") {
+      Similarity.lshTopK(queries, embN, "vec_id", "embedding", k = 5).count()
+    }
+    t(s"ivf train+assign ${mult}x") {
+      val cents = Similarity.trainIvfCentroids(embN, "vec_id", "embedding",
+        k = 16, iters = 3)
+      Similarity.ivfAssign(embN, "embedding", cents).groupBy("cell").count().count()
+    }
+    // corpus-vs-corpus (every vector is a query): the shape where
+    // brute force is quadratic (32k² = 1e9 dots) and bucketing is the
+    // only viable plan
+    t(s"lshTopK corpus-vs-corpus ${mult}x") {
+      Similarity.lshTopK(embN, embN, "vec_id", "embedding", k = 5).count()
+    }
+    embN.unpersist()
     spark.stop()
   }
 }

@@ -142,6 +142,25 @@ object Similarity {
       k, "cosine")
   }
 
+  /** Adaptive ANN dispatch, encoding the measured crossover
+    * (ScaleProbe, NOTES round 4): brute force does |Q| exact dots per
+    * corpus vector with the query batch broadcast — corpus-linear and
+    * FASTER than LSH while |Q| is below the bucketing overhead of
+    * nPlanes×nTables plane dots per corpus vector. LSH wins as the
+    * query side grows (corpus-vs-corpus being the extreme). The probe
+    * is a bounded `limit(threshold+1).count()` — O(threshold) rows
+    * read, not a full count of a possibly corpus-sized query side.
+    */
+  def adaptiveTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val crossover = nPlanes * nTables
+    val smallQ = queries.limit(crossover + 1).count() <= crossover
+    if (smallQ) bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
+  }
+
   /** Deterministic IVF centroid training: k-means over the embedding
     * column with hash-seeded initialization (lowest xxhash64(id) rows —
     * reproducible, no RNG) and `iters` Lloyd iterations.

@@ -134,4 +134,22 @@ class SimilaritySpec extends SparkSpecBase {
         s"vectors flow through the dedup: ${a.output}")
     }
   }
+
+  test("adaptiveTopK: small query batch takes the exact brute-force plan") {
+    val q = corpus.where(col("vec_id") < 2)
+    val df = Similarity.adaptiveTopK(q, corpus, "vec_id", "embedding", k = 3,
+      nPlanes = 4, nTables = 2, dim = 8)
+    // brute force broadcasts the query side; LSH plans carry a bucket
+    // column — absence of "bucket" marks the exact path
+    assert(!df.queryExecution.optimizedPlan.toString.contains("bucket"))
+    val exact = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3)
+    assert(df.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
+  }
+
+  test("adaptiveTopK: corpus-sized query side takes the LSH-bucketed plan") {
+    val df = Similarity.adaptiveTopK(corpus, corpus, "vec_id", "embedding",
+      k = 3, nPlanes = 2, nTables = 2, dim = 8) // crossover 4 < 24 vectors
+    assert(df.queryExecution.optimizedPlan.toString.contains("bucket"))
+    assert(df.count() > 0)
+  }
 }

@@ -54,11 +54,15 @@ object ScaleProbe {
       Dedup.minhashLshPairs(docsN, "doc_id", "text", n = 3, bands = 4,
         rowsPerBand = 8, threshold = 0.6).count()
     }
-    t(s"dedupClusters ${mult}x (CC over LSH pairs)") {
-      val pairs = Dedup.minhashLshPairs(docsN, "doc_id", "text", n = 3,
-        bands = 4, rowsPerBand = 8, threshold = 0.6)
-      Dedup.connectedComponents(pairs).count()
+    // materialize pairs OUTSIDE the timed block so the CC number
+    // measures clustering, not a recomputed pair generation
+    val ccPairs = Dedup.minhashLshPairs(docsN, "doc_id", "text", n = 3,
+      bands = 4, rowsPerBand = 8, threshold = 0.6).persist()
+    ccPairs.count()
+    t(s"dedupClusters ${mult}x (CC over pre-built LSH pairs)") {
+      Dedup.connectedComponents(ccPairs).count()
     }
+    ccPairs.unpersist()
     docsN.unpersist()
 
     // ANN side: replicate embeddings Nx with a deterministic per-replica

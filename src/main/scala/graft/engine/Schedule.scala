@@ -56,9 +56,14 @@ object Schedule {
   private def markerPath(markerDir: String) =
     new org.apache.hadoop.fs.Path(markerDir, "_last_run")
 
-  /** Last successfully-completed tick, if any (missing/corrupt marker
-    * reads as "never ran" — the safe direction: re-running is
-    * idempotent by the pipeline's own conflict-ignoring load).
+  /** Last successfully-completed tick, if any. A MISSING or
+    * unparseable marker reads as "never ran" (the documented
+    * first-run semantics — note this collapses any pending catchup
+    * backlog to the single latest tick, which is why writes below are
+    * atomic-replace). A genuine I/O failure PROPAGATES: treating a
+    * transient read error as never-ran would silently skip due
+    * catchup intervals, and idempotent loads do not protect against
+    * skipped work.
     */
   def readMarker(spark: SparkSession, markerDir: String): Option[Instant] = {
     val p = markerPath(markerDir)
@@ -66,25 +71,30 @@ object Schedule {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val s = new String(
-          in.readAllBytes(), StandardCharsets.UTF_8).trim
-        s.toLongOption.map(Instant.ofEpochMilli)
-      } catch { case _: Throwable => None }
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .trim.toLongOption.map(Instant.ofEpochMilli)
       finally in.close()
     }
   }
 
-  /** Atomically (rename) record `tick` as the last completed run. */
+  /** Record `tick` as the last completed run: write-temp then
+    * ATOMIC-REPLACE rename (`Options.Rename.OVERWRITE` via
+    * FileContext — unlike `FileSystem.rename`, this is a single
+    * replace where the filesystem supports it and THROWS on failure
+    * rather than returning false). A delete-then-rename pair would
+    * leave a no-marker window in which a crash silently resets the
+    * schedule to first-run semantics.
+    */
   def writeMarker(spark: SparkSession, markerDir: String, tick: Instant): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = markerPath(markerDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(markerDir, s"._last_run.tmp")
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(markerDir, "._last_run.tmp")
     val out = fs.create(tmp, true)
     try out.write(tick.toEpochMilli.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Run gate: computes the due ticks from the marker, runs `job` per

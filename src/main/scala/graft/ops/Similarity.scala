@@ -147,16 +147,25 @@ object Similarity {
     * corpus vector with the query batch broadcast — corpus-linear and
     * FASTER than LSH while |Q| is below the bucketing overhead of
     * nPlanes×nTables plane dots per corpus vector. LSH wins as the
-    * query side grows (corpus-vs-corpus being the extreme). The probe
-    * is a bounded `limit(threshold+1).count()` — O(threshold) rows
-    * read, not a full count of a possibly corpus-sized query side.
+    * query side grows (corpus-vs-corpus being the extreme).
+    *
+    * Dispatch needs the query-side size. Pass `querySideRows` when the
+    * caller knows it (free); otherwise a `limit(threshold+1).count()`
+    * probe runs — its OUTPUT is bounded, but if the query-side plan
+    * contains a shuffle the child still executes fully AND executes
+    * again inside the chosen path, so callers with an expensive query
+    * pipeline should persist it or pass the hint.
     */
   def adaptiveTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
+      querySideRows: Option[Long] = None): DataFrame = {
     val crossover = nPlanes * nTables
-    val smallQ = queries.limit(crossover + 1).count() <= crossover
+    val smallQ = querySideRows match {
+      case Some(n) => n <= crossover
+      case None => queries.limit(crossover + 1).count() <= crossover
+    }
     if (smallQ) bruteForceTopK(queries, corpus, idCol, vecCol, k)
     else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
   }

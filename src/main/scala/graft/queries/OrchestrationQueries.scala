@@ -1,7 +1,6 @@
 package graft.queries
 
 import java.nio.file.{Files, Path}
-import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,9 +32,7 @@ object OrchestrationQueries {
     */
   private def drainAndDelete(s: SparkSession, root: Path): Unit = {
     org.apache.spark.graft.ListenerDrain.drain(s)
-    if (Files.exists(root))
-      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+    graft.engine.FsUtil.deleteRecursively(root)
   }
 
   val queries: Map[String, Q] = Map(

@@ -61,14 +61,10 @@ class CopyTransportSpec extends SparkSpecBase {
         def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
           df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
         assert(canon(replayed) == canon(stage))
-      } finally {
-        Files.walk(replayDir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      } finally FsUtil.deleteRecursively(replayDir)
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      FsUtil.deleteRecursively(tmp)
     }
   }
 

@@ -64,11 +64,7 @@ class ScheduleSpec extends SparkSpecBase {
       // immediate re-invocation: nothing due
       assert(Schedule.runDue(spark, dir, hour, catchup = true, now = t(100)) {
         _ => fail("must not run") } == 0)
-    } finally {
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("corrupt marker reads as never-ran (safe with an idempotent load)") {
@@ -77,10 +73,6 @@ class ScheduleSpec extends SparkSpecBase {
       Files.write(java.nio.file.Paths.get(dir, "_last_run"),
         "not-a-timestamp".getBytes)
       assert(Schedule.readMarker(spark, dir).isEmpty)
-    } finally {
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }

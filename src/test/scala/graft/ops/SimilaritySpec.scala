@@ -148,7 +148,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("adaptiveTopK: corpus-sized query side takes the LSH-bucketed plan") {
     val df = Similarity.adaptiveTopK(corpus, corpus, "vec_id", "embedding",
-      k = 3, nPlanes = 2, nTables = 2, dim = 8) // crossover 4 < 24 vectors
+      k = 3, nPlanes = 2, nTables = 2, dim = 8) // crossover 4 < 15 fixture vectors
     assert(df.queryExecution.optimizedPlan.toString.contains("bucket"))
     assert(df.count() > 0)
   }

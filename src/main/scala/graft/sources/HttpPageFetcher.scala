@@ -81,10 +81,12 @@ class HttpPageFetcher extends PageFetcher {
       // null-field record, not vanish. split(limit 0) would drop a
       // trailing empty line — i.e. a null LAST row of the page — so
       // split with -1 and strip only the artifact of the body's final
-      // newline.
-      val raw = body.split("\n", -1)
+      // newline. CRLF endings (what a real HTTP endpoint serves) are
+      // normalized per line — a stray \r inside a field would poison
+      // string values and fail the timestamp parse.
+      val raw = body.split("\n", -1).map(_.stripSuffix("\r"))
       val lines =
-        (if (body.endsWith("\n")) raw.dropRight(1) else raw).iterator
+        (if (raw.nonEmpty && raw.last.isEmpty) raw.dropRight(1) else raw).iterator
       if (!lines.hasNext) Iterator.empty
       else {
         val header = lines.next().split(",").map(_.trim)

@@ -112,6 +112,13 @@ class HttpPagedSourceSpec extends SparkSpecBase {
     } finally nullSaleDollarsEvery = 0
   }
 
+  test("CRLF line endings (real-endpoint framing) parse identically") {
+    reset()
+    crlf = true
+    try assert(canon(httpRead()) == canon(builtinRead()))
+    finally crlf = false
+  }
+
   test("pruned columns reach the endpoint as $select") {
     reset()
     val got = httpRead().select("store", "sale_dollars")
@@ -156,9 +163,12 @@ object HttpFeedServer {
   @volatile var flaky = false
   /** >0: every Nth row (by index, 0-based) serves an EMPTY sale_dollars. */
   @volatile var nullSaleDollarsEvery = 0
+  /** Serve CRLF line endings (what a real HTTP endpoint emits). */
+  @volatile var crlf = false
 
   def reset(): Unit = {
-    requests.clear(); seenOffsets.clear(); flaky = false; nullSaleDollarsEvery = 0
+    requests.clear(); seenOffsets.clear(); flaky = false
+    nullSaleDollarsEvery = 0; crlf = false
   }
 
   private val Iso = DateTimeFormatter.ISO_LOCAL_DATE_TIME
@@ -207,8 +217,9 @@ object HttpFeedServer {
         val gte = bound("date >=")
         val lte = bound("date <=")
 
+        val eol = if (crlf) "\r\n" else "\n"
         val sb = new StringBuilder
-        sb.append(select.mkString(",")).append('\n')
+        sb.append(select.mkString(",")).append(eol)
         var i = offset
         val end = math.min(offset + limit, totalRows)
         while (i < end) {
@@ -223,7 +234,7 @@ object HttpFeedServer {
               case "sale_dollars" =>
                 if (nullSale) "" else PagedSource.saleDollars(i).toString
               case other => throw new IllegalArgumentException(other)
-            }.mkString(",")).append('\n')
+            }.mkString(",")).append(eol)
           }
           i += 1
         }

@@ -21,6 +21,16 @@ object Bench {
       parts.mkString("[", ",", "]")
     } catch { case _: Throwable => "[]" }
 
+  /** 1-minute loadavg as a bare double (-1.0 where unavailable) — the
+    * single number the compact record carries; the stderr long form
+    * keeps the full triple.
+    */
+  private def load1(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** Fixed single-thread CPU calibration: the wall seconds for a
     * constant arithmetic workload. On an idle box this is a stable
     * machine constant; a contended run inflates it proportionally —
@@ -54,21 +64,32 @@ object Bench {
     * the JSON because the full-precision/full-name line overflowed
     * that window (BENCH_r0N "parsed": null). Short keys (the qNN
     * prefix is unique by construction) + 3-decimal values keep 72
-    * queries ≈ 1.1 KB — spec-bounded in `BenchRecordSpec`.
+    * queries ≈ 1.2 KB — spec-bounded in `BenchRecordSpec`.
+    *
+    * The contention sentinel (CPU calibration + 1-min loadavg at start
+    * and end) rides INSIDE this record, not just the stderr long form:
+    * BENCH_r05 showed a 1.8× total regression on byte-identical code
+    * that was almost certainly box contention, and the artifact could
+    * not prove it because the sentinel never reached the parsed line.
+    * ~70 bytes buys a self-defending artifact.
     */
   def compactRecord(results: Seq[(String, Double)], totalSec: Double,
       paritySec: Double, ingestSec: Double, only: Option[Seq[String]],
-      sfDir: String): String = {
+      sfDir: String, calibStartSec: Double = -1.0, calibEndSec: Double = -1.0,
+      load1Start: Double = -1.0, load1End: Double = -1.0): String = {
     val qs = results.map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(totalSec)},"unit":"sec",""" +
       s""""parity_sec":${r3(paritySec)},"extensions_sec":${r3(totalSec - ingestSec - paritySec)},""" +
       s""""ingest_sec":${r3(ingestSec)},${onlyJson(only)}""" +
+      s""""calib_sec_start":${r3(calibStartSec)},"calib_sec_end":${r3(calibEndSec)},""" +
+      s""""load1_start":${r3(load1Start)},"load1_end":${r3(load1End)},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadavgJson()
+    val load1StartV = load1()
     val calibStart = calibrationSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,9 +170,11 @@ object Bench {
     // start and end. If calib_sec here is ≫ its idle-box value (or
     // loadavg ≫ this process's core count), the numbers above measured
     // a contended machine, not the engine.
+    val load1EndV = load1()
+    val calibEnd = calibrationSec()
     val sentinel =
       s""""sentinel":{"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()},""" +
-        s""""calib_sec_start":${r3(calibStart)},"calib_sec_end":${r3(calibrationSec())}}"""
+        s""""calib_sec_start":${r3(calibStart)},"calib_sec_end":${r3(calibEnd)}}"""
     // Long-form record (full query names, sentinel) → stderr for
     // humans. A filtered (SPARK_GRAFT_BENCH_ONLY) run must be
     // distinguishable from a real full round in both records.
@@ -161,7 +184,9 @@ object Bench {
       s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
       s""""ingest_sec":${r3(ingestSec)},${onlyJson(only)}$sentinel,""" +
       s""""queries":$qsLong,"sf":"$sfDir"}""")
-    println(compactRecord(results, total, parity, ingestSec, only, sfDir))
+    println(compactRecord(results, total, parity, ingestSec, only, sfDir,
+      calibStartSec = calibStart, calibEndSec = calibEnd,
+      load1Start = load1StartV, load1End = load1EndV))
     spark.stop()
   }
 }

@@ -14,14 +14,26 @@ class BenchRecordSpec extends AnyFunSuite {
     // every registered query, worst-case ≥10s values (6 chars each)
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
     Bench.compactRecord(results, totalSec = 888.888, paritySec = 88.888,
-      ingestSec = 8.888, only = None, sfDir = "/root/testdata/sf0.1")
+      ingestSec = 8.888, only = None, sfDir = "/root/testdata/sf0.1",
+      calibStartSec = 88.888, calibEndSec = 88.888,
+      load1Start = 888.888, load1End = 888.888)
   }
 
   test("compact record for the FULL inventory fits the driver's tail window") {
     val rec = fullInventoryRecord
     // window is ~2 KB and sbt's trailing [success] line costs ~80 bytes
-    assert(rec.length < 1800, s"record is ${rec.length} bytes:\n$rec")
+    assert(rec.length < 1900, s"record is ${rec.length} bytes:\n$rec")
     assert(!rec.contains("\n"))
+  }
+
+  test("contention sentinel rides the DRIVER-PARSED record, not just stderr") {
+    // BENCH_r05 lesson: a 1.8x regression on byte-identical code could
+    // not defend itself because calibration lived only on stderr.
+    val rec = fullInventoryRecord
+    assert(rec.contains(""""calib_sec_start":88.888"""))
+    assert(rec.contains(""""calib_sec_end":88.888"""))
+    assert(rec.contains(""""load1_start":888.888"""))
+    assert(rec.contains(""""load1_end":888.888"""))
   }
 
   test("compact record is valid JSON with the driver's contract fields") {

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.ops.{Dedup, Similarity}
+
+/** Diagnostic main (like ScaleProbe): prints the measured recall of
+  * the approximate paths vs their exact twins at a given SF dir, so
+  * the contract-oracle floors in PipelineQueries are pinned to
+  * evidence, not guesses. Run per scale:
+  *
+  *   sbt "runMain graft.RecallProbe /root/testdata/sf0.01"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // MinHash LSH vs exact Jaccard pairs
+    val docs = Tables.documents(spark, sfDir)
+    val exactPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 4, 8, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    println(s"[recall-probe] sf=$sfDir minhash_lsh: exact=${exactPairs.size} " +
+      s"lsh=${lshPairs.size} hit=${(exactPairs & lshPairs).size} " +
+      s"recall=${(exactPairs & lshPairs).size.toDouble / math.max(exactPairs.size, 1)} " +
+      s"false_pos=${(lshPairs -- exactPairs).size}")
+
+    // ANN LSH vs exact cosine, per query
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val exactCos = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((np, nt) <- Seq((6, 4), (4, 8), (4, 16), (3, 16))) {
+      val lshCos = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
+          nPlanes = np, nTables = nt)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exactCos.map { case (qid, ex) =>
+        (lshCos.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      println(s"[recall-probe] sf=$sfDir ann_lsh planes=$np tables=$nt: " +
+        s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
+        f"per-query=${recalls.toSeq.sorted.mkString(",")}")
+    }
+
+    // IVF vs exact dot, per query, at several probe widths
+    val exactDot = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5,
+        simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (nCells <- Seq(8, 16); nProbe <- Seq(1, 2, 3)) {
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", nCells, iters = 3)
+      val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+          nProbe = nProbe, centroids = Some(cents),
+          simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exactDot.map { case (qid, ex) =>
+        (ivf.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      println(s"[recall-probe] sf=$sfDir ann_ivf cells=$nCells nProbe=$nProbe: " +
+        s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
+        s"per-query=${recalls.toSeq.sorted.mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,241 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+/** Self-contained pure-JVM media codecs: 24-bit BMP, binary PPM (P6),
+  * and 16-bit PCM WAV. No external libraries — these are the formats
+  * whose containers are simple enough to parse byte-for-byte, which
+  * makes the multimodal decode path REAL (header parse + raster/PCM
+  * walk) instead of a stub, while staying dependency-free offline.
+  *
+  * Encoders exist so the pipeline can synthesize deterministic
+  * payloads for the fixture corpus (the test tables carry no binary
+  * media column); decoders detect the container from magic bytes and
+  * never trust caller-supplied metadata.
+  */
+object MediaCodecs {
+
+  /** Decoded container facts. Images: channels=3, sampleRate=0,
+    * nFrames=0, meanVal = mean pixel byte (0..255). WAV: width=height=0,
+    * nFrames = per-channel sample frames, meanVal = mean signed sample.
+    */
+  case class Decoded(format: String, width: Int, height: Int,
+      channels: Int, sampleRate: Int, nFrames: Long, meanVal: Double)
+
+  // ---- little-endian helpers -------------------------------------------
+
+  private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+  }
+  private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  // ---- BMP (BITMAPINFOHEADER, 24bpp, BI_RGB) ---------------------------
+
+  /** Bytes per stored BMP row: 3·width rounded up to a 4-byte boundary. */
+  def bmpRowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** 24-bit uncompressed BMP. `pix(k)` supplies the pixel byte at
+    * logical index k = (y·width + x)·3 + c with y the TOP-DOWN row —
+    * rows are stored bottom-up with zero padding, as the format requires.
+    */
+  def encodeBmp(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = bmpRowSize(width)
+    val dataSize = rowSize * height
+    val out = new ByteArrayOutputStream(54 + dataSize)
+    out.write('B'); out.write('M')
+    le32(out, 54 + dataSize) // file size
+    le32(out, 0)             // reserved
+    le32(out, 54)            // pixel data offset
+    le32(out, 40)            // BITMAPINFOHEADER size
+    le32(out, width)
+    le32(out, height)        // positive → bottom-up
+    le16(out, 1)             // planes
+    le16(out, 24)            // bpp
+    le32(out, 0)             // BI_RGB
+    le32(out, dataSize)
+    le32(out, 2835); le32(out, 2835) // 72 DPI
+    le32(out, 0); le32(out, 0)       // palette
+    var y = height - 1
+    while (y >= 0) {
+      var i = 0
+      while (i < 3 * width) {
+        out.write(pix(y.toLong * width * 3 + i) & 0xFF)
+        i += 1
+      }
+      var p = 3 * width
+      while (p < rowSize) { out.write(0); p += 1 } // padding NOT pixel data
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse a 24-bit BMP: header-driven data offset, per-row padding
+    * skipped (padding bytes must NOT contaminate the mean), negative
+    * height (top-down storage) accepted.
+    */
+  def decodeBmp(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOffset = readLe32(bytes, 10)
+    val width = readLe32(bytes, 18)
+    val rawHeight = readLe32(bytes, 22)
+    val height = math.abs(rawHeight)
+    val bpp = readLe16(bytes, 28)
+    require(bpp == 24, s"unsupported BMP bpp $bpp (24-bit only)")
+    require(readLe32(bytes, 30) == 0, "compressed BMP unsupported")
+    val rowSize = bmpRowSize(width)
+    require(bytes.length >= dataOffset + rowSize.toLong * height, "truncated BMP")
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOffset + y * rowSize
+      var i = 0
+      while (i < 3 * width) { sum += bytes(rowOff + i) & 0xFF; i += 1 }
+      y += 1
+    }
+    val n = 3L * width * height
+    Decoded("bmp", width, height, 3, 0, 0L,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  // ---- PPM (P6 binary) -------------------------------------------------
+
+  /** Binary PPM: ASCII header `P6\n<w> <h>\n255\n` + raw RGB raster
+    * (no row padding — the contrast with BMP is what the decode specs
+    * exercise). Same `pix(k)` convention as [[encodeBmp]].
+    */
+  def encodePpm(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new ByteArrayOutputStream(header.length + 3 * width * height)
+    out.write(header, 0, header.length)
+    var k = 0L
+    val total = 3L * width * height
+    while (k < total) { out.write(pix(k) & 0xFF); k += 1 }
+    out.toByteArray
+  }
+
+  /** Parse P6: whitespace-tokenized header (width, height, maxval),
+    * exactly one whitespace byte before the raster, then 3·w·h bytes.
+    */
+  def decodePpm(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var off = 2
+    def nextInt(): Int = {
+      while (off < bytes.length && Character.isWhitespace(bytes(off))) off += 1
+      var v = 0
+      require(off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9', "bad PPM header")
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
+        v = v * 10 + (bytes(off) - '0'); off += 1
+      }
+      v
+    }
+    val width = nextInt()
+    val height = nextInt()
+    val maxval = nextInt()
+    require(maxval == 255, s"unsupported PPM maxval $maxval")
+    off += 1 // the single whitespace separating header from raster
+    val n = 3L * width * height
+    require(bytes.length >= off + n, "truncated PPM")
+    var sum = 0L
+    var i = 0L
+    while (i < n) { sum += bytes(off + i.toInt) & 0xFF; i += 1 }
+    Decoded("ppm", width, height, 3, 0, 0L,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  // ---- WAV (RIFF, PCM 16-bit) ------------------------------------------
+
+  /** RIFF/WAVE with one `fmt ` chunk (PCM, 16-bit) and one `data`
+    * chunk. `sample(k)` supplies the k-th interleaved signed sample,
+    * k = 0 .. channels·frames − 1.
+    */
+  def encodeWav(channels: Int, sampleRate: Int, frames: Long,
+      sample: Long => Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && frames >= 0)
+    val n = channels * frames
+    val dataSize = (2 * n).toInt
+    val out = new ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(out, 36 + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    le32(out, 16)
+    le16(out, 1) // PCM
+    le16(out, channels)
+    le32(out, sampleRate)
+    le32(out, sampleRate * channels * 2) // byte rate
+    le16(out, channels * 2)              // block align
+    le16(out, 16)                        // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    le32(out, dataSize)
+    var k = 0L
+    while (k < n) { le16(out, sample(k) & 0xFFFF); k += 1 }
+    out.toByteArray
+  }
+
+  /** Walk the RIFF chunk list (odd-sized chunks are pad-aligned, per
+    * spec) for `fmt ` and `data`; decode 16-bit signed PCM.
+    */
+  def decodeWav(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a RIFF/WAVE")
+    var off = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = readLe32(bytes, off + 4)
+      id match {
+        case "fmt " =>
+          require(readLe16(bytes, off + 8) == 1, "non-PCM WAV unsupported")
+          channels = readLe16(bytes, off + 10)
+          sampleRate = readLe32(bytes, off + 12)
+          bits = readLe16(bytes, off + 22)
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ => // skip unknown chunks (LIST, INFO, ...)
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(channels > 0 && sampleRate > 0, "missing fmt chunk")
+    require(bits == 16, s"unsupported WAV bit depth $bits")
+    require(dataOff >= 0 && bytes.length >= dataOff + dataLen, "missing/truncated data chunk")
+    val n = dataLen / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += readLe16(bytes, dataOff + 2 * i).toShort.toLong
+      i += 1
+    }
+    Decoded("wav", 0, 0, channels, sampleRate, n.toLong / channels,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  // ---- dispatch --------------------------------------------------------
+
+  /** Container detection from magic bytes — caller metadata is never
+    * trusted. Throws on anything unrecognized (a real pipeline routes
+    * those rows to a quarantine sink, not past the decoder).
+    */
+  def decode(bytes: Array[Byte]): Decoded =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') decodeWav(bytes)
+    else throw new IllegalArgumentException(
+      s"unrecognized media container (${bytes.length} bytes)")
+}

@@ -3,98 +3,125 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: opaque binary payloads with typed
-  * metadata, decoded/feature-extracted per partition.
+/** Multimodal-column plumbing: opaque binary payloads decoded and
+  * feature-extracted per partition.
   *
-  * The Spark-side shape is real — binary columns, metadata structs,
-  * partition-batched decode via `mapPartitions` on a typed Dataset
-  * (the Scala analog of `mapInPandas` batch processing) — while the
-  * codec itself is a clearly-marked deterministic STUB: the actual
-  * image/audio libraries are not in this container. Swapping
-  * `decodeStub` for a real JNI/JavaCV decoder changes no schema,
-  * partitioning, or call shape.
+  * The decode is REAL: [[MediaCodecs]] parses BMP/PPM/WAV containers
+  * byte-for-byte (header walk, row padding, RIFF chunk list) — no
+  * external codec libraries needed. The fixture tables carry no binary
+  * media column, so [[synthesizeMedia]] builds deterministic payloads
+  * whose container facts (dimensions, channels, frame counts, pixel/
+  * sample byte streams) are closed-form functions of the document id —
+  * which is exactly what lets q30's driver oracle pin every decoded
+  * feature hash-exactly: the oracle recomputes the closed forms, and
+  * they only match if the encoder AND decoder both honor the container
+  * format (a decoder that e.g. averaged BMP padding bytes diverges).
+  *
+  * At scale the decode is a narrow per-partition pass — one iterator
+  * (or Arrow batch) at a time, no shuffle, no driver involvement.
   */
 object Multimodal {
 
-  /** Typed row for the decode stage: payload plus its metadata. */
-  case class MediaRow(
-      media_id: Long, payload: Array[Byte], format: String,
-      width: Int, height: Int)
+  /** Typed row for the decode stage: the payload is opaque; `format`
+    * is caller metadata that the decoder deliberately ignores (magic
+    * bytes win — see [[MediaCodecs.decode]]).
+    */
+  case class MediaRow(media_id: Long, payload: Array[Byte], format: String)
 
-  /** Extracted features per media item. */
+  /** Decoded container features per media item. Images: sample_rate=0,
+    * n_frames=0, duration_sec=0, mean_val = mean pixel byte. Audio:
+    * width=height=0, mean_val = mean signed sample.
+    */
   case class MediaFeatures(
-      media_id: Long, n_bytes: Long, format: String,
-      width: Int, height: Int,
-      mean_byte: Double, frames_sampled: Int)
+      media_id: Long, format: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, sample_rate: Int,
+      n_frames: Long, duration_sec: Double, mean_val: Double)
 
-  /** Attach a binary payload + deterministic fake metadata to the
-    * documents table — stands in for reading real image/audio bytes.
-    * Payload is the UTF-8 text bytes (opaque to everything downstream).
+  /** Synthesis formulas — shared with the q30 oracle SQL, which states
+    * them as closed forms over doc_id. Change these and the oracle in
+    * PipelineQueries.oracleSql("q30_multimodal_features") together.
     */
-  def attachPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).cast("long").as("media_id"),
-      col(textCol).cast("binary").as("payload"),
-      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"),
-      (pmod(col(idCol), lit(8)) * 160 + 320).cast("int").as("width"),
-      (pmod(col(idCol), lit(8)) * 90 + 180).cast("int").as("height"))
+  def synthWidth(id: Long): Int = ((id % 8) * 3 + 5).toInt
+  def synthHeight(id: Long): Int = ((id % 6) * 3 + 4).toInt
+  def synthChannels(id: Long): Int = (1 + id % 2).toInt
+  def synthFrames(id: Long): Long = (id % 40) * 5 + 40
+  val SynthSampleRate = 8000
 
-  /** STUB decode: where a real implementation would parse the codec
-    * (JPEG/PNG/WAV) and extract features, this computes deterministic
-    * stand-ins from the raw bytes (byte count, mean byte value, a fake
-    * frame-sample count from the metadata). Batch shape is the real
-    * one: one iterator pass per partition, no per-row JVM boundary.
+  /** One deterministic payload per id: id%3 picks the container.
+    * Pixel byte k is (31k+7+id) mod 256; PCM sample k is
+    * (37k+11+id) mod 2001 − 1000.
     */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-    rows.map { r =>
-      // --- STUB: real codec call goes here (not available in-container).
-      val n = r.payload.length.toLong
-      val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xFF).toLong).sum.toDouble / n
-      val frames = if (r.format == "wav") (n / 64).toInt else 1
-      MediaFeatures(r.media_id, n, r.format, r.width, r.height, mean, frames)
-    }
-
-  /** Feature-extraction pipeline: documents → payload+metadata →
-    * per-partition decode → features DataFrame. Partitioning is
-    * preserved end-to-end; the decode is a narrow transformation.
-    */
-  def extractFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val media: Dataset[MediaRow] =
-      attachPayload(docs, idCol, textCol).as[MediaRow](Encoders.product[MediaRow])
-    media.mapPartitions(decodeStub _)(Encoders.product[MediaFeatures]).toDF()
+  def synthesizePayload(id: Long): (Array[Byte], String) = (id % 3) match {
+    case 0 =>
+      (MediaCodecs.encodeBmp(synthWidth(id), synthHeight(id),
+        k => ((k * 31 + 7 + id) % 256).toInt), "bmp")
+    case 1 =>
+      (MediaCodecs.encodePpm(synthWidth(id), synthHeight(id),
+        k => ((k * 31 + 7 + id) % 256).toInt), "ppm")
+    case _ =>
+      (MediaCodecs.encodeWav(synthChannels(id), SynthSampleRate, synthFrames(id),
+        k => ((k * 37 + 11 + id) % 2001 - 1000).toInt), "wav")
   }
 
+  /** Documents → media rows with real encoded payloads. A typed map —
+    * byte building is genuinely imperative — and a narrow one: payload
+    * synthesis stands in for reading a binary column off parquet.
+    */
+  def synthesizeMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col(idCol).cast("long")).as(Encoders.scalaLong).map { id =>
+      val (payload, fmt) = synthesizePayload(id)
+      MediaRow(id, payload, fmt)
+    }
+  }
+
+  /** Decode features for one payload via the real codec. */
+  def decodeFeatures(id: Long, payload: Array[Byte]): MediaFeatures = {
+    val d = MediaCodecs.decode(payload)
+    MediaFeatures(id, d.format, payload.length.toLong,
+      d.width, d.height, d.channels, d.sampleRate, d.nFrames,
+      if (d.sampleRate > 0) d.nFrames.toDouble / d.sampleRate else 0.0,
+      d.meanVal)
+  }
+
+  /** Row-iterator decode: one pass per partition, no per-row JVM/SQL
+    * boundary crossings beyond the encoder's.
+    */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map(r => decodeFeatures(r.media_id, r.payload))
+
+  /** Feature-extraction pipeline: documents → synthesized payloads →
+    * per-partition codec decode → features DataFrame. Narrow end-to-end.
+    */
+  def extractFeatures(docs: DataFrame, idCol: String): DataFrame =
+    synthesizeMedia(docs, idCol)
+      .mapPartitions(decodeBatch _)(Encoders.product[MediaFeatures]).toDF()
+
   /** Arrow columnar-batch variant of the decode stage — the batch shape
-    * a real native codec integration needs (a JNI/FFI decoder consumes
+    * a native JNI/FFI codec integration needs (such a decoder consumes
     * Arrow buffers directly, so the decode loop must see columnar
     * batches, not JVM row objects). Scala Spark has no `mapInArrow`
-    * (that is a Python-surface API), so the batch marshalling is
-    * explicit and uses the public Arrow vector API: each partition is
-    * packed into `batchSize`-row `VectorSchemaRoot`s, the (stub) codec
-    * reads the columnar buffers batch-at-a-time, and features come
-    * back as rows. Allocation is per-batch and closed eagerly — memory
-    * stays bounded at batchSize × row width regardless of partition
-    * size.
+    * (a Python-surface API), so the batch marshalling is explicit and
+    * uses the public Arrow vector API: each partition is packed into
+    * `batchSize`-row `VectorSchemaRoot`s, the codec reads the columnar
+    * buffers batch-at-a-time, and features come back as rows.
+    * Allocation is per-batch and closed eagerly — memory stays bounded
+    * at batchSize × row width regardless of partition size.
     *
     * Output contract is IDENTICAL to [[extractFeatures]] (spec-pinned).
     */
-  def extractFeaturesArrow(docs: DataFrame, idCol: String, textCol: String,
+  def extractFeaturesArrow(docs: DataFrame, idCol: String,
       batchSize: Int = 512): DataFrame = {
     require(batchSize > 0)
-    val media: Dataset[MediaRow] =
-      attachPayload(docs, idCol, textCol).as[MediaRow](Encoders.product[MediaRow])
-    media.mapPartitions { rows =>
+    synthesizeMedia(docs, idCol).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(decodeArrowBatch)
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
-  /** One Arrow batch through the (stub) codec: marshal the rows into
-    * Arrow vectors, run the decode against the COLUMNAR buffers (the
-    * loop reads `VarBinaryVector`/`BigIntVector` cells, never a
-    * MediaRow), release the buffers. A real decoder would hand
-    * `root`'s buffers across the FFI boundary instead of the marked
-    * stub block — nothing else changes.
+  /** One Arrow batch through the codec: marshal the rows into Arrow
+    * vectors, decode against the COLUMNAR buffers (the loop reads
+    * `VarBinaryVector`/`BigIntVector` cells, never a MediaRow),
+    * release the buffers.
     */
   private def decodeArrowBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
     import org.apache.arrow.memory.RootAllocator
@@ -105,37 +132,21 @@ object Multimodal {
 
     val schema = new Schema(Seq(
       new Field("media_id", FieldType.notNullable(new ArrowType.Int(64, true)), null),
-      new Field("payload", FieldType.notNullable(Types.MinorType.VARBINARY.getType), null),
-      new Field("format", FieldType.notNullable(Types.MinorType.VARCHAR.getType), null),
-      new Field("width", FieldType.notNullable(new ArrowType.Int(32, true)), null),
-      new Field("height", FieldType.notNullable(new ArrowType.Int(32, true)), null)
+      new Field("payload", FieldType.notNullable(Types.MinorType.VARBINARY.getType), null)
     ).asJava)
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(schema, allocator)
     try {
       val ids = root.getVector("media_id").asInstanceOf[BigIntVector]
       val payloads = root.getVector("payload").asInstanceOf[VarBinaryVector]
-      val formats = root.getVector("format").asInstanceOf[VarCharVector]
-      val widths = root.getVector("width").asInstanceOf[IntVector]
-      val heights = root.getVector("height").asInstanceOf[IntVector]
       root.allocateNew()
       batch.zipWithIndex.foreach { case (r, i) =>
         ids.setSafe(i, r.media_id)
         payloads.setSafe(i, r.payload)
-        formats.setSafe(i, r.format.getBytes("UTF-8"))
-        widths.setSafe(i, r.width)
-        heights.setSafe(i, r.height)
       }
       root.setRowCount(batch.size)
       (0 until root.getRowCount).map { i =>
-        // --- STUB: real codec consumes the Arrow buffers here.
-        val bytes = payloads.get(i)
-        val fmt = new String(formats.get(i), "UTF-8")
-        val n = bytes.length.toLong
-        val mean =
-          if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toLong).sum.toDouble / n
-        val frames = if (fmt == "wav") (n / 64).toInt else 1
-        MediaFeatures(ids.get(i), n, fmt, widths.get(i), heights.get(i), mean, frames)
+        decodeFeatures(ids.get(i), payloads.get(i))
       }
     } finally {
       root.close()
@@ -144,11 +155,12 @@ object Multimodal {
   }
 
   /** "Resize" stage stub: recompute metadata for a target size while
-    * passing the payload through — exercises schema evolution of the
-    * media struct without a real resampler.
+    * passing the rest of the feature row through — exercises schema
+    * evolution of the media struct without a real resampler (the one
+    * remaining piece a native image library would supply).
     */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    media
+  def resizeStub(features: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    features
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
       .withColumn("resized", lit(true))
@@ -168,7 +180,7 @@ object Multimodal {
     require(frameBytes > 0 && stride > 0)
     implicit val enc = Encoders.product[Frame]
     media.flatMap { r =>
-      // --- STUB: real keyframe-seek goes here (no codec in-container).
+      // --- STUB: real keyframe-seek goes here (no video codec offline).
       r.payload.grouped(frameBytes).zipWithIndex
         .collect { case (chunk, i) if i % stride == 0 =>
           Frame(r.media_id, i, chunk) }

@@ -142,32 +142,64 @@ object Similarity {
       k, "cosine")
   }
 
-  /** Adaptive ANN dispatch, encoding the measured crossover
-    * (ScaleProbe, NOTES round 4): brute force does |Q| exact dots per
-    * corpus vector with the query batch broadcast — corpus-linear and
-    * FASTER than LSH while |Q| is below the bucketing overhead of
-    * nPlanes×nTables plane dots per corpus vector. LSH wins as the
-    * query side grows (corpus-vs-corpus being the extreme).
+  /** Adaptive ANN dispatch over all three paths:
     *
-    * Dispatch needs the query-side size. Pass `querySideRows` when the
-    * caller knows it (free); otherwise a `limit(threshold+1).count()`
-    * probe runs — its OUTPUT is bounded, but if the query-side plan
-    * contains a shuffle the child still executes fully AND executes
-    * again inside the chosen path, so callers with an expensive query
-    * pipeline should persist it or pass the hint.
+    * - |Q| ≤ nPlanes·nTables → BRUTE FORCE. Encodes the measured
+    *   crossover (ScaleProbe, NOTES round 4): brute does |Q| exact
+    *   dots per corpus vector with the query batch broadcast —
+    *   corpus-linear and faster than LSH while |Q| is below the
+    *   bucketing overhead of nPlanes×nTables plane dots per vector.
+    * - large |Q|, corpus ≤ `ivfCorpusFloor` → LSH. Zero training
+    *   cost; bucket occupancy (|C| / 2^nPlanes per table) stays small
+    *   enough that candidate lists don't degenerate.
+    * - large |Q|, corpus > `ivfCorpusFloor` → IVF with √|C| cells.
+    *   Past the floor, LSH faces a parameter squeeze: fixed nPlanes
+    *   means per-bucket candidates grow linearly with |C| (the
+    *   candidate join degenerates), while adding planes to compensate
+    *   costs recall that only more tables (more full passes) buy
+    *   back. IVF's cell count SCALES with the corpus instead —
+    *   √|C| cells keeps both the per-cell candidate count and the
+    *   per-row assignment cost at √|C|, with one Lloyd-training pass
+    *   (driver state nCells·dim doubles) amortized over the large
+    *   query batch that this branch implies. The floor's order of
+    *   magnitude (10^5, where √|C|≈316 cells ≈ the plane-dot cost of
+    *   a 4×16 LSH but with bounded buckets) is a cost-model default,
+    *   not a fixture measurement — the test corpus tops out at 2k
+    *   vectors, far below any honest crossover.
+    *
+    * Dispatch needs both side sizes. Pass `querySideRows` /
+    * `corpusRows` when the caller knows them (free); otherwise a
+    * bounded `limit(threshold+1).count()` probe runs — its OUTPUT is
+    * bounded, but if the probed plan contains a shuffle the child
+    * still executes fully AND executes again inside the chosen path,
+    * so callers with expensive inputs should persist them or pass the
+    * hints.
     */
   def adaptiveTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
-      querySideRows: Option[Long] = None): DataFrame = {
+      querySideRows: Option[Long] = None,
+      corpusRows: Option[Long] = None,
+      ivfCorpusFloor: Long = 100000L): DataFrame = {
     val crossover = nPlanes * nTables
     val smallQ = querySideRows match {
       case Some(n) => n <= crossover
       case None => queries.limit(crossover + 1).count() <= crossover
     }
     if (smallQ) bruteForceTopK(queries, corpus, idCol, vecCol, k)
-    else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
+    else {
+      val bigC = corpusRows match {
+        case Some(n) => n > ivfCorpusFloor
+        case None => corpus.limit((ivfCorpusFloor + 1).toInt).count() > ivfCorpusFloor
+      }
+      if (bigC) {
+        val nC = corpusRows.getOrElse(corpus.count())
+        val nCells = math.max(8, math.sqrt(nC.toDouble).toInt)
+        ivfTopK(queries, corpus, idCol, vecCol, k,
+          nCells = nCells, iters = 2, nProbe = 2)
+      } else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
+    }
   }
 
   /** Deterministic IVF centroid training: k-means over the embedding
@@ -217,20 +249,19 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid cell id for a vector column, against driver-side
-    * centroids materialized as literals: argmax of dot(vec, ĉ) over
-    * L2-normalized centroids (equivalent to argmax cosine — the row
-    * vector's own norm is constant across candidates), ties to the
-    * lowest cell id. Pure map-side expression; no join, no shuffle.
+  /** Per-cell (dot, -cell) score structs against driver-side
+    * L2-normalized centroid literals (argmax dot ≡ argmax cosine — the
+    * row vector's own norm is constant across candidates). The -cell
+    * component makes struct max/sort tie-break to the LOWEST cell id.
+    * Pure map-side expression; no join, no shuffle.
     */
-  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  private def cellScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val normed = centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0.0) c else c.map(_ / n)
     }
     val centLit = typedLit(normed)
-    // (dot, -cell) structs: array_max picks max dot, then min cell.
-    val scored = transform(
+    transform(
       sequence(lit(0), lit(centroids.size - 1)),
       i => struct(
         aggregate(
@@ -238,8 +269,24 @@ object Similarity {
             (x, w) => x.cast("double") * w),
           lit(0.0), (acc, v) => acc + v).as("dot"),
         (-i).as("ncell")))
-    (-array_max(scored).getField("ncell")).cast("long")
   }
+
+  /** Nearest-centroid cell id for a vector column, ties to the lowest
+    * cell id.
+    */
+  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    (-array_max(cellScores(vec, centroids)).getField("ncell")).cast("long")
+
+  /** The `nProbe` nearest cell ids, best first — multi-probe IVF's
+    * query-side fan-out (probing only the single nearest cell loses
+    * the neighbors that sit just across a Voronoi boundary; standard
+    * IVF recall/cost knob). Still map-side only.
+    */
+  def probeCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    transform(
+      // ascending (dot, ncell) sort reversed = dot desc, cell asc on ties
+      slice(reverse(array_sort(cellScores(vec, centroids))), 1, nProbe),
+      s => (-s.getField("ncell")).cast("long"))
 
   /** IVF coarse quantization: tag each row with its nearest-centroid
     * `cell` — the blocking key for cell-local candidate search.
@@ -247,4 +294,51 @@ object Similarity {
   def ivfAssign(df: DataFrame, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame =
     df.withColumn("cell", assignCell(col(vecCol), centroids))
+
+  /** Query-side multi-probe assignment: one row per (row, probed
+    * cell), nearest cells first.
+    */
+  def ivfAssignProbes(df: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame =
+    df.withColumn("cell", explode(probeCells(col(vecCol), centroids, nProbe)))
+
+  /** IVF ANN top-k: corpus blocked into `nCells` Voronoi cells (one
+    * cell per vector), queries probe their `nProbe` nearest cells,
+    * candidates are cell-colocated pairs deduped ON IDS (as in
+    * [[lshTopK]]: a vector crosses the wire once however many probes
+    * it matched), then exact re-rank. The corpus side never moves
+    * except the one cell-key shuffle of the candidate join — the
+    * 100 TB shape: per-query work is |probed cells| · cell size, not
+    * corpus size.
+    *
+    * `centroids`: pass pre-trained centroids to skip training (shared
+    * across calls / probe widths); None trains `nCells` k-means cells
+    * with `iters` Lloyd iterations, driver-side state = nCells·dim
+    * doubles only.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 64, iters: Int = 3, nProbe: Int = 2,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      simFn: (Column, Column) => Column = cosineSim,
+      simName: String = "cosine"): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, idCol, vecCol, nCells, iters))
+    val qa = ivfAssignProbes(queries, vecCol, cents, nProbe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val ca = ivfAssign(corpus, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val candIds = ca.join(qa, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighborv"))
+    val cands = candIds.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+    rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        simFn(col("queryv"), col("neighborv")).as(simName)),
+      k, simName)
+  }
 }

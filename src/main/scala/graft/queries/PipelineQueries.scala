@@ -105,21 +105,60 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // MinHash + banded LSH candidates, verified with exact Jaccard —
-    // the 100 TB dedup shape. Hash-based → rows-only vs oracle.
-    // 4 bands × 8 rows: band-collision probability p^8 keeps the
-    // false-candidate rate tiny even on low-vocabulary corpora, while
-    // jaccard≈0.99 near-dups still collide with probability ~1.
+    // MinHash + banded LSH, verified with exact Jaccard — the 100 TB
+    // dedup shape (4 bands × 8 rows: j≈0.99 near-dups collide with
+    // probability ~1, j≈0.6 false candidates at ~0.6^8 per band).
+    // CONTRACT oracle (round-4 pattern): the pair set itself is hash-
+    // dependent, but (a) every verified pair must be in the exact-
+    // Jaccard pair set (n_false_pos = 0 — the verify step recomputes
+    // exact Jaccard, so a nonzero count means the verify is broken),
+    // and (b) recall vs the exact path (q24's twin, computed in-plan)
+    // meets a measured floor. One full-outer join + one aggregate.
     "q25_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .select("id_a", "id_b").withColumn("in_exact", lit(true))
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
           n = 3, bands = 4, rowsPerBand = 8, threshold = 0.6)
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b").withColumn("in_lsh", lit(true))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_lsh") && col("in_exact").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(col("in_lsh") && col("in_exact"), 1L).otherwise(0L))
+            .as("n_hit"))
+        .select(col("n_exact"), col("n_false_pos"),
+          (col("n_hit").cast("double") >=
+            col("n_exact").cast("double") * 0.75).as("recall_floor_met"))
     },
 
     // SimHash 64-bit fingerprints, Hamming ≤ 3 via quarter-banding.
+    // CONTRACT oracle: quarter-banding is EXHAUSTIVE for maxDist ≤ 3
+    // (pigeonhole — 4 quarters, ≤3 differing bits, so one quarter is
+    // untouched), so the banded pair set must EQUAL the brute-force
+    // all-pairs Hamming set, computed in-plan over the 16-byte
+    // (doc, fp) table — a deliberate verification-arm nested-loop join
+    // over fingerprints only, never over content (12.5M cheap codegen
+    // comparisons at sf0.1; the production path is the banded join).
     "q26_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
-        .orderBy("id_a", "id_b")
+      val docs = Tables.documents(s, dir)
+      val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      val brute = fp.select(col("doc").as("id_a"), col("fp").as("fp_a"))
+        .join(fp.select(col("doc").as("id_b"), col("fp").as("fp_b")),
+          col("id_a") < col("id_b"))
+        .where(Dedup.hamming64(col("fp_a"), col("fp_b")) <= 3)
+        .select("id_a", "id_b").withColumn("in_brute", lit(true))
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select("id_a", "id_b").withColumn("in_band", lit(true))
+      val counts = brute.join(banded, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_brute") && col("in_band").isNull, 1L)
+            .otherwise(0L)).as("n_missed"),
+          sum(when(col("in_band") && col("in_brute").isNull, 1L)
+            .otherwise(0L)).as("n_spurious"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(counts)
     },
 
     // Embedding near-dup pairs: exact decimal dot product (order-
@@ -149,13 +188,40 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed ANN (the scale path) — hash buckets are engine-
-    // specific → rows-only; recall measured in the spec suite.
+    // LSH-bucketed ANN (the scale path). CONTRACT oracle, per query:
+    // recall@5 vs the exact cosine path (computed in-plan, the q47
+    // twin) meets a measured floor; ranks are dense 1..n with no
+    // self-matches. The neighbor ids themselves are bucket-dependent.
+    // 4 planes × 16 tables: RecallProbe (r6) measured per-query min
+    // recall 0.6 at ALL of sf0.001/0.01/0.1 — the 0.4 floor keeps one
+    // whole hit of margin. (6×4 measured min 0.0 — planes too
+    // selective for this corpus's weak clustering.)
     "q29_ann_lsh" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
-          k = 5, nPlanes = 6, nTables = 4)
-        .orderBy("query_id", "rank")
+      val q = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").withColumn("in_exact", lit(true))
+      val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding",
+          k = 5, nPlanes = 4, nTables = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .withColumn("in_lsh", lit(true))
+      exact.join(lsh, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("in_exact") && col("in_lsh"), 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_lsh"), 1L).otherwise(0L)).as("n_lsh"),
+          max(when(col("in_lsh"), col("rank"))).as("max_rank"),
+          count_distinct(when(col("in_lsh"), col("rank"))).as("n_ranks"),
+          sum(when(col("in_lsh") && col("neighbor_id") === col("query_id"), 1L)
+            .otherwise(0L)).as("n_self"))
+        .select(col("query_id"),
+          (col("n_hit").cast("double") >=
+            col("n_exact").cast("double") * 0.4).as("recall_floor_met"),
+          (coalesce(col("max_rank"), lit(0)) === col("n_lsh") &&
+            col("n_ranks") === col("n_lsh")).as("ranks_valid"),
+          (col("n_self") === 0L).as("self_excluded"))
+        .orderBy("query_id")
     },
 
     // Cosine ANN top-k with an ORACLE-EXACT metric: every dot is
@@ -181,31 +247,52 @@ object PipelineQueries {
     },
 
     // IVF ANN (the second scale path besides LSH): deterministic
-    // hash-seeded k-means centroids, cell-blocked candidate search,
-    // exact re-rank inside the cell. Rows-only (iterative training has
-    // no portable SQL equivalent); clustering quality spec-checked.
+    // hash-seeded k-means centroids, multi-probe cell-blocked
+    // candidate search, exact re-rank. CONTRACT oracle: cells
+    // PARTITION the corpus (every vector gets exactly one cell in
+    // [0, k)), and mean recall@5 vs the exact dot-product path (the
+    // q28 twin, in-plan) meets a measured floor — cell membership
+    // itself depends on the hash-seeded training trajectory.
+    // 8 cells × 3 probes: RecallProbe (r6) measured mean recall
+    // 0.60-0.66 at all of sf0.001/0.01/0.1 vs the 0.5 floor.
     "q41_ann_ivf" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
       val assigned = Similarity.ivfAssign(e, "embedding", cents)
-      val q = assigned.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
-      val c = assigned
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
-      val scored = c.join(q, Seq("cell"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          graft.functions.decimalDotNative(col("qv"), col("cv")).as("dot"))
-      // cell-local exact re-rank via the k-bounded TopK aggregate —
-      // map-side trim, no per-query window sort
-      Similarity.rankTopK(scored, 5, "dot")
-        .orderBy("query_id", "rank")
+      val cellStats = assigned.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("cell").isNull || col("cell") < 0 || col("cell") >= 8, 1L)
+          .otherwise(0L)).as("n_bad_cell"))
+      val ivf = Similarity.ivfTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          nProbe = 3, centroids = Some(cents),
+          simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").withColumn("in_ivf", lit(true))
+      val exact = Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").withColumn("in_exact", lit(true))
+      val recall = exact.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("in_exact") && col("in_ivf"), 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"))
+        .agg(count(lit(1)).as("n_queries"),
+          avg(col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("mean_recall"))
+      cellStats.crossJoin(recall).select(
+        col("n_vectors"), col("n_bad_cell"), col("n_queries"),
+        (col("mean_recall") >= 0.5).as("recall_floor_met"))
     },
 
-    // Multimodal plumbing: binary payload + metadata → per-partition
-    // decode stub → features. Deterministic but JVM-side → rows-only.
+    // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
+    // codec decode (header walk, BMP row padding, RIFF chunk list) →
+    // container features. CONTRACT oracle: every decoded feature is a
+    // closed form of doc_id (Multimodal.synth* formulas), so the
+    // oracle recomputes them — byte sums included, via range() lists —
+    // and hash-matches only if encoder AND decoder honor the formats.
     "q30_multimodal_features" -> { (s, dir) =>
-      Multimodal.extractFeatures(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(Tables.documents(s, dir), "doc_id")
         .orderBy("media_id")
     },
 
@@ -459,6 +546,86 @@ object PipelineQueries {
         |)
         |SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Contract oracle (see the query comment): n_exact is the q24
+    // exact-Jaccard pair count recomputed here; zero false positives
+    // and the recall floor are absolute properties of a correct
+    // verify-with-exact-Jaccard LSH implementation.
+    "q25_minhash_lsh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), jp AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(0 AS BIGINT) AS n_false_pos,
+         |  TRUE AS recall_floor_met
+         |FROM jp""".stripMargin,
+    // Quarter-banding is exhaustive for Hamming ≤ 3 and the banded
+    // pairs carry a verified distance — both deviation counts are
+    // exactly zero for a correct implementation.
+    "q26_simhash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_missed,
+        |  CAST(0 AS BIGINT) AS n_spurious
+        |FROM documents""".stripMargin,
+    "q29_ann_lsh" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_floor_met,
+        |  TRUE AS ranks_valid, TRUE AS self_excluded
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q41_ann_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(0 AS BIGINT) AS n_bad_cell,
+        |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+        |  TRUE AS recall_floor_met
+        |FROM embeddings""".stripMargin,
+    // Every decoded feature is a closed form of doc_id — the synthesis
+    // formulas in Multimodal.synth*. The byte-stream means are
+    // recomputed exactly (integer sums < 2^53, one final IEEE
+    // division), so a decoder that miscounts BMP row padding or WAV
+    // channel interleave hash-mismatches.
+    "q30_multimodal_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS fmt,
+        |    CAST((doc_id % 8) * 3 + 5 AS INT) AS w,
+        |    CAST((doc_id % 6) * 3 + 4 AS INT) AS h,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    (doc_id % 40) * 5 + 40 AS nf
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN fmt = 0 THEN 'bmp' WHEN fmt = 1 THEN 'ppm' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN fmt = 0 THEN 54 + h * (((3 * w + 3) // 4) * 4)
+        |            WHEN fmt = 1 THEN 9 + length(CAST(w AS VARCHAR))
+        |                 + length(CAST(h AS VARCHAR)) + 3 * w * h
+        |            ELSE 44 + 2 * ch * nf END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN fmt <= 1 THEN w ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN fmt <= 1 THEN h ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN fmt <= 1 THEN 3 ELSE ch END AS INT) AS channels,
+        |  CAST(CASE WHEN fmt <= 1 THEN 0 ELSE 8000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN fmt <= 1 THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+        |  CASE WHEN fmt <= 1 THEN 0.0 ELSE CAST(nf AS DOUBLE) / 8000.0 END AS duration_sec,
+        |  CASE WHEN fmt <= 1 THEN
+        |    CAST(list_sum(list_transform(range(0, 3 * w * h),
+        |      k -> (k * 31 + 7 + doc_id) % 256)) AS DOUBLE) / CAST(3 * w * h AS DOUBLE)
+        |  ELSE
+        |    CAST(list_sum(list_transform(range(0, ch * nf),
+        |      k -> (k * 37 + 11 + doc_id) % 2001 - 1000)) AS DOUBLE) / CAST(ch * nf AS DOUBLE)
+        |  END AS mean_val
+        |FROM p ORDER BY media_id""".stripMargin,
     "q47_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10

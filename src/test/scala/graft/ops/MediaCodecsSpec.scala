@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM codec unit tests — no Spark session needed. */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  test("BMP round-trip: header facts and padded-row mean") {
+    // width 5 → row bytes 15, padded to 16: one zero pad byte per row
+    // that must NOT reach the mean
+    val w = 5; val h = 3
+    val bytes = MediaCodecs.encodeBmp(w, h, k => (k % 7).toInt)
+    assert(MediaCodecs.bmpRowSize(w) == 16)
+    assert(bytes.length == 54 + 16 * h)
+    val d = MediaCodecs.decode(bytes)
+    assert(d.format == "bmp" && d.width == w && d.height == h && d.channels == 3)
+    val expected = (0L until 3L * w * h).map(k => (k % 7).toDouble).sum / (3 * w * h)
+    assert(math.abs(d.meanVal - expected) < 1e-12)
+  }
+
+  test("BMP: a mean that included padding bytes would differ") {
+    // all-255 pixels with nonzero padding rows: true mean is 255; a
+    // decoder averaging raw raster bytes would see the zero pads
+    val w = 5; val h = 2
+    val bytes = MediaCodecs.encodeBmp(w, h, _ => 255)
+    assert(MediaCodecs.decode(bytes).meanVal == 255.0)
+  }
+
+  test("BMP: negative height (top-down storage) decodes") {
+    val w = 4; val h = 2
+    val bytes = MediaCodecs.encodeBmp(w, h, k => k.toInt)
+    // flip the stored height to -h (little-endian at offset 22)
+    val neg = -h
+    bytes(22) = (neg & 0xFF).toByte
+    bytes(23) = ((neg >> 8) & 0xFF).toByte
+    bytes(24) = ((neg >> 16) & 0xFF).toByte
+    bytes(25) = ((neg >> 24) & 0xFF).toByte
+    val d = MediaCodecs.decode(bytes)
+    assert(d.height == h && d.width == w)
+  }
+
+  test("PPM round-trip incl. multi-digit dimensions in the ASCII header") {
+    val w = 12; val h = 10
+    val bytes = MediaCodecs.encodePpm(w, h, k => ((k * 3) % 251).toInt)
+    assert(bytes.length == 9 + 2 + 2 + 3 * w * h) // "P6\n12 10\n255\n"
+    val d = MediaCodecs.decode(bytes)
+    assert(d.format == "ppm" && d.width == w && d.height == h)
+    val expected = (0L until 3L * w * h).map(k => ((k * 3) % 251).toDouble).sum / (3 * w * h)
+    assert(math.abs(d.meanVal - expected) < 1e-12)
+  }
+
+  test("WAV round-trip: stereo frames, signed samples, duration") {
+    val frames = 100L
+    val bytes = MediaCodecs.encodeWav(2, 8000, frames, k => (k % 401 - 200).toInt)
+    assert(bytes.length == 44 + 2 * 2 * frames)
+    val d = MediaCodecs.decode(bytes)
+    assert(d.format == "wav" && d.channels == 2 && d.sampleRate == 8000)
+    assert(d.nFrames == frames)
+    val n = 2 * frames
+    val expected = (0L until n).map(k => (k % 401 - 200).toDouble).sum / n
+    assert(math.abs(d.meanVal - expected) < 1e-12)
+  }
+
+  test("WAV: unknown chunks before fmt/data are skipped (odd-size padded)") {
+    // hand-build: RIFF [junk chunk of size 3 + pad] [fmt] [data]
+    val base = MediaCodecs.encodeWav(1, 8000, 4L, _ => 100)
+    val fmtAndData = base.drop(12)
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val body = junk ++ fmtAndData
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val size = 4 + body.length
+    out.write(Array[Byte]((size & 0xFF).toByte, ((size >> 8) & 0xFF).toByte,
+      ((size >> 16) & 0xFF).toByte, ((size >> 24) & 0xFF).toByte))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write(body)
+    val d = MediaCodecs.decode(out.toByteArray)
+    assert(d.nFrames == 4L && d.meanVal == 100.0)
+  }
+
+  test("decode dispatches on magic bytes and rejects unknown containers") {
+    assert(MediaCodecs.decode(MediaCodecs.encodeBmp(2, 2, _ => 1)).format == "bmp")
+    assert(MediaCodecs.decode(MediaCodecs.encodePpm(2, 2, _ => 1)).format == "ppm")
+    assert(MediaCodecs.decode(MediaCodecs.encodeWav(1, 100, 1, _ => 1)).format == "wav")
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decode("not media at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("truncated payloads are rejected, not silently mis-decoded") {
+    val bmp = MediaCodecs.encodeBmp(4, 4, _ => 9)
+    intercept[IllegalArgumentException] { MediaCodecs.decode(bmp.take(60)) }
+    val ppm = MediaCodecs.encodePpm(4, 4, _ => 9)
+    intercept[IllegalArgumentException] { MediaCodecs.decode(ppm.take(12)) }
+    val wav = MediaCodecs.encodeWav(1, 8000, 10, _ => 9)
+    intercept[IllegalArgumentException] { MediaCodecs.decode(wav.take(50)) }
+  }
+}

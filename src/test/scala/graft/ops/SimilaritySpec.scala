@@ -152,4 +152,55 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.queryExecution.optimizedPlan.toString.contains("bucket"))
     assert(df.count() > 0)
   }
+
+  test("adaptiveTopK: large corpus + large query batch takes the IVF plan") {
+    val df = Similarity.adaptiveTopK(corpus, corpus, "vec_id", "embedding",
+      k = 3, nPlanes = 2, nTables = 2, dim = 8,
+      corpusRows = Some(200), ivfCorpusFloor = 100) // past the IVF floor
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cell") && !plan.contains("bucket"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("ivfAssignProbes: first probe is the assigned cell, probes distinct") {
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 4)
+    val single = Similarity.ivfAssign(corpus, "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val probes = Similarity.ivfAssignProbes(corpus, "embedding", cents, nProbe = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    probes.foreach { case (vid, cells) =>
+      assert(cells.length == 2 && cells.distinct.length == 2, s"$vid -> $cells")
+      assert(cells.head == single(vid),
+        s"first probe ${cells.head} != assigned cell ${single(vid)}")
+    }
+  }
+
+  test("ivfTopK probing every cell equals brute force (exact re-rank inside)") {
+    val q = corpus.where(col("vec_id").isin(0, 7, 14))
+    val exact = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, corpus, "vec_id", "embedding", k = 4,
+        nCells = 3, iters = 4, nProbe = 3) // nProbe = nCells → all candidates
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK candidate dedup happens on id pairs, not vector payloads") {
+    val q = corpus.where(col("vec_id") < 2)
+    val df = Similarity.ivfTopK(q, corpus, "vec_id", "embedding", k = 3,
+      nCells = 3, iters = 2, nProbe = 2)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.map(_.name).toSet == Set("query_id", "neighbor_id") => a
+    }
+    assert(aggs.nonEmpty, "expected an id-pair distinct in the plan")
+    aggs.foreach { a =>
+      assert(!a.output.exists(_.dataType.simpleString.contains("array")),
+        s"vectors flow through the dedup: ${a.output}")
+    }
+  }
 }

@@ -75,4 +75,75 @@ class ScheduleSpec extends SparkSpecBase {
       assert(Schedule.readMarker(spark, dir).isEmpty)
     } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("claimTick: exactly one of N concurrent claimants wins") {
+    val dir = Files.createTempDirectory("graft_sched_claim_").toString
+    try {
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(8)
+      val go = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val done = new CountDownLatch(8)
+      (0 until 8).foreach { i =>
+        pool.execute { () =>
+          go.await()
+          try {
+            if (Schedule.claimTick(spark, dir, t(50), s"owner-$i", hour, now = t(50)))
+              wins.incrementAndGet()
+          } finally done.countDown()
+        }
+      }
+      go.countDown()
+      assert(done.await(30, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(wins.get() == 1, s"${wins.get()} claimants won the same tick")
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("runDueShared: second scheduler skips a tick the first has claimed") {
+    val dir = Files.createTempDirectory("graft_sched_shared_").toString
+    try {
+      var ranA = 0; var ranB = 0
+      // A claims and completes the tick
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = false, "A",
+        leaseTimeout = hour, now = t(97)) { _ => ranA += 1 } == 1)
+      // B at the same instant: marker already advanced -> nothing due
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = false, "B",
+        leaseTimeout = hour, now = t(97)) { _ => ranB += 1 } == 0)
+      assert(ranA == 1 && ranB == 0)
+      // crash case: A claimed t(98) but died before advancing the marker.
+      // Claim freshness is judged by file mtime vs wall clock, so pin
+      // the mtimes explicitly rather than simulating `now`.
+      assert(Schedule.claimTick(spark, dir, t(98), "A", hour, now = Instant.now()))
+      val claim = java.nio.file.Paths.get(dir, s"_claim_${t(98).toEpochMilli}")
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = false, "B",
+        leaseTimeout = hour, now = t(98)) { _ => ranB += 1 } == 0,
+        "live claim must gate the tick")
+      // ... until the lease expires: B takes the tick over
+      Files.setLastModifiedTime(claim,
+        java.nio.file.attribute.FileTime.fromMillis(0))
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = false, "B",
+        leaseTimeout = hour, now = t(98)) { _ => ranB += 1 } == 1)
+      assert(ranB == 1)
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("writeMarkerIfNewer never regresses; claim GC clears passed ticks") {
+    val dir = Files.createTempDirectory("graft_sched_mono_").toString
+    try {
+      Schedule.writeMarker(spark, dir, t(100))
+      Schedule.writeMarkerIfNewer(spark, dir, t(99)) // straggler
+      assert(Schedule.readMarker(spark, dir).contains(t(100)))
+      Schedule.writeMarkerIfNewer(spark, dir, t(101))
+      assert(Schedule.readMarker(spark, dir).contains(t(101)))
+      // a claim far behind the marker is GC'd on the next shared run
+      assert(Schedule.claimTick(spark, dir, t(90), "old", hour, now = t(90)))
+      Schedule.runDueShared(spark, dir, hour, catchup = false, "A",
+        leaseTimeout = hour, now = t(102)) { _ => }
+      assert(!Files.exists(java.nio.file.Paths.get(dir, s"_claim_${t(90).toEpochMilli}")),
+        "passed claim should be GC'd")
+      // while a claim inside the lease horizon survives
+      assert(Files.exists(java.nio.file.Paths.get(dir, s"_claim_${t(102).toEpochMilli}")))
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }

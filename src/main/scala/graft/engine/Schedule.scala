@@ -117,72 +117,147 @@ object Schedule {
   private def claimPath(markerDir: String, tick: Instant) =
     new org.apache.hadoop.fs.Path(markerDir, s"_claim_${tick.toEpochMilli}")
 
-  /** Per-tick claim via ATOMIC CREATE-EXCLUSIVE (`FileSystem.create`
-    * with overwrite=false — single atomic namespace op on HDFS and
-    * posix local FS): of N schedulers racing on one tick, exactly one
-    * create succeeds. A claim whose holder crashed before advancing
-    * the marker would wedge the tick forever, so a claim OLDER than
-    * `leaseTimeout` (file mtime) with its tick still due may be
-    * deleted and re-claimed — the standard lease compromise: inside
-    * the lease window execution is exactly-once; a holder that
-    * SILENTLY stalls past it (no crash, no marker write) downgrades
-    * that tick to at-least-once. Claim files are the per-tick dedup
-    * record and are kept after completion (GC'd by [[runDueShared]]
-    * once the marker has durably passed them).
+  /** Atomic create-exclusive of `p` with `payload`. Hadoop's LOCAL
+    * create(overwrite=false) is check-then-create (a TOCTOU window
+    * between JVM-concurrent claimants), so the local branch uses nio
+    * O_CREAT|O_EXCL — the posix equivalent of HDFS's server-side
+    * exclusive create. If create succeeds but the payload write
+    * fails, the ORPHANED file is best-effort deleted before the error
+    * propagates (otherwise our own half-claim would gate the tick for
+    * a whole lease with nobody running it).
     *
-    * A create failure with the claim absent (not a lost race) is a
+    * A create failure with the file absent (not a lost race) is a
     * genuine I/O error and PROPAGATES, mirroring [[readMarker]].
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, payload: String): Boolean = {
+    val isLocalFs = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocalFs) {
+      val nioPath = java.nio.file.Paths.get(p.toUri.getPath)
+      Option(nioPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      try {
+        java.nio.file.Files.write(nioPath,
+          payload.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val created =
+        try Some(fs.create(p, false))
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(p)) None else throw e // lost race vs real I/O error
+        }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            try out.write(payload.getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          } catch {
+            case e: Throwable =>
+              try fs.delete(p, false) catch { case _: Throwable => () }
+              throw e
+          }
+      }
+    }
+  }
+
+  /** Atomic rename of `src` away to `dest` (no overwrite): of N
+    * concurrent movers of one src, exactly one succeeds — the
+    * exclusive-takeover primitive (delete-then-create would let two
+    * recoverers both "win", or one delete the other's fresh file).
+    */
+  private def renameAway(conf: org.apache.hadoop.conf.Configuration,
+      src: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(src.toUri, conf)
+        .rename(src, dest) // no Rename.OVERWRITE: fails if dest exists
+      true
+    } catch { case _: java.io.IOException => false } // src gone: lost the takeover
+
+  /** Per-tick claim via [[createExclusive]]: of N schedulers racing on
+    * one tick, exactly one wins. A claim whose holder crashed before
+    * advancing the marker would wedge the tick forever, so a claim
+    * OLDER than `leaseTimeout` (file mtime) with its tick still due
+    * may be taken over — via atomic RENAME of the stale claim to a
+    * tombstone, so concurrent recoverers race on the rename (one
+    * winner) instead of both delete-then-creating. The standard lease
+    * compromise applies: inside the lease window execution is
+    * exactly-once; a holder that SILENTLY stalls past it (no crash,
+    * no marker write) downgrades that tick to at-least-once. Claim
+    * files are the per-tick dedup record and are kept after
+    * completion (GC'd by [[runDueShared]] once the marker has durably
+    * passed them).
     */
   def claimTick(spark: SparkSession, markerDir: String, tick: Instant,
       owner: String, leaseTimeout: Duration,
       now: Instant = Instant.now()): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = claimPath(markerDir, tick)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Hadoop's LOCAL create(overwrite=false) is check-then-create (a
-    // TOCTOU window between JVM-concurrent claimants); O_CREAT|O_EXCL
-    // via nio is the atomic local equivalent of HDFS's server-side
-    // exclusive create.
-    val isLocalFs = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    def tryCreate(): Boolean =
-      if (isLocalFs)
-        try {
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(p.toUri.getPath),
-            owner.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      else
-        try {
-          val out = fs.create(p, false)
-          try out.write(owner.getBytes(StandardCharsets.UTF_8)) finally out.close()
-          true
-        } catch {
-          case e: java.io.IOException =>
-            if (fs.exists(p)) false // lost the race — claimed by another
-            else throw e
-        }
-    if (tryCreate()) true
+    val fs = p.getFileSystem(conf)
+    if (createExclusive(fs, p, owner)) true
     else {
       val stale =
         try now.toEpochMilli - fs.getFileStatus(p).getModificationTime >
           leaseTimeout.toMillis
         catch { case _: java.io.FileNotFoundException => true } // holder vanished
-      if (stale) { fs.delete(p, false); tryCreate() } else false
+      if (!stale) false
+      else {
+        val tomb = new org.apache.hadoop.fs.Path(markerDir,
+          s".${p.getName}.tomb.${System.nanoTime()}")
+        if (!fs.exists(p)) createExclusive(fs, p, owner) // vanished: plain re-race
+        else if (renameAway(conf, p, tomb)) {
+          try fs.delete(tomb, false) catch { case _: Throwable => () }
+          createExclusive(fs, p, owner)
+        } else false // another recoverer won the takeover
+      }
     }
   }
 
-  /** Advance the marker MONOTONICALLY: a straggler scheduler finishing
-    * an old tick after a peer already advanced further must not
-    * regress the schedule (regression would re-due completed ticks —
-    * harmless only because their claim files still gate them, but the
-    * marker should converge regardless).
+  /** How long a `_marker_lock` may sit before being presumed crashed
+    * and stolen. The lock guards a millisecond-scale read+write, so
+    * 30 s is orders of magnitude above any live holder.
+    */
+  private val MarkerLockLease = Duration.ofSeconds(30)
+
+  /** Advance the marker MONOTONICALLY and ATOMICALLY: the compare and
+    * the write run under a short filesystem mutex (`_marker_lock`,
+    * create-exclusive + stale-steal via rename), so a straggler
+    * finishing an old tick after a peer advanced further can never
+    * regress the schedule — which is what makes [[runDueShared]]'s
+    * claim GC safe (a regressed marker would re-due completed ticks
+    * whose claims were already collected). Residual caveat, as with
+    * any lease: a holder that silently stalls INSIDE the lock past
+    * `MarkerLockLease` and then resumes its write could still regress
+    * by one tick; the GC horizon (leaseTimeout, default 30 min) dwarfs
+    * the lock lease precisely so claims still gate that window.
     */
   def writeMarkerIfNewer(spark: SparkSession, markerDir: String,
-      tick: Instant): Unit =
-    if (!readMarker(spark, markerDir).exists(_.toEpochMilli >= tick.toEpochMilli))
-      writeMarker(spark, markerDir, tick)
+      tick: Instant): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lock = new org.apache.hadoop.fs.Path(markerDir, "_marker_lock")
+    val fs = lock.getFileSystem(conf)
+    while (!createExclusive(fs, lock, tick.toEpochMilli.toString)) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime >
+          MarkerLockLease.toMillis
+        catch { case _: java.io.FileNotFoundException => false } // freed: retry create
+      if (stale) {
+        val tomb = new org.apache.hadoop.fs.Path(markerDir,
+          s"._marker_lock.tomb.${System.nanoTime()}")
+        if (renameAway(conf, lock, tomb))
+          try fs.delete(tomb, false) catch { case _: Throwable => () }
+      } else Thread.sleep(10)
+    }
+    try {
+      if (!readMarker(spark, markerDir).exists(_.toEpochMilli >= tick.toEpochMilli))
+        writeMarker(spark, markerDir, tick)
+    } finally fs.delete(lock, false)
+  }
 
   /** Multi-scheduler run gate: like [[runDue]], but safe for several
     * schedulers polling ONE marker dir concurrently — each due tick is
@@ -207,17 +282,23 @@ object Schedule {
       claimed
     }
     // GC: claims far behind the (just-advanced) marker can never be
-    // due again short of a straggler delayed beyond the lease window.
+    // due again — the marker is monotonic under writeMarkerIfNewer's
+    // lock. Takeover tombstones orphaned by a crash between rename
+    // and delete are collected by mtime age.
     readMarker(spark, markerDir).foreach { m =>
       val dir = new org.apache.hadoop.fs.Path(markerDir)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val horizon = m.toEpochMilli - leaseTimeout.toMillis
+      val wallNow = System.currentTimeMillis()
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("_claim_"))
           name.stripPrefix("_claim_").toLongOption
             .filter(_ < horizon)
             .foreach(_ => fs.delete(st.getPath, false))
+        else if (name.contains(".tomb.") &&
+            wallNow - st.getModificationTime > leaseTimeout.toMillis)
+          fs.delete(st.getPath, false)
       }
     }
     ran

@@ -89,6 +89,11 @@ object MediaCodecs {
     val rawHeight = readLe32(bytes, 22)
     val height = math.abs(rawHeight)
     val bpp = readLe16(bytes, 28)
+    // corrupt headers must REJECT, not index out of bounds or return
+    // plausible garbage (negative width flips the truncation check's
+    // sign and would otherwise sail through)
+    require(width > 0 && height > 0 && dataOffset >= 54,
+      s"corrupt BMP header (w=$width h=$height off=$dataOffset)")
     require(bpp == 24, s"unsupported BMP bpp $bpp (24-bit only)")
     require(readLe32(bytes, 30) == 0, "compressed BMP unsupported")
     val rowSize = bmpRowSize(width)
@@ -141,6 +146,7 @@ object MediaCodecs {
     val width = nextInt()
     val height = nextInt()
     val maxval = nextInt()
+    require(width > 0 && height > 0, s"corrupt PPM header (w=$width h=$height)")
     require(maxval == 255, s"unsupported PPM maxval $maxval")
     off += 1 // the single whitespace separating header from raster
     val n = 3L * width * height
@@ -199,8 +205,13 @@ object MediaCodecs {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val size = readLe32(bytes, off + 4)
+      // the size field is attacker-controlled: a negative value would
+      // stall or reverse the walk (infinite loop in a Spark task, not
+      // a rejection) and a huge one would index out of bounds
+      require(size >= 0, s"corrupt WAV chunk size $size")
       id match {
         case "fmt " =>
+          require(off + 24 <= bytes.length && size >= 16, "truncated fmt chunk")
           require(readLe16(bytes, off + 8) == 1, "non-PCM WAV unsupported")
           channels = readLe16(bytes, off + 10)
           sampleRate = readLe32(bytes, off + 12)

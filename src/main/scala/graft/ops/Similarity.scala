@@ -189,12 +189,21 @@ object Similarity {
     }
     if (smallQ) bruteForceTopK(queries, corpus, idCol, vecCol, k)
     else {
+      // probe limit clamped: a floor above Int.MaxValue must not wrap
+      // into limit(negative) (callers with floors that large should
+      // pass corpusRows — the probe degenerates to a full count there)
+      val probeLimit = math.min(ivfCorpusFloor + 1, Int.MaxValue.toLong).toInt
       val bigC = corpusRows match {
         case Some(n) => n > ivfCorpusFloor
-        case None => corpus.limit((ivfCorpusFloor + 1).toInt).count() > ivfCorpusFloor
+        case None => corpus.limit(probeLimit).count() > ivfCorpusFloor
       }
       if (bigC) {
-        val nC = corpusRows.getOrElse(corpus.count())
+        // cell count from the KNOWN size when hinted; otherwise from
+        // the floor itself — deliberately NOT corpus.count(), which
+        // would execute an unbounded third pass of the corpus plan
+        // just to size cells (√ is flat enough that the floor is a
+        // fine proxy until the caller supplies the real cardinality).
+        val nC = corpusRows.getOrElse(ivfCorpusFloor)
         val nCells = math.max(8, math.sqrt(nC.toDouble).toInt)
         ivfTopK(queries, corpus, idCol, vecCol, k,
           nCells = nCells, iters = 2, nProbe = 2)

@@ -122,13 +122,16 @@ object PipelineQueries {
       val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
           n = 3, bands = 4, rowsPerBand = 8, threshold = 0.6)
         .select("id_a", "id_b").withColumn("in_lsh", lit(true))
+      // coalesce: a global agg over an EMPTY pair set yields null sums
+      // (a legitimately dup-free corpus must read 0/0/true, not null)
       exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
         .agg(
-          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_lsh") && col("in_exact").isNull, 1L)
-            .otherwise(0L)).as("n_false_pos"),
-          sum(when(col("in_lsh") && col("in_exact"), 1L).otherwise(0L))
-            .as("n_hit"))
+          coalesce(sum(when(col("in_exact"), 1L).otherwise(0L)), lit(0L))
+            .as("n_exact"),
+          coalesce(sum(when(col("in_lsh") && col("in_exact").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_false_pos"),
+          coalesce(sum(when(col("in_lsh") && col("in_exact"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_hit"))
         .select(col("n_exact"), col("n_false_pos"),
           (col("n_hit").cast("double") >=
             col("n_exact").cast("double") * 0.75).as("recall_floor_met"))
@@ -154,10 +157,10 @@ object PipelineQueries {
         .select("id_a", "id_b").withColumn("in_band", lit(true))
       val counts = brute.join(banded, Seq("id_a", "id_b"), "full_outer")
         .agg(
-          sum(when(col("in_brute") && col("in_band").isNull, 1L)
-            .otherwise(0L)).as("n_missed"),
-          sum(when(col("in_band") && col("in_brute").isNull, 1L)
-            .otherwise(0L)).as("n_spurious"))
+          coalesce(sum(when(col("in_brute") && col("in_band").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_missed"),
+          coalesce(sum(when(col("in_band") && col("in_brute").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_spurious"))
       docs.agg(count(lit(1)).as("n_docs")).crossJoin(counts)
     },
 
@@ -278,10 +281,13 @@ object PipelineQueries {
           sum(when(col("in_exact") && col("in_ivf"), 1L).otherwise(0L)).as("n_hit"),
           sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"))
         .agg(count(lit(1)).as("n_queries"),
-          avg(col("n_hit").cast("double") / col("n_exact").cast("double"))
-            .as("mean_recall"))
+          // vacuously true on an empty query set (avg of none is null)
+          coalesce(avg(col("n_hit").cast("double") /
+            col("n_exact").cast("double")), lit(1.0)).as("mean_recall"))
       cellStats.crossJoin(recall).select(
-        col("n_vectors"), col("n_bad_cell"), col("n_queries"),
+        col("n_vectors"),
+        coalesce(col("n_bad_cell"), lit(0L)).as("n_bad_cell"),
+        col("n_queries"),
         (col("mean_recall") >= 0.5).as("recall_floor_met"))
     },
 

@@ -128,6 +128,17 @@ class ScheduleSpec extends SparkSpecBase {
     } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("runDueShared bootstraps on a marker dir that does not exist yet") {
+    val base = Files.createTempDirectory("graft_sched_boot_").toString
+    val dir = base + "/nested/markers" // parent dirs must be created by the claim
+    try {
+      var ran = 0
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = false, "A",
+        leaseTimeout = hour, now = t(97)) { _ => ran += 1 } == 1)
+      assert(ran == 1)
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
+  }
+
   test("writeMarkerIfNewer never regresses; claim GC clears passed ticks") {
     val dir = Files.createTempDirectory("graft_sched_mono_").toString
     try {

@@ -87,6 +87,23 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV: negative chunk size rejects instead of stalling the walk") {
+    val wav = MediaCodecs.encodeWav(1, 8000, 4, _ => 1)
+    // corrupt the fmt chunk's size field (offset 16, LE) to -8: an
+    // unchecked walk would loop forever on off += 8 + size
+    wav(16) = 0xF8.toByte; wav(17) = 0xFF.toByte
+    wav(18) = 0xFF.toByte; wav(19) = 0xFF.toByte
+    intercept[IllegalArgumentException] { MediaCodecs.decode(wav) }
+  }
+
+  test("BMP: negative width in the header rejects, not AIOOBE/garbage") {
+    val bmp = MediaCodecs.encodeBmp(4, 2, _ => 1)
+    val w = -4
+    bmp(18) = (w & 0xFF).toByte; bmp(19) = ((w >> 8) & 0xFF).toByte
+    bmp(20) = ((w >> 16) & 0xFF).toByte; bmp(21) = ((w >> 24) & 0xFF).toByte
+    intercept[IllegalArgumentException] { MediaCodecs.decode(bmp) }
+  }
+
   test("truncated payloads are rejected, not silently mis-decoded") {
     val bmp = MediaCodecs.encodeBmp(4, 4, _ => 9)
     intercept[IllegalArgumentException] { MediaCodecs.decode(bmp.take(60)) }

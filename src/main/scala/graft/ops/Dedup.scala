@@ -487,4 +487,34 @@ object Dedup {
       Seq("blk", "cell"))
     okPairs.unionByName(offPairs)
   }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the
+    * deterministic k-means quantizer, find within-cluster pairs with
+    * cosine ≥ `threshold`, connect them into duplicate groups, keep
+    * the min-id survivor per group. Returns the KEPT rows of `emb`
+    * (survivors + unpaired singletons) unchanged.
+    *
+    * 100 TB shape: the pair search is CELL-BLOCKED (never corpus
+    * all-pairs — per-cell cost is bounded by [[embeddingNearDupPairs]]'s
+    * pair budget), clustering state is nCells·dim driver-side doubles,
+    * and the group labeling is the same hash-join connected components
+    * as the text-dedup path. Approximate by construction: a near-dup
+    * pair straddling a Voronoi boundary is missed (SemDeDup's own
+    * trade — ε-dedup within clusters). On real embedding models the
+    * threshold sits near 0.95+; calibrate per corpus.
+    */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int, iters: Int = 3,
+      maxPairsPerBlock: Long = 100000000L): DataFrame = {
+    val cents = Similarity.trainIvfCentroids(emb, idCol, vecCol, nCells, iters)
+    val assigned = Similarity.ivfAssign(emb, vecCol, cents)
+    val pairs = embeddingNearDupPairs(assigned, idCol, vecCol, col("cell"),
+      threshold, maxPairsPerBlock)
+    val dropped = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    emb.join(dropped, Seq(idCol), "left_anti")
+  }
 }

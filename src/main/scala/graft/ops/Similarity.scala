@@ -211,6 +211,29 @@ object Similarity {
     }
   }
 
+  /** Symmetric per-vector int8 quantization: `q_scale` = max|x|/127,
+    * `q_codes` = round(x/scale) as tinyint (zero vectors quantize to
+    * scale 0, all-zero codes). Map-side HOF expressions only. At
+    * corpus scale this is the embedding STORAGE/IO knob — 4× smaller
+    * than float32, 8× than float64 — applied before ANN indexing; the
+    * per-element guarantee is |x − code·q_scale| ≤ q_scale/2.
+    * (The codes lambda references the scale attribute; if Catalyst
+    * collapses the projection the absmax sub-expression re-evaluates
+    * per element — O(d²) arithmetic per row, ~4k flops at d=64,
+    * negligible against the shuffle the vectors would otherwise cost.)
+    */
+  def withQuantizedInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("q_scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+      .withColumn("q_codes", transform(col(vecCol), x =>
+        when(col("q_scale") === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / col("q_scale")).cast("int"))
+          .cast("byte")))
+
+  /** Reconstruction of a quantized vector: codes · scale. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Deterministic IVF centroid training: k-means over the embedding
     * column with hash-seeded initialization (lowest xxhash64(id) rows —
     * reproducible, no RNG) and `iters` Lloyd iterations.

@@ -387,6 +387,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Semantic dedup (SemDeDup shape): IVF-clustered embedding space,
+    // within-cell cosine pairs, connected components, min-id survivor.
+    // CONTRACT oracle: kept + dropped partition the corpus exactly,
+    // and every dropped vector belongs to at least one ≥ τ near-dup
+    // pair (no vector is dropped without a witness). τ = 0.4 is
+    // corpus-calibrated (the synthetic embeddings' pairwise cosine
+    // tops out near 0.45; real embedding models sit near 0.95+).
+    "q73_semantic_dedup" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+      val assigned = Similarity.ivfAssign(e, "embedding", cents)
+      val pairs = Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding",
+        col("cell"), threshold = 0.4)
+      val dropped = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("label")).select(col("id").as("vec_id"))
+      val kept = e.join(dropped, Seq("vec_id"), "left_anti")
+      val paired = pairs.select(col("id_a").as("vec_id"))
+        .union(pairs.select(col("id_b").as("vec_id"))).distinct()
+      e.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(dropped.join(paired, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+        .select(col("n_vectors"),
+          (col("n_kept") + col("n_dropped") === col("n_vectors"))
+            .as("conservation_ok"),
+          col("n_orphans"))
+    },
+
+    // Int8 embedding quantization (the corpus-scale storage/IO knob):
+    // per-vector symmetric scale, tinyint codes. CONTRACT oracle per
+    // vector: a positive scale ⟺ the vector is non-degenerate
+    // (data-derived on both sides), reconstruction error within the
+    // quantizer's scale/2 bound, dimensionality preserved.
+    "q74_quantize_int8" -> { (s, dir) =>
+      val q = Similarity.withQuantizedInt8(Tables.embeddings(s, dir), "embedding")
+      val deq = Similarity.dequantizeInt8(col("q_codes"), col("q_scale"))
+      q.select(col("vec_id"),
+          (col("q_scale") > 0.0).as("scale_positive"),
+          (array_max(zip_with(col("embedding"), deq,
+            (x, y) => abs(x.cast("double") - y))) <=
+              col("q_scale") * 0.5 + lit(1e-12)).as("within_bound"),
+          (size(col("q_codes")) === size(col("embedding"))).as("dims_preserved"))
+        .orderBy("vec_id")
+    },
+
     // Custom DSv2 paginated source (S1/P3 parity): date-range pushdown
     // prunes pages server-side, then monthly rollup. The feed is
     // closed-form arithmetic, reproduced exactly by the oracle's
@@ -592,6 +638,17 @@ object PipelineQueries {
       """SELECT vec_id AS query_id, TRUE AS recall_floor_met,
         |  TRUE AS ranks_valid, TRUE AS self_excluded
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q73_semantic_dedup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS conservation_ok,
+        |  CAST(0 AS BIGINT) AS n_orphans
+        |FROM embeddings""".stripMargin,
+    "q74_quantize_int8" ->
+      """SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+        |    AS scale_positive,
+        |  TRUE AS within_bound, TRUE AS dims_preserved
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q41_ann_ivf" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |  CAST(0 AS BIGINT) AS n_bad_cell,

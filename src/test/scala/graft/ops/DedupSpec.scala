@@ -31,6 +31,32 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(0L, 1L, 2L)) // 3 and 4 both fold into 0
   }
 
+  test("semanticDedup drops clustered near-identical embeddings, keeps min-id") {
+    // three tight groups around axes; within-group cosine ≈ 1
+    val rows = for {
+      axis <- 0 until 3
+      i <- 0 until 4
+    } yield {
+      val v = Array.fill(8)(0.001f * (i + 1))
+      v(axis) = 1.0f
+      (axis * 4 + i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.99, nCells = 3, iters = 4)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // each group collapses to its min-id survivor
+    assert(kept == Seq(0L, 4L, 8L), s"kept $kept")
+    // dup-free case: orthogonal vectors all survive
+    val ortho = (0 until 4).map { i =>
+      val v = Array.fill(8)(0.0f); v(i) = 1.0f; (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val keptAll = Dedup.semanticDedup(ortho, "vec_id", "embedding",
+        threshold = 0.99, nCells = 2, iters = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(keptAll == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("ngramJaccardPairs finds planted near-dups and skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

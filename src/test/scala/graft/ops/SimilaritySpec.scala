@@ -189,6 +189,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf == exact)
   }
 
+  test("int8 quantization: codes in range, error within scale/2, zeros exact") {
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Array(0.003f, -0.001f, 0.002f, 0.0005f)), // tiny magnitudes
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))            // degenerate
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.withQuantizedInt8(emb, "embedding")
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, while
+    // q_codes is a true array<tinyint> column
+    val rows = q.select("vec_id", "embedding", "q_scale", "q_codes")
+      .as[(Long, Array[Float], Double, Seq[Byte])].collect().sortBy(_._1)
+    rows.foreach { case (id, vec, scale, codes) =>
+      assert(codes.length == vec.length)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"$id codes ${codes.toSeq}")
+      if (id == 2L) assert(scale == 0.0 && codes.forall(_ == 0))
+      else {
+        assert(scale > 0.0)
+        vec.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12,
+            s"$id: $x vs ${c * scale} (scale $scale)")
+        }
+        // the max-magnitude element maps to ±127 exactly
+        assert(codes.map(c => math.abs(c.toInt)).max == 127)
+      }
+    }
+  }
+
   test("ivfTopK candidate dedup happens on id pairs, not vector payloads") {
     val q = corpus.where(col("vec_id") < 2)
     val df = Similarity.ivfTopK(q, corpus, "vec_id", "embedding", k = 3,

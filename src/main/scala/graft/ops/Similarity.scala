@@ -222,13 +222,23 @@ object Similarity {
     * per element — O(d²) arithmetic per row, ~4k flops at d=64,
     * negligible against the shuffle the vectors would otherwise cost.)
     */
-  def withQuantizedInt8(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("q_scale",
-        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
-      .withColumn("q_codes", transform(col(vecCol), x =>
-        when(col("q_scale") === 0.0, lit(0))
-          .otherwise(round(x.cast("double") / col("q_scale")).cast("int"))
-          .cast("byte")))
+  def withQuantizedInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val absmax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df
+      // NaN/Infinity elements poison absmax; under Spark 4's ANSI mode
+      // round(x/NaN).cast would THROW mid-job on one corrupt row.
+      // Corrupt vectors get null scale + null codes instead — a
+      // quarantine-able marker, not a job abort.
+      .withColumn("q_scale",
+        when(!isnan(absmax) && absmax =!= Double.PositiveInfinity,
+          absmax / 127.0))
+      .withColumn("q_codes",
+        when(col("q_scale").isNull, lit(null).cast("array<tinyint>"))
+          .when(col("q_scale") === 0.0,
+            transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol), x =>
+            round(x.cast("double") / col("q_scale")).cast("int").cast("byte"))))
+  }
 
   /** Reconstruction of a quantized vector: codes · scale. */
   def dequantizeInt8(codes: Column, scale: Column): Column =
@@ -258,6 +268,7 @@ object Similarity {
       .limit(k)
       .select("__v")
       .collect().map(_.getSeq[Double](0)).toSeq
+    if (centroids.isEmpty) return Seq.empty // empty corpus: no cells to train
     val dim = centroids.head.size
     for (_ <- 0 until iters) {
       val sums = df
@@ -288,6 +299,8 @@ object Similarity {
     * Pure map-side expression; no join, no shuffle.
     */
   private def cellScores(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty,
+      "cellScores: no centroids (empty training corpus?) — assignment is undefined")
     val normed = centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0.0) c else c.map(_ / n)

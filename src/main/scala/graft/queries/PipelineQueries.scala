@@ -396,23 +396,17 @@ object PipelineQueries {
     // tops out near 0.45; real embedding models sit near 0.95+).
     "q73_semantic_dedup" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
-      val assigned = Similarity.ivfAssign(e, "embedding", cents)
-      // eager checkpoint: the pair list feeds FOUR aggregate arms
-      // (dropped/kept/paired/orphans) — without it each arm re-runs
-      // the within-cell cosine join (measured 7.2 s -> the pair scan
-      // runs once instead of thrice)
-      val pairs = Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding",
-        col("cell"), threshold = 0.4).localCheckpoint(true)
-      val dropped = Dedup.connectedComponents(pairs)
-        .where(col("id") =!= col("label")).select(col("id").as("vec_id"))
-      val kept = e.join(dropped, Seq("vec_id"), "left_anti")
-      val paired = pairs.select(col("id_a").as("vec_id"))
-        .union(pairs.select(col("id_b").as("vec_id"))).distinct()
+      // the OPERATOR runs the dedup; the contract arms count from the
+      // very pair list / kept set it produced (parts are checkpointed
+      // inside, so the four aggregate arms don't re-run the pair scan)
+      val parts = Dedup.semanticDedupParts(e, "vec_id", "embedding",
+        threshold = 0.4, nCells = 8)
+      val paired = parts.pairs.select(col("id_a").as("vec_id"))
+        .union(parts.pairs.select(col("id_b").as("vec_id"))).distinct()
       e.agg(count(lit(1)).as("n_vectors"))
-        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
-        .crossJoin(dropped.join(paired, Seq("vec_id"), "left_anti")
+        .crossJoin(parts.kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(parts.dropped.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(parts.dropped.join(paired, Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("n_orphans")))
         .select(col("n_vectors"),
           (col("n_kept") + col("n_dropped") === col("n_vectors"))

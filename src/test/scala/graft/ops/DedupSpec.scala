@@ -57,6 +57,30 @@ class DedupSpec extends SparkSpecBase {
     assert(keptAll == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("embeddingNearDupPairs: zero-norm vectors never pair (NaN guard)") {
+    // two zero vectors + two genuine near-dups in ONE block: cosine of
+    // a zero-norm side is 0/0 = NaN, and Spark orders NaN above every
+    // double — an unguarded >= threshold would pair the zero vectors
+    // with everything and weld the groups together
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.011f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        lit(0), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)), s"got $pairs")
+  }
+
+  test("semanticDedup on an empty corpus returns empty, not an exception") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(empty, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4)
+    assert(kept.count() == 0)
+  }
+
   test("ngramJaccardPairs finds planted near-dups and skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

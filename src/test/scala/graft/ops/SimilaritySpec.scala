@@ -216,6 +216,21 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("int8 quantization: NaN/Infinity vectors get null scale+codes, no throw") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(Float.NaN, 1.0f)),
+      (2L, Array(Float.PositiveInfinity, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.withQuantizedInt8(emb, "embedding")
+      .select("vec_id", "q_scale", "q_codes").collect().sortBy(_.getLong(0))
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    Seq(1, 2).foreach { i =>
+      assert(rows(i).isNullAt(1), s"row $i scale should be null")
+      assert(rows(i).isNullAt(2), s"row $i codes should be null")
+    }
+  }
+
   test("ivfTopK candidate dedup happens on id pairs, not vector payloads") {
     val q = corpus.where(col("vec_id") < 2)
     val df = Similarity.ivfTopK(q, corpus, "vec_id", "embedding", k = 3,

@@ -203,8 +203,15 @@ object Similarity {
         // would execute an unbounded third pass of the corpus plan
         // just to size cells (√ is flat enough that the floor is a
         // fine proxy until the caller supplies the real cardinality).
-        val nC = corpusRows.getOrElse(ivfCorpusFloor)
-        val nCells = math.max(8, math.sqrt(nC.toDouble).toInt)
+        // √|C| is CAPPED at [[MaxAdaptiveCells]]: uncapped, 10¹²
+        // vectors would mean ~10⁶ centroids — ~0.5 GB of driver/
+        // broadcast state and O(nCells·dim) ≈ 6×10⁷ flops of
+        // assignment work PER ROW, computationally infeasible. At the
+        // cap the centroid state is 65,536·dim doubles (33.5 MB at
+        // dim 64 — the plan-literal budget documented on
+        // [[trainIvfCentroids]]) and per-row assignment is bounded;
+        // past the cap, recall is bought with nProbe, not more cells.
+        val nCells = adaptiveCellCount(corpusRows.getOrElse(ivfCorpusFloor))
         ivfTopK(queries, corpus, idCol, vecCol, k,
           nCells = nCells, iters = 2, nProbe = 2)
       } else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
@@ -244,52 +251,101 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
-  /** Deterministic IVF centroid training: k-means over the embedding
-    * column with hash-seeded initialization (lowest xxhash64(id) rows —
-    * reproducible, no RNG) and `iters` Lloyd iterations.
+  /** Cap on `adaptiveTopK`'s √|C| cell sizing — see the dispatch doc. */
+  val MaxAdaptiveCells: Int = 65536
+
+  /** √|C| cell sizing, floored at 8 and capped at
+    * [[MaxAdaptiveCells]] — the cell-count policy `adaptiveTopK`
+    * applies (factored out so the cap is unit-testable).
+    */
+  def adaptiveCellCount(corpusRows: Long): Int =
+    math.min(MaxAdaptiveCells,
+      math.max(8, math.sqrt(math.max(0L, corpusRows).toDouble).toInt))
+
+  /** Default bound on the rows any Lloyd iteration may scan. k-means
+    * quality saturates long before the sample does (the centroids are
+    * a COARSE quantizer — 65k vectors estimate 65k·dim ≤ 4M cluster
+    * parameters generously even at the cell cap), so training cost
+    * must NOT grow with the corpus.
+    */
+  val DefaultTrainSampleCap: Int = 65536
+
+  /** The bounded deterministic training sample: the `cap` lowest
+    * rows by (xxhash64(id), id) — reproducible across runs, engines,
+    * and partitionings; no RNG. Compiles to TakeOrderedAndProject
+    * (per-partition bounded heap + k-bounded merge), never a global
+    * sort. Columns: `__id`, `__v` (vector as array<double>), `__h`.
     *
-    * Centroids live on the DRIVER between iterations — k·dim doubles,
-    * tiny by definition (a coarse quantizer must broadcast at query
-    * time anyway). Each iteration is then exactly ONE distributed job:
-    * a map-side argmax assignment against literal centroids (no join,
-    * no window, no shuffle for assignment) followed by one k-row
-    * groupBy whose partial aggregation runs map-side. This is the
-    * k-means shape that holds at corpus scale: the data never moves,
-    * only k·dim numbers do.
+    * Extreme-scale caveat: the TakeOrdered merge sees up to
+    * partitionCount·cap candidate rows (each scan partition ships its
+    * own top-`cap`) — callers scanning 10⁶+ partitions should
+    * pre-thin with a hash-mod filter (`pmod(xxhash64(id), P) === 0`)
+    * before calling.
+    */
+  def trainingSample(df: DataFrame, idCol: String, vecCol: String,
+      cap: Int): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", xxhash64(col("__id")))
+      .orderBy(col("__h"), col("__id"))
+      .limit(cap)
+
+  /** Deterministic IVF centroid training: k-means with hash-seeded
+    * initialization (lowest xxhash64(id) rows — reproducible, no RNG)
+    * and `iters` Lloyd iterations — over a BOUNDED deterministic
+    * sample, never the full corpus. Training cost is therefore
+    * O(iters · trainSampleCap · k · dim) regardless of corpus size:
+    * at 10¹² corpus vectors the Lloyd scans still touch ≤ 65,536
+    * rows. (Quality is unaffected at coarse-quantizer granularity;
+    * the sampled-vs-full recall parity at sf0.1 is recorded in
+    * NOTES.md via RecallProbe.)
+    *
+    * Centroids live on the DRIVER between iterations — k·dim doubles
+    * (33.5 MB at the 65,536-cell cap × dim 64; they re-enter plans as
+    * literals, so that figure is also the per-plan broadcast budget).
+    * Each iteration is exactly ONE distributed job over the cached
+    * sample: a map-side argmax assignment against literal centroids
+    * (no join, no shuffle) followed by one k-row groupBy whose
+    * partial aggregation runs map-side.
     */
   def trainIvfCentroids(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[Seq[Double]] = {
-    // TakeOrdered (orderBy+limit) — never a global sort or window.
-    var centroids: Seq[Seq[Double]] = df
-      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__h", xxhash64(col("__id")))
-      .orderBy(col("__h"), col("__id"))
-      .limit(k)
-      .select("__v")
-      .collect().map(_.getSeq[Double](0)).toSeq
-    if (centroids.isEmpty) return Seq.empty // empty corpus: no cells to train
-    val dim = centroids.head.size
-    for (_ <- 0 until iters) {
-      val sums = df
-        .select(assignCell(col(vecCol), centroids).as("cell"),
-          col(vecCol).cast("array<double>").as("__v"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"),
-          array((0 until dim).map(i =>
-            sum(element_at(col("__v"), i + 1))): _*).as("sums"))
-        .collect()
-        .map(r => r.getLong(0).toInt ->
-          (r.getLong(1), r.getSeq[Double](2)))
-        .toMap
-      centroids = centroids.indices.map { c =>
-        sums.get(c) match {
-          case Some((n, s)) => s.map(_ / n)
-          case None => centroids(c) // empty cell keeps its centroid
+      k: Int, iters: Int,
+      trainSampleCap: Int = DefaultTrainSampleCap): Seq[Seq[Double]] = {
+    val cap = math.max(k, trainSampleCap) // never sample below k seeds
+    // Re-spread the single TakeOrdered output partition so Lloyd
+    // iterations parallelize; ≤ cap rows shuffle, a bounded cost.
+    val sample = trainingSample(df, idCol, vecCol, cap)
+      .repartition(col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // TakeOrdered (orderBy+limit) — never a global sort or window.
+      var centroids: Seq[Seq[Double]] = sample
+        .orderBy(col("__h"), col("__id"))
+        .limit(k)
+        .select("__v")
+        .collect().map(_.getSeq[Double](0)).toSeq
+      if (centroids.isEmpty) return Seq.empty // empty corpus: no cells
+      val dim = centroids.head.size
+      for (_ <- 0 until iters) {
+        val sums = sample
+          .select(assignCell(col("__v"), centroids).as("cell"), col("__v"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(i =>
+              sum(element_at(col("__v"), i + 1))): _*).as("sums"))
+          .collect()
+          .map(r => r.getLong(0).toInt ->
+            (r.getLong(1), r.getSeq[Double](2)))
+          .toMap
+        centroids = centroids.indices.map { c =>
+          sums.get(c) match {
+            case Some((n, s)) => s.map(_ / n)
+            case None => centroids(c) // empty cell keeps its centroid
+          }
         }
       }
-    }
-    centroids
+      centroids
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Per-cell (dot, -cell) score structs against driver-side

@@ -141,19 +141,32 @@ object PipelineQueries {
     // CONTRACT oracle: quarter-banding is EXHAUSTIVE for maxDist ≤ 3
     // (pigeonhole — 4 quarters, ≤3 differing bits, so one quarter is
     // untouched), so the banded pair set must EQUAL the brute-force
-    // all-pairs Hamming set, computed in-plan over the 16-byte
-    // (doc, fp) table — a deliberate verification-arm nested-loop join
-    // over fingerprints only, never over content (12.5M cheap codegen
-    // comparisons at sf0.1; the production path is the banded join).
+    // Hamming set. The brute arm runs over a BOUNDED deterministic
+    // sample (the 2,000 lowest-xxhash64 docs; ≤2M fingerprint
+    // comparisons at ANY fixture scale) with the banded set
+    // restricted to the same ids — banding is per-document, so the
+    // pigeonhole equality holds verbatim on the sampled subset. The
+    // production path is the banded join; only the verification arm
+    // is sampled.
     "q26_simhash" -> { (s, dir) =>
+      val sampleCap = 2000
       val docs = Tables.documents(s, dir)
       val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
-      val brute = fp.select(col("doc").as("id_a"), col("fp").as("fp_a"))
-        .join(fp.select(col("doc").as("id_b"), col("fp").as("fp_b")),
+      val sampled = fp
+        .withColumn("__h", xxhash64(col("doc")))
+        .orderBy(col("__h"), col("doc")).limit(sampleCap)
+        .select("doc", "fp")
+      val brute = sampled.select(col("doc").as("id_a"), col("fp").as("fp_a"))
+        .join(sampled.select(col("doc").as("id_b"), col("fp").as("fp_b")),
           col("id_a") < col("id_b"))
         .where(Dedup.hamming64(col("fp_a"), col("fp_b")) <= 3)
         .select("id_a", "id_b").withColumn("in_brute", lit(true))
+      val sampleIds = sampled.select(col("doc"))
       val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .join(broadcast(sampleIds.withColumnRenamed("doc", "id_a")),
+          Seq("id_a"), "left_semi")
+        .join(broadcast(sampleIds.withColumnRenamed("doc", "id_b")),
+          Seq("id_b"), "left_semi")
         .select("id_a", "id_b").withColumn("in_band", lit(true))
       val counts = brute.join(banded, Seq("id_a", "id_b"), "full_outer")
         .agg(
@@ -626,7 +639,9 @@ object PipelineQueries {
          |FROM jp""".stripMargin,
     // Quarter-banding is exhaustive for Hamming ≤ 3 and the banded
     // pairs carry a verified distance — both deviation counts are
-    // exactly zero for a correct implementation.
+    // exactly zero for a correct implementation (the sampled
+    // verification arm restricts BOTH sets to the same ids, so the
+    // equality — and the zeros — survive sampling unchanged).
     "q26_simhash" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(0 AS BIGINT) AS n_missed,

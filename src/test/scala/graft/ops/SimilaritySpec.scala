@@ -63,6 +63,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(assigned.map(_._2).distinct.length == 3)
   }
 
+  test("trainIvfCentroids scans a bounded sample, not the corpus") {
+    // The training sample is a TakeOrdered limited to the cap — the
+    // Lloyd iterations can never touch more rows than that at ANY
+    // corpus size.
+    val sample = Similarity.trainingSample(corpus, "vec_id", "embedding", cap = 6)
+    val plan = sample.queryExecution.optimizedPlan.toString
+    assert(plan.contains("GlobalLimit 6") || plan.contains("Limit 6"), plan)
+    assert(sample.count() == 6)
+    // Sampled training ≡ full-cap training on the manually-thinned
+    // corpus: the cap is the ONLY thing the sample changes.
+    val viaCap = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", k = 3, iters = 3, trainSampleCap = 6)
+    val sampleDf = sample.select(col("__id").as("vec_id"), col("__v").as("embedding"))
+    val viaThinned = Similarity.trainIvfCentroids(
+      sampleDf, "vec_id", "embedding", k = 3, iters = 3)
+    assert(viaCap == viaThinned)
+    // the cap never drops below k: k seeds always survive
+    val tiny = Similarity.trainIvfCentroids(
+      corpus, "vec_id", "embedding", k = 3, iters = 1, trainSampleCap = 1)
+    assert(tiny.size == 3)
+  }
+
+  test("adaptiveCellCount: √|C| growth halts at the 65,536-cell cap") {
+    assert(Similarity.adaptiveCellCount(100L) == 10)
+    assert(Similarity.adaptiveCellCount(100000L) == 316)
+    assert(Similarity.adaptiveCellCount(0L) == 8) // floor
+    // 10¹² vectors: uncapped √ would be 10⁶ centroids (~0.5 GB of
+    // driver state, 6×10⁷ flops/row assignment) — the cap holds
+    assert(Similarity.adaptiveCellCount(1000000000000L) == 65536)
+    assert(Similarity.adaptiveCellCount(Long.MaxValue) == 65536)
+  }
+
   test("ivfAssign puts each vector in its nearest centroid cell") {
     val centroids = Seq(
       Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),

@@ -141,7 +141,18 @@ object Schedule {
           payload.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: Throwable =>
+          // CREATE_NEW succeeded but the write failed partway (disk
+          // full): the orphaned half-claim is OURS — best-effort
+          // delete it before propagating, exactly as the HDFS branch
+          // below does, so it can't gate the tick for a whole lease
+          // with nobody running it.
+          try java.nio.file.Files.deleteIfExists(nioPath)
+          catch { case _: Throwable => () }
+          throw e
+      }
     } else {
       val created =
         try Some(fs.create(p, false))
@@ -241,7 +252,13 @@ object Schedule {
     val conf = spark.sparkContext.hadoopConfiguration
     val lock = new org.apache.hadoop.fs.Path(markerDir, "_marker_lock")
     val fs = lock.getFileSystem(conf)
-    while (!createExclusive(fs, lock, tick.toEpochMilli.toString)) {
+    // Unique owner token as the lock payload: release verifies the
+    // lock is still OURS. A holder that stalls past MarkerLockLease,
+    // has its lock stolen, and then resumes must NOT delete the
+    // replacement lock a peer created — that would let a third
+    // scheduler into the critical section alongside the peer.
+    val token = s"${tick.toEpochMilli}:${java.util.UUID.randomUUID()}"
+    while (!createExclusive(fs, lock, token)) {
       val stale =
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime >
           MarkerLockLease.toMillis
@@ -256,45 +273,125 @@ object Schedule {
     try {
       if (!readMarker(spark, markerDir).exists(_.toEpochMilli >= tick.toEpochMilli))
         writeMarker(spark, markerDir, tick)
-    } finally fs.delete(lock, false)
+    } finally releaseLockIfOwner(fs, lock, token)
+  }
+
+  /** Delete `lock` only if its payload still equals `token` (the
+    * read-then-delete pair is not atomic, but it shrinks the
+    * unconditional-delete hazard to the instant between the two calls;
+    * a non-matching payload means the lock was stolen and re-acquired
+    * by a peer — leave it alone, the peer releases its own). A lock we
+    * cannot read is left for the stale-steal path to collect.
+    */
+  private[engine] def releaseLockIfOwner(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, token: String): Unit =
+    try {
+      val in = fs.open(lock)
+      val payload =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      if (payload == token) fs.delete(lock, false)
+    } catch { case _: java.io.IOException => () }
+
+  private def donePath(markerDir: String, tickMillis: Long) =
+    new org.apache.hadoop.fs.Path(markerDir, s"_done_$tickMillis")
+
+  /** Record per-tick completion (idempotent overwrite): the completion
+    * fact SEPARATE from the monotonic marker. The marker alone cannot
+    * distinguish "tick T completed" from "a peer completed a LATER
+    * tick while T's claimant crashed mid-job" — the done file is what
+    * makes the crashed tick recoverable (see [[runDueShared]]).
+    */
+  private def writeDone(fs: org.apache.hadoop.fs.FileSystem,
+      markerDir: String, tickMillis: Long, owner: String): Unit = {
+    val out = fs.create(donePath(markerDir, tickMillis), true)
+    try out.write(owner.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Multi-scheduler run gate: like [[runDue]], but safe for several
     * schedulers polling ONE marker dir concurrently — each due tick is
     * gated by [[claimTick]], so exactly one scheduler executes it
     * (within the lease window); the rest skip. Marker advance is
-    * monotonic, and claim files older than the marker by more than
-    * `leaseTimeout` are GC'd (bounded housekeeping: a claim is only
-    * GC-eligible long after its tick stopped being due). Returns the
-    * number of ticks THIS scheduler ran.
+    * monotonic; each completed tick additionally writes a `_done_`
+    * file.
+    *
+    * Crash recovery under `catchup = true`: a claimant that died
+    * mid-job leaves its claim WITHOUT a done file. If a peer
+    * meanwhile completed a later tick, the marker moved past the
+    * crashed tick and it will never be in [[dueTicks]] again — so
+    * each invocation also re-derives retryable ticks from
+    * lease-expired claims lacking done files at or behind the marker
+    * and runs them (at-least-once beyond the lease window, as
+    * everywhere here). Under `catchup = false` a crashed tick
+    * collapses into the next interval by design — no recovery, same
+    * as a missed one.
+    *
+    * GC (bounded housekeeping): claim+done pairs further behind the
+    * marker than `leaseTimeout` are collected; an UN-done claim is a
+    * crash record, kept under catchup until its retry completes (a
+    * permanently-failing tick thus keeps exactly one claim file
+    * alive — loud, not leaky). Takeover tombstones orphaned by a
+    * crash between rename and delete are collected by mtime age.
+    * Returns the number of ticks THIS scheduler ran.
     */
   def runDueShared(spark: SparkSession, markerDir: String, every: Duration,
       catchup: Boolean, owner: String,
       leaseTimeout: Duration = Duration.ofMinutes(30),
       now: Instant = Instant.now())(job: Tick => Unit): Int = {
-    val ticks = dueTicks(readMarker(spark, markerDir), now, every, catchup)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(conf)
+    val marker = readMarker(spark, markerDir)
+    val due = dueTicks(marker, now, every, catchup)
+    val wallNow = System.currentTimeMillis()
+    val recovered: Seq[Tick] =
+      if (!catchup || marker.isEmpty || !fs.exists(dir)) Seq.empty
+      else {
+        val m = marker.get.toEpochMilli
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith("_claim_")) None
+          else name.stripPrefix("_claim_").toLongOption
+            .filter(_ <= m) // ticks > marker are still in dueTicks
+            .filter(_ => wallNow - st.getModificationTime > leaseTimeout.toMillis)
+            .filterNot(tm => fs.exists(donePath(markerDir, tm)))
+            .map(tm => Tick(Instant.ofEpochMilli(tm), isCatchup = true))
+        }
+      }
+    val ticks = (recovered ++ due)
+      .distinctBy(_.scheduled).sortBy(_.scheduled.toEpochMilli)
     val ran = ticks.count { t =>
       val claimed = claimTick(spark, markerDir, t.scheduled, owner, leaseTimeout, now)
       if (claimed) {
         job(t)
+        writeDone(fs, markerDir, t.scheduled.toEpochMilli, owner)
         writeMarkerIfNewer(spark, markerDir, t.scheduled)
       }
       claimed
     }
     // GC: claims far behind the (just-advanced) marker can never be
     // due again — the marker is monotonic under writeMarkerIfNewer's
-    // lock. Takeover tombstones orphaned by a crash between rename
-    // and delete are collected by mtime age.
+    // lock. Done-gated as documented above; claim deletes first, so a
+    // crash here leaves a done file whose claim is gone — collected
+    // by the orphan branch on a later pass.
     readMarker(spark, markerDir).foreach { m =>
-      val dir = new org.apache.hadoop.fs.Path(markerDir)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val horizon = m.toEpochMilli - leaseTimeout.toMillis
-      val wallNow = System.currentTimeMillis()
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("_claim_"))
           name.stripPrefix("_claim_").toLongOption
             .filter(_ < horizon)
+            .filter(tm => !catchup || fs.exists(donePath(markerDir, tm)))
+            .foreach { tm =>
+              fs.delete(st.getPath, false)
+              try fs.delete(donePath(markerDir, tm), false)
+              catch { case _: Throwable => () }
+            }
+        else if (name.startsWith("_done_"))
+          name.stripPrefix("_done_").toLongOption
+            .filter(_ < horizon)
+            .filterNot(tm => fs.exists(claimPath(markerDir, Instant.ofEpochMilli(tm))))
             .foreach(_ => fs.delete(st.getPath, false))
         else if (name.contains(".tomb.") &&
             wallNow - st.getModificationTime > leaseTimeout.toMillis)

@@ -196,15 +196,21 @@ object MediaCodecs {
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
       "not a RIFF/WAVE")
-    var off = 12
+    // The chunk walk runs in LONG (mirroring decodeBmp/decodePpm's
+    // size checks): a crafted size near Int.MaxValue must not wrap
+    // `off` negative (which would pass the loop bound and index out
+    // of bounds on the next header read) — in Long the walk simply
+    // steps past the buffer and the missing-chunk requires fire.
+    var off = 12L
     var channels = 0
     var sampleRate = 0
     var bits = 0
-    var dataOff = -1
+    var dataOff = -1L
     var dataLen = 0
     while (off + 8 <= bytes.length) {
-      val id = new String(bytes, off, 4, "US-ASCII")
-      val size = readLe32(bytes, off + 4)
+      val o = off.toInt // off + 8 <= length ⇒ off fits in Int
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val size = readLe32(bytes, o + 4)
       // the size field is attacker-controlled: a negative value would
       // stall or reverse the walk (infinite loop in a Spark task, not
       // a rejection) and a huge one would index out of bounds
@@ -212,24 +218,29 @@ object MediaCodecs {
       id match {
         case "fmt " =>
           require(off + 24 <= bytes.length && size >= 16, "truncated fmt chunk")
-          require(readLe16(bytes, off + 8) == 1, "non-PCM WAV unsupported")
-          channels = readLe16(bytes, off + 10)
-          sampleRate = readLe32(bytes, off + 12)
-          bits = readLe16(bytes, off + 22)
+          require(readLe16(bytes, o + 8) == 1, "non-PCM WAV unsupported")
+          channels = readLe16(bytes, o + 10)
+          sampleRate = readLe32(bytes, o + 12)
+          bits = readLe16(bytes, o + 22)
         case "data" =>
           dataOff = off + 8; dataLen = size
         case _ => // skip unknown chunks (LIST, INFO, ...)
       }
-      off += 8 + size + (size & 1)
+      off += 8L + size + (size & 1)
     }
     require(channels > 0 && sampleRate > 0, "missing fmt chunk")
     require(bits == 16, s"unsupported WAV bit depth $bits")
-    require(dataOff >= 0 && bytes.length >= dataOff + dataLen, "missing/truncated data chunk")
+    // Long-side bound: dataOff + dataLen can exceed Int.MaxValue for a
+    // crafted size — an Int comparison would wrap, pass, and AIOOBE in
+    // the PCM loop instead of rejecting.
+    require(dataOff >= 0 && bytes.length.toLong >= dataOff + dataLen.toLong,
+      "missing/truncated data chunk")
+    val dataStart = dataOff.toInt // bounded by bytes.length via the require
     val n = dataLen / 2
     var sum = 0L
     var i = 0
     while (i < n) {
-      sum += readLe16(bytes, dataOff + 2 * i).toShort.toLong
+      sum += readLe16(bytes, dataStart + 2 * i).toShort.toLong
       i += 1
     }
     Decoded("wav", 0, 0, channels, sampleRate, n.toLong / channels,

@@ -139,6 +139,58 @@ class ScheduleSpec extends SparkSpecBase {
     } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
+  test("runDueShared recovers a tick whose claimant crashed after the marker passed it") {
+    val dir = Files.createTempDirectory("graft_sched_recover_").toString
+    try {
+      var ran = Vector.empty[Instant]
+      // t(97) completes normally (marker -> 97, done file written)
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = true, "A",
+        leaseTimeout = hour, now = t(97)) { tk => ran :+= tk.scheduled } == 1)
+      // A claims t(98) and crashes mid-job: claim file, NO done file
+      assert(Schedule.claimTick(spark, dir, t(98), "A", hour, now = Instant.now()))
+      // B runs at t(99): t(98) is gated by A's live claim, but B
+      // completes t(99) — the marker advances PAST the crashed tick
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = true, "B",
+        leaseTimeout = hour, now = t(99)) { tk => ran :+= tk.scheduled } == 1)
+      assert(ran == Vector(t(97), t(99)))
+      assert(Schedule.readMarker(spark, dir).contains(t(99)))
+      // t(98) is no longer in dueTicks — marker-only dueness would
+      // skip it FOREVER. Once A's lease expires, the recovery pass
+      // re-derives it from the un-done claim and B takes it over.
+      Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, s"_claim_${t(98).toEpochMilli}"),
+        java.nio.file.attribute.FileTime.fromMillis(0))
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = true, "B",
+        leaseTimeout = hour, now = t(99)) { tk =>
+          assert(tk.isCatchup); ran :+= tk.scheduled } == 1)
+      assert(ran == Vector(t(97), t(99), t(98)))
+      assert(Schedule.readMarker(spark, dir).contains(t(99)), "marker never regresses")
+      // recovered tick is now done: nothing further to run
+      assert(Schedule.runDueShared(spark, dir, hour, catchup = true, "B",
+        leaseTimeout = hour, now = t(99)) { _ => fail("must not re-run") } == 0)
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("marker-lock release is ownership-checked: a stolen lock is left alone") {
+    val dir = Files.createTempDirectory("graft_sched_lock_").toString
+    try {
+      val lockPath = new org.apache.hadoop.fs.Path(dir, "_marker_lock")
+      val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // lock held by a PEER (as after a stale-steal + re-acquire):
+      // releasing with a non-matching token must not delete it
+      Files.write(java.nio.file.Paths.get(dir, "_marker_lock"),
+        "peer-token".getBytes)
+      Schedule.releaseLockIfOwner(fs, lockPath, "my-token")
+      assert(Files.exists(java.nio.file.Paths.get(dir, "_marker_lock")),
+        "a resumed stale holder deleted the peer's lock")
+      // matching token: released
+      Schedule.releaseLockIfOwner(fs, lockPath, "peer-token")
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "_marker_lock")))
+      // missing lock: release is a no-op, not an error
+      Schedule.releaseLockIfOwner(fs, lockPath, "peer-token")
+    } finally FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("writeMarkerIfNewer never regresses; claim GC clears passed ticks") {
     val dir = Files.createTempDirectory("graft_sched_mono_").toString
     try {

@@ -104,6 +104,32 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { MediaCodecs.decode(bmp) }
   }
 
+  test("WAV: chunk size near Int.MaxValue rejects, not Int-wrap AIOOBE") {
+    // fmt chunk size 0x7FFFFFF0: in Int arithmetic the walk offset
+    // `off += 8 + size + (size & 1)` wraps negative, re-enters the
+    // loop (the negative offset still satisfies `off + 8 <= length`),
+    // and throws an index error from the header read; the Long walk
+    // steps past the buffer and the missing-data require fires.
+    val wav = MediaCodecs.encodeWav(1, 8000, 4, _ => 1)
+    wav(16) = 0xF0.toByte; wav(17) = 0xFF.toByte
+    wav(18) = 0xFF.toByte; wav(19) = 0x7F.toByte
+    val e = intercept[IllegalArgumentException] { MediaCodecs.decode(wav) }
+    assert(e.getMessage.contains("data chunk"), e.getMessage)
+  }
+
+  test("WAV: data size overflowing dataOff+dataLen rejects, not AIOOBE") {
+    // data chunk size 0x7FFFFFFF at a small offset: an Int-typed
+    // truncation check `bytes.length >= dataOff + dataLen` wraps
+    // negative and PASSES, and the PCM loop then reads out of bounds;
+    // the Long-side bound rejects it as truncated.
+    val wav = MediaCodecs.encodeWav(1, 8000, 4, _ => 1)
+    val dataSizeOff = wav.length - 8 - 4 // size field of the data chunk
+    wav(dataSizeOff) = 0xFF.toByte; wav(dataSizeOff + 1) = 0xFF.toByte
+    wav(dataSizeOff + 2) = 0xFF.toByte; wav(dataSizeOff + 3) = 0x7F.toByte
+    val e = intercept[IllegalArgumentException] { MediaCodecs.decode(wav) }
+    assert(e.getMessage.contains("data chunk"), e.getMessage)
+  }
+
   test("truncated payloads are rejected, not silently mis-decoded") {
     val bmp = MediaCodecs.encodeBmp(4, 4, _ => 9)
     intercept[IllegalArgumentException] { MediaCodecs.decode(bmp.take(60)) }

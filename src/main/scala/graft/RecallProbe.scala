@@ -71,6 +71,50 @@ object RecallProbe {
         s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
         s"per-query=${recalls.toSeq.sorted.mkString(",")}")
     }
+
+    // Quantized-rerank IVF (int8 candidate scoring + exact re-rank)
+    // vs exact — pins q75's floor. Also printed: the full-precision
+    // IVF twin at the same parameters, isolating the quantization
+    // loss from the cell-blocking loss.
+    val cents8 = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8, iters = 3)
+    for (rf <- Seq(1, 2, 4)) {
+      val qr = Similarity.ivfTopKQuantizedRerank(q, e, "vec_id", "embedding", k = 5,
+          nProbe = 3, rerankFactor = rf, centroids = Some(cents8),
+          simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exactDot.map { case (qid, ex) =>
+        (qr.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      val full = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+          nProbe = 3, centroids = Some(cents8),
+          simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val fullRecalls = exactDot.map { case (qid, ex) =>
+        (full.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      println(s"[recall-probe] sf=$sfDir ann_quantized cells=8 nProbe=3 rerank=$rf: " +
+        s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
+        s"(full-precision ivf min=${fullRecalls.min} mean=${fullRecalls.sum / fullRecalls.size}) " +
+        s"per-query=${recalls.toSeq.sorted.mkString(",")}")
+    }
+
+    // Sampled-vs-full centroid training parity (trainSampleCap):
+    // recall through centroids trained on a bounded sample vs the
+    // full corpus, same IVF parameters — pins the claim that the
+    // sample cap does not cost recall at coarse-quantizer granularity.
+    for (cap <- Seq(64, 256)) {
+      val sampled = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8,
+        iters = 3, trainSampleCap = cap)
+      val viaSampled = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+          nProbe = 3, centroids = Some(sampled),
+          simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exactDot.map { case (qid, ex) =>
+        (viaSampled.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      println(s"[recall-probe] sf=$sfDir ivf_train_cap=$cap cells=8 nProbe=3: " +
+        s"min=${recalls.min} mean=${recalls.sum / recalls.size}")
+    }
     spark.stop()
   }
 }

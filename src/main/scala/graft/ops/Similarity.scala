@@ -285,6 +285,14 @@ object Similarity {
   def trainingSample(df: DataFrame, idCol: String, vecCol: String,
       cap: Int): DataFrame =
     df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      // corrupt vectors (null/NaN/±Inf elements) are EXCLUDED from
+      // training: one NaN row would otherwise poison its cell's
+      // centroid sum, and a NaN centroid then swallows every row
+      // (NaN orders above all doubles in the argmax) — silent
+      // quality collapse, not an error. Search-time paths quarantine
+      // such rows separately (null quantization codes, norm filters).
+      .where(forall(col("__v"),
+        x => x.isNotNull && !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity)))
       .withColumn("__h", xxhash64(col("__id")))
       .orderBy(col("__h"), col("__id"))
       .limit(cap)
@@ -327,12 +335,19 @@ object Similarity {
       if (centroids.isEmpty) return Seq.empty // empty corpus: no cells
       val dim = centroids.head.size
       for (_ <- 0 until iters) {
+        // DECIMAL sums: exact, hence order-independent — float sums
+        // would make the centroids (and every recall number pinned
+        // against them) depend on shuffle fetch order, run to run.
+        // decimal(30,15) truncation of each element is itself
+        // deterministic; 15 integer digits cannot overflow on a
+        // ≤65k-row sample of unit-scale embeddings.
         val sums = sample
           .select(assignCell(col("__v"), centroids).as("cell"), col("__v"))
           .groupBy("cell")
           .agg(count(lit(1)).as("n"),
             array((0 until dim).map(i =>
-              sum(element_at(col("__v"), i + 1))): _*).as("sums"))
+              sum(element_at(col("__v"), i + 1).cast("decimal(30,15)"))
+                .cast("double")): _*).as("sums"))
           .collect()
           .map(r => r.getLong(0).toInt ->
             (r.getLong(1), r.getSeq[Double](2)))
@@ -417,6 +432,81 @@ object Similarity {
     * with `iters` Lloyd iterations, driver-side state = nCells·dim
     * doubles only.
     */
+  /** Scaled int8 dot product of two quantized vectors:
+    * (codes_a · codes_b) · scale_a · scale_b ≈ the float dot. The
+    * inner dot is INTEGER arithmetic (|code| ≤ 127 ⇒ each term ≤
+    * 16,129; dim ≤ 131k before int overflow), one double multiply at
+    * the end. Null codes (corrupt vectors, see [[withQuantizedInt8]])
+    * propagate to a null score.
+    */
+  def quantizedDot(codesA: Column, scaleA: Column,
+      codesB: Column, scaleB: Column): Column =
+    aggregate(zip_with(codesA, codesB, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") * scaleA * scaleB
+
+  /** IVF ANN with QUANTIZED candidate scoring + exact re-rank — the
+    * int8 codes from [[withQuantizedInt8]] integrated into the search
+    * path (the operator the quantization exists for). Three stages:
+    *
+    *  1. candidate ids from the cell-blocked join, exactly as
+    *     [[ivfTopK]];
+    *  2. candidates scored with [[quantizedDot]] over int8 CODES —
+    *     the arrays crossing the candidate join are dim bytes, not
+    *     dim·8 (the 8× shuffle/IO reduction is the point at corpus
+    *     scale) — and trimmed to a per-query shortlist of
+    *     `rerankFactor`·k by the k-bounded TopK aggregate;
+    *  3. ONLY the shortlist joins the full-precision vectors for an
+    *     exact re-rank to top-k — per query, rerankFactor·k exact
+    *     dots instead of |candidates|.
+    *
+    * Quantization error can evict a true neighbor from the shortlist,
+    * so recall ≤ the full-precision path's; `rerankFactor` buys it
+    * back (factor 4 measured recall-identical to full-precision on
+    * the fixtures — RecallProbe). Corrupt vectors (null codes) are
+    * excluded from the shortlist by the aggregate's null filter.
+    */
+  def ivfTopKQuantizedRerank(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 64, iters: Int = 3, nProbe: Int = 2,
+      rerankFactor: Int = 4,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      simFn: (Column, Column) => Column = cosineSim,
+      simName: String = "cosine"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, idCol, vecCol, nCells, iters))
+    val qa = ivfAssignProbes(queries, vecCol, cents, nProbe)
+      .select(col(idCol).as("query_id"), col("cell"))
+    val ca = ivfAssign(corpus, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val candIds = ca.join(qa, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    // int8 codes ride the candidate join; floats stay home
+    def quantized(df: DataFrame, side: String): DataFrame =
+      withQuantizedInt8(df, vecCol).select(
+        col(idCol).as(s"${side}_id"),
+        col("q_codes").as(s"${side}_codes"), col("q_scale").as(s"${side}_scale"))
+    val cands = candIds
+      .join(quantized(queries, "query"), Seq("query_id"))
+      .join(quantized(corpus, "neighbor"), Seq("neighbor_id"))
+    val shortlist = rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        quantizedDot(col("query_codes"), col("query_scale"),
+          col("neighbor_codes"), col("neighbor_scale")).as("approx")),
+      k * rerankFactor, "approx")
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighborv"))
+    val rerank = shortlist.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+    rankTopK(
+      rerank.select(col("query_id"), col("neighbor_id"),
+        simFn(col("queryv"), col("neighborv")).as(simName)),
+      k, simName)
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -304,6 +304,54 @@ object PipelineQueries {
         (col("mean_recall") >= 0.5).as("recall_floor_met"))
     },
 
+    // Quantized-candidate IVF ANN (int8 scoring + exact re-rank —
+    // the search path q74's codes exist for). CONTRACT oracle:
+    // (a) mean recall@5 vs the exact dot path meets the same 0.5
+    // floor as q41 — RecallProbe (r7) measured the quantized path
+    // recall-IDENTICAL to full-precision IVF at every scale and
+    // every rerankFactor (mean 0.60-0.66 at sf0.001/0.01/0.1);
+    // (b) every returned score EQUALS the independently recomputed
+    // full-precision dot for that pair — proof the int8 approximation
+    // never leaks into the final scores, only into candidate choice;
+    // (c) no self-matches.
+    "q75_ann_quantized" -> { (s, dir) =>
+      import graft.functions.decimalDotNative
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+      val quant = Similarity.ivfTopKQuantizedRerank(q, e, "vec_id", "embedding",
+        k = 5, nProbe = 3, rerankFactor = 4, centroids = Some(cents),
+        simFn = (a, b) => decimalDotNative(a, b), simName = "dot")
+      val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv2"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv2"))
+      val fidelity = quant
+        .join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .agg(
+          coalesce(sum(when(col("dot") =!=
+            decimalDotNative(col("qv2"), col("cv2")), 1L).otherwise(0L)), lit(0L))
+            .as("n_inexact_score"),
+          coalesce(sum(when(col("query_id") === col("neighbor_id"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_self"))
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5,
+          simFn = (a, b) => decimalDotNative(a, b), simName = "dot")
+        .select("query_id", "neighbor_id").withColumn("in_exact", lit(true))
+      val recall = exact
+        .join(quant.select("query_id", "neighbor_id").withColumn("in_q", lit(true)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("in_exact") && col("in_q"), 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"))
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(avg(col("n_hit").cast("double") /
+            col("n_exact").cast("double")), lit(1.0)).as("mean_recall"))
+      recall.crossJoin(fidelity).select(
+        col("n_queries"),
+        (col("mean_recall") >= 0.5).as("recall_floor_met"),
+        (col("n_inexact_score") === 0L).as("rerank_scores_exact"),
+        col("n_self"))
+    },
+
     // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
     // codec decode (header walk, BMP row padding, RIFF chunk list) →
     // container features. CONTRACT oracle: every decoded feature is a
@@ -668,6 +716,15 @@ object PipelineQueries {
         |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
         |  TRUE AS recall_floor_met
         |FROM embeddings""".stripMargin,
+    // The recall floor and score fidelity are absolute properties of
+    // a correct quantized-candidate + exact-re-rank implementation
+    // (floor measured with margin — see the query comment).
+    "q75_ann_quantized" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  TRUE AS recall_floor_met,
+        |  TRUE AS rerank_scores_exact,
+        |  CAST(0 AS BIGINT) AS n_self
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // Every decoded feature is a closed form of doc_id — the synthesis
     // formulas in Multimodal.synth*. The byte-stream means are
     // recomputed exactly (integer sums < 2^53, one final IEEE

@@ -263,6 +263,51 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("quantized rerank with exhaustive probes and ample shortlist equals brute force") {
+    val q = corpus.where(col("vec_id").isin(0, 7, 14))
+    val exact = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // nProbe = nCells → every pair is a candidate; rerankFactor·k ≥
+    // corpus → the int8 shortlist cannot evict a true neighbor; the
+    // final ranking is then the full-precision exact ranking.
+    val quant = Similarity.ivfTopKQuantizedRerank(q, corpus, "vec_id", "embedding",
+        k = 4, nCells = 3, iters = 4, nProbe = 3, rerankFactor = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(quant == exact)
+  }
+
+  test("quantized rerank: candidate joins carry int8 codes, never float vectors") {
+    val q = corpus.where(col("vec_id") < 2)
+    val df = Similarity.ivfTopKQuantizedRerank(q, corpus, "vec_id", "embedding",
+      k = 3, nCells = 3, iters = 2, nProbe = 2)
+    val codeJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.output.exists(_.name == "neighbor_codes") => j
+    }
+    assert(codeJoins.nonEmpty, "expected the quantized candidate join in the plan")
+    codeJoins.foreach { j =>
+      val floats = j.output.filter(a =>
+        a.dataType.simpleString.contains("array<float>") ||
+        a.dataType.simpleString.contains("array<double>"))
+      assert(floats.isEmpty,
+        s"full-precision vectors ride the candidate join: $floats")
+    }
+  }
+
+  test("quantized rerank: corrupt (NaN) corpus vectors are excluded, no abort") {
+    val dirty = corpus.union(
+      Seq((99L, Array(Float.NaN, 1.0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    val q = corpus.where(col("vec_id") === 0)
+    val got = Similarity.ivfTopKQuantizedRerank(q, dirty, "vec_id", "embedding",
+        k = 4, nCells = 3, iters = 2, nProbe = 3, rerankFactor = 5)
+      .select("neighbor_id").as[Long].collect()
+    assert(!got.contains(99L))
+    assert(got.nonEmpty)
+  }
+
   test("ivfTopK candidate dedup happens on id pairs, not vector payloads") {
     val q = corpus.where(col("vec_id") < 2)
     val df = Similarity.ivfTopK(q, corpus, "vec_id", "embedding", k = 3,

@@ -1,0 +1,39 @@
+package graft.queries
+
+/** Fixture-coupled calibration constants — every number here is
+  * MEASURED against the current `/root/testdata` seed (via
+  * `graft.RecallProbe`), not derived. If the fixtures are ever
+  * regenerated with a new seed, these are the constants to re-pin;
+  * `graft.queries.CalibrationSpec` re-measures each one against the
+  * live fixtures and fails with the measured replacement value when a
+  * floor no longer holds, so a seed change produces a self-explaining
+  * artifact instead of a bare hash mismatch.
+  *
+  * Re-pin procedure: `sbt "runMain graft.RecallProbe /root/testdata/sfX"`
+  * at all three scales, take the weakest measured value across scales,
+  * and leave at least one full hit of margin (k·|Q| hits ⇒ one hit =
+  * 1/(k·|Q|) of recall).
+  */
+object Calibration {
+
+  /** q29: per-query recall@5 floor for `lshTopK(nPlanes=4, nTables=16)`
+    * vs exact cosine. Measured per-query MIN 0.6 at all of
+    * sf0.001/0.01/0.1 (RecallProbe r6, re-confirmed r7) — 0.4 keeps a
+    * whole hit of margin.
+    */
+  val LshRecallFloor = 0.4
+
+  /** q41/q75: MEAN recall@5 floor for IVF (8 cells, nProbe=3, and the
+    * int8-quantized-rerank variant, measured recall-identical) vs the
+    * exact dot path. Measured mean 0.60–0.66 at all three scales
+    * (RecallProbe r6/r7).
+    */
+  val IvfMeanRecallFloor = 0.5
+
+  /** q73: semantic-dedup cosine threshold. Calibrated to the synthetic
+    * embeddings, whose max pairwise cosine tops out near 0.45 (real
+    * embedding models sit near 0.95+) — τ=0.4 keeps the operator
+    * non-vacuous (some pairs dedup) without collapsing the corpus.
+    */
+  val SemanticDedupTau = 0.4
+}

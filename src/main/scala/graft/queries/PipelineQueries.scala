@@ -233,7 +233,8 @@ object PipelineQueries {
             .otherwise(0L)).as("n_self"))
         .select(col("query_id"),
           (col("n_hit").cast("double") >=
-            col("n_exact").cast("double") * 0.4).as("recall_floor_met"),
+            col("n_exact").cast("double") * Calibration.LshRecallFloor)
+            .as("recall_floor_met"),
           (coalesce(col("max_rank"), lit(0)) === col("n_lsh") &&
             col("n_ranks") === col("n_lsh")).as("ranks_valid"),
           (col("n_self") === 0L).as("self_excluded"))
@@ -301,7 +302,8 @@ object PipelineQueries {
         col("n_vectors"),
         coalesce(col("n_bad_cell"), lit(0L)).as("n_bad_cell"),
         col("n_queries"),
-        (col("mean_recall") >= 0.5).as("recall_floor_met"))
+        (col("mean_recall") >= Calibration.IvfMeanRecallFloor)
+          .as("recall_floor_met"))
     },
 
     // Quantized-candidate IVF ANN (int8 scoring + exact re-rank —
@@ -347,7 +349,8 @@ object PipelineQueries {
             col("n_exact").cast("double")), lit(1.0)).as("mean_recall"))
       recall.crossJoin(fidelity).select(
         col("n_queries"),
-        (col("mean_recall") >= 0.5).as("recall_floor_met"),
+        (col("mean_recall") >= Calibration.IvfMeanRecallFloor)
+          .as("recall_floor_met"),
         (col("n_inexact_score") === 0L).as("rerank_scores_exact"),
         col("n_self"))
     },
@@ -461,7 +464,7 @@ object PipelineQueries {
       // very pair list / kept set it produced (parts are checkpointed
       // inside, so the four aggregate arms don't re-run the pair scan)
       val parts = Dedup.semanticDedupParts(e, "vec_id", "embedding",
-        threshold = 0.4, nCells = 8)
+        threshold = Calibration.SemanticDedupTau, nCells = 8)
       val paired = parts.pairs.select(col("id_a").as("vec_id"))
         .union(parts.pairs.select(col("id_b").as("vec_id"))).distinct()
       e.agg(count(lit(1)).as("n_vectors"))

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import graft.engine.Tables
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Re-measures every fixture-coupled constant in [[Calibration]]
+  * against the LIVE testdata and fails with re-pin instructions when
+  * one no longer holds — the self-explaining artifact that a fixture
+  * regeneration (new seed) produces instead of a bare oracle hash
+  * mismatch. Cancels (does not fail) when the fixture dir is absent.
+  */
+class CalibrationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def fixturesPresent = new java.io.File(sfDir).isDirectory
+
+  private def repin(constant: String, measured: String): String =
+    s"""
+       |FIXTURE CALIBRATION VIOLATION — the testdata seed has likely changed.
+       |Measured on $sfDir: $measured
+       |Re-pin graft.queries.Calibration.$constant
+       |(src/main/scala/graft/queries/Calibration.scala) following that
+       |file's re-pin procedure: run `sbt "runMain graft.RecallProbe <sf>"`
+       |at all three scales and keep one full hit of margin below the
+       |weakest measured value.""".stripMargin
+
+  test("q29's LSH recall floor holds on the live fixtures") {
+    assume(fixturesPresent, s"$sfDir absent")
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
+        nPlanes = 4, nTables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val minRecall = exact.map { case (qid, ex) =>
+      (lsh.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }.min
+    assert(minRecall >= Calibration.LshRecallFloor,
+      repin("LshRecallFloor", s"per-query min recall $minRecall < " +
+        s"floor ${Calibration.LshRecallFloor} (lshTopK planes=4 tables=16 k=5)"))
+  }
+
+  test("q41/q75's IVF mean-recall floor holds on the live fixtures") {
+    assume(fixturesPresent, s"$sfDir absent")
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val dotFn = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.decimalDotNative(a, b)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5,
+        simFn = dotFn, simName = "dot")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8, iters = 3)
+    for ((name, df) <- Seq(
+        "ivfTopK" -> Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+          nProbe = 3, centroids = Some(cents), simFn = dotFn, simName = "dot"),
+        "ivfTopKQuantizedRerank" -> Similarity.ivfTopKQuantizedRerank(
+          q, e, "vec_id", "embedding", k = 5, nProbe = 3, rerankFactor = 4,
+          centroids = Some(cents), simFn = dotFn, simName = "dot"))) {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exact.map { case (qid, ex) =>
+        (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= Calibration.IvfMeanRecallFloor,
+        repin("IvfMeanRecallFloor",
+          s"$name mean recall $mean < floor ${Calibration.IvfMeanRecallFloor} " +
+          "(8 cells, nProbe=3, k=5)"))
+    }
+  }
+
+  test("q73's semantic-dedup tau keeps the operator non-vacuous on the live fixtures") {
+    assume(fixturesPresent, s"$sfDir absent")
+    // τ must sit BELOW the corpus's max pairwise cosine (else q73
+    // never drops a vector and the contract oracle goes toothless)
+    // — the synthetic embeddings top out near 0.45.
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val norm = sqrt(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (a, x) => a + x))
+    val n = e.select(col("vec_id"), col("v"), norm.as("nrm")).where(col("nrm") > 0)
+    val a = n.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val maxCos = a.join(b, col("ia") < col("ib"))
+      .select((aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("cos"))
+      .agg(max("cos")).as[Double].head()
+    assert(maxCos >= Calibration.SemanticDedupTau,
+      repin("SemanticDedupTau",
+        s"max pairwise cosine $maxCos < tau ${Calibration.SemanticDedupTau} — " +
+        "q73 would drop nothing (vacuous contract)"))
+  }
+}

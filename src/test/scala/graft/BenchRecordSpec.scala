@@ -16,7 +16,9 @@ class BenchRecordSpec extends AnyFunSuite {
     Bench.compactRecord(results, totalSec = 888.888, paritySec = 88.888,
       ingestSec = 8.888, only = None, sfDir = "/root/testdata/sf0.1",
       calibStartSec = 88.888, calibEndSec = 88.888,
-      load1Start = 888.888, load1End = 888.888)
+      load1Start = 888.888, load1End = 888.888,
+      // worst case: every pinned query flags at once
+      flagged = Bench.PinnedMinSf01.keys.toSeq.sorted)
   }
 
   test("compact record for the FULL inventory fits the driver's tail window") {
@@ -55,6 +57,32 @@ class BenchRecordSpec extends AnyFunSuite {
       totalSec = 5.591, paritySec = 0.0, ingestSec = 0.0,
       only = Some(Seq("q64")), sfDir = "/tmp/x")
     assert(rec.contains(""""only":["q64"]"""))
+  }
+
+  test("outlier flag: fires on 2x-plus-2s over the pinned minimum, not on jitter") {
+    val pins = Map("q64" -> 6.52, "q45" -> 1.62, "q10" -> 0.15)
+    // r5's q64 contention entry (14.4 s) and r6's q45 positional smear
+    // (8.0 s) must flag; ordinary noise-band entries must not
+    assert(Bench.outliers(Seq("q64_pipeline_run" -> 14.4), pins) == Seq("q64"))
+    assert(Bench.outliers(Seq("q45_moving_avg" -> 8.0), pins) == Seq("q45"))
+    assert(Bench.outliers(Seq("q64_pipeline_run" -> 7.8), pins).isEmpty)
+    assert(Bench.outliers(Seq("q45_moving_avg" -> 2.1), pins).isEmpty)
+    // sub-second pin: the absolute +2s guard keeps 3x jitter unflagged
+    assert(Bench.outliers(Seq("q10_count_validation" -> 0.5), pins).isEmpty)
+    assert(Bench.outliers(Seq("q10_count_validation" -> 2.4), pins) == Seq("q10"))
+    // unpinned queries never flag
+    assert(Bench.outliers(Seq("q01_clean_coerce" -> 99.0), pins).isEmpty)
+  }
+
+  test("outlier flags ride the compact record; absent on clean runs") {
+    val rec = Bench.compactRecord(Seq("q64_pipeline_run" -> 14.4),
+      totalSec = 14.4, paritySec = 0.0, ingestSec = 0.0, only = None,
+      sfDir = "/root/testdata/sf0.1", flagged = Seq("q64"))
+    assert(rec.contains(""""outliers":["q64"],"""))
+    val clean = Bench.compactRecord(Seq("q64_pipeline_run" -> 6.6),
+      totalSec = 6.6, paritySec = 0.0, ingestSec = 0.0, only = None,
+      sfDir = "/root/testdata/sf0.1")
+    assert(!clean.contains("outliers"))
   }
 
   test("values are millisecond-rounded, never scientific notation") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, MinHashSignature, SimHash64}
+import graft.expressions.{DecimalScaledDot, GramHashRange, MinHashSignature, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -16,6 +16,8 @@ import graft.expressions.{DecimalScaledDot, MinHashSignature, SimHash64}
   * - `simhash64(text)` → BIGINT
   * - `minhash_signature(text, n, numHashes)` → ARRAY<BIGINT>
   * - `decimal_scaled_dot(a, b)` → DOUBLE
+  * - `word_shingles(text, n)` → ARRAY<STRING>
+  * - `gram_hash_range(text, k)` → ARRAY<BIGINT> (min/max k-gram hash)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -52,7 +54,23 @@ object GraftExtensions {
     (FunctionIdentifier("decimal_scaled_dot"),
       info("decimal_scaled_dot",
         "decimal_scaled_dot(a, b) - exact dot product of float arrays at 6-decimal scale"),
-      (children: Seq[Expression]) => DecimalScaledDot(children(0), children(1))))
+      (children: Seq[Expression]) => DecimalScaledDot(children(0), children(1))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - distinct word n-gram shingles, order-preserving"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles(text, n) takes 2 arguments")
+        WordShingles(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("gram_hash_range"),
+      info("gram_hash_range",
+        "gram_hash_range(text, k) - [min, max] xxhash64 over character k-grams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "gram_hash_range(text, k) takes 2 arguments")
+        GramHashRange(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Register into an ALREADY-RUNNING session's function registry —
     * the path for environments where the session is handed to us

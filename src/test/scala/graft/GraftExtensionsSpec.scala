@@ -7,34 +7,49 @@ package graft
   */
 class GraftExtensionsSpec extends SparkSpecBase {
 
-  test("runtime-registered functions callable from SQL") {
+  test("runtime-registered functions callable from SQL — all five") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
       """SELECT
         |  simhash64('the quick brown fox') AS sh,
         |  minhash_signature('a b c d e', 2, 4) AS mh,
         |  decimal_scaled_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
-        |                     array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS dot
+        |                     array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS dot,
+        |  word_shingles('a b c d', 3) AS ws,
+        |  gram_hash_range('abcdefgh', 4) AS ghr
         |""".stripMargin).collect()(0)
     assert(rows.getLong(0) != 0L)
     assert(rows.getSeq[Long](1).length == 4)
     assert(rows.getDouble(2) == 4.0) // 1.5*2.0 + 2.0*0.5
+    assert(rows.getSeq[String](3) == Seq("a b c", "b c d"))
+    val ghr = rows.getSeq[Long](4)
+    assert(ghr.length == 2 && ghr(0) <= ghr(1))
   }
 
-  test("SQL simhash64 equals the Column-API result") {
+  test("SQL results equal the Column-API results for every native expression") {
     import spark.implicits._
+    import graft.functions._
     GraftExtensions.register(spark)
-    val df = Seq("spark native expression").toDF("t")
+    val df = Seq("spark native expression parity check").toDF("t")
     df.createOrReplaceTempView("ext_docs")
-    val viaSql = spark.sql("SELECT simhash64(t) FROM ext_docs").collect()(0).getLong(0)
-    val viaCol = df.select(graft.functions.simhash64Native($"t")).collect()(0).getLong(0)
-    assert(viaSql == viaCol)
+    val viaSql = spark.sql(
+      """SELECT simhash64(t), minhash_signature(t, 2, 4),
+        |  word_shingles(t, 2), gram_hash_range(t, 4)
+        |FROM ext_docs""".stripMargin).collect()(0)
+    val viaCol = df.select(
+      simhash64Native($"t"), minhashNative($"t", 2, 4),
+      wordShinglesNative($"t", 2), gramHashRangeNative($"t", 4)).collect()(0)
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    assert(viaSql.getSeq[String](2) == viaCol.getSeq[String](2))
+    assert(viaSql.getSeq[Long](3) == viaCol.getSeq[Long](3))
   }
 
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
-      Seq("decimal_scaled_dot", "minhash_signature", "simhash64"))
+      Seq("decimal_scaled_dot", "gram_hash_range", "minhash_signature",
+        "simhash64", "word_shingles"))
   }
 }

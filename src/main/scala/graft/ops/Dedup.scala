@@ -446,12 +446,18 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String, blockCol: Column,
       threshold: Double, maxPairsPerBlock: Long = 100000000L,
       subBlockApprox: Boolean = false): DataFrame = {
-    // cosineExact, not the HOF cosineSim: the pair join is the hot
-    // loop (every within-block pair pays three 64-element dots), and
-    // the native scaled-long expression is codegen'd where the HOF
-    // zip_with+aggregate chain is not. Element values quantize to
-    // 1e-6 — irrelevant against any near-dup threshold.
-    import graft.functions.{cosineExact, decimalDotNative}
+    // Native scaled-long dot, not the HOF cosineSim: the pair join is
+    // the hot loop, and the native expression is codegen'd where the
+    // HOF zip_with+aggregate chain is not. Element values quantize to
+    // 1e-6 — irrelevant against any near-dup threshold. The two
+    // SELF-dots of the cosine are per-ROW facts, so they (and their
+    // sqrt) are computed once map-side before the join — each pair
+    // then pays ONE 64-element dot plus a multiply/divide instead of
+    // three dots (this is also why no fused three-dot expression is
+    // warranted: measured in r7, see NOTES.md). dot/(na·nb) is
+    // bit-identical to cosineExact's dot/(sqrt(aa)·sqrt(bb)) — same
+    // IEEE ops, the sqrt just moved from per-pair to per-row.
+    import graft.functions.decimalDotNative
     // Zero-norm (all elements below the 1e-6 quantum) vectors are
     // excluded MAP-SIDE: their cosine is 0/0 — under ANSI mode a
     // DIVIDE_BY_ZERO job abort, and numerically a NaN that Spark
@@ -462,13 +468,15 @@ object Dedup {
     // self-dot per ROW instead of any per-pair guard.
     val e = fanned(emb).select(col(idCol).as("id"), col(vecCol).as("vec"),
         blockCol.as("blk"))
-      .where(decimalDotNative(col("vec"), col("vec")) > 0.0)
+      .withColumn("__norm", sqrt(decimalDotNative(col("vec"), col("vec"))))
+      .where(col("__norm") > 0.0)
     def pairsWithin(src: DataFrame, blkCols: Seq[String]): DataFrame =
       src.as("a").join(src.as("b"),
           blkCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          cosineExact(col("a.vec"), col("b.vec")).as("cosine"))
+          (decimalDotNative(col("a.vec"), col("b.vec")) /
+            (col("a.__norm") * col("b.__norm"))).as("cosine"))
         .where(col("cosine") >= threshold)
     if (maxPairsPerBlock <= 0) return pairsWithin(e, Seq("blk"))
     val budget = maxPairsPerBlock.toDouble

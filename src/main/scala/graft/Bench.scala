@@ -60,12 +60,13 @@ object Bench {
       s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
 
   /** Isolated min-of-3 seconds at sf0.1 for the queries with a
-    * COMMITTED pinned measurement (`bench_local/`, NOTES.md r6) —
+    * COMMITTED pinned measurement (`bench_local/`, NOTES.md r6/r7) —
     * the heavy queries plus q45, whose r5/r6 driver entries smeared
     * under positional noise. Used only to self-flag outliers below.
     */
   val PinnedMinSf01: Map[String, Double] = Map(
-    "q45" -> 1.62, "q64" -> 6.52, "q72" -> 6.58, "q73" -> 5.47)
+    "q45" -> 1.62, "q64" -> 6.39, "q72" -> 6.10,
+    "q73" -> 4.97, "q75" -> 3.13)
 
   /** Queries whose measured time exceeds BOTH 2× their pinned isolated
     * minimum AND pinned + 2 s (the absolute guard keeps sub-second

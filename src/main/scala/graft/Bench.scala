@@ -217,10 +217,14 @@ object Bench {
       s""""parity_sec":${r3(parity)},"extensions_sec":${r3(total - ingestSec - parity)},""" +
       s""""ingest_sec":${r3(ingestSec)},${onlyJson(only)}$sentinel,""" +
       s""""queries":$qsLong,"sf":"$sfDir"}""")
-    // Outlier flags only apply where the pins were measured (sf0.1,
-    // single-pass): a REPEAT>1 run already reports minima.
+    // Outlier flags only apply under the conditions the pins were
+    // measured: sf0.1, warmed, default layout, single pass (a cold or
+    // relaid run exceeding a warm pin is a measurement-condition
+    // difference, not positional noise; REPEAT>1 already reports minima).
     val flagged =
-      if (sfDir.endsWith("sf0.1") && repeat == 1) outliers(results) else Seq.empty
+      if (sfDir.endsWith("sf0.1") && repeat == 1 &&
+          warmupPasses >= 1 && benchDir == sfDir) outliers(results)
+      else Seq.empty
     println(compactRecord(results, total, parity, ingestSec, only, sfDir,
       calibStartSec = calibStart, calibEndSec = calibEnd,
       load1Start = load1StartV, load1End = load1EndV, flagged = flagged))

@@ -33,6 +33,24 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** A scalar parameter of a SQL function must be a foldable integer
+    * literal (it becomes part of the expression's shape, not a per-row
+    * input). Checked here so `word_shingles(text, n_col)` fails with a
+    * clear message at plan time instead of an internal
+    * UnresolvedException / NPE / ClassCastException from a blind
+    * `eval()`.
+    */
+  private def intLiteralArg(fn: String, argName: String, e: Expression): Int = {
+    require(e.foldable,
+      s"$fn: $argName must be an integer literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be an integer literal, got " +
+          (if (other == null) "NULL" else other.getClass.getSimpleName))
+    }
+  }
+
   /** The registrations, shared by the extensions class (session-build
     * time, `spark.sql.extensions`) and [[register]] (runtime, for
     * sessions the caller didn't build).
@@ -47,9 +65,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "minhash_signature(text, n, numHashes) takes 3 arguments")
-        val n = children(1).eval().asInstanceOf[Number].intValue()
-        val k = children(2).eval().asInstanceOf[Number].intValue()
-        MinHashSignature(children.head, n, k)
+        MinHashSignature(children.head,
+          intLiteralArg("minhash_signature", "n", children(1)),
+          intLiteralArg("minhash_signature", "numHashes", children(2)))
       }),
     (FunctionIdentifier("decimal_scaled_dot"),
       info("decimal_scaled_dot",
@@ -61,7 +79,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_shingles(text, n) takes 2 arguments")
         WordShingles(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          intLiteralArg("word_shingles", "n", children(1)))
       }),
     (FunctionIdentifier("gram_hash_range"),
       info("gram_hash_range",
@@ -69,7 +87,7 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "gram_hash_range(text, k) takes 2 arguments")
         GramHashRange(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+          intLiteralArg("gram_hash_range", "k", children(1)))
       }))
 
   /** Register into an ALREADY-RUNNING session's function registry —

@@ -344,7 +344,16 @@ object Schedule {
     val fs = dir.getFileSystem(conf)
     val marker = readMarker(spark, markerDir)
     val due = dueTicks(marker, now, every, catchup)
-    val wallNow = System.currentTimeMillis()
+    // Lease expiry here uses the SAME injectable `now` as claimTick's
+    // takeover check — on two different clocks, a tick could be
+    // selected for recovery that the takeover then refuses (or vice
+    // versa) whenever a caller supplies a non-wall `now`.
+    // Migration/compat note: a claim predating the done-file scheme
+    // (or written via bare claimTick) is indistinguishable from a
+    // crash — that is the point of the done file — so it is recovered
+    // ONCE and its job re-runs. Consistent with the documented
+    // at-least-once guarantee beyond the lease window; jobs behind
+    // this gate are idempotent by contract.
     val recovered: Seq[Tick] =
       if (!catchup || marker.isEmpty || !fs.exists(dir)) Seq.empty
       else {
@@ -354,7 +363,8 @@ object Schedule {
           if (!name.startsWith("_claim_")) None
           else name.stripPrefix("_claim_").toLongOption
             .filter(_ <= m) // ticks > marker are still in dueTicks
-            .filter(_ => wallNow - st.getModificationTime > leaseTimeout.toMillis)
+            .filter(_ =>
+              now.toEpochMilli - st.getModificationTime > leaseTimeout.toMillis)
             .filterNot(tm => fs.exists(donePath(markerDir, tm)))
             .map(tm => Tick(Instant.ofEpochMilli(tm), isCatchup = true))
         }
@@ -377,6 +387,9 @@ object Schedule {
     // by the orphan branch on a later pass.
     readMarker(spark, markerDir).foreach { m =>
       val horizon = m.toEpochMilli - leaseTimeout.toMillis
+      // tombstones are wall-clock filesystem debris (nanoTime-named),
+      // not tick-time artifacts — their age check stays on wall time
+      val wallNow = System.currentTimeMillis()
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("_claim_"))

@@ -152,10 +152,14 @@ object PipelineQueries {
       val sampleCap = 2000
       val docs = Tables.documents(s, dir)
       val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      // localCheckpoint: the sample feeds FOUR plan references (brute
+      // self-join twice, two semi-join broadcasts) — without it the
+      // full-corpus fingerprint scan re-executes per reference
       val sampled = fp
         .withColumn("__h", xxhash64(col("doc")))
         .orderBy(col("__h"), col("doc")).limit(sampleCap)
         .select("doc", "fp")
+        .localCheckpoint(false)
       val brute = sampled.select(col("doc").as("id_a"), col("fp").as("fp_a"))
         .join(sampled.select(col("doc").as("id_b"), col("fp").as("fp_b")),
           col("id_a") < col("id_b"))

@@ -45,6 +45,27 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(viaSql.getSeq[Long](3) == viaCol.getSeq[Long](3))
   }
 
+  test("scalar args must be integer literals — clear plan-time error, not an NPE") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq("n" -> 1L).toDF("t", "n").createOrReplaceTempView("ext_bad")
+    // non-foldable column argument
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, n) FROM ext_bad").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    // NULL literal
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT gram_hash_range('abc', NULL)").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+    // string literal
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT minhash_signature('a b c', '2', 4)").collect()
+    }
+    assert(e3.getMessage.contains("integer literal"), e3.getMessage)
+  }
+
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared

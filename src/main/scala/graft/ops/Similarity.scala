@@ -181,7 +181,8 @@ object Similarity {
       nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
       querySideRows: Option[Long] = None,
       corpusRows: Option[Long] = None,
-      ivfCorpusFloor: Long = 100000L): DataFrame = {
+      ivfCorpusFloor: Long = 100000L,
+      quantizedCandidates: Boolean = false): DataFrame = {
     val crossover = nPlanes * nTables
     val smallQ = querySideRows match {
       case Some(n) => n <= crossover
@@ -212,7 +213,14 @@ object Similarity {
         // [[trainIvfCentroids]]) and per-row assignment is bounded;
         // past the cap, recall is bought with nProbe, not more cells.
         val nCells = adaptiveCellCount(corpusRows.getOrElse(ivfCorpusFloor))
-        ivfTopK(queries, corpus, idCol, vecCol, k,
+        // quantizedCandidates routes the big-corpus branch through the
+        // int8-scored shortlist + exact re-rank — exactly the branch
+        // where candidate-join width matters (measured recall-identical
+        // to the full-precision path on the fixtures; RecallProbe)
+        if (quantizedCandidates)
+          ivfTopKQuantizedRerank(queries, corpus, idCol, vecCol, k,
+            nCells = nCells, iters = 2, nProbe = 2)
+        else ivfTopK(queries, corpus, idCol, vecCol, k,
           nCells = nCells, iters = 2, nProbe = 2)
       } else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
     }

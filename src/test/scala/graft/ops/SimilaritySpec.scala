@@ -194,6 +194,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("adaptiveTopK: quantizedCandidates routes the IVF branch through int8 scoring") {
+    val df = Similarity.adaptiveTopK(corpus, corpus, "vec_id", "embedding",
+      k = 3, nPlanes = 2, nTables = 2, dim = 8,
+      corpusRows = Some(200), ivfCorpusFloor = 100,
+      quantizedCandidates = true)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the quantized path is identified by its code columns in the plan
+    assert(plan.contains("neighbor_codes") && plan.contains("cell"), plan)
+    assert(df.count() > 0)
+  }
+
   test("ivfAssignProbes: first probe is the assigned cell, probes distinct") {
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
       k = 3, iters = 4)

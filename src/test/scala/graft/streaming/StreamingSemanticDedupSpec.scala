@@ -76,6 +76,28 @@ class StreamingSemanticDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("int8 quantization is stateless Column exprs: runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.withQuantizedInt8(
+        mem.toDF().toDF("vec_id", "embedding"), "embedding")
+      .select("vec_id", "q_scale", "q_codes")
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(vectors.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quant_stream")
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      val batch = Similarity.withQuantizedInt8(
+          vectors.toDF("vec_id", "embedding"), "embedding")
+        .select("vec_id", "q_scale", "q_codes")
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.length == vectors.length)
+    } finally q.stop()
+  }
+
   test("cross-batch state: a duplicate arriving in a later batch is dropped") {
     val cents = Similarity.trainIvfCentroids(
       vectors.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 3, iters = 3)

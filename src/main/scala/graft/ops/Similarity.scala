@@ -492,11 +492,20 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    // int8 codes ride the candidate join; floats stay home
-    def quantized(df: DataFrame, side: String): DataFrame =
-      withQuantizedInt8(df, vecCol).select(
+    // int8 codes ride the candidate join; floats stay home. A side
+    // that ALREADY carries `q_codes`/`q_scale` (quantized once at
+    // ingest with [[withQuantizedInt8]] and stored — the intended
+    // corpus-scale shape, where codes are read from parquet instead
+    // of recomputed from the float vectors per query batch) is used
+    // as-is.
+    def quantized(df: DataFrame, side: String): DataFrame = {
+      val q =
+        if (df.columns.contains("q_codes") && df.columns.contains("q_scale")) df
+        else withQuantizedInt8(df, vecCol)
+      q.select(
         col(idCol).as(s"${side}_id"),
         col("q_codes").as(s"${side}_codes"), col("q_scale").as(s"${side}_scale"))
+    }
     val cands = candIds
       .join(quantized(queries, "query"), Seq("query_id"))
       .join(quantized(corpus, "neighbor"), Seq("neighbor_id"))

@@ -307,6 +307,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("quantized rerank reuses stored q_codes/q_scale instead of recomputing") {
+    val q = corpus.where(col("vec_id") === 0)
+    // pre-quantized corpus (codes stored at ingest — the q74 shape):
+    // results must equal the recompute-from-vectors path
+    val stored = Similarity.withQuantizedInt8(corpus, "embedding")
+    val fresh = Similarity.ivfTopKQuantizedRerank(q, corpus, "vec_id", "embedding",
+        k = 3, nCells = 3, iters = 3, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    val viaStored = Similarity.ivfTopKQuantizedRerank(q, stored, "vec_id", "embedding",
+        k = 3, nCells = 3, iters = 3, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaStored == fresh)
+    // PROOF the stored codes are honored (not silently recomputed):
+    // fake codes that give vector 14 (wrong cluster, true cosine low)
+    // the max possible int8 dot and everyone else zero — with a
+    // 1-element shortlist the returned neighbor must be the faked one
+    val faked = corpus
+      .withColumn("q_scale",
+        when(col("vec_id") === 14, 1.0).otherwise(0.0))
+      // Seq[Byte], not Array[Byte]: the latter encodes as BINARY,
+      // q_codes must be a true array<tinyint>
+      .withColumn("q_codes", when(col("vec_id") === 14,
+          typedLit(Seq.fill(8)(127.toByte)))
+        .otherwise(typedLit(Seq.fill(8)(0.toByte))))
+    val steered = Similarity.ivfTopKQuantizedRerank(q, faked, "vec_id", "embedding",
+        k = 1, nCells = 3, iters = 3, nProbe = 3, rerankFactor = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(steered == Seq(14L),
+      s"stored codes ignored (got $steered — operator recomputed codes)")
+  }
+
   test("quantized rerank: corrupt (NaN) corpus vectors are excluded, no abort") {
     val dirty = corpus.union(
       Seq((99L, Array(Float.NaN, 1.0f, 0f, 0f, 0f, 0f, 0f, 0f)))

@@ -108,6 +108,28 @@ object ScaleProbe {
     t(s"lshTopK corpus-vs-corpus ${mult}x") {
       Similarity.lshTopK(embN, embN, "vec_id", "embedding", k = 5).count()
     }
+    // full-precision IVF vs int8-candidate + exact-rerank at the same
+    // parameters, corpus-vs-corpus: the quantized path's candidate
+    // join moves dim bytes instead of dim·8 — the gap is the
+    // shuffle-width win (wall time at this dim/scale; bytes at 100 TB)
+    val centsN = Similarity.trainIvfCentroids(embN, "vec_id", "embedding",
+      k = 32, iters = 2)
+    t(s"ivfTopK corpus-vs-corpus ${mult}x") {
+      Similarity.ivfTopK(embN, embN, "vec_id", "embedding", k = 5,
+        nProbe = 2, centroids = Some(centsN)).count()
+    }
+    t(s"ivfTopKQuantizedRerank corpus-vs-corpus ${mult}x") {
+      Similarity.ivfTopKQuantizedRerank(embN, embN, "vec_id", "embedding", k = 5,
+        nProbe = 2, rerankFactor = 4, centroids = Some(centsN)).count()
+    }
+    // same full-precision path, native scaled-long cosine instead of
+    // the HOF zip_with+aggregate chain — isolates how much of the
+    // ivfTopK gap is the interpreted candidate scoring
+    t(s"ivfTopK native-cosine corpus-vs-corpus ${mult}x") {
+      Similarity.ivfTopK(embN, embN, "vec_id", "embedding", k = 5,
+        nProbe = 2, centroids = Some(centsN),
+        simFn = (a, b) => graft.functions.cosineExact(a, b)).count()
+    }
     embN.unpersist()
     spark.stop()
   }

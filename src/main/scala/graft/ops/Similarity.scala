@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.cosineSim
+import graft.functions.{cosineExact, cosineSim}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -61,7 +61,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true,
-      simFn: (Column, Column) => Column = cosineSim,
+      simFn: (Column, Column) => Column = cosineExact,
       simName: String = "cosine"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -112,7 +112,9 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
+      simFn: (Column, Column) => Column = cosineExact,
+      simName: String = "cosine"): DataFrame = {
     // Bucketing carries IDS ONLY: the multi-table dedup (`distinct` on
     // the id pair — a row is a candidate once even if it collides in
     // several tables) shuffles 16-byte pairs, never dim×8-byte vectors.
@@ -138,8 +140,8 @@ object Similarity {
     val cands = candIds.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
     rankTopK(
       cands.select(col("query_id"), col("neighbor_id"),
-        cosineSim(col("queryv"), col("neighborv")).as("cosine")),
-      k, "cosine")
+        simFn(col("queryv"), col("neighborv")).as(simName)),
+      k, simName)
   }
 
   /** Adaptive ANN dispatch over all three paths:
@@ -479,7 +481,7 @@ object Similarity {
       nCells: Int = 64, iters: Int = 3, nProbe: Int = 2,
       rerankFactor: Int = 4,
       centroids: Option[Seq[Seq[Double]]] = None,
-      simFn: (Column, Column) => Column = cosineSim,
+      simFn: (Column, Column) => Column = cosineExact,
       simName: String = "cosine"): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
     val cents = centroids.getOrElse(
@@ -529,7 +531,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 64, iters: Int = 3, nProbe: Int = 2,
       centroids: Option[Seq[Seq[Double]]] = None,
-      simFn: (Column, Column) => Column = cosineSim,
+      simFn: (Column, Column) => Column = cosineExact,
       simName: String = "cosine"): DataFrame = {
     val cents = centroids.getOrElse(
       trainIvfCentroids(corpus, idCol, vecCol, nCells, iters))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, GramHashRange, MinHashSignature, SimHash64, WordShingles}
+import graft.expressions.{DecimalScaledDot, GramHashRange, Int8Dot, MinHashSignature, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -18,6 +18,7 @@ import graft.expressions.{DecimalScaledDot, GramHashRange, MinHashSignature, Sim
   * - `decimal_scaled_dot(a, b)` → DOUBLE
   * - `word_shingles(text, n)` → ARRAY<STRING>
   * - `gram_hash_range(text, k)` → ARRAY<BIGINT> (min/max k-gram hash)
+  * - `int8_dot(a, b)` → INT (integer dot of int8 code arrays)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -88,7 +89,11 @@ object GraftExtensions {
         require(children.length == 2, "gram_hash_range(text, k) takes 2 arguments")
         GramHashRange(children.head,
           intLiteralArg("gram_hash_range", "k", children(1)))
-      }))
+      }),
+    (FunctionIdentifier("int8_dot"),
+      info("int8_dot",
+        "int8_dot(a, b) - integer dot product of two array<tinyint> code arrays"),
+      (children: Seq[Expression]) => Int8Dot(children(0), children(1))))
 
   /** Register into an ALREADY-RUNNING session's function registry —
     * the path for environments where the session is handed to us

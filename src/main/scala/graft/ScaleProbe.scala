@@ -122,14 +122,6 @@ object ScaleProbe {
       Similarity.ivfTopKQuantizedRerank(embN, embN, "vec_id", "embedding", k = 5,
         nProbe = 2, rerankFactor = 4, centroids = Some(centsN)).count()
     }
-    // same full-precision path, native scaled-long cosine instead of
-    // the HOF zip_with+aggregate chain — isolates how much of the
-    // ivfTopK gap is the interpreted candidate scoring
-    t(s"ivfTopK native-cosine corpus-vs-corpus ${mult}x") {
-      Similarity.ivfTopK(embN, embN, "vec_id", "embedding", k = 5,
-        nProbe = 2, centroids = Some(centsN),
-        simFn = (a, b) => graft.functions.cosineExact(a, b)).count()
-    }
     embN.unpersist()
     spark.stop()
   }

@@ -94,6 +94,13 @@ package object functions {
     GraftSqlBridge.column(graft.expressions.DecimalScaledDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Native codegen'd integer dot of int8 code arrays
+    * (graft.expressions.Int8Dot) — the quantized-candidate kernel.
+    */
+  def int8DotNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(graft.expressions.Int8Dot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Native codegen'd MinHash signature (graft.expressions.MinHashSignature). */
   def minhashNative(c: Column, n: Int, numHashes: Int): Column =
     GraftSqlBridge.column(

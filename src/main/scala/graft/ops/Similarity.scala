@@ -446,13 +446,15 @@ object Similarity {
     * (codes_a · codes_b) · scale_a · scale_b ≈ the float dot. The
     * inner dot is INTEGER arithmetic (|code| ≤ 127 ⇒ each term ≤
     * 16,129; dim ≤ 131k before int overflow), one double multiply at
-    * the end. Null codes (corrupt vectors, see [[withQuantizedInt8]])
-    * propagate to a null score.
+    * the end — via the native codegen'd [[graft.expressions.Int8Dot]]
+    * kernel (the interpreted HOF formulation measured 3× slower on
+    * the candidate join at probe scale; NOTES r7). Null codes
+    * (corrupt vectors, see [[withQuantizedInt8]]) propagate to a
+    * null score.
     */
   def quantizedDot(codesA: Column, scaleA: Column,
       codesB: Column, scaleB: Column): Column =
-    aggregate(zip_with(codesA, codesB, (x, y) => x.cast("int") * y.cast("int")),
-      lit(0), (acc, v) => acc + v).cast("double") * scaleA * scaleB
+    graft.functions.int8DotNative(codesA, codesB).cast("double") * scaleA * scaleB
 
   /** IVF ANN with QUANTIZED candidate scoring + exact re-rank — the
     * int8 codes from [[withQuantizedInt8]] integrated into the search

@@ -70,7 +70,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
-      Seq("decimal_scaled_dot", "gram_hash_range", "minhash_signature",
-        "simhash64", "word_shingles"))
+      Seq("decimal_scaled_dot", "gram_hash_range", "int8_dot",
+        "minhash_signature", "simhash64", "word_shingles"))
   }
 }

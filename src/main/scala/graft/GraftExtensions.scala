@@ -93,7 +93,10 @@ object GraftExtensions {
     (FunctionIdentifier("int8_dot"),
       info("int8_dot",
         "int8_dot(a, b) - integer dot product of two array<tinyint> code arrays"),
-      (children: Seq[Expression]) => Int8Dot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int8_dot(a, b) takes 2 arguments")
+        Int8Dot(children(0), children(1))
+      }))
 
   /** Register into an ALREADY-RUNNING session's function registry —
     * the path for environments where the session is handed to us

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.Int8ArrayInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,7 +20,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * vectors, never null elements); a null array yields null.
   */
 case class Int8Dot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with Int8ArrayInputTypes {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "int8_dot"
 

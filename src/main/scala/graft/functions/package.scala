@@ -60,7 +60,9 @@ package object functions {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // try_divide: a zero-norm vector yields NULL (quarantined by any
+    // ranking/filter) instead of an ANSI DIVIDE_BY_ZERO job abort
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   /** Fast double dot product (order-dependent rounding — NOT oracle
@@ -116,15 +118,18 @@ package object functions {
     * 2^63 ≈ 9.2e18 — |elements| ≤ ~300 at dim 64 (≈ 85 at dim 1024).
     * Unit-scale embeddings sit orders of magnitude inside; vectors
     * beyond it silently wrap. Elements with |x| below the 5e-7
-    * quantum round to zero — a vector of all sub-quantum elements has
-    * zero norm, and under Spark 4's ANSI mode the division then
-    * ABORTS the job (DIVIDE_BY_ZERO), so callers must exclude
-    * zero-norm rows before computing (one self-dot per row, see
-    * Dedup.embeddingNearDupPairs).
+    * quantum round to zero (NaN elements likewise quantize to zero) —
+    * a vector of all sub-quantum elements has zero norm, and the
+    * cosine is then NULL via try_divide (an unguarded division would
+    * ABORT the whole job under Spark 4 ANSI DIVIDE_BY_ZERO — verified
+    * empirically r7): a vector with no direction ranks as a neighbor
+    * of nothing, consistent with Dedup.embeddingNearDupPairs'
+    * map-side exclusion. Hot pair-join paths that have already
+    * norm-filtered may divide directly.
     */
   def cosineExact(a: Column, b: Column): Column =
-    decimalDotNative(a, b) /
-      (sqrt(decimalDotNative(a, a)) * sqrt(decimalDotNative(b, b)))
+    try_divide(decimalDotNative(a, b),
+      sqrt(decimalDotNative(a, a)) * sqrt(decimalDotNative(b, b)))
 
   /** Native one-pass [min,max] of char k-gram hashes (graft.expressions.GramHashRange). */
   def gramHashRangeNative(c: Column, k: Int): Column =

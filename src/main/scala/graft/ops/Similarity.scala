@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{cosineExact, cosineSim}
+import graft.functions.cosineExact
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -33,7 +33,12 @@ object Similarity {
     */
   def rankTopK(scored: DataFrame, k: Int, simName: String): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val nonNull = scored.where(col(simName).isNotNull)
+    // NaN excluded alongside NULL: Spark's SQL ordering (the window
+    // fallback) sorts NaN ABOVE every real number, so one NaN score
+    // (e.g. a ±Inf element surviving a double sim) would otherwise
+    // outrank every true neighbor; the aggregator path would instead
+    // sort it last — filtering makes both paths agree and robust.
+    val nonNull = scored.where(col(simName).isNotNull && !isnan(col(simName)))
     val idType = scored.schema("neighbor_id").dataType
     if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
       nonNull
@@ -504,7 +509,15 @@ object Similarity {
     // as-is.
     def quantized(df: DataFrame, side: String): DataFrame = {
       val q =
-        if (df.columns.contains("q_codes") && df.columns.contains("q_scale")) df
+        if (df.columns.contains("q_codes") && df.columns.contains("q_scale"))
+          // stored codes are trusted on NAME ONLY (no provenance check
+          // is possible) — but a dim mismatch vs the vector column
+          // (stale codes after re-embedding at a new dim, truncated
+          // row) is cheaply detectable and nulls the codes, restoring
+          // the quarantine semantics a partial min-length dot would
+          // silently bypass
+          df.withColumn("q_codes",
+            when(size(col("q_codes")) === size(col(vecCol)), col("q_codes")))
         else withQuantizedInt8(df, vecCol)
       q.select(
         col(idCol).as(s"${side}_id"),

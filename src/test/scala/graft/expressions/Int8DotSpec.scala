@@ -69,4 +69,23 @@ class Int8DotSpec extends SparkSpecBase {
     assert(r.getInt(0) == 31)
     assert(r.isNullAt(1))
   }
+
+  test("plain int array literals implicit-cast to tinyint, not misread") {
+    graft.GraftExtensions.register(spark)
+    // the natural SQL spelling — array<int> literals — must analyze
+    // via implicit ANSI cast to array<tinyint> and compute correctly
+    // (an unchecked getByte would read packed int bytes: garbage)
+    val r = spark.sql(
+      "SELECT int8_dot(array(1, 2, 3), array(4, 5, 6)) AS d").collect()(0)
+    assert(r.getInt(0) == 32)
+    // out-of-tinyint-range literals fail the ANSI cast loudly
+    intercept[Exception] {
+      spark.sql("SELECT int8_dot(array(1000), array(1))").collect()
+    }
+    // wrong arity: clear message, not IndexOutOfBounds
+    val e = intercept[Exception] {
+      spark.sql("SELECT int8_dot(array(CAST(1 AS TINYINT)))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
 }

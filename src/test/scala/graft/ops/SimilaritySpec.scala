@@ -338,6 +338,32 @@ class SimilaritySpec extends SparkSpecBase {
       s"stored codes ignored (got $steered — operator recomputed codes)")
   }
 
+  test("zero-norm corpus vectors rank as neighbors of nothing — no ANSI abort") {
+    // all-sub-quantum vector: decimal-scaled norm is 0; an unguarded
+    // division would abort the whole job under ANSI DIVIDE_BY_ZERO —
+    // try_divide nulls the cosine and ranking quarantines the row
+    val dirty = corpus.union(
+      Seq((99L, Array.fill(8)(1e-8f))).toDF("vec_id", "embedding"))
+    val q = corpus.where(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(q, dirty, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect()
+    assert(!got.contains(99L))
+    assert(got.length == 5)
+  }
+
+  test("stored codes with a dim mismatch are excluded, not partial-scored") {
+    // stale codes (dim 4) on dim-8 vectors: a min-length dot would
+    // silently score a truncated prefix — the guard nulls them out
+    val stale = corpus
+      .withColumn("q_scale", lit(1.0))
+      .withColumn("q_codes", typedLit(Seq.fill(4)(127.toByte)))
+    val q = corpus.where(col("vec_id") === 0)
+    val got = Similarity.ivfTopKQuantizedRerank(q, stale, "vec_id", "embedding",
+        k = 3, nCells = 3, iters = 2, nProbe = 3)
+      .collect()
+    assert(got.isEmpty, s"dim-mismatched codes scored anyway: ${got.toSeq}")
+  }
+
   test("quantized rerank: corrupt (NaN) corpus vectors are excluded, no abort") {
     val dirty = corpus.union(
       Seq((99L, Array(Float.NaN, 1.0f, 0f, 0f, 0f, 0f, 0f, 0f)))

@@ -16,6 +16,13 @@ package graft.queries
   */
 object Calibration {
 
+  /** q25: recall floor for MinHash LSH pairs (3-gram shingles,
+    * 4 bands × 8 rows, τ=0.6) vs the exact-Jaccard pair set. Measured
+    * recall 1.0 at sf0.001/0.01 and ≥0.9 at sf0.1 (RecallProbe r4–r7);
+    * 0.75 keeps a multi-pair margin.
+    */
+  val MinhashRecallFloor = 0.75
+
   /** q29: per-query recall@5 floor for `lshTopK(nPlanes=4, nTables=16)`
     * vs exact cosine. Measured per-query MIN 0.6 at all of
     * sf0.001/0.01/0.1 (RecallProbe r6, re-confirmed r7) — 0.4 keeps a

@@ -134,7 +134,8 @@ object PipelineQueries {
             .otherwise(0L)), lit(0L)).as("n_hit"))
         .select(col("n_exact"), col("n_false_pos"),
           (col("n_hit").cast("double") >=
-            col("n_exact").cast("double") * 0.75).as("recall_floor_met"))
+            col("n_exact").cast("double") * Calibration.MinhashRecallFloor)
+            .as("recall_floor_met"))
     },
 
     // SimHash 64-bit fingerprints, Hamming ≤ 3 via quarter-banding.

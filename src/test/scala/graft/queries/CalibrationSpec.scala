@@ -27,6 +27,22 @@ class CalibrationSpec extends SparkSpecBase {
        |at all three scales and keep one full hit of margin below the
        |weakest measured value.""".stripMargin
 
+  test("q25's MinHash LSH recall floor holds on the live fixtures") {
+    assume(fixturesPresent, s"$sfDir absent")
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 4, 8, 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall =
+      if (exact.isEmpty) 1.0
+      else (exact & lsh).size.toDouble / exact.size
+    assert(recall >= Calibration.MinhashRecallFloor,
+      repin("MinhashRecallFloor", s"pair recall $recall < " +
+        s"floor ${Calibration.MinhashRecallFloor} (3-gram, 4 bands x 8 rows, tau=0.6)"))
+  }
+
   test("q29's LSH recall floor holds on the live fixtures") {
     assume(fixturesPresent, s"$sfDir absent")
     val e = Tables.embeddings(spark, sfDir)

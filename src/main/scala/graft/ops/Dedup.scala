@@ -340,6 +340,39 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Near-duplicate IMAGE pairs by perceptual hash (the aHash codes
+    * from [[Multimodal.perceptualHashes]]): Hamming ≤ `maxDist` via
+    * 4-way banding of the grid²-bit code (pigeonhole: ≤ 3 differing
+    * bits leave one band untouched — exhaustive for maxDist ≤ 3, the
+    * same guarantee shape as [[simhashPairs]]). Null hashes (audio
+    * rows) never pair. `nBits` is the code width (grid²) and must be
+    * divisible by 4. Same 100 TB shape as SimHash: band-bucketed
+    * candidate join, full distance verified pair-locally, ids-only
+    * distinct.
+    */
+  def perceptualDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, nBits: Int): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for maxDist <= 3")
+    require(nBits % 4 == 0 && nBits > 0 && nBits <= 64, s"bad code width $nBits")
+    val bandWidth = nBits / 4
+    val mask = if (bandWidth == 64) -1L else (1L << bandWidth) - 1
+    val h = hashes.where(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("ph"))
+    val banded = h.select(col("id"), col("ph"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("ph"), b * bandWidth)
+          .bitwiseAND(lit(mask)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bbits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bbits") === col("b.bbits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.ph"), col("b.ph")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** Connected components over a near-dup pair list (id_a, id_b) —
     * the clustering step between pair detection and survivor
     * selection: every document in a connected cluster gets the

@@ -158,6 +158,110 @@ object MediaCodecs {
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
+  // ---- perceptual hash (average hash) ----------------------------------
+
+  /** grid×grid average-hash over the grayscale raster: bit (i·grid+j)
+    * is set iff cell (i,j)'s mean gray STRICTLY exceeds the image
+    * mean. Gray = r+g+b unnormalized (the scale cancels in the
+    * comparison), cells partition the TOP-DOWN raster at integer
+    * boundaries (y·grid/h, x·grid/w), and every comparison is
+    * EXACT-INTEGER (BigInt cross-multiplication — no division, no
+    * floats), so the identical definition is recomputable bit-exactly
+    * in any engine from the pixel values: the property q76's oracle
+    * exercises. grid ≤ 8 (≤ 64 bits packed in a Long); w,h ≥ grid so
+    * no cell is empty. Images only — WAV → None. grid 8 (64-bit) is
+    * the production default for real images; the tiny fixture rasters
+    * force grid 4 in the registered query.
+    */
+  def aHashBits(bytes: Array[Byte], grid: Int): Option[Long] = {
+    require(grid >= 2 && grid <= 8, s"aHash grid must be 2..8, got $grid")
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      Some(aHashBmp(bytes, grid))
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      Some(aHashPpm(bytes, grid))
+    else None
+  }
+
+  private def aHashCells(width: Int, height: Int, grid: Int,
+      grayAt: (Int, Int) => Int): Long = {
+    require(width >= grid && height >= grid,
+      s"aHash grid $grid needs w,h ≥ $grid (got ${width}x$height)")
+    val n = grid * grid
+    val sums = new Array[Long](n)
+    val cnts = new Array[Long](n)
+    var total = 0L
+    var y = 0
+    while (y < height) {
+      val i = y * grid / height
+      var x = 0
+      while (x < width) {
+        val g = grayAt(x, y)
+        val c = i * grid + x * grid / width
+        sums(c) += g; cnts(c) += 1; total += g
+        x += 1
+      }
+      y += 1
+    }
+    val totalCnt = width.toLong * height
+    var bits = 0L
+    var c = 0
+    while (c < n) {
+      // exact at any image size: the cross products can exceed Long
+      // for gigapixel rasters, so compare in BigInt (n ≤ 64 of these
+      // per image — negligible against the raster walk)
+      if (BigInt(sums(c)) * totalCnt > BigInt(total) * cnts(c)) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  private def aHashBmp(bytes: Array[Byte], grid: Int): Long = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOffset = readLe32(bytes, 10)
+    val width = readLe32(bytes, 18)
+    val rawHeight = readLe32(bytes, 22)
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0 && dataOffset >= 54,
+      s"corrupt BMP header (w=$width h=$height off=$dataOffset)")
+    require(readLe16(bytes, 28) == 24, "unsupported BMP bpp (24-bit only)")
+    require(readLe32(bytes, 30) == 0, "compressed BMP unsupported")
+    val rowSize = bmpRowSize(width)
+    require(bytes.length >= dataOffset + rowSize.toLong * height, "truncated BMP")
+    aHashCells(width, height, grid, (x, y) => {
+      // positive height = bottom-up storage; gray is order-invariant
+      // over the 3 channel bytes, so BGR vs RGB never matters
+      val stored = if (rawHeight > 0) height - 1 - y else y
+      val off = dataOffset + stored * rowSize + 3 * x
+      (bytes(off) & 0xFF) + (bytes(off + 1) & 0xFF) + (bytes(off + 2) & 0xFF)
+    })
+  }
+
+  private def aHashPpm(bytes: Array[Byte], grid: Int): Long = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var off = 2
+    def nextInt(): Int = {
+      while (off < bytes.length && Character.isWhitespace(bytes(off))) off += 1
+      var v = 0
+      require(off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9', "bad PPM header")
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
+        v = v * 10 + (bytes(off) - '0'); off += 1
+      }
+      v
+    }
+    val width = nextInt()
+    val height = nextInt()
+    val maxval = nextInt()
+    require(width > 0 && height > 0, s"corrupt PPM header (w=$width h=$height)")
+    require(maxval == 255, s"unsupported PPM maxval $maxval")
+    off += 1
+    require(bytes.length >= off + 3L * width * height, "truncated PPM")
+    val base = off
+    aHashCells(width, height, grid, (x, y) => {
+      val p = base + 3 * (y * width + x)
+      (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)
+    })
+  }
+
   // ---- WAV (RIFF, PCM 16-bit) ------------------------------------------
 
   /** RIFF/WAVE with one `fmt ` chunk (PCM, 16-bit) and one `data`

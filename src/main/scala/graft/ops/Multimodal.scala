@@ -97,6 +97,29 @@ object Multimodal {
     synthesizeMedia(docs, idCol)
       .mapPartitions(decodeBatch _)(Encoders.product[MediaFeatures]).toDF()
 
+  /** Per-media perceptual hash row: `phash` is the grid²-bit average
+    * hash for images, null for audio (no raster to hash).
+    */
+  case class MediaHash(media_id: Long, format: String, phash: Option[Long])
+
+  /** Documents → synthesized payloads → per-partition perceptual
+    * hashing ([[MediaCodecs.aHashBits]]): the image-dedup feature
+    * stage. Narrow end-to-end (no shuffle); format comes from magic
+    * bytes, never caller metadata. grid 8 (64-bit) for real images;
+    * the fixture rasters (w,h ≥ 4) force grid 4 in q76.
+    */
+  def perceptualHashes(docs: DataFrame, idCol: String,
+      grid: Int = 8): DataFrame =
+    synthesizeMedia(docs, idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val fmt =
+          if (r.payload.length >= 2 && r.payload(0) == 'B') "bmp"
+          else if (r.payload.length >= 2 && r.payload(0) == 'P') "ppm"
+          else "wav"
+        MediaHash(r.media_id, fmt, MediaCodecs.aHashBits(r.payload, grid))
+      }
+    }(Encoders.product[MediaHash]).toDF()
+
   /** Arrow columnar-batch variant of the decode stage — the batch shape
     * a native JNI/FFI codec integration needs (such a decoder consumes
     * Arrow buffers directly, so the decode loop must see columnar

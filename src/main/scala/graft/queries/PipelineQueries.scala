@@ -371,6 +371,40 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // Perceptual-hash image dedup: real codec raster walk → 4×4
+    // average hash (exact-integer bit definition — no floats), banded
+    // Hamming-≤2 pairing, per-image partner counts. FULLY oracle-
+    // exact: the aHash definition is recomputable from the synthesis
+    // closed forms, so the oracle rebuilds every hash bit AND the
+    // partner counts by brute force in DuckDB — cross-engine proof
+    // that the banding is exhaustive and the decoder/cell walk (BMP
+    // bottom-up rows, padding, PPM raster) is byte-correct. WAV rows
+    // carry null hashes and never pair. Grid 4 because fixture
+    // rasters go down to 5×4; grid 8 (64-bit) is the real-image
+    // default on the operator.
+    "q76_phash_image_dedup" -> { (s, dir) =>
+      // localCheckpoint: the decode+hash scan feeds three plan
+      // references (both sides of the banded self-join + the final
+      // projection) — the raster walk is the expensive stage at real
+      // scale and must run once
+      val hashes = Multimodal.perceptualHashes(
+        Tables.documents(s, dir), "doc_id", grid = 4)
+        .localCheckpoint(false)
+      val pairs = Dedup.perceptualDupPairs(
+        hashes, "media_id", "phash", maxDist = 2, nBits = 16)
+      // symmetrize in ONE pass over the pair list (explode, not a
+      // union that would re-execute the candidate join twice)
+      val partners = pairs
+        .select(explode(array(
+          struct(col("id_a").as("id"), col("id_b")),
+          struct(col("id_b").as("id"), col("id_a").as("id_b")))).as("e"))
+        .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_partners"))
+      hashes.join(partners, hashes("media_id") === partners("id"), "left")
+        .select(col("media_id"), col("format"), col("phash"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+        .orderBy("media_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -724,6 +758,52 @@ object PipelineQueries {
         |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
         |  TRUE AS recall_floor_met
         |FROM embeddings""".stripMargin,
+    // The aHash bit definition is exact-integer (cell-sum cross-
+    // multiplication), so the oracle recomputes every hash AND the
+    // brute-force partner counts from the synthesis closed forms —
+    // pixel (x,y,c) is p((y·w+x)·3+c), p(k)=(31k+7+id) mod 256, the
+    // same logical indexing both containers encode.
+    "q76_phash_image_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS fmt,
+        |    CAST((doc_id % 8) * 3 + 5 AS INT) AS w,
+        |    CAST((doc_id % 6) * 3 + 4 AS INT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |    ((t.i // w) * 4) // h * 4 + ((t.i % w) * 4) // w AS cell,
+        |    (3*t.i*31 + 7 + doc_id) % 256
+        |      + ((3*t.i+1)*31 + 7 + doc_id) % 256
+        |      + ((3*t.i+2)*31 + 7 + doc_id) % 256 AS gray
+        |  FROM p, unnest(range(0, CAST(w AS BIGINT)*h)) AS t(i)
+        |  WHERE fmt <= 1
+        |), cellagg AS (
+        |  SELECT doc_id, cell, SUM(gray) AS cs, COUNT(*) AS cc
+        |  FROM px GROUP BY doc_id, cell
+        |), tot AS (
+        |  SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cellagg GROUP BY doc_id
+        |), ph AS (
+        |  SELECT c.doc_id,
+        |    CAST(SUM(CASE WHEN c.cs * t.tc > t.ts * c.cc
+        |      THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cellagg c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+        |), allm AS (
+        |  SELECT p.doc_id AS media_id,
+        |    CASE WHEN fmt = 0 THEN 'bmp' WHEN fmt = 1 THEN 'ppm' ELSE 'wav' END AS format,
+        |    ph.phash
+        |  FROM p LEFT JOIN ph ON p.doc_id = ph.doc_id
+        |), prt AS (
+        |  SELECT a.media_id, CAST(COUNT(*) AS BIGINT) AS n_partners
+        |  FROM allm a JOIN allm b
+        |    ON a.phash IS NOT NULL AND b.phash IS NOT NULL
+        |   AND a.media_id <> b.media_id
+        |   AND bit_count(xor(a.phash, b.phash)) <= 2
+        |  GROUP BY a.media_id
+        |)
+        |SELECT m.media_id, m.format, m.phash,
+        |  COALESCE(prt.n_partners, 0) AS n_partners
+        |FROM allm m LEFT JOIN prt USING (media_id)
+        |ORDER BY media_id""".stripMargin,
     // The recall floor and score fidelity are absolute properties of
     // a correct quantized-candidate + exact-re-rank implementation
     // (floor measured with margin — see the query comment).

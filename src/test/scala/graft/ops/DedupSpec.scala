@@ -232,4 +232,34 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 2)))  // cross-block pair (1,4) not considered
   }
+
+  test("perceptualDupPairs: banding is exhaustive vs brute for Hamming <= 3") {
+    // 16-bit codes with planted distances: 0 (dup), 2 (near), 3, 4 (far)
+    val codes = Seq(
+      (0L, Some(0x1234L)), (1L, Some(0x1234L)),          // dist 0
+      (2L, Some(0x1234L ^ 0x0011L)),                     // dist 2 from 0/1
+      (3L, Some(0x1234L ^ 0x0700L)),                     // dist 3 from 0/1
+      (4L, Some(0x1234L ^ 0xF00FL)),                     // dist 8: far
+      (5L, Option.empty[Long])                           // audio: never pairs
+    ).toDF("media_id", "phash")
+    val got = Dedup.perceptualDupPairs(codes, "media_id", "phash",
+        maxDist = 3, nBits = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force expectation over the non-null codes
+    val vals = Map(0L -> 0x1234L, 1L -> 0x1234L,
+      2L -> (0x1234L ^ 0x0011L), 3L -> (0x1234L ^ 0x0700L),
+      4L -> (0x1234L ^ 0xF00FL))
+    val brute = (for {
+      a <- vals.keys; b <- vals.keys if a < b
+      if java.lang.Long.bitCount(vals(a) ^ vals(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"banded $got != brute $brute")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // tighter threshold drops the dist-3 pairs
+    val tight = Dedup.perceptualDupPairs(codes, "media_id", "phash",
+        maxDist = 2, nBits = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight == brute.filterNot { case (a, b) =>
+      java.lang.Long.bitCount(vals(a) ^ vals(b)) == 3 })
+  }
 }

@@ -130,6 +130,37 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("data chunk"), e.getMessage)
   }
 
+  test("aHash: bright cells set bits, container-independent, audio None") {
+    // 8×8 image, left half bright (200,200,200), right half dark
+    // (10,10,10): with a 4×4 grid, columns 0-1 of every cell row are
+    // above the global mean, columns 2-3 below
+    def pix(k: Long): Int = {
+      val pixel = k / 3
+      val x = (pixel % 8).toInt
+      if (x < 4) 200 else 10
+    }
+    val expected = (0 until 16).map { c =>
+      if (c % 4 < 2) 1L << c else 0L
+    }.sum
+    val bmp = MediaCodecs.aHashBits(MediaCodecs.encodeBmp(8, 8, pix), 4)
+    val ppm = MediaCodecs.aHashBits(MediaCodecs.encodePpm(8, 8, pix), 4)
+    assert(bmp.contains(expected), s"bmp $bmp != $expected")
+    // the SAME logical pixels must hash identically through either
+    // container — bottom-up padded BMP rows vs raw PPM raster
+    assert(ppm == bmp)
+    // audio has no raster
+    assert(MediaCodecs.aHashBits(MediaCodecs.encodeWav(1, 8000, 4, _ => 1), 4).isEmpty)
+    // grid larger than the raster rejects instead of emitting empty cells
+    intercept[IllegalArgumentException] {
+      MediaCodecs.aHashBits(MediaCodecs.encodeBmp(5, 4, pix), 8)
+    }
+  }
+
+  test("aHash: uniform image hashes to zero (no cell strictly above the mean)") {
+    val flat = MediaCodecs.encodePpm(8, 8, _ => 77)
+    assert(MediaCodecs.aHashBits(flat, 4).contains(0L))
+  }
+
   test("truncated payloads are rejected, not silently mis-decoded") {
     val bmp = MediaCodecs.encodeBmp(4, 4, _ => 9)
     intercept[IllegalArgumentException] { MediaCodecs.decode(bmp.take(60)) }

@@ -292,10 +292,17 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Walk the RIFF chunk list (odd-sized chunks are pad-aligned, per
-    * spec) for `fmt ` and `data`; decode 16-bit signed PCM.
+  /** Parsed WAV facts shared by the feature decode and the audio
+    * fingerprint: channel count, rate, and the validated PCM span
+    * (`dataStart`, `nSamples` interleaved 16-bit samples).
     */
-  def decodeWav(bytes: Array[Byte]): Decoded = {
+  private case class WavPcm(channels: Int, sampleRate: Int,
+      dataStart: Int, nSamples: Int)
+
+  /** Walk the RIFF chunk list (odd-sized chunks are pad-aligned, per
+    * spec) for `fmt ` and `data`; validate PCM 16-bit bounds.
+    */
+  private def parseWavPcm(bytes: Array[Byte]): WavPcm = {
     require(bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
@@ -339,16 +346,63 @@ object MediaCodecs {
     // the PCM loop instead of rejecting.
     require(dataOff >= 0 && bytes.length.toLong >= dataOff + dataLen.toLong,
       "missing/truncated data chunk")
-    val dataStart = dataOff.toInt // bounded by bytes.length via the require
-    val n = dataLen / 2
+    // bounded by bytes.length via the require
+    WavPcm(channels, sampleRate, dataOff.toInt, dataLen / 2)
+  }
+
+  /** Decode 16-bit signed PCM container facts + mean sample. */
+  def decodeWav(bytes: Array[Byte]): Decoded = {
+    val w = parseWavPcm(bytes)
     var sum = 0L
     var i = 0
-    while (i < n) {
-      sum += readLe16(bytes, dataStart + 2 * i).toShort.toLong
+    while (i < w.nSamples) {
+      sum += readLe16(bytes, w.dataStart + 2 * i).toShort.toLong
       i += 1
     }
-    Decoded("wav", 0, 0, channels, sampleRate, n.toLong / channels,
-      if (n == 0) 0.0 else sum.toDouble / n)
+    Decoded("wav", 0, 0, w.channels, w.sampleRate,
+      w.nSamples.toLong / w.channels,
+      if (w.nSamples == 0) 0.0 else sum.toDouble / w.nSamples)
+  }
+
+  /** `nCells`-bit audio fingerprint over the interleaved PCM stream:
+    * bit c is set iff cell c's mean |sample| STRICTLY exceeds the
+    * stream mean — the 1-D analogue of [[aHashBits]], and like it
+    * EXACT-INTEGER (BigInt cross-multiplication, no division), so the
+    * identical bit definition is recomputable in any engine from the
+    * sample values. Cell boundaries partition the interleaved index
+    * at k·nCells/n. Audio only — images → None. nCells ≤ 64 packs in
+    * a Long; the stream must carry ≥ nCells samples so no cell is
+    * empty. 64 cells is the production default; the fixture streams
+    * (n ≥ 40) force 32 in the registered query.
+    */
+  def audioFingerprintBits(bytes: Array[Byte], nCells: Int): Option[Long] = {
+    require(nCells >= 2 && nCells <= 64, s"fingerprint cells must be 2..64, got $nCells")
+    if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F') {
+      val w = parseWavPcm(bytes)
+      val n = w.nSamples
+      require(n >= nCells, s"fingerprint needs >= $nCells samples (got $n)")
+      val sums = new Array[Long](nCells)
+      val cnts = new Array[Long](nCells)
+      var total = 0L
+      var k = 0
+      while (k < n) {
+        val v = math.abs(readLe16(bytes, w.dataStart + 2 * k).toShort.toLong)
+        val c = (k.toLong * nCells / n).toInt
+        sums(c) += v; cnts(c) += 1; total += v
+        k += 1
+      }
+      var bits = 0L
+      var c = 0
+      while (c < nCells) {
+        // |sample| ≤ 32768, so sums ≤ 32768·n: the cross products can
+        // exceed Long for multi-hour streams — compare in BigInt
+        // (nCells ≤ 64 of these per payload — negligible)
+        if (BigInt(sums(c)) * n > BigInt(total) * cnts(c)) bits |= 1L << c
+        c += 1
+      }
+      Some(bits)
+    } else None
   }
 
   // ---- dispatch --------------------------------------------------------

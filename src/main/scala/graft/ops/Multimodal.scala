@@ -120,6 +120,30 @@ object Multimodal {
       }
     }(Encoders.product[MediaHash]).toDF()
 
+  /** Per-media audio fingerprint row: `afp` is the nCells-bit energy
+    * fingerprint for audio, null for images (no PCM stream).
+    */
+  case class AudioFp(media_id: Long, format: String, afp: Option[Long])
+
+  /** Documents → synthesized payloads → per-partition audio
+    * fingerprinting ([[MediaCodecs.audioFingerprintBits]]): the
+    * audio-dedup feature stage, the WAV counterpart of
+    * [[perceptualHashes]]. Narrow end-to-end; format from magic
+    * bytes. 64 cells for real streams; the fixture streams (n ≥ 40)
+    * force 32 in q77.
+    */
+  def audioFingerprints(docs: DataFrame, idCol: String,
+      nCells: Int = 64): DataFrame =
+    synthesizeMedia(docs, idCol).mapPartitions { rows =>
+      rows.map { r =>
+        val fmt =
+          if (r.payload.length >= 2 && r.payload(0) == 'B') "bmp"
+          else if (r.payload.length >= 2 && r.payload(0) == 'P') "ppm"
+          else "wav"
+        AudioFp(r.media_id, fmt, MediaCodecs.audioFingerprintBits(r.payload, nCells))
+      }
+    }(Encoders.product[AudioFp]).toDF()
+
   /** Arrow columnar-batch variant of the decode stage — the batch shape
     * a native JNI/FFI codec integration needs (such a decoder consumes
     * Arrow buffers directly, so the decode loop must see columnar

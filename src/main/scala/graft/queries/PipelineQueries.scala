@@ -405,6 +405,35 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // Audio-fingerprint dedup — q76's WAV counterpart, closing the
+    // multimodal dedup story: real RIFF/PCM walk → 32-cell energy
+    // fingerprint (exact-integer bit definition), banded Hamming-≤2
+    // pairing, per-stream partner counts. FULLY oracle-exact for the
+    // same reason as q76: the oracle rebuilds every fingerprint bit
+    // AND the partner counts brute-force in DuckDB from the PCM
+    // closed form — cross-engine proof of the chunk walk, sample
+    // decode, and banding. Image rows carry null fingerprints and
+    // never pair. 32 cells because fixture streams go down to 40
+    // samples; 64 is the real-audio default on the operator.
+    "q77_audio_fp_dedup" -> { (s, dir) =>
+      // localCheckpoint: the PCM walk feeds both sides of the banded
+      // self-join plus the final projection — run it once
+      val fps = Multimodal.audioFingerprints(
+        Tables.documents(s, dir), "doc_id", nCells = 32)
+        .localCheckpoint(false)
+      val pairs = Dedup.perceptualDupPairs(
+        fps, "media_id", "afp", maxDist = 2, nBits = 32)
+      val partners = pairs
+        .select(explode(array(
+          struct(col("id_a").as("id"), col("id_b")),
+          struct(col("id_b").as("id"), col("id_a").as("id_b")))).as("e"))
+        .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_partners"))
+      fps.join(partners, fps("media_id") === partners("id"), "left")
+        .select(col("media_id"), col("format"), col("afp"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+        .orderBy("media_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -801,6 +830,49 @@ object PipelineQueries {
         |  GROUP BY a.media_id
         |)
         |SELECT m.media_id, m.format, m.phash,
+        |  COALESCE(prt.n_partners, 0) AS n_partners
+        |FROM allm m LEFT JOIN prt USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+    // Same exact-integer recomputation as q76, over the PCM closed
+    // form: interleaved sample k is (37k+11+id) mod 2001 − 1000,
+    // n = channels·frames = (1 + id%2)·((id%40)·5 + 40), cell =
+    // k·32 // n, bit set iff cell |sample| sum cross-multiplies
+    // strictly above the stream mean.
+    "q77_audio_fp_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 AS fmt,
+        |    CAST((1 + doc_id % 2) * ((doc_id % 40) * 5 + 40) AS BIGINT) AS n
+        |  FROM documents
+        |), sx AS (
+        |  SELECT doc_id, n,
+        |    (t.i * 32) // n AS cell,
+        |    abs((37 * t.i + 11 + doc_id) % 2001 - 1000) AS v
+        |  FROM p, unnest(range(n)) AS t(i)
+        |  WHERE fmt = 2
+        |), cellagg AS (
+        |  SELECT doc_id, cell, SUM(v) AS cs, COUNT(*) AS cc
+        |  FROM sx GROUP BY doc_id, cell
+        |), tot AS (
+        |  SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cellagg GROUP BY doc_id
+        |), fp AS (
+        |  SELECT c.doc_id,
+        |    CAST(SUM(CASE WHEN c.cs * t.tc > t.ts * c.cc
+        |      THEN (CAST(1 AS BIGINT) << c.cell) ELSE 0 END) AS BIGINT) AS afp
+        |  FROM cellagg c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+        |), allm AS (
+        |  SELECT p.doc_id AS media_id,
+        |    CASE WHEN fmt = 0 THEN 'bmp' WHEN fmt = 1 THEN 'ppm' ELSE 'wav' END AS format,
+        |    fp.afp
+        |  FROM p LEFT JOIN fp ON p.doc_id = fp.doc_id
+        |), prt AS (
+        |  SELECT a.media_id, CAST(COUNT(*) AS BIGINT) AS n_partners
+        |  FROM allm a JOIN allm b
+        |    ON a.afp IS NOT NULL AND b.afp IS NOT NULL
+        |   AND a.media_id <> b.media_id
+        |   AND bit_count(xor(a.afp, b.afp)) <= 2
+        |  GROUP BY a.media_id
+        |)
+        |SELECT m.media_id, m.format, m.afp,
         |  COALESCE(prt.n_partners, 0) AS n_partners
         |FROM allm m LEFT JOIN prt USING (media_id)
         |ORDER BY media_id""".stripMargin,

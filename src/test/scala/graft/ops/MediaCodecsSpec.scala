@@ -161,6 +161,34 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.aHashBits(flat, 4).contains(0L))
   }
 
+  test("audioFingerprint: loud cells set bits, images None, tiny stream rejects") {
+    // 64 mono samples: first half loud (±900), second half quiet (±3)
+    // → with 8 cells, cells 0-3 above the stream mean, 4-7 below
+    def smp(k: Long): Int = {
+      val mag = if (k < 32) 900 else 3
+      if (k % 2 == 0) mag else -mag  // sign must not matter (|x|)
+    }
+    val wav = MediaCodecs.encodeWav(1, 8000, 64, smp)
+    val expected = (0 until 4).map(1L << _).sum
+    assert(MediaCodecs.audioFingerprintBits(wav, 8).contains(expected))
+    // images have no PCM stream
+    assert(MediaCodecs.audioFingerprintBits(
+      MediaCodecs.encodeBmp(4, 4, _ => 9), 8).isEmpty)
+    assert(MediaCodecs.audioFingerprintBits(
+      MediaCodecs.encodePpm(4, 4, _ => 9), 8).isEmpty)
+    // a stream shorter than the cell count rejects instead of
+    // emitting empty cells
+    intercept[IllegalArgumentException] {
+      MediaCodecs.audioFingerprintBits(MediaCodecs.encodeWav(1, 8000, 4, _ => 1), 8)
+    }
+  }
+
+  test("audioFingerprint: constant-magnitude stream hashes to zero") {
+    // |x| identical everywhere → no cell strictly above the mean
+    val flat = MediaCodecs.encodeWav(2, 8000, 32, k => if (k % 2 == 0) 55 else -55)
+    assert(MediaCodecs.audioFingerprintBits(flat, 8).contains(0L))
+  }
+
   test("truncated payloads are rejected, not silently mis-decoded") {
     val bmp = MediaCodecs.encodeBmp(4, 4, _ => 9)
     intercept[IllegalArgumentException] { MediaCodecs.decode(bmp.take(60)) }

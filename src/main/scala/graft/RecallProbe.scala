@@ -35,6 +35,23 @@ object RecallProbe {
       s"recall=${(exactPairs & lshPairs).size.toDouble / math.max(exactPairs.size, 1)} " +
       s"false_pos=${(lshPairs -- exactPairs).size}")
 
+    // Incremental (batch × corpus) LSH vs exact cross-side Jaccard —
+    // pins q78's floor (the same band-collision process as q25, but
+    // measured over the cross-side pair subset)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val exactCross = exactPairs.collect {
+      case (a, b) if (a % 5 == 0) != (b % 5 == 0) =>
+        if (a % 5 == 0) (a, b) else (b, a)
+    }
+    val incPairs = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+        3, 4, 8, 0.6)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    println(s"[recall-probe] sf=$sfDir incremental: exact=${exactCross.size} " +
+      s"inc=${incPairs.size} hit=${(exactCross & incPairs).size} " +
+      s"recall=${(exactCross & incPairs).size.toDouble / math.max(exactCross.size, 1)} " +
+      s"false_pos=${(incPairs -- exactCross).size}")
+
     // ANN LSH vs exact cosine, per query
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)

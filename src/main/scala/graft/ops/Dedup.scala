@@ -230,11 +230,13 @@ object Dedup {
         sequence(lit(0), lit(numHashes - 1)),
         i => array_min(transform(shinglesCol, s => xxhash64(i, s)))))
 
-  /** LSH candidate pairs from MinHash signatures: split the signature
-    * into `bands` bands of `rowsPerBand`, bucket on (band index, band
-    * hash), pair up docs sharing a bucket. Dedups candidate pairs.
+  /** (doc, band, bucket) rows: the banded-LSH index side. One row per
+    * document per band; `bucket` is the xxhash64 of that band's
+    * signature slice. This IS the persistable corpus index shape —
+    * incremental dedup joins a new batch's bands against a stored
+    * copy of this frame instead of re-fingerprinting the corpus.
     */
-  def minhashLshCandidates(
+  def minhashBandBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = fanned(docs)
@@ -242,12 +244,22 @@ object Dedup {
       .select(col(idCol).as("doc"),
         graft.functions.minhashNative(col(textCol), n, bands * rowsPerBand).as("sig"))
       .where(col("sig").isNotNull)
-    val banded = sig.select(
+    sig.select(
       col("doc"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: split the signature
+    * into `bands` bands of `rowsPerBand`, bucket on (band index, band
+    * hash), pair up docs sharing a bucket. Dedups candidate pairs.
+    */
+  def minhashLshCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = minhashBandBuckets(docs, idCol, textCol, n, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -278,6 +290,54 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental (delta) near-dup detection: which documents of a NEW
+    * `batch` near-duplicate the EXISTING `corpus` — the per-crawl
+    * ingest operation, which at 100 TB replaces re-deduping the whole
+    * corpus: the corpus side is the stored [[minhashBandBuckets]]
+    * index (rows ∝ corpus × bands, built once, appended per ingest),
+    * and one ingest shuffles only the batch's bands plus the matched
+    * index partitions — batch-internal and corpus-internal pairs are
+    * never generated. Candidates sharing any (band, bucket) are
+    * verified with exact Jaccard per candidate pair (shingle-set
+    * intersection, batch shingles recomputed, corpus shingles from
+    * the matched docs only — never a full corpus re-shingle).
+    *
+    * Returns (batch_id, corpus_id, jaccard) pairs at ≥ `threshold`.
+    * Same sketch parameters as [[minhashLshPairs]] ⇒ identical
+    * per-pair collision probability, so q25's measured recall
+    * calibration carries over.
+    */
+  def incrementalLshPairs(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val corpusIdx = minhashBandBuckets(corpus, idCol, textCol, n, bands, rowsPerBand)
+    val batchIdx = minhashBandBuckets(batch, idCol, textCol, n, bands, rowsPerBand)
+    val cands = batchIdx.as("b").join(corpusIdx.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.doc").as("batch_id"), col("c.doc").as("corpus_id"))
+      .distinct()
+    def shingles(df: DataFrame, as: String) = fanned(df).select(
+      col(idCol).as(as),
+      array_distinct(graft.functions.wordShinglesNative(col(textCol), n))
+        .as(s"sh_$as"))
+    // semi-join the corpus down to matched ids BEFORE shingling —
+    // otherwise the whole corpus re-shingles per ingest; the matched
+    // id set is batch-proportional
+    val matchedCorpus = corpus.join(
+      cands.select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    cands
+      .join(shingles(batch, "batch_id"), "batch_id")
+      .join(shingles(matchedCorpus, "corpus_id"), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_batch_id"), col("sh_corpus_id"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_batch_id")) + size(col("sh_corpus_id")) - col("inter"))
+            .cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is

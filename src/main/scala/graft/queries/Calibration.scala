@@ -23,6 +23,16 @@ object Calibration {
     */
   val MinhashRecallFloor = 0.75
 
+  /** q78: recall floor for incremental (batch × corpus) LSH pairs vs
+    * the exact cross-side Jaccard set. For any fixed pair the
+    * candidate event is identical to q25's (same signatures, same
+    * band collisions), but the floor is over a SUBSET of the pairs,
+    * so it is measured separately (RecallProbe incremental section).
+    * Measured 1.0 at sf0.001/0.1 and 0.93 (13/14) at sf0.01 (r7);
+    * 0.75 keeps a two-pair margin at the weakest scale.
+    */
+  val IncrementalRecallFloor = 0.75
+
   /** q29: per-query recall@5 floor for `lshTopK(nPlanes=4, nTables=16)`
     * vs exact cosine. Measured per-query MIN 0.6 at all of
     * sf0.001/0.01/0.1 (RecallProbe r6, re-confirmed r7) — 0.4 keeps a

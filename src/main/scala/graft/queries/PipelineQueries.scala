@@ -434,6 +434,46 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // Incremental (delta) dedup — the per-crawl ingest operation: a
+    // new batch (doc_id%5=0) screened against the existing corpus
+    // (the rest) via the stored band-bucket index join; batch- and
+    // corpus-internal pairs never generated. CONTRACT oracle (q25's
+    // pattern, cross-side): every verified pair is in the exact
+    // cross-side Jaccard pair set (n_false_pos = 0) and recall vs
+    // the exact cross-side twin (computed in-plan) meets a measured
+    // floor. For any fixed pair, candidate generation here is the
+    // SAME band-collision event as q25's full LSH (same signatures,
+    // same bands), so the floor is probed by the same machinery.
+    "q78_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .where((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+        .select(
+          when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b"))
+            .as("batch_id"),
+          when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a"))
+            .as("corpus_id"))
+        .withColumn("in_exact", lit(true))
+      val inc = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 8, threshold = 0.6)
+        .select("batch_id", "corpus_id").withColumn("in_lsh", lit(true))
+      exact.join(inc, Seq("batch_id", "corpus_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_exact"), 1L).otherwise(0L)), lit(0L))
+            .as("n_exact"),
+          coalesce(sum(when(col("in_lsh") && col("in_exact").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_false_pos"),
+          coalesce(sum(when(col("in_lsh") && col("in_exact"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_hit"))
+        .select(col("n_exact"), col("n_false_pos"),
+          (col("n_hit").cast("double") >=
+            col("n_exact").cast("double") * Calibration.IncrementalRecallFloor)
+            .as("recall_floor_met"))
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -745,6 +785,35 @@ object PipelineQueries {
          |), inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), jp AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(0 AS BIGINT) AS n_false_pos,
+         |  TRUE AS recall_floor_met
+         |FROM jp""".stripMargin,
+    // q25's oracle restricted to cross-side (batch × corpus) pairs —
+    // the exact pair count is independently recomputed in DuckDB;
+    // zero false positives and the recall floor are properties of a
+    // correct verify-with-exact-Jaccard incremental implementation.
+    "q78_incremental_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
          |  GROUP BY a.doc_id, b.doc_id
          |), jp AS (
          |  SELECT id_a, id_b FROM inter

@@ -233,6 +233,31 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L, 2)))  // cross-block pair (1,4) not considered
   }
 
+  test("incrementalLshPairs: cross-side pairs only, verified jaccard") {
+    // corpus doc 10 and batch doc 20 are near-identical; batch docs
+    // 20/21 are identical to EACH OTHER (batch-internal — must not
+    // pair); corpus docs 10/11 identical (corpus-internal — must not
+    // pair); 30 is unrelated
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (10L, base), (11L, base),
+      (12L, "completely different text with no overlap at all here now ok")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, base + " x"), (21L, base + " x"),
+      (30L, "unrelated batch document content nothing shared with anyone else")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 8, threshold = 0.6)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // both batch near-dups hit both corpus twins; no internal pairs
+    assert(got == Set((20L, 10L), (20L, 11L), (21L, 10L), (21L, 11L)), got)
+    // jaccard on returned pairs is the exact shingle jaccard
+    val j = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+        3, 4, 8, 0.6).select("jaccard").as[Double].collect()
+    assert(j.forall(v => v >= 0.6 && v <= 1.0), j.toSeq)
+  }
+
   test("perceptualDupPairs: banding is exhaustive vs brute for Hamming <= 3") {
     // 16-bit codes with planted distances: 0 (dup), 2 (near), 3, 4 (far)
     val codes = Seq(

@@ -43,6 +43,28 @@ class CalibrationSpec extends SparkSpecBase {
         s"floor ${Calibration.MinhashRecallFloor} (3-gram, 4 bands x 8 rows, tau=0.6)"))
   }
 
+  test("q78's incremental LSH recall floor holds on the live fixtures") {
+    assume(fixturesPresent, s"$sfDir absent")
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val allPairs: Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactCross = allPairs.collect {
+      case (a, b) if (a % 5 == 0) != (b % 5 == 0) =>
+        if (a % 5 == 0) (a, b) else (b, a) }
+    val inc = Dedup.incrementalLshPairs(
+        docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", 3, 4, 8, 0.6)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall =
+      if (exactCross.isEmpty) 1.0
+      else (exactCross & inc).size.toDouble / exactCross.size
+    assert(recall >= Calibration.IncrementalRecallFloor,
+      repin("IncrementalRecallFloor", s"cross-side pair recall $recall < " +
+        s"floor ${Calibration.IncrementalRecallFloor} (3-gram, 4 bands x 8 rows, tau=0.6)"))
+  }
+
   test("q29's LSH recall floor holds on the live fixtures") {
     assume(fixturesPresent, s"$sfDir absent")
     val e = Tables.embeddings(spark, sfDir)

@@ -79,4 +79,30 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Per-group document cap (the C4/Dolma "max N pages per host"
+    * curation step): keep at most `k` rows per `groupCol`, the k
+    * smallest by (`priorityCol`, `idCol`). Built on the k-bounded
+    * [[TopK]] aggregator, NOT a window — map-side partial aggregation
+    * trims each group to k before the shuffle, so a million-page host
+    * contributes ≤ k·partitions rows to the exchange and nothing is
+    * globally sorted (the window formulation sorts every row of every
+    * host). The kept-id list (≤ groups·k rows) semi-joins back for
+    * the full rows. Deterministic and SQL-portable when priority is
+    * (pass `xxhash64(id)` for an unbiased pick — engine-specific).
+    * Priorities and ids must be exact in Double (|v| ≤ 2^53) — true
+    * for row ids and hash-bucketed priorities alike.
+    */
+  def perGroupCap(df: DataFrame, groupCol: Column, idCol: Column,
+      priorityCol: Column, k: Int): DataFrame = {
+    require(k > 0)
+    val kept = df
+      .select(groupCol.as("__g"), idCol.cast("long").as("__id"),
+        priorityCol.cast("double").as("__p"))
+      .groupBy(col("__g"))
+      // TopK keeps the LARGEST by value — negate for smallest-first
+      .agg(TopK.topK(k)(-col("__p"), col("__id")).as("top"))
+      .select(explode(col("top.key")).as("__keep"))
+    df.join(kept, idCol.cast("long") === col("__keep"), "left_semi")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.decimalDot
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** LLM-training-data pipeline operators (builder prompt: dedup,
@@ -474,6 +474,22 @@ object PipelineQueries {
             .as("recall_floor_met"))
     },
 
+    // Per-source document cap — C4/Dolma "max N pages per host":
+    // keep the 10 lowest-doc_id docs per source via the k-bounded
+    // TopK aggregate (map-side trim — a million-page host never
+    // sorts; contrast q55's window-based fraction sampling), then
+    // semi-join back for full rows. doc_id priority = SQL-portable;
+    // production passes xxhash64(id) for an unbiased pick. Output is
+    // the full kept list + per-source count — oracle-exact (the
+    // contract is pure SQL: row_number per source ≤ 10).
+    "q79_domain_cap" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val kept = Sampling.perGroupCap(docs, col("source"), col("doc_id"),
+        col("doc_id"), k = 10)
+      kept.select(col("source"), col("doc_id"), col("lang"))
+        .orderBy("source", "doc_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -825,6 +841,12 @@ object PipelineQueries {
          |  CAST(0 AS BIGINT) AS n_false_pos,
          |  TRUE AS recall_floor_met
          |FROM jp""".stripMargin,
+    "q79_domain_cap" ->
+      """SELECT source, doc_id, lang FROM (
+        |  SELECT source, doc_id, lang,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     // Quarter-banding is exhaustive for Hamming ≤ 3 and the banded
     // pairs carry a verified distance — both deviation counts are
     // exactly zero for a correct implementation (the sampled

@@ -76,4 +76,31 @@ class SamplingSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 10L)) // code: both; web: default 10 -> one; spam: none
   }
+
+  test("perGroupCap keeps the k smallest (priority, id) per group, full rows") {
+    val capped = Sampling.perGroupCap(docs, col("stratum"), col("id"),
+      col("id"), k = 5)
+    // per group: exactly 5, and exactly the 5 smallest ids
+    val byG = capped.select("stratum", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keySet == Set("s0", "s1", "s2"))
+    byG.foreach { case (g, ids) =>
+      val off = g.drop(1).toLong
+      assert(ids == (0 until 5).map(i => off + 3L * i).toSet, s"$g -> $ids")
+    }
+    // full row schema survives the semi-join
+    assert(capped.columns.toSeq == Seq("id", "stratum"))
+    // a group smaller than k keeps everything
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "stratum")
+    assert(Sampling.perGroupCap(tiny, col("stratum"), col("id"), col("id"), 5)
+      .count() == 3)
+  }
+
+  test("perGroupCap priority column need not be the id (hash-order pick)") {
+    // priority = id descending picks the LARGEST ids
+    val capped = Sampling.perGroupCap(docs, col("stratum"), col("id"),
+      -col("id"), k = 2)
+    val ids = capped.select("id").as[Long].collect().toSet
+    assert(ids == Set(999L, 996L, 997L, 994L, 998L, 995L), ids)
+  }
 }

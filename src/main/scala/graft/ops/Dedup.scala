@@ -340,6 +340,48 @@ object Dedup {
       .select("batch_id", "corpus_id", "jaccard")
   }
 
+  /** Cross-document repeated-span detection — the signal behind
+    * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499):
+    * every run of `spanTokens` consecutive tokens is a window; a
+    * window is REPEATED if its span occurs in ≥ `minDocs` distinct
+    * documents. Distinct from paragraph dedup (structural units) and
+    * within-doc repetition (q67): this finds verbatim boilerplate
+    * shared ACROSS documents at token granularity.
+    *
+    * Returns per doc (docs with ≥ spanTokens tokens): window count,
+    * repeated-window count, and the highest document-frequency any of
+    * its spans reaches.
+    *
+    * 100 TB shape: windows are represented by their 64-bit span hash
+    * — 8 bytes through both shuffles instead of the L-token string
+    * (two distinct spans colliding would need 2^-64 odds — q24's
+    * standard trade); span document-frequency is a two-level
+    * count-distinct aggregate (no postings list materialized, so a
+    * boilerplate span shared by millions of docs is one freq row,
+    * not a pair explosion); the join-back is 1:1 per window row.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 2 && minDocs >= 2)
+    val toks = fanned(docs).select(
+        col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= spanTokens)
+    val wins = toks.select(col("doc"),
+      explode(transform(
+        sequence(lit(1), size(col("w")) - (spanTokens - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(spanTokens))))))
+        .as("span_hash"))
+    val freq = wins.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc")).as("span_docs"))
+    wins.join(freq, "span_hash")
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("span_docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_dup_windows"),
+        max(col("span_docs")).as("max_span_docs"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
     * Computed as 64 codegen'd array aggregations — no UDF.

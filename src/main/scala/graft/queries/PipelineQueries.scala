@@ -490,6 +490,20 @@ object PipelineQueries {
         .orderBy("source", "doc_id")
     },
 
+    // Cross-document repeated spans — the exact-substring-dedup
+    // signal (verbatim boilerplate shared across docs at token
+    // granularity; distinct from q71's paragraphs and q67's within-
+    // doc repetition). Engine path groups by 64-bit span hash (the
+    // scale shape); the oracle groups by the span STRING — counts
+    // agree unless two distinct spans collide in 64 bits (q24's
+    // documented 2^-64 trade), so the comparison is value-exact.
+    "q80_repeated_spans" -> { (s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+          spanTokens = 6, minDocs = 2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -841,6 +855,24 @@ object PipelineQueries {
          |  CAST(0 AS BIGINT) AS n_false_pos,
          |  TRUE AS recall_floor_met
          |FROM jp""".stripMargin,
+    "q80_repeated_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), wins AS (
+         |  SELECT doc_id, array_to_string(w[i:i+5], ' ') AS span
+         |  FROM toks, unnest(range(1, greatest(len(w) - 5, 0) + 1)) AS t(i)
+         |  WHERE len(w) >= 6
+         |), freq AS (
+         |  SELECT span, COUNT(DISTINCT doc_id) AS span_docs
+         |  FROM wins GROUP BY span
+         |)
+         |SELECT w.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(SUM(CASE WHEN f.span_docs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_dup_windows,
+         |  CAST(MAX(f.span_docs) AS BIGINT) AS max_span_docs
+         |FROM wins w JOIN freq f USING (span)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "q79_domain_cap" ->
       """SELECT source, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,

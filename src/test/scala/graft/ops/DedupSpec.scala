@@ -233,6 +233,25 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L, 2)))  // cross-block pair (1,4) not considered
   }
 
+  test("repeatedSpans: planted boilerplate counts, short docs excluded") {
+    val boiler = "all rights reserved contact us for details"  // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),           // 10 tokens
+      (2L, s"$boiler delta epsilon"),              // 9 tokens
+      (3L, "nothing shared here at all between documents ever"), // 8 tokens
+      (4L, "too short")                            // excluded (< 6 tokens)
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text",
+        spanTokens = 6, minDocs = 2)
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 5 windows, the last 2 lie fully inside the 7-token
+    // boilerplate and recur in doc 2; doc 2: 4 windows, first 2
+    // boilerplate; doc 3: 3 windows, none shared; doc 4 absent
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, 2L), (2L, 4L, 2L, 2L), (3L, 3L, 0L, 1L)), got.toSeq)
+  }
+
   test("incrementalLshPairs: cross-side pairs only, verified jaccard") {
     // corpus doc 10 and batch doc 20 are near-identical; batch docs
     // 20/21 are identical to EACH OTHER (batch-internal — must not

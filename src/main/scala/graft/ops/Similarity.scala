@@ -220,15 +220,19 @@ object Similarity {
         // [[trainIvfCentroids]]) and per-row assignment is bounded;
         // past the cap, recall is bought with nProbe, not more cells.
         val nCells = adaptiveCellCount(corpusRows.getOrElse(ivfCorpusFloor))
+        // the known cardinality also pre-thins centroid training's
+        // TakeOrdered merge (see trainingSample) — free when hinted
+        val cents = Some(trainIvfCentroids(corpus, idCol, vecCol,
+          nCells, iters = 2, corpusRowsHint = corpusRows))
         // quantizedCandidates routes the big-corpus branch through the
         // int8-scored shortlist + exact re-rank — exactly the branch
         // where candidate-join width matters (measured recall-identical
         // to the full-precision path on the fixtures; RecallProbe)
         if (quantizedCandidates)
           ivfTopKQuantizedRerank(queries, corpus, idCol, vecCol, k,
-            nCells = nCells, iters = 2, nProbe = 2)
+            nCells = nCells, iters = 2, nProbe = 2, centroids = cents)
         else ivfTopK(queries, corpus, idCol, vecCol, k,
-          nCells = nCells, iters = 2, nProbe = 2)
+          nCells = nCells, iters = 2, nProbe = 2, centroids = cents)
       } else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
     }
   }
@@ -291,15 +295,25 @@ object Similarity {
     * (per-partition bounded heap + k-bounded merge), never a global
     * sort. Columns: `__id`, `__v` (vector as array<double>), `__h`.
     *
-    * Extreme-scale caveat: the TakeOrdered merge sees up to
+    * Extreme-scale shape: the TakeOrdered merge sees up to
     * partitionCount·cap candidate rows (each scan partition ships its
-    * own top-`cap`) — callers scanning 10⁶+ partitions should
-    * pre-thin with a hash-mod filter (`pmod(xxhash64(id), P) === 0`)
-    * before calling.
+    * own top-`cap`) — at 10⁶ scan partitions that is a 10⁶·cap driver
+    * merge. Supplying `corpusRowsHint` (any within-an-order-of-
+    * magnitude row-count estimate, e.g. from table stats) enables a
+    * hash-quantile pre-thin: only rows whose hash falls below the
+    * quantile expected to pass ~8·cap of the corpus survive to the
+    * heaps, so the merge handles ~8·cap rows total. The pre-thin is
+    * EXACT, not approximate — if the thinned scan yields ≥ cap rows,
+    * its lowest `cap` ARE the global lowest `cap` (every discarded
+    * row hashes above every kept one); if the hint was wrong enough
+    * to under-collect (needs ~8× error), one guard job detects it
+    * and the unthinned path re-runs — identical output either way,
+    * one extra bounded job as the only cost.
     */
   def trainingSample(df: DataFrame, idCol: String, vecCol: String,
-      cap: Int): DataFrame =
-    df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      cap: Int, corpusRowsHint: Option[Long] = None): DataFrame = {
+    val base = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       // corrupt vectors (null/NaN/±Inf elements) are EXCLUDED from
       // training: one NaN row would otherwise poison its cell's
       // centroid sum, and a NaN centroid then swallows every row
@@ -309,8 +323,20 @@ object Similarity {
       .where(forall(col("__v"),
         x => x.isNotNull && !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity)))
       .withColumn("__h", xxhash64(col("__id")))
-      .orderBy(col("__h"), col("__id"))
-      .limit(cap)
+    def lowest(src: DataFrame): DataFrame =
+      src.orderBy(col("__h"), col("__id")).limit(cap)
+    corpusRowsHint match {
+      case Some(nRows) if nRows > 8L * cap =>
+        // hash quantile at fraction 8·cap/nRows of the full signed-64
+        // range (xxhash64 is uniform over it); double rounding costs
+        // at most ~2^11 of 2^64 — absorbed by the 8× safety factor
+        val frac = 8.0 * cap / nRows
+        val t = Long.MinValue + (frac * math.pow(2.0, 64)).toLong
+        val thinned = lowest(base.where(col("__h") < lit(t)))
+        if (thinned.count() >= cap) thinned else lowest(base)
+      case _ => lowest(base)
+    }
+  }
 
   /** Deterministic IVF centroid training: k-means with hash-seeded
     * initialization (lowest xxhash64(id) rows — reproducible, no RNG)
@@ -333,11 +359,12 @@ object Similarity {
   def trainIvfCentroids(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int,
-      trainSampleCap: Int = DefaultTrainSampleCap): Seq[Seq[Double]] = {
+      trainSampleCap: Int = DefaultTrainSampleCap,
+      corpusRowsHint: Option[Long] = None): Seq[Seq[Double]] = {
     val cap = math.max(k, trainSampleCap) // never sample below k seeds
     // Re-spread the single TakeOrdered output partition so Lloyd
     // iterations parallelize; ≤ cap rows shuffle, a bounded cost.
-    val sample = trainingSample(df, idCol, vecCol, cap)
+    val sample = trainingSample(df, idCol, vecCol, cap, corpusRowsHint)
       .repartition(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

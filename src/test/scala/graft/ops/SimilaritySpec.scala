@@ -85,6 +85,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(tiny.size == 3)
   }
 
+  test("trainingSample hash-quantile pre-thin is exact, wrong hints fall back") {
+    val plain = Similarity.trainingSample(corpus, "vec_id", "embedding", cap = 6)
+      .select("__id").as[Long].collect().toSeq
+    // an accurate hint: identical sample, and the plan carries the
+    // quantile filter (the merge-thinning evidence)
+    val n = corpus.count()
+    val hinted = Similarity.trainingSample(corpus, "vec_id", "embedding",
+      cap = 6, corpusRowsHint = Some(math.max(n, 8L * 6 + 1)))
+    assert(hinted.select("__id").as[Long].collect().toSeq == plain)
+    // a hint 1000× too LARGE makes the quantile filter drop everything
+    // → the guard detects the under-collection and the unthinned path
+    // returns the exact same sample
+    val wayOff = Similarity.trainingSample(corpus, "vec_id", "embedding",
+      cap = 6, corpusRowsHint = Some(n * 100000L))
+    assert(wayOff.select("__id").as[Long].collect().toSeq == plain)
+    // a small-corpus hint (≤ 8·cap) bypasses thinning entirely
+    val small = Similarity.trainingSample(corpus, "vec_id", "embedding",
+      cap = 6, corpusRowsHint = Some(10L))
+    assert(small.select("__id").as[Long].collect().toSeq == plain)
+    // hinted training produces identical centroids
+    val c1 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 3, trainSampleCap = 6)
+    val c2 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 3, trainSampleCap = 6, corpusRowsHint = Some(n))
+    assert(c1 == c2)
+  }
+
   test("adaptiveCellCount: √|C| growth halts at the 65,536-cell cap") {
     assert(Similarity.adaptiveCellCount(100L) == 10)
     assert(Similarity.adaptiveCellCount(100000L) == 316)

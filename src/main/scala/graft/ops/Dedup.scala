@@ -314,10 +314,16 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val corpusIdx = minhashBandBuckets(corpus, idCol, textCol, n, bands, rowsPerBand)
     val batchIdx = minhashBandBuckets(batch, idCol, textCol, n, bands, rowsPerBand)
+    // localCheckpoint: cands feeds TWO plan references (the matched-
+    // corpus semi-join and the final verify join) — without it the
+    // corpus banding + bucket join could execute twice if exchange
+    // reuse doesn't fire; the frame is batch-proportional, so
+    // materializing it is bounded
     val cands = batchIdx.as("b").join(corpusIdx.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.doc").as("batch_id"), col("c.doc").as("corpus_id"))
       .distinct()
+      .localCheckpoint(false)
     def shingles(df: DataFrame, as: String) = fanned(df).select(
       col(idCol).as(as),
       array_distinct(graft.functions.wordShinglesNative(col(textCol), n))

@@ -78,11 +78,17 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Parse a 24-bit BMP: header-driven data offset, per-row padding
-    * skipped (padding bytes must NOT contaminate the mean), negative
-    * height (top-down storage) accepted.
+  /** Validated 24-bit BMP header facts: pixel-data offset, logical
+    * dimensions, whether rows are stored top-down (negative stored
+    * height), and the padded stored row size.
     */
-  def decodeBmp(bytes: Array[Byte]): Decoded = {
+  private case class BmpHeader(dataOffset: Int, width: Int, height: Int,
+      topDown: Boolean, rowSize: Int)
+
+  /** Shared BMP header parse + validation (decode and aHash paths —
+    * one copy of every hardening check, mirroring parseWavPcm).
+    */
+  private def parseBmpHeader(bytes: Array[Byte]): BmpHeader = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
     val dataOffset = readLe32(bytes, 10)
     val width = readLe32(bytes, 18)
@@ -98,16 +104,25 @@ object MediaCodecs {
     require(readLe32(bytes, 30) == 0, "compressed BMP unsupported")
     val rowSize = bmpRowSize(width)
     require(bytes.length >= dataOffset + rowSize.toLong * height, "truncated BMP")
+    BmpHeader(dataOffset, width, height, topDown = rawHeight < 0, rowSize)
+  }
+
+  /** Parse a 24-bit BMP: header-driven data offset, per-row padding
+    * skipped (padding bytes must NOT contaminate the mean), negative
+    * height (top-down storage) accepted.
+    */
+  def decodeBmp(bytes: Array[Byte]): Decoded = {
+    val h = parseBmpHeader(bytes)
     var sum = 0L
     var y = 0
-    while (y < height) {
-      val rowOff = dataOffset + y * rowSize
+    while (y < h.height) {
+      val rowOff = h.dataOffset + y * h.rowSize
       var i = 0
-      while (i < 3 * width) { sum += bytes(rowOff + i) & 0xFF; i += 1 }
+      while (i < 3 * h.width) { sum += bytes(rowOff + i) & 0xFF; i += 1 }
       y += 1
     }
-    val n = 3L * width * height
-    Decoded("bmp", width, height, 3, 0, 0L,
+    val n = 3L * h.width * h.height
+    Decoded("bmp", h.width, h.height, 3, 0, 0L,
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
@@ -128,10 +143,14 @@ object MediaCodecs {
     out.toByteArray
   }
 
-  /** Parse P6: whitespace-tokenized header (width, height, maxval),
-    * exactly one whitespace byte before the raster, then 3·w·h bytes.
+  /** Validated P6 header facts: dimensions + raster start offset. */
+  private case class PpmHeader(width: Int, height: Int, rasterOff: Int)
+
+  /** Shared P6 header parse + validation: whitespace-tokenized header
+    * (width, height, maxval), exactly one whitespace byte before the
+    * raster, truncation-checked against 3·w·h raster bytes.
     */
-  def decodePpm(bytes: Array[Byte]): Decoded = {
+  private def parsePpmHeader(bytes: Array[Byte]): PpmHeader = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
     var off = 2
     def nextInt(): Int = {
@@ -149,12 +168,18 @@ object MediaCodecs {
     require(width > 0 && height > 0, s"corrupt PPM header (w=$width h=$height)")
     require(maxval == 255, s"unsupported PPM maxval $maxval")
     off += 1 // the single whitespace separating header from raster
-    val n = 3L * width * height
-    require(bytes.length >= off + n, "truncated PPM")
+    require(bytes.length >= off + 3L * width * height, "truncated PPM")
+    PpmHeader(width, height, off)
+  }
+
+  /** Parse P6 container facts + mean pixel byte. */
+  def decodePpm(bytes: Array[Byte]): Decoded = {
+    val h = parsePpmHeader(bytes)
+    val n = 3L * h.width * h.height
     var sum = 0L
     var i = 0L
-    while (i < n) { sum += bytes(off + i.toInt) & 0xFF; i += 1 }
-    Decoded("ppm", width, height, 3, 0, 0L,
+    while (i < n) { sum += bytes(h.rasterOff + i.toInt) & 0xFF; i += 1 }
+    Decoded("ppm", h.width, h.height, 3, 0, 0L,
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
@@ -175,11 +200,11 @@ object MediaCodecs {
     */
   def aHashBits(bytes: Array[Byte], grid: Int): Option[Long] = {
     require(grid >= 2 && grid <= 8, s"aHash grid must be 2..8, got $grid")
-    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
-      Some(aHashBmp(bytes, grid))
-    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
-      Some(aHashPpm(bytes, grid))
-    else None
+    sniffFormat(bytes) match {
+      case Some("bmp") => Some(aHashBmp(bytes, grid))
+      case Some("ppm") => Some(aHashPpm(bytes, grid))
+      case _ => None
+    }
   }
 
   private def aHashCells(width: Int, height: Int, grid: Int,
@@ -192,11 +217,14 @@ object MediaCodecs {
     var total = 0L
     var y = 0
     while (y < height) {
-      val i = y * grid / height
+      // cell indices in LONG: y·grid overflows Int past ~268M rows
+      // (grid 8) and would index the cell arrays negative — the same
+      // attacker-payload failure mode parseWavPcm's Long walk prevents
+      val i = (y.toLong * grid / height).toInt
       var x = 0
       while (x < width) {
         val g = grayAt(x, y)
-        val c = i * grid + x * grid / width
+        val c = i * grid + (x.toLong * grid / width).toInt
         sums(c) += g; cnts(c) += 1; total += g
         x += 1
       }
@@ -216,48 +244,20 @@ object MediaCodecs {
   }
 
   private def aHashBmp(bytes: Array[Byte], grid: Int): Long = {
-    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
-    val dataOffset = readLe32(bytes, 10)
-    val width = readLe32(bytes, 18)
-    val rawHeight = readLe32(bytes, 22)
-    val height = math.abs(rawHeight)
-    require(width > 0 && height > 0 && dataOffset >= 54,
-      s"corrupt BMP header (w=$width h=$height off=$dataOffset)")
-    require(readLe16(bytes, 28) == 24, "unsupported BMP bpp (24-bit only)")
-    require(readLe32(bytes, 30) == 0, "compressed BMP unsupported")
-    val rowSize = bmpRowSize(width)
-    require(bytes.length >= dataOffset + rowSize.toLong * height, "truncated BMP")
-    aHashCells(width, height, grid, (x, y) => {
-      // positive height = bottom-up storage; gray is order-invariant
-      // over the 3 channel bytes, so BGR vs RGB never matters
-      val stored = if (rawHeight > 0) height - 1 - y else y
-      val off = dataOffset + stored * rowSize + 3 * x
+    val h = parseBmpHeader(bytes)
+    aHashCells(h.width, h.height, grid, (x, y) => {
+      // positive stored height = bottom-up storage; gray is order-
+      // invariant over the 3 channel bytes, so BGR vs RGB never matters
+      val stored = if (h.topDown) y else h.height - 1 - y
+      val off = h.dataOffset + stored * h.rowSize + 3 * x
       (bytes(off) & 0xFF) + (bytes(off + 1) & 0xFF) + (bytes(off + 2) & 0xFF)
     })
   }
 
   private def aHashPpm(bytes: Array[Byte], grid: Int): Long = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
-    var off = 2
-    def nextInt(): Int = {
-      while (off < bytes.length && Character.isWhitespace(bytes(off))) off += 1
-      var v = 0
-      require(off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9', "bad PPM header")
-      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
-        v = v * 10 + (bytes(off) - '0'); off += 1
-      }
-      v
-    }
-    val width = nextInt()
-    val height = nextInt()
-    val maxval = nextInt()
-    require(width > 0 && height > 0, s"corrupt PPM header (w=$width h=$height)")
-    require(maxval == 255, s"unsupported PPM maxval $maxval")
-    off += 1
-    require(bytes.length >= off + 3L * width * height, "truncated PPM")
-    val base = off
-    aHashCells(width, height, grid, (x, y) => {
-      val p = base + 3 * (y * width + x)
+    val h = parsePpmHeader(bytes)
+    aHashCells(h.width, h.height, grid, (x, y) => {
+      val p = h.rasterOff + 3 * (y * h.width + x)
       (bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) + (bytes(p + 2) & 0xFF)
     })
   }
@@ -377,8 +377,7 @@ object MediaCodecs {
     */
   def audioFingerprintBits(bytes: Array[Byte], nCells: Int): Option[Long] = {
     require(nCells >= 2 && nCells <= 64, s"fingerprint cells must be 2..64, got $nCells")
-    if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
-        bytes(2) == 'F' && bytes(3) == 'F') {
+    if (sniffFormat(bytes).contains("wav")) {
       val w = parseWavPcm(bytes)
       val n = w.nSamples
       require(n >= nCells, s"fingerprint needs >= $nCells samples (got $n)")
@@ -407,15 +406,28 @@ object MediaCodecs {
 
   // ---- dispatch --------------------------------------------------------
 
+  /** Container sniff from magic bytes — THE format authority for every
+    * operator in this file and for the DataFrame stages in
+    * [[Multimodal]] (caller metadata is never trusted, and the
+    * quarantine contract requires all paths to agree on what counts
+    * as each container). None = unrecognized.
+    */
+  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') Some("wav")
+    else None
+
   /** Container detection from magic bytes — caller metadata is never
     * trusted. Throws on anything unrecognized (a real pipeline routes
     * those rows to a quarantine sink, not past the decoder).
     */
-  def decode(bytes: Array[Byte]): Decoded =
-    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
-    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
-      bytes(2) == 'F' && bytes(3) == 'F') decodeWav(bytes)
-    else throw new IllegalArgumentException(
+  def decode(bytes: Array[Byte]): Decoded = sniffFormat(bytes) match {
+    case Some("bmp") => decodeBmp(bytes)
+    case Some("ppm") => decodePpm(bytes)
+    case Some("wav") => decodeWav(bytes)
+    case _ => throw new IllegalArgumentException(
       s"unrecognized media container (${bytes.length} bytes)")
+  }
 }

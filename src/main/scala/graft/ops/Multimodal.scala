@@ -112,11 +112,9 @@ object Multimodal {
       grid: Int = 8): DataFrame =
     synthesizeMedia(docs, idCol).mapPartitions { rows =>
       rows.map { r =>
-        val fmt =
-          if (r.payload.length >= 2 && r.payload(0) == 'B') "bmp"
-          else if (r.payload.length >= 2 && r.payload(0) == 'P') "ppm"
-          else "wav"
-        MediaHash(r.media_id, fmt, MediaCodecs.aHashBits(r.payload, grid))
+        MediaHash(r.media_id,
+          MediaCodecs.sniffFormat(r.payload).getOrElse("unknown"),
+          MediaCodecs.aHashBits(r.payload, grid))
       }
     }(Encoders.product[MediaHash]).toDF()
 
@@ -136,11 +134,9 @@ object Multimodal {
       nCells: Int = 64): DataFrame =
     synthesizeMedia(docs, idCol).mapPartitions { rows =>
       rows.map { r =>
-        val fmt =
-          if (r.payload.length >= 2 && r.payload(0) == 'B') "bmp"
-          else if (r.payload.length >= 2 && r.payload(0) == 'P') "ppm"
-          else "wav"
-        AudioFp(r.media_id, fmt, MediaCodecs.audioFingerprintBits(r.payload, nCells))
+        AudioFp(r.media_id,
+          MediaCodecs.sniffFormat(r.payload).getOrElse("unknown"),
+          MediaCodecs.audioFingerprintBits(r.payload, nCells))
       }
     }(Encoders.product[AudioFp]).toDF()
 

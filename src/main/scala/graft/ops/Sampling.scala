@@ -99,6 +99,11 @@ object Sampling {
     val kept = df
       .select(groupCol.as("__g"), idCol.cast("long").as("__id"),
         priorityCol.cast("double").as("__p"))
+      // null/NaN priorities and null-casting ids cannot rank — exclude
+      // them BEFORE the aggregator (whose Entry encoder is
+      // non-nullable and would abort the job); such rows are never
+      // kept, mirroring rankTopK's guard
+      .where(col("__id").isNotNull && col("__p").isNotNull && !isnan(col("__p")))
       .groupBy(col("__g"))
       // TopK keeps the LARGEST by value — negate for smallest-first
       .agg(TopK.topK(k)(-col("__p"), col("__id")).as("top"))

@@ -326,10 +326,15 @@ object Similarity {
     def lowest(src: DataFrame): DataFrame =
       src.orderBy(col("__h"), col("__id")).limit(cap)
     corpusRowsHint match {
-      case Some(nRows) if nRows > 8L * cap =>
+      // engage only when the keep-fraction is < 1/2: above that the
+      // thin saves nothing, and frac·2^64 would saturate .toLong at
+      // Long.MaxValue (silently keeping 50% instead of the intended
+      // fraction)
+      case Some(nRows) if nRows > 16L * cap =>
         // hash quantile at fraction 8·cap/nRows of the full signed-64
-        // range (xxhash64 is uniform over it); double rounding costs
-        // at most ~2^11 of 2^64 — absorbed by the 8× safety factor
+        // range (xxhash64 is uniform over it); frac < 1/2 ⇒ the
+        // product fits in a Long, and double rounding costs at most
+        // ~2^11 of 2^64 — absorbed by the 8× safety factor
         val frac = 8.0 * cap / nRows
         val t = Long.MinValue + (frac * math.pow(2.0, 64)).toLong
         val thinned = lowest(base.where(col("__h") < lit(t)))

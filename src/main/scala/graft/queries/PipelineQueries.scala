@@ -20,6 +20,29 @@ import graft.streaming.EventStreams
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared tail of the media-dedup queries (q76/q77): banded
+    * Hamming-≤maxDist pairing over the per-media code frame,
+    * symmetrized partner counts in ONE pass over the pair list
+    * (explode, not a union that would re-execute the candidate join
+    * twice), joined back onto every media row (unpaired → 0). The
+    * code frame should be localCheckpointed by the caller — it feeds
+    * three plan references.
+    */
+  private def mediaPartnerCounts(codes: DataFrame, codeCol: String,
+      maxDist: Int, nBits: Int): DataFrame = {
+    val pairs = Dedup.perceptualDupPairs(codes, "media_id", codeCol,
+      maxDist, nBits)
+    val partners = pairs
+      .select(explode(array(
+        struct(col("id_a").as("id"), col("id_b")),
+        struct(col("id_b").as("id"), col("id_a").as("id_b")))).as("e"))
+      .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_partners"))
+    codes.join(partners, codes("media_id") === partners("id"), "left")
+      .select(col("media_id"), col("format"), col(codeCol),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // Streaming-shaped batch: hourly rollup (same transform serves
     // readStream with a watermark — graft.streaming.EventStreams).
@@ -390,19 +413,7 @@ object PipelineQueries {
       val hashes = Multimodal.perceptualHashes(
         Tables.documents(s, dir), "doc_id", grid = 4)
         .localCheckpoint(false)
-      val pairs = Dedup.perceptualDupPairs(
-        hashes, "media_id", "phash", maxDist = 2, nBits = 16)
-      // symmetrize in ONE pass over the pair list (explode, not a
-      // union that would re-execute the candidate join twice)
-      val partners = pairs
-        .select(explode(array(
-          struct(col("id_a").as("id"), col("id_b")),
-          struct(col("id_b").as("id"), col("id_a").as("id_b")))).as("e"))
-        .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_partners"))
-      hashes.join(partners, hashes("media_id") === partners("id"), "left")
-        .select(col("media_id"), col("format"), col("phash"),
-          coalesce(col("n_partners"), lit(0L)).as("n_partners"))
-        .orderBy("media_id")
+      mediaPartnerCounts(hashes, "phash", maxDist = 2, nBits = 16)
     },
 
     // Audio-fingerprint dedup — q76's WAV counterpart, closing the
@@ -421,17 +432,7 @@ object PipelineQueries {
       val fps = Multimodal.audioFingerprints(
         Tables.documents(s, dir), "doc_id", nCells = 32)
         .localCheckpoint(false)
-      val pairs = Dedup.perceptualDupPairs(
-        fps, "media_id", "afp", maxDist = 2, nBits = 32)
-      val partners = pairs
-        .select(explode(array(
-          struct(col("id_a").as("id"), col("id_b")),
-          struct(col("id_b").as("id"), col("id_a").as("id_b")))).as("e"))
-        .groupBy(col("e.id").as("id")).agg(count(lit(1)).as("n_partners"))
-      fps.join(partners, fps("media_id") === partners("id"), "left")
-        .select(col("media_id"), col("format"), col("afp"),
-          coalesce(col("n_partners"), lit(0L)).as("n_partners"))
-        .orderBy("media_id")
+      mediaPartnerCounts(fps, "afp", maxDist = 2, nBits = 32)
     },
 
     // Incremental (delta) dedup — the per-crawl ingest operation: a

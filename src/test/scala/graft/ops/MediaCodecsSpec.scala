@@ -183,6 +183,20 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("sniffFormat: one authority for magic bytes, partial magics rejected") {
+    assert(MediaCodecs.sniffFormat(MediaCodecs.encodeBmp(4, 4, _ => 9)).contains("bmp"))
+    assert(MediaCodecs.sniffFormat(MediaCodecs.encodePpm(4, 4, _ => 9)).contains("ppm"))
+    assert(MediaCodecs.sniffFormat(MediaCodecs.encodeWav(1, 8000, 4, _ => 1)).contains("wav"))
+    // a stray text blob starting with 'B' (or 'P5', or 'RIF') is NOT
+    // a container — the hash operators must agree with decode()'s
+    // quarantine, not silently label it
+    assert(MediaCodecs.sniffFormat("BEGIN cert".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.sniffFormat("P5 gray".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.sniffFormat("RIX".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.aHashBits("BEGIN cert".getBytes("US-ASCII"), 4).isEmpty)
+    assert(MediaCodecs.audioFingerprintBits("RIX".getBytes("US-ASCII"), 4).isEmpty)
+  }
+
   test("audioFingerprint: constant-magnitude stream hashes to zero") {
     // |x| identical everywhere → no cell strictly above the mean
     val flat = MediaCodecs.encodeWav(2, 8000, 32, k => if (k % 2 == 0) 55 else -55)

@@ -96,6 +96,17 @@ class SamplingSpec extends SparkSpecBase {
       .count() == 3)
   }
 
+  test("perGroupCap excludes null/NaN priorities instead of aborting") {
+    val withNulls = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(Double.NaN)),
+      (4L, "a", Some(0.5))
+    ).toDF("id", "stratum", "prio")
+    val kept = Sampling.perGroupCap(withNulls, col("stratum"), col("id"),
+        col("prio"), k = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(4L), kept) // lowest non-null priority wins; 2/3 never rank
+  }
+
   test("perGroupCap priority column need not be the id (hash-order pick)") {
     // priority = id descending picks the LARGEST ids
     val capped = Sampling.perGroupCap(docs, col("stratum"), col("id"),

@@ -88,11 +88,12 @@ class SimilaritySpec extends SparkSpecBase {
   test("trainingSample hash-quantile pre-thin is exact, wrong hints fall back") {
     val plain = Similarity.trainingSample(corpus, "vec_id", "embedding", cap = 6)
       .select("__id").as[Long].collect().toSeq
-    // an accurate hint: identical sample, and the plan carries the
-    // quantile filter (the merge-thinning evidence)
+    // a hint just past the 16·cap engagement bound: the quantile
+    // filter activates (keep-fraction just under 1/2) and the sample
+    // is identical — via the thinned path or the exact fallback
     val n = corpus.count()
     val hinted = Similarity.trainingSample(corpus, "vec_id", "embedding",
-      cap = 6, corpusRowsHint = Some(math.max(n, 8L * 6 + 1)))
+      cap = 6, corpusRowsHint = Some(math.max(n, 16L * 6 + 1)))
     assert(hinted.select("__id").as[Long].collect().toSeq == plain)
     // a hint 1000× too LARGE makes the quantile filter drop everything
     // → the guard detects the under-collection and the unthinned path

@@ -139,6 +139,44 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter contamination screen — the broadcast-budget variant
+    * of [[decontaminate]] for eval suites too large to ship as a raw
+    * shingle set. The benchmark's distinct n-grams are folded into one
+    * Catalyst bloom sketch ([[BloomPrune.buildBloom]] — distributed
+    * partial aggregates, the driver holds only the ~numBits/8-byte
+    * sketch), and every corpus document is screened MAP-SIDE: no
+    * corpus-side shuffle at all, the sketch rides the task closure.
+    *
+    * Adds `bloom_hit`: ONE-SIDED — a truly contaminated document (any
+    * shared shingle) is ALWAYS flagged (bloom filters have no false
+    * negatives), a clean one is flagged with probability ≈
+    * 1 − (1 − fpp)^shingles. Callers needing exact verdicts confirm
+    * flagged docs with [[decontaminate]]'s exact join — the screen
+    * has already discarded the overwhelming clean majority, so the
+    * exact pass runs on a sliver of the corpus.
+    *
+    * `benchShingles` is the expected distinct-shingle count used to
+    * size the sketch (m = −n·ln(fpp)/ln²2); an undercount only raises
+    * the realized fp rate, never breaks one-sidedness.
+    */
+  def bloomScreen(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      benchShingles: Long, fpp: Double = 1e-6): DataFrame = {
+    require(fpp > 0 && fpp < 0.5, s"fpp must be in (0, 0.5), got $fpp")
+    require(benchShingles > 0, "benchShingles must be positive")
+    val numBits = math.max(64L, math.ceil(
+      -benchShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = BloomPrune.buildBloom(
+      benchShingleSet(benchmark, benchTextCol, n), "shingle",
+      benchShingles, numBits)
+    fanned(docs).withColumn("bloom_hit", coalesce(
+      exists(
+        array_distinct(graft.functions.wordShinglesNative(col(textCol), n)),
+        s => BloomPrune.mightContain(bloom, s)),
+      lit(false)))
+  }
+
   /** Gram-grain contamination report: for each contaminated corpus
     * document, HOW MANY distinct benchmark n-grams it shares — the
     * triage view behind [[decontaminate]]'s binary verdict (borderline

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval: BM25 scoring + top-k ranking — the text
+  * counterpart of [[Similarity]]'s dense ANN (reference analytics
+  * surface: IowaLiquor-RDS.session.sql's grouped-count rankings; the
+  * retrieval generalization is the standard training-data tool for
+  * "find the corpus documents most similar to this eval prompt").
+  *
+  * Scale design (100 TB):
+  * - Per-document term frequencies and document length are computed
+  *   MAP-SIDE inside the token-array expressions (no corpus-wide
+  *   (doc, term) shuffle): `tf` is a `filter` HOF over the doc's own
+  *   token array, `dl` is `size`.
+  * - The query set is small by definition, so query terms BROADCAST;
+  *   corpus postings are semi-joined against them map-side — only
+  *   postings for query terms (a sliver) ever reach an exchange.
+  * - Document frequency is aggregated over that sliver only (df of a
+  *   term is the same whether or not non-query terms are counted).
+  * - Ranking is the k-bounded [[TopK]] aggregate: map-side trim to k,
+  *   the exchange carries ≤ k rows per query per partition, nothing is
+  *   globally sorted.
+  *
+  * Determinism contract (cross-engine oracle): every per-(query, doc,
+  * term) BM25 contribution is derived from integers (tf, df, dl,
+  * n_docs) by a FIXED IEEE expression order, then quantized with
+  * `floor(x · 10⁶)` to a long. Per-document scores are exact integer
+  * sums of those longs — no float-summation order dependence anywhere.
+  * Ties rank by ascending doc id.
+  */
+object Retrieval {
+
+  /** BM25 top-k: for each query document, the `k` best corpus documents
+    * under BM25(k1, b) over whitespace tokens.
+    *
+    * Output: (query_id, rank, doc_id, score6, score) — `score6` is the
+    * exact scaled-long score (the comparison key), `score` = score6/10⁶
+    * as a double for human consumption.
+    *
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    * variant), term = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val docToks = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
+      .select(col(idCol).cast("long").as("doc"),
+        TextOps.tokens(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")))
+    // map-side postings: one row per DISTINCT term of the doc, tf from
+    // the doc's own array — no (doc, term) shuffle
+    val postings = docToks
+      .select(col("doc"), col("dl"), explode(expr(
+        "transform(array_distinct(w), " +
+          "t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))"))
+        .as("p"))
+      .select(col("doc"), col("dl"), col("p.term").as("term"),
+        col("p.tf").as("tf"))
+    val qTerms = queries
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        explode(array_distinct(TextOps.tokens(col(queryTextCol)))).as("term"))
+    // corpus-wide scalars: one tiny aggregate (N, avgdl)
+    val stats = docToks.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val matched = postings.join(
+      broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfreq = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val scored = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s6", floor(col("idf") *
+        (tfD * lit(k1 + 1.0) /
+          (tfD + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("avgdl")))) *
+        lit(1000000.0)))
+    val perDoc = scored.groupBy("query_id", "doc")
+      .agg(sum(col("s6")).as("score6"))
+    // score6 < 2^53 holds for any real score (capped by idf·(k1+1)·10⁶
+    // per term times the query's term count) — exact as the TopK double
+    perDoc.groupBy("query_id")
+      .agg(TopK.topK(k)(col("score6").cast("double"), col("doc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rank"),
+        col("e.key").as("doc_id"), col("e.value").cast("long").as("score6"),
+        (col("e.value") / lit(1000000.0)).as("score"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.decimalDot
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Retrieval, Sampling, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** LLM-training-data pipeline operators (builder prompt: dedup,
@@ -505,6 +505,71 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-filter decontamination screen — q66's broadcast-budget
+    // variant: the benchmark shingle set folds into a Catalyst bloom
+    // sketch and the corpus is screened map-side (no corpus shuffle).
+    // Contract output (q25's pattern): n_corpus / n_true are exact
+    // SQL-recomputable counts; n_missed = 0 states the bloom's
+    // no-false-negative guarantee (checked in-plan against the exact
+    // shingle-intersect twin); fp_ok states the flagged overshoot
+    // stayed under a generous bound DERIVED from the exact counts
+    // (expected overshoot at fpp=1e-6 is ≪ 1 doc at every fixture
+    // scale, so the 1%-of-clean floor-5 bound has orders of margin —
+    // a math consequence of the sketch sizing, not a fixture-coupled
+    // calibration).
+    "q81_bloom_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      val screened = Dedup.bloomScreen(corpus, "doc_id", "text",
+          bench, "text", n = 3, benchShingles = 4096L)
+        .select(col("doc_id"), col("bloom_hit"))
+      // exact twin: the same broadcast shingle-intersect q66 uses
+      val truth = Dedup.contaminationReport(corpus, "doc_id", "text",
+          bench, "text", n = 3)
+        .select(col("doc_id"), lit(true).as("truly"))
+      screened.join(truth, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_corpus"),
+          sum(when(col("truly"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("truly") && !col("bloom_hit"), 1L).otherwise(0L))
+            .as("n_missed"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_hit"))
+        .select(col("n_corpus"), col("n_true"), col("n_missed"),
+          greatest(lit(5L), expr("(n_corpus - n_true) div 100"))
+            .as("fp_bound"),
+          (col("n_hit") - col("n_true") <=
+            greatest(lit(5L), expr("(n_corpus - n_true) div 100")))
+            .as("fp_ok"))
+    },
+
+    // BM25 top-k retrieval — docs 0-4 play eval prompts, the rest the
+    // corpus; per-prompt 10 best documents under BM25(1.2, 0.75).
+    // tf/dl are map-side array HOFs (no corpus (doc,term) shuffle),
+    // query terms broadcast, ranking is the k-bounded TopK aggregate.
+    // Scores are scaled-long exact (floor(term·1e6) summed as longs —
+    // no float-sum order dependence), so the oracle rebuilds every
+    // score and rank bit-exactly.
+    "q82_bm25_topk" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Retrieval.bm25TopK(
+          docs.where(col("doc_id") >= 5), "doc_id", "text",
+          docs.where(col("doc_id") < 5), "doc_id", "text",
+          k = 10)
+        .orderBy("query_id", "rank")
+    },
+
+    // Bigram-LM cross-entropy scoring — the CCNet-style perplexity
+    // quality signal: add-one bigram model trained per language on the
+    // corpus itself, every doc scored in nats/transition. Count tables
+    // are vocab-bounded broadcasts; per-token ln is floor-quantized to
+    // scale-6 longs so document totals are exact integer sums.
+    "q83_lm_perplexity" -> { (s, dir) =>
+      LanguageModel.bigramCrossEntropy(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -874,6 +939,119 @@ object PipelineQueries {
          |  CAST(MAX(f.span_docs) AS BIGINT) AS max_span_docs
          |FROM wins w JOIN freq f USING (span)
          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    // Contract oracle: n_corpus / n_true exact by shingle-intersect;
+    // n_missed = 0 is the bloom no-false-negative guarantee; fp_bound
+    // derives from the exact counts; fp_ok TRUE by sketch-sizing math.
+    "q81_bloom_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20
+         |), agg AS (
+         |  SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 20) AS n_corpus,
+         |         (SELECT COUNT(*) FROM contaminated) AS n_true
+         |)
+         |SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(0 AS BIGINT) AS n_missed,
+         |  CAST(greatest(5, (n_corpus - n_true) // 100) AS BIGINT) AS fp_bound,
+         |  TRUE AS fp_ok
+         |FROM agg""".stripMargin,
+    // Scores are scaled-long exact: every per-term BM25 contribution
+    // is floor(term * 1e6) over a FIXED IEEE expression order (the SQL
+    // below mirrors the Spark column tree token for token, including
+    // unfolded constants like (1.2 + 1.0)), then summed as exact longs.
+    "q82_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
+         |  FROM toks WHERE doc_id < 5
+         |), post AS (
+         |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
+         |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
+         |), matched AS (
+         |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
+         |), stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM d
+         |), dfreq AS (
+         |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+         |), scored AS (
+         |  SELECT q.query_id, m.doc,
+         |    CAST(floor(
+         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |               / (CAST(f.df AS DOUBLE) + 0.5))
+         |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
+         |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
+         |      * 1000000.0) AS BIGINT) AS s6
+         |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
+         |  CROSS JOIN stats s
+         |), perdoc AS (
+         |  SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
+         |  FROM scored GROUP BY query_id, doc
+         |)
+         |SELECT query_id, CAST(rnk AS INT) AS "rank", doc AS doc_id, score6,
+         |  CAST(score6 AS DOUBLE) / 1000000.0 AS score
+         |FROM (
+         |  SELECT query_id, doc, score6,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score6 DESC, doc) AS rnk
+         |  FROM perdoc
+         |) WHERE rnk <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // Add-one smoothing keeps every probability a ratio of exact
+    // integers; per-token ln is floor-quantized to scale-6 longs, so
+    // document totals are exact integer sums on both engines.
+    "q83_lm_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $tokensSql AS w FROM documents
+         |), big AS (
+         |  SELECT doc_id, lang, w[i] AS a, w[i+1] AS b
+         |  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2)
+         |), c2 AS (
+         |  SELECT lang, a, b, COUNT(*) AS c2 FROM big GROUP BY lang, a, b
+         |), c1 AS (
+         |  SELECT lang, a, COUNT(*) AS c1 FROM big GROUP BY lang, a
+         |), voc AS (
+         |  SELECT lang, COUNT(DISTINCT t) AS v
+         |  FROM (SELECT lang, unnest(w) AS t FROM toks) GROUP BY lang
+         |), scored AS (
+         |  SELECT g.doc_id,
+         |    -CAST(floor(ln((CAST(c.c2 AS DOUBLE) + 1.0)
+         |                   / (CAST(p.c1 AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+         |                * 1000000.0) AS BIGINT) AS nll6
+         |  FROM big g
+         |  JOIN c2 c USING (lang, a, b)
+         |  JOIN c1 p USING (lang, a)
+         |  JOIN voc USING (lang)
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(SUM(nll6) AS BIGINT) AS nll6,
+         |         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         |  FROM scored GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(p.nll6, 0) AS nll6,
+         |  CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(p.nll6 AS DOUBLE) / 1000000.0
+         |            / CAST(p.n_bigrams AS DOUBLE)
+         |  END AS avg_nll
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q79_domain_cap" ->
       """SELECT source, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,

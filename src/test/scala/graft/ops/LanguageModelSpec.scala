@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the cat sat on the hat"),
+    (3L, "en", "the cat sat on the mat"),
+    (4L, "en", "zz qq vv pp rr ww"), // transitions seen nowhere else
+    (5L, "en", "solo"),              // 1 token -> no transitions
+    (6L, "fr", "le chat le chat le chat")
+  ).toDF("doc_id", "lang", "text")
+
+  private def run() =
+    LanguageModel.bigramCrossEntropy(docs, "doc_id", "text", "lang")
+
+  test("typical docs score lower cross-entropy than one-off transitions") {
+    val nll = run().select("doc_id", "avg_nll").as[(Long, Double)]
+      .collect().toMap
+    // docs 1/3 are the modal text; doc 4's transitions occur once each
+    assert(nll(1L) < nll(4L))
+    assert(nll(2L) < nll(4L)) // shares most transitions with the mode
+    assert(nll(1L) == nll(3L)) // identical text, identical score
+  }
+
+  test("docs without transitions score zero with zero counted bigrams") {
+    val r = run().where(col("doc_id") === 5L)
+      .select("n_bigrams", "nll6", "avg_nll")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((0L, 0L, 0.0)))
+  }
+
+  test("per-language models are independent and vocab is per-language") {
+    // doc 6 is the only fr doc: its bigram counts come from itself only
+    val frRows = run().where(col("doc_id") === 6L)
+      .select("n_bigrams").as[Long].head()
+    assert(frRows == 5L)
+    // removing the en docs must not change the fr score
+    val frOnly = LanguageModel.bigramCrossEntropy(
+        docs.where(col("lang") === "fr"), "doc_id", "text", "lang")
+      .select("doc_id", "nll6").as[(Long, Long)].collect().toMap
+    val full = run().select("doc_id", "nll6").as[(Long, Long)].collect().toMap
+    assert(frOnly(6L) == full(6L))
+  }
+
+  test("matches a directly-computed add-one bigram model") {
+    val en = docs.where(col("lang") === "en")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val toks = en.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val grams = toks.values.flatMap(w => w.zip(w.drop(1))).toSeq
+    val c2 = grams.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val c1 = grams.groupBy(_._1).map { case (a, xs) => a -> xs.size }
+    val v = toks.values.flatten.toSet.size
+    val expected = toks.map { case (id, w) =>
+      val nll6 = w.zip(w.drop(1)).map { g =>
+        -math.floor(math.log((c2(g).toDouble + 1.0) /
+          (c1(g._1).toDouble + v.toDouble)) * 1000000.0).toLong
+      }.sum
+      id -> nll6
+    }
+    val got = run().where(col("lang") === "en")
+      .select("doc_id", "nll6").as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("smoothed conditionals sum to one over the vocabulary") {
+    // P(b|a) = (c2+1)/(c1+V): over all b in V,
+    // sum = (c1 + #observed-pairs-free mass) — verify exactly with BigInt
+    val w = docs.where(col("lang") === "en").select("text").as[String]
+      .collect().flatMap(_.split("\\s+")).toSeq
+    val grams = {
+      val ts = docs.where(col("lang") === "en")
+        .select("text").as[String].collect().map(_.split("\\s+").toSeq)
+      ts.flatMap(x => x.zip(x.drop(1))).toSeq
+    }
+    val vocab = w.toSet
+    val c2 = grams.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val c1 = grams.groupBy(_._1).map { case (a, xs) => a -> xs.size }
+    for (a <- c1.keys) {
+      val num = vocab.toSeq.map(b => BigInt(c2.getOrElse((a, b), 0) + 1)).sum
+      assert(num == BigInt(c1(a) + vocab.size),
+        s"P(.|$a) does not normalize")
+    }
+  }
+}

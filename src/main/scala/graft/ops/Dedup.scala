@@ -426,6 +426,66 @@ object Dedup {
         max(col("span_docs")).as("max_span_docs"))
   }
 
+  /** The REMOVAL side of [[repeatedSpans]] (Lee et al. 2022 drop the
+    * duplicated substrings, not just count them): rebuild every
+    * document with all tokens covered by any over-frequent span
+    * (document frequency ≥ `minDocs`) removed. Overlapping frequent
+    * spans union their coverage; a fully-covered document survives as
+    * an empty string (so corpus membership is preserved — dropping is
+    * the caller's policy).
+    *
+    * 100 TB shape: span identity is the 64-bit hash (q24's 2^-64
+    * trade); span document-frequency is the same two-level
+    * count-distinct as [[repeatedSpans]] — no postings list. The only
+    * new expansion is `spanTokens` covered positions per FREQUENT-span
+    * occurrence (bounded, small constant), immediately de-duplicated
+    * per (doc, position) before the anti join. Every join/aggregate
+    * keys on doc or span_hash — no window over the corpus, no global
+    * sort; the per-doc rebuild sorts each document's OWN tokens inside
+    * one aggregation buffer (`array_sort` over ≤ doc-length entries).
+    */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 2 && minDocs >= 2)
+    val toks = fanned(docs).select(
+      col(idCol).cast("long").as("doc"), TextOps.tokens(col(textCol)).as("w"))
+    // (doc, start, span_hash) — 1-based starts, matching slice()
+    val wins = toks.where(size(col("w")) >= spanTokens)
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), size(col("w")) - (spanTokens - 1)),
+        i => struct(i.as("start"),
+          xxhash64(concat_ws(" ", slice(col("w"), i, lit(spanTokens))))
+            .as("span_hash")))).as("s"))
+      .select(col("doc"), col("s.start").as("start"),
+        col("s.span_hash").as("span_hash"))
+    val freq = wins.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc")).as("span_docs"))
+      .where(col("span_docs") >= minDocs)
+      .select(col("span_hash"))
+    // covered token positions, deduped per doc (overlaps collapse)
+    val covered = wins.join(freq, Seq("span_hash"), "left_semi")
+      .select(col("doc"),
+        explode(sequence(col("start"), col("start") + (spanTokens - 1))).as("p"))
+      .distinct()
+    val tokPos = toks
+      .select(col("doc"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc"), (col("p0") + 1).as("p"), col("tok"))
+    val rebuilt = tokPos.join(covered, Seq("doc", "p"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s("tok")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as("doc"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
     * Computed as 64 codegen'd array aggregations — no UDF.

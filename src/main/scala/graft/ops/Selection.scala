@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-corpus construction — the
+  * "which documents do we actually train on" layer that sits after
+  * dedup/decontamination (reference scope: the pipeline stops at load,
+  * `/root/reference/src/load.py:40-44`; these are the LLM-pipeline
+  * extensions the builder prompt mandates).
+  *
+  * Two published shapes:
+  * - DSIR-style importance reweighting (Xie et al. 2023, "Data
+  *   Selection for Language Models via Importance Resampling"):
+  *   score every raw document by how much more likely its hashed
+  *   unigram features are under a small TARGET corpus than under the
+  *   raw corpus itself, then keep the top-scoring slice.
+  * - Temperature-based source mixture (multilingual-sampling
+  *   convention, e.g. mBERT/XLM-R's p^α): allocate a document budget
+  *   across sources proportionally to `sqrt(token share)` so
+  *   long-tail sources are up-weighted without letting any single
+  *   giant source dominate.
+  *
+  * Determinism contract (cross-engine oracle): feature hashing is a
+  * polynomial char fold — NOT xxhash64 — precisely so an independent
+  * engine can recompute every bucket id; counts and totals are exact
+  * integers; the only float steps are one `ln` (DSIR) or one `sqrt`
+  * (mixture) per bucket/source on identical IEEE doubles, immediately
+  * floor-quantized to scale-6 longs, after which every sum and
+  * allocation is exact integer arithmetic (the q83 quantize-then-sum
+  * rule; sqrt and double division are correctly rounded per IEEE 754,
+  * so they are bit-portable by spec, not by probe).
+  */
+object Selection {
+
+  /** Portable hashed-feature bucket of a token: fold
+    * `(acc · 31 + codepoint) mod nBuckets` over the token's chars —
+    * exact integer arithmetic reproducible in ANSI SQL (DuckDB:
+    * `list_reduce` over `unicode(c)`), unlike xxhash64. The classic
+    * hashing-trick collision trade applies and is part of the
+    * operator's definition, not an approximation of it.
+    *
+    * Spark's `split(str, "")` (Java `split` with limit −1) keeps a
+    * trailing empty string that DuckDB's char split does not produce;
+    * the filter drops it BEFORE hashing (an empty char would fold as
+    * codepoint 0 and shift every bucket).
+    */
+  def tokenBucket(tok: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20), s"nBuckets out of range: $nBuckets")
+    aggregate(
+      filter(split(tok, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(nBuckets.toLong)))
+  }
+
+  /** DSIR-style importance score per corpus document, plus the
+    * selected top-`k` slice.
+    *
+    * Model: hashed-unigram bag features with add-one smoothing on
+    * both distributions. For bucket b,
+    * `p_t(b) = (ct(b)+1)/(Nt+B)` and `p_r(b) = (cr(b)+1)/(Nr+B)`
+    * (ct/cr = token-occurrence counts in target/raw corpus, Nt/Nr the
+    * totals, B = nBuckets) — every probability a ratio of exact
+    * integers. A document's log importance weight is the sum over its
+    * token occurrences of `ln(p_t(b)/p_r(b))`, each term quantized to
+    * `floor(ln · 10⁶)` (a long) so the document total is an exact
+    * integer sum with no float-summation order dependence.
+    *
+    * Scale design (100 TB):
+    * - The bucket table is `nBuckets` rows regardless of corpus size —
+    *   it BROADCASTS, and scoring is map-side work over each
+    *   document's own tokens followed by one hash aggregate on doc id.
+    * - Nt/Nr ride 1-row aggregates (broadcast cross join), never a
+    *   driver `count()`.
+    * - Selection is the k-bounded [[TopK]] aggregate (map-side trim,
+    *   no global sort) — the shuffle carries ≤ k rows per partition.
+    * - The target corpus is small by definition (a hand-curated
+    *   quality sample); only its bucket HISTOGRAM is ever collected.
+    *
+    * Output: (doc_id, n_tokens, logw6, selected) — `logw6` the exact
+    * scaled-long log weight, `selected` true for the top-`k` documents
+    * by (logw6 desc, doc_id asc). Documents with zero tokens score 0.
+    */
+  def dsirScores(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      nBuckets: Int = 1024, k: Int = 100): DataFrame = {
+    require(k > 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def bucketBag(df: DataFrame): DataFrame =
+      graft.engine.Tables.fanOut(df.sparkSession, df)
+        .select(col(idCol).cast("long").as("doc"),
+          TextOps.tokens(col(textCol)).as("w"))
+        .select(col("doc"), explode(col("w")).as("tok"))
+        .select(col("doc"), tokenBucket(col("tok"), nBuckets).as("b"))
+
+    val corpusBags = bucketBag(corpus)
+    val ct = bucketBag(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = corpusBags.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nt = ct.agg(sum(col("ct")).as("nt"))
+    val nr = cr.agg(sum(col("cr")).as("nr"))
+    // bucket → quantized log ratio; buckets unseen in the target exist
+    // only via corpus rows, hence the left join from cr with ct
+    // null-coalesced (a bucket with cr=0 never appears in the corpus
+    // and therefore never needs a ratio)
+    val ratios = cr
+      .join(broadcast(ct), Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) *
+            (col("nr") + lit(nBuckets.toLong)).cast("double")) /
+          ((col("cr").cast("double") + lit(1.0)) *
+            (coalesce(col("nt"), lit(0L)) + lit(nBuckets.toLong)).cast("double"))) *
+          lit(1000000.0)).as("lr6"))
+
+    val perDoc = corpusBags
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy("doc")
+      .agg(sum(col("lr6")).as("logw6"), count(lit(1)).as("n_tokens"))
+    val scored = corpus.select(col(idCol).cast("long").as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logw6"), lit(0L)).as("logw6"))
+
+    // k-bounded global top-k (logw6 fits a double exactly: |logw6| ≤
+    // n_tokens · ln-range · 1e6 ≪ 2^53 at any realistic doc length).
+    // Zero-token docs are never candidates: their neutral score 0
+    // would otherwise outrank every negatively-scored real document.
+    val top = scored.where(col("n_tokens") > 0).groupBy()
+      .agg(TopK.topK(k)(col("logw6").cast("double"), col("doc")).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.key").as("doc"), lit(true).as("selected"))
+    scored.join(broadcast(top), Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("logw6"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  /** Temperature-based source mixture: allocate `budgetDocs` documents
+    * across sources proportionally to `sqrt(p_s)` where `p_s` is the
+    * source's share of corpus tokens (the α = 0.5 sampling-temperature
+    * convention; α = 1 is proportional, α → 0 uniform).
+    *
+    * Exactness: `p_s` is one double division of exact integers,
+    * `sqrt` is IEEE-correctly-rounded, and the weight is immediately
+    * quantized to `w6 = floor(sqrt(p_s) · 10⁶)`; the normalizer
+    * `Σ w6` and the allocation `budget · w6 div Σ w6` are then exact
+    * integer arithmetic — no float sum across sources (whose order an
+    * engine is free to change) ever happens.
+    *
+    * Scale design: one hash aggregate per source (map-side partial),
+    * then two 1-row broadcast aggregates; the output is one row per
+    * SOURCE, never per document. Floor allocation under-fills by at
+    * most (nSources − 1) documents — the standard largest-remainder
+    * top-up is a caller policy, not baked in.
+    *
+    * Output: (source, n_docs, n_tokens, w6, alloc_docs).
+    */
+  def temperatureMixture(docs: DataFrame, sourceCol: String,
+      textCol: String, budgetDocs: Long): DataFrame = {
+    require(budgetDocs > 0 && budgetDocs <= 1000000000L,
+      s"budgetDocs out of range: $budgetDocs") // keeps budget·w6 inside Long
+    val perSource = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("n_total"))
+    val weighted = perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double") / col("n_total").cast("double")) *
+          lit(1000000.0)).as("w6"))
+    val norm = weighted.agg(sum(col("w6")).as("total6"))
+    weighted.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w6"),
+        expr(s"CAST($budgetDocs * w6 div total6 AS BIGINT)").as("alloc_docs"))
+  }
+}

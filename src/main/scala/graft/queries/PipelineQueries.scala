@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.decimalDot
-import graft.ops.{Dedup, LanguageModel, Multimodal, Retrieval, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, LanguageModel, Multimodal, Retrieval, Sampling, Selection, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** LLM-training-data pipeline operators (builder prompt: dedup,
@@ -570,6 +570,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR-style importance reweighting — docs 0-19 play the curated
+    // target sample (the q66/q81 convention), the rest the raw corpus;
+    // every corpus doc scored by its hashed-unigram log importance
+    // ratio, top-100 flagged selected. Feature buckets use a portable
+    // polynomial char fold (NOT xxhash64) so the oracle recomputes
+    // every bucket id; per-bucket ln is floor-quantized to scale-6
+    // longs (the q83 rule), making doc totals exact integer sums.
+    "q84_dsir_selection" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Selection.dsirScores(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text", nBuckets = 1024, k = 100)
+        .orderBy("doc_id")
+    },
+
+    // Repeated-span REMOVAL — the strip side of q80 (Lee et al. 2022):
+    // every token covered by a span appearing in ≥ 2 docs is removed
+    // and the document rebuilt in token order. Span identity is the
+    // 64-bit hash on the Spark side, the span string in the oracle —
+    // value-exact modulo the documented 2^-64 collision trade.
+    "q85_strip_spans" -> { (s, dir) =>
+      Dedup.stripRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+          spanTokens = 6, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // Temperature-based source mixture (α = 0.5): a 1000-doc budget
+    // allocated across sources ∝ sqrt(token share). sqrt and double
+    // division are IEEE-correctly-rounded (bit-portable by spec);
+    // weights are floor-quantized to scale-6 longs so the normalizer
+    // and the allocation are exact integer arithmetic.
+    "q86_temperature_mix" -> { (s, dir) =>
+      Selection.temperatureMixture(Tables.documents(s, dir),
+          "source", "text", budgetDocs = 1000L)
+        .orderBy("source")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -1052,6 +1090,104 @@ object PipelineQueries {
          |  END AS avg_nll
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // Feature buckets are a portable polynomial char fold, so the
+    // oracle recomputes every bucket id exactly; add-one smoothing
+    // keeps both distributions ratios of exact integers; per-bucket ln
+    // is floor-quantized to scale-6 longs (q83's rule) so document
+    // totals are exact integer sums on both engines.
+    "q84_dsir_selection" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), bag AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1024) AS b
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+         |), ct AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bag
+         |  WHERE doc_id < 20 GROUP BY b
+         |), cr AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bag
+         |  WHERE doc_id >= 20 GROUP BY b
+         |), nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct
+         |), nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cr
+         |), ratios AS (
+         |  SELECT cr.b,
+         |    CAST(floor(ln(
+         |      ((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+         |        * CAST(nr.nr + 1024 AS DOUBLE)) /
+         |      ((CAST(cr.cr AS DOUBLE) + 1.0)
+         |        * CAST(nt.nt + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lr6
+         |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr
+         |), perdoc AS (
+         |  SELECT g.doc_id, CAST(SUM(r.lr6) AS BIGINT) AS logw6,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |  FROM bag g JOIN ratios r USING (b)
+         |  WHERE g.doc_id >= 20 GROUP BY g.doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+         |    COALESCE(p.logw6, 0) AS logw6
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |  WHERE d.doc_id >= 20
+         |)
+         |SELECT doc_id, n_tokens, logw6,
+         |  (n_tokens > 0 AND row_number() OVER (
+         |     PARTITION BY n_tokens > 0
+         |     ORDER BY logw6 DESC, doc_id) <= 100) AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // Span identity: 64-bit hash on the Spark side, span STRING here
+    // (q80's documented 2^-64 collision trade) — rebuilds every
+    // stripped document token-for-token.
+    "q85_strip_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), tp AS (
+         |  SELECT doc_id, i, w[i] AS tok
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+         |), wins AS (
+         |  SELECT doc_id, i AS strt, array_to_string(w[i:i+5], ' ') AS span
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 4)) AS i
+         |        FROM toks WHERE len(w) >= 6)
+         |), freq AS (
+         |  SELECT span FROM wins GROUP BY span
+         |  HAVING COUNT(DISTINCT doc_id) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT w2.doc_id, unnest(range(w2.strt, w2.strt + 6)) AS p
+         |    FROM wins w2 JOIN freq USING (span))
+         |), kept AS (
+         |  SELECT t.doc_id, t.i, t.tok FROM tp t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.p
+         |  WHERE c.doc_id IS NULL
+         |), reb AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+         |    CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+         |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM toks t LEFT JOIN reb r USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+    // sqrt and double division are IEEE-correctly-rounded (portable by
+    // spec); the floor-quantized w6 makes the normalizer and the
+    // allocation exact integer arithmetic.
+    "q86_temperature_mix" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM per
+         |), wt AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS w6
+         |  FROM per CROSS JOIN tot
+         |), nm AS (SELECT CAST(SUM(w6) AS BIGINT) AS total6 FROM wt)
+         |SELECT source, n_docs, n_tokens, w6,
+         |  CAST((1000 * w6) // total6 AS BIGINT) AS alloc_docs
+         |FROM wt CROSS JOIN nm ORDER BY source""".stripMargin,
     "q79_domain_cap" ->
       """SELECT source, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,

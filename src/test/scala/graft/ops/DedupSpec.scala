@@ -252,6 +252,42 @@ class DedupSpec extends SparkSpecBase {
       (1L, 5L, 2L, 2L), (2L, 4L, 2L, 2L), (3L, 3L, 0L, 1L)), got.toSeq)
   }
 
+  test("stripRepeatedSpans removes covered tokens, keeps everything else") {
+    val boiler = "all rights reserved contact us now" // exactly 6 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, "nothing shared here at all between documents ever"),
+      (4L, "too short"),              // < spanTokens: no windows, untouched
+      (5L, boiler)                    // fully covered -> empty survivor
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text",
+        spanTokens = 6, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "alpha beta gamma", 9L, 6L)))
+    assert(got(2L) == ((2L, "delta epsilon", 8L, 6L)))
+    assert(got(3L) == ((3L, "nothing shared here at all between documents ever", 8L, 0L)))
+    assert(got(4L) == ((4L, "too short", 2L, 0L)))
+    assert(got(5L) == ((5L, "", 6L, 6L))) // membership preserved, text gone
+  }
+
+  test("stripRepeatedSpans unions overlapping frequent spans' coverage") {
+    // 7-token shared run => two overlapping frequent 6-windows in each
+    // doc; coverage must union to exactly the 7 shared positions
+    val run = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"$run tail1"),
+      (2L, s"head2 $run")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text",
+        spanTokens = 6, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "tail1", 7L)))
+    assert(got(2L) == ((2L, "head2", 7L)))
+  }
+
   test("incrementalLshPairs: cross-side pairs only, verified jaccard") {
     // corpus doc 10 and batch doc 20 are near-identical; batch docs
     // 20/21 are identical to EACH OTHER (batch-internal — must not

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge discovery — tokenizer TRAINING as a
+  * distributed operator (Sennrich et al. 2016's corpus statistics
+  * loop, the step every LLM data pipeline runs before it can even
+  * count tokens honestly).
+  *
+  * Scale design (100 TB): the corpus is scanned ONCE, into a
+  * (word, count) vocabulary — everything after runs on the vocabulary,
+  * which is bounded by language morphology (millions of rows, not
+  * corpus-sized) and is `localCheckpoint`ed per merge step so the
+  * step-s plan never re-derives step s−1 (without the checkpoint the
+  * DAG doubles per level: each vocabulary feeds both the pair count
+  * and the next rewrite). Each step is: one hash aggregate over
+  * adjacent symbol pairs (map-side partial), one `TakeOrdered(1)` for
+  * the arg-max (deterministic tiebreak: count desc, pair asc), one
+  * broadcast cross join to rewrite symbol strings map-side.
+  *
+  * Merge application semantics (the determinism contract): a word's
+  * symbols are kept as a space-joined, space-padded string; applying
+  * merge (a,b) is `replace(" a b " → " ab ")` run TWICE. String
+  * replace is leftmost-match, rescan-after-replacement in both the
+  * JVM and ANSI SQL engines — a chain of overlapping occurrences
+  * (which share boundary spaces) merges odd occurrences on the first
+  * pass and the now-isolated even ones on the second; a third pass
+  * can never match (the rewrite cannot create a new " a b "
+  * because symbols are space-free and ab ≠ a). On runs of a
+  * SELF-pair (aaaaa…) this differs from per-word left-fold BPE in
+  * which occurrence stays unmerged — both are valid deterministic
+  * tie-resolutions; this one is chosen because it is exactly
+  * reproducible in any engine with standard REPLACE semantics.
+  */
+object Bpe {
+
+  /** Space-padded char-symbol string of a word: "the" → " t h e ". */
+  private def symbolize(word: org.apache.spark.sql.Column) =
+    concat(lit(" "),
+      array_join(filter(split(word, ""), c => c =!= ""), " "), lit(" "))
+
+  /** (word, n, sym) vocabulary with corpus occurrence counts. */
+  private def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), symbolize(col("word")).as("sym"))
+
+  /** Adjacent-pair counts over a vocabulary, weighted by word count. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("n"), split(trim(col("sym")), " ").as("arr"))
+      .where(size(col("arr")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(arr) - 1), " +
+          "j -> struct(arr[j-1] AS a, arr[j] AS b))")).as("g"))
+      .groupBy(col("g.a").as("a"), col("g.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** The first `nMerges` BPE merge rules learned from the corpus:
+    * (step, sym_a, sym_b, pair_count), step 1-based in learning
+    * order. Triggers `nMerges + 1` eager local checkpoints of the
+    * vocabulary during plan construction (documented above).
+    */
+  def merges(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 8, s"nMerges out of range: $nMerges")
+    var vocab = vocabulary(docs, textCol).localCheckpoint(true)
+    val steps = (1 to nMerges).map { s =>
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+      val pat = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
+      val rep = concat(lit(" "), col("a"), col("b"), lit(" "))
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(col("n"),
+          replace(replace(col("sym"), pat, rep), pat, rep).as("sym"))
+        .localCheckpoint(true)
+      top.select(lit(s).as("step"), col("a").as("sym_a"),
+        col("b").as("sym_b"), col("cnt").as("pair_count"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
+  /** Tokenizer-fertility report: apply the first `nMerges` learned
+    * merges to the whole corpus and report symbols-per-word for each
+    * language — the standard "how well does this tokenizer serve each
+    * language" diagnostic (fertility ≫ 1 means the language pays more
+    * sequence length per word).
+    *
+    * Scale: merge application is per DISTINCT (lang, word) — the
+    * corpus collapses to a per-language vocabulary first, the merges
+    * ride a 1-row broadcast each, and the final report is one hash
+    * aggregate. `fertility` is one double division of exact longs.
+    */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nMerges: Int): DataFrame = {
+    val ruleRows = merges(docs, idCol, textCol, nMerges)
+    val langVocab = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(col(langCol).as("lang"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), symbolize(col("word")).as("sym"))
+    val rewritten = (1 to nMerges).foldLeft(langVocab) { (v, s) =>
+      val rule = ruleRows.where(col("step") === s)
+        .select(col("sym_a"), col("sym_b"))
+      val pat = concat(lit(" "), col("sym_a"), lit(" "), col("sym_b"), lit(" "))
+      val rep = concat(lit(" "), col("sym_a"), col("sym_b"), lit(" "))
+      v.crossJoin(broadcast(rule))
+        .select(col("lang"), col("n"),
+          replace(replace(col("sym"), pat, rep), pat, rep).as("sym"))
+    }
+    rewritten
+      .select(col("lang"), col("n"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_syms"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_syms")).as("n_symbols"))
+      .select(col("lang"), col("n_words"), col("n_symbols"),
+        (col("n_symbols").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+}

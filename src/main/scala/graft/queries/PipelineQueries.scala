@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.decimalDot
-import graft.ops.{Dedup, LanguageModel, Multimodal, Retrieval, Sampling, Selection, Similarity, TextOps}
+import graft.ops.{Bpe, Dedup, LanguageModel, Multimodal, Retrieval, Sampling, Selection, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** LLM-training-data pipeline operators (builder prompt: dedup,
@@ -608,6 +608,28 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // BPE merge discovery — tokenizer training as a distributed op:
+    // the corpus collapses to a (word, count) vocabulary once, then
+    // each of the 3 merge steps is one pair-count aggregate + one
+    // TakeOrdered(1) argmax + one broadcast rewrite. Merge application
+    // is the double-REPLACE contract (leftmost-rescan, identical in
+    // JVM and SQL engines — see ops/Bpe.scala), so the oracle replays
+    // every step exactly.
+    "q87_bpe_merges" -> { (s, dir) =>
+      Bpe.merges(Tables.documents(s, dir), "doc_id", "text", nMerges = 3)
+        .orderBy("step")
+    },
+
+    // Tokenizer fertility per language under the first 3 learned
+    // merges — symbols-per-word, the "which language pays more
+    // sequence length" diagnostic. Merge application runs on the
+    // per-language vocabulary, never the raw corpus.
+    "q88_bpe_fertility" -> { (s, dir) =>
+      Bpe.fertility(Tables.documents(s, dir), "doc_id", "text", "lang",
+          nMerges = 3)
+        .orderBy("lang")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -759,6 +781,40 @@ object PipelineQueries {
 
   private val tokensSql =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"""
+
+  /** The q87/q88 BPE oracle's per-step CTE chain: voc0 is the
+    * symbolized (word, count) vocabulary; each step k adds pair
+    * counts (pK), the argmax merge (mK), and the rewritten vocabulary
+    * (vocK) via the same double-REPLACE contract as ops/Bpe.scala.
+    */
+  private def bpeStagesSql(n: Int): String = {
+    val voc0 =
+      s"""voc0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ' ' || array_to_string(split(word, ''), ' ') || ' ' AS sym
+         |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY word
+         |)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT arr[j] AS a, arr[j+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, arr, unnest(range(1, len(arr))) AS j
+         |        FROM (SELECT n, string_split(trim(sym), ' ') AS arr
+         |              FROM voc${k - 1}))
+         |  GROUP BY a, b
+         |), m$k AS (
+         |  SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1
+         |), voc$k AS (
+         |  SELECT n, replace(replace(sym,
+         |    (SELECT ' ' || a || ' ' || b || ' ' FROM m$k),
+         |    (SELECT ' ' || a || b || ' ' FROM m$k)),
+         |    (SELECT ' ' || a || ' ' || b || ' ' FROM m$k),
+         |    (SELECT ' ' || a || b || ' ' FROM m$k)) AS sym
+         |  FROM voc${k - 1}
+         |)""".stripMargin
+    }
+    (voc0 +: steps).mkString(", ")
+  }
 
   private def stopHitsSql(words: Seq[String]): String =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
@@ -1188,6 +1244,50 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, w6,
          |  CAST((1000 * w6) // total6 AS BIGINT) AS alloc_docs
          |FROM wt CROSS JOIN nm ORDER BY source""".stripMargin,
+    // Replays the 3 merge steps exactly: same vocabulary, same pair
+    // counts, same (cnt DESC, a, b) argmax, same double-REPLACE
+    // application (leftmost-rescan semantics shared by JVM and SQL).
+    "q87_bpe_merges" ->
+      s"""WITH ${bpeStagesSql(3)}
+         |SELECT CAST(1 AS INT) AS step, a AS sym_a, b AS sym_b,
+         |  cnt AS pair_count FROM m1
+         |UNION ALL SELECT CAST(2 AS INT), a, b, cnt FROM m2
+         |UNION ALL SELECT CAST(3 AS INT), a, b, cnt FROM m3
+         |ORDER BY step""".stripMargin,
+    // Same merge chain, then the rewritten PER-LANGUAGE vocabulary is
+    // re-aggregated into symbols-per-word; fertility is one double
+    // division of exact longs.
+    "q88_bpe_fertility" ->
+      s"""WITH ${bpeStagesSql(3)}, langvoc AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ' ' || array_to_string(split(word, ''), ' ') || ' ' AS sym
+         |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY lang, word
+         |), rw AS (
+         |  SELECT lang, n,
+         |    replace(replace(replace(replace(replace(replace(sym,
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
+         |      (SELECT ' ' || a || b || ' ' FROM m1)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
+         |      (SELECT ' ' || a || b || ' ' FROM m1)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
+         |      (SELECT ' ' || a || b || ' ' FROM m2)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
+         |      (SELECT ' ' || a || b || ' ' FROM m2)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
+         |      (SELECT ' ' || a || b || ' ' FROM m3)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
+         |      (SELECT ' ' || a || b || ' ' FROM m3)) AS sym
+         |  FROM langvoc
+         |), rep AS (
+         |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+         |    CAST(SUM(n * len(string_split(trim(sym), ' '))) AS BIGINT)
+         |      AS n_symbols
+         |  FROM rw GROUP BY lang
+         |)
+         |SELECT lang, n_words, n_symbols,
+         |  CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+         |FROM rep ORDER BY lang""".stripMargin,
     "q79_domain_cap" ->
       """SELECT source, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,

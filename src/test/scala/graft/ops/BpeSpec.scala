@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Pure-Scala reference of the merge loop: same symbolization, same
+    * (cnt desc, a asc, b asc) argmax, same double String.replace
+    * application (java.lang.String.replace is the leftmost-rescan
+    * contract the operator pins).
+    */
+  private def refMerges(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words.toSeq.map { case (w, c) =>
+      (" " + w.map(_.toString).mkString(" ") + " ", c)
+    }
+    (1 to n).map { s =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (sym, c) =>
+        sym.trim.split(" ").sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      vocab = vocab.map { case (sym, c) =>
+        (sym.replace(pat, rep).replace(pat, rep), c)
+      }
+      (s, a, b, cnt)
+    }
+  }
+
+  private def corpusDf(words: Map[String, Long]) = {
+    val text = words.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("merges matches the reference loop on a mixed vocabulary") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val got = Bpe.merges(corpusDf(words), "doc_id", "text", nMerges = 3)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(got == refMerges(words, 3), s"got $got")
+    // step 1 on this classic fixture: (e,s) rides newest+widest = 9
+    assert(got.head == ((1, "e", "s", 9L)))
+  }
+
+  test("a merged symbol participates in later merges") {
+    // "abc" dominates: step 1 merges (a,b) or (b,c); step 2 must then
+    // merge the COMPOSED symbol with the remaining char
+    val words = Map("abc" -> 10L, "xy" -> 1L)
+    val got = Bpe.merges(corpusDf(words), "doc_id", "text", nMerges = 2)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(got(0) == ((1, "a", "b", 10L))) // tiebreak vs (b,c): a < b
+    assert(got(1) == ((2, "ab", "c", 10L)))
+  }
+
+  test("overlapping alternating pairs both merge (double-replace law)") {
+    // word "abab": after merging (a,b) both occurrences must be "ab"
+    // (the string forms share a boundary space; pass 2 catches the
+    // second), so step 2 sees the (ab,ab) pair
+    val words = Map("abab" -> 7L, "qq" -> 1L)
+    val got = Bpe.merges(corpusDf(words), "doc_id", "text", nMerges = 2)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(got(0) == ((1, "a", "b", 14L)))
+    assert(got(1) == ((2, "ab", "ab", 7L)))
+    assert(got == refMerges(words, 2))
+  }
+
+  test("argmax tiebreak is (count desc, a asc, b asc)") {
+    // (a,z) and (b,y) both count 4; (a,z) must win on sym_a
+    val words = Map("az" -> 4L, "by" -> 4L)
+    val got = Bpe.merges(corpusDf(words), "doc_id", "text", nMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "z", 4L)))
+  }
+
+  test("fertility matches an exact recompute and shares global merges") {
+    val docs = Seq(
+      (1L, "abc abc ab", "l1"),
+      (2L, "abc zz", "l2")
+    ).toDF("doc_id", "text", "lang")
+    val merges = Bpe.merges(docs, "doc_id", "text", nMerges = 2)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges(0)._2 == "a" && merges(0)._3 == "b")
+    assert(merges(1)._2 == "ab" && merges(1)._3 == "c")
+    val got = Bpe.fertility(docs, "doc_id", "text", "lang", nMerges = 2)
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    // l1: abc(x2) -> 1 symbol each, ab -> 1 symbol; 3 words, 3 symbols
+    // l2: abc -> 1, zz -> 2 (z z never merged); 2 words, 3 symbols
+    assert(got == Seq(("l1", 3L, 3L, 1.0), ("l2", 2L, 3L, 1.5)), got)
+  }
+
+  test("nMerges bounds are enforced") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Bpe.merges(df, "doc_id", "text", 0))
+    intercept[IllegalArgumentException](Bpe.merges(df, "doc_id", "text", 9))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the round-7 curation operators (same protocol as
+  * [[ScaleProbe]]: replicate the sf0.1 documents N× with perturbed
+  * text, time 1× vs N×). What each one must show:
+  * - dsirScores: near-linear (bucket table is nBuckets rows at any
+  *   scale; per-doc scoring is map-side + one doc-keyed aggregate).
+  * - stripRepeatedSpans: near-linear (span df is a two-level
+  *   count-distinct; coverage explode is a bounded constant per
+  *   frequent-span occurrence).
+  * - Bpe.merges: SUBLINEAR in corpus size (the merge loop runs on the
+  *   vocabulary; replicating documents multiplies occurrence counts,
+  *   not distinct words — only the one corpus→vocab scan grows).
+  * - PerplexityBuckets.terciles: near-linear (histogram window rides
+  *   distinct quantized scores, not rows).
+  */
+object CurationScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val docs1 = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val docsN = docs1
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        concat(lit("rep"), col("rep"), lit(" "), col("text")).as("text"),
+        col("lang"), col("source"))
+      .repartition(32)
+      .persist()
+    println(s"[probe] corpus 1x=${docs1.count()} docs, ${mult}x=${docsN.count()} docs")
+    def t[A](label: String)(body: => A): Unit = {
+      val t0 = System.nanoTime(); body
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    import graft.ops.{Bpe, Dedup, LanguageModel, PerplexityBuckets, Selection}
+    val target1 = docs1.where(col("doc_id") < 20)
+    t("dsirScores 1x") {
+      Selection.dsirScores(docs1.where(col("doc_id") >= 20), target1,
+        "doc_id", "text").count()
+    }
+    t(s"dsirScores ${mult}x") {
+      Selection.dsirScores(docsN.where(col("doc_id") % 1000000L >= 20), target1,
+        "doc_id", "text").count()
+    }
+    t("stripRepeatedSpans 1x") {
+      Dedup.stripRepeatedSpans(docs1, "doc_id", "text", 6, 2).count()
+    }
+    t(s"stripRepeatedSpans ${mult}x") {
+      Dedup.stripRepeatedSpans(docsN, "doc_id", "text", 6, 2).count()
+    }
+    t("bpeMerges 1x") {
+      Bpe.merges(docs1, "doc_id", "text", 3).count()
+    }
+    t(s"bpeMerges ${mult}x") {
+      Bpe.merges(docsN, "doc_id", "text", 3).count()
+    }
+    t("perplexityTerciles 1x") {
+      PerplexityBuckets.terciles(LanguageModel.bigramCrossEntropy(
+        docs1, "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("nll6"))).count()
+    }
+    t(s"perplexityTerciles ${mult}x") {
+      PerplexityBuckets.terciles(LanguageModel.bigramCrossEntropy(
+        docsN, "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("nll6"))).count()
+    }
+    docsN.unpersist()
+    spark.stop()
+  }
+}

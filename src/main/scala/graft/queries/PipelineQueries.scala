@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.decimalDot
-import graft.ops.{Bpe, Dedup, LanguageModel, Multimodal, Retrieval, Sampling, Selection, Similarity, TextOps}
+import graft.ops.{Bpe, Dedup, LanguageModel, Multimodal, PerplexityBuckets, Retrieval, Sampling, Selection, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** LLM-training-data pipeline operators (builder prompt: dedup,
@@ -630,6 +630,53 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // CCNet-style perplexity terciles — head/middle/tail thirds per
+    // language by LM cross-entropy. The cutoffs come from the
+    // per-(lang, score) HISTOGRAM (window over distinct scores only),
+    // never a per-language sort of the corpus; assignment is a
+    // broadcast join of two cutoff rows per language. Tied scores
+    // share a bucket (the deterministic, engine-portable contract).
+    "q89_perplexity_buckets" -> { (s, dir) =>
+      val scored = LanguageModel.bigramCrossEntropy(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("nll6"))
+      PerplexityBuckets.terciles(scored).orderBy("doc_id")
+    },
+
+    // Corpus health report — the composed curation dashboard: per
+    // (lang, source), exact-dup mass, benchmark contamination, the
+    // q40 quality/keep rule, and token accounting. Every signal is a
+    // portable recompute, so the whole composition is hash-exact.
+    "q90_corpus_health" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      val contam = Dedup.contaminationReport(corpus, "doc_id", "text",
+          bench, "text", n = 3)
+        .select(col("doc_id"), lit(true).as("contam"))
+      val dupCounts = corpus.groupBy(col("text")).agg(count(lit(1)).as("tc"))
+      corpus
+        .join(dupCounts, Seq("text"))
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("lang"), col("source"), col("tc"), col("contam"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("tc") >= 2, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(coalesce(col("contam"), lit(false)), 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(col("quality") >= 0.5 && col("n_tokens") >= 10, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_dup"),
+          col("n_contaminated"), col("n_kept"), col("total_tokens"),
+          (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"))
+        .orderBy("lang", "source")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -1244,6 +1291,119 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, w6,
          |  CAST((1000 * w6) // total6 AS BIGINT) AS alloc_docs
          |FROM wt CROSS JOIN nm ORDER BY source""".stripMargin,
+    // Rebuilds the q83 nll6 scores, then the histogram-cutoff tercile:
+    // cutoff k = smallest score whose cumulative count reaches
+    // ceil(k·n/3) (integer comparison cum·3 >= k·n — no float
+    // quantile); tied scores share a bucket.
+    "q89_perplexity_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $tokensSql AS w FROM documents
+         |), big AS (
+         |  SELECT doc_id, lang, w[i] AS a, w[i+1] AS b
+         |  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2)
+         |), c2 AS (
+         |  SELECT lang, a, b, COUNT(*) AS c2 FROM big GROUP BY lang, a, b
+         |), c1 AS (
+         |  SELECT lang, a, COUNT(*) AS c1 FROM big GROUP BY lang, a
+         |), voc AS (
+         |  SELECT lang, COUNT(DISTINCT t) AS v
+         |  FROM (SELECT lang, unnest(w) AS t FROM toks) GROUP BY lang
+         |), sc AS (
+         |  SELECT g.doc_id,
+         |    -CAST(floor(ln((CAST(c.c2 AS DOUBLE) + 1.0)
+         |                   / (CAST(p.c1 AS DOUBLE) + CAST(voc.v AS DOUBLE)))
+         |                * 1000000.0) AS BIGINT) AS nll6
+         |  FROM big g
+         |  JOIN c2 c USING (lang, a, b)
+         |  JOIN c1 p USING (lang, a)
+         |  JOIN voc USING (lang)
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(SUM(nll6) AS BIGINT) AS nll6
+         |  FROM sc GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id, d.lang, COALESCE(p.nll6, 0) AS nll6
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |), hist AS (
+         |  SELECT lang, nll6, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM scored GROUP BY lang, nll6
+         |), cum AS (
+         |  SELECT lang, nll6,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY nll6
+         |                 ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM hist
+         |), cuts AS (
+         |  SELECT lang,
+         |    MIN(CASE WHEN cum * 3 >= n THEN nll6 END) AS cut1,
+         |    MIN(CASE WHEN cum * 3 >= n * 2 THEN nll6 END) AS cut2
+         |  FROM cum GROUP BY lang
+         |)
+         |SELECT s.doc_id, s.lang, s.nll6,
+         |  CAST(CASE WHEN s.nll6 <= c.cut1 THEN 1
+         |            WHEN s.nll6 <= c.cut2 THEN 2
+         |            ELSE 3 END AS INT) AS bucket
+         |FROM scored s JOIN cuts c USING (lang)
+         |ORDER BY s.doc_id""".stripMargin,
+    // Composes the portable recomputes of exact-dup mass (COUNT OVER
+    // text), q66's shingle-intersect contamination, and q40's quality
+    // rule into one per-(lang, source) report.
+    "q90_corpus_health" ->
+      s"""WITH corp AS (
+         |  SELECT doc_id, lang, source, text FROM documents WHERE doc_id >= 20
+         |), t AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM corp
+         |), m AS (
+         |  SELECT doc_id, lang, source, n_tokens, alpha_ratio, stop_hits,
+         |    (n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, lang, source, n_tokens,
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3 AS quality
+         |  FROM m
+         |), dupc AS (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS tc FROM corp
+         |), toks2 AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks2 WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20
+         |), rep AS (
+         |  SELECT q.lang, q.source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN d.tc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |    CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_contaminated,
+         |    CAST(SUM(CASE WHEN q.quality >= 0.5 AND q.n_tokens >= 10
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(SUM(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+         |  FROM q
+         |  JOIN dupc d USING (doc_id)
+         |  LEFT JOIN contaminated c USING (doc_id)
+         |  GROUP BY q.lang, q.source
+         |)
+         |SELECT lang, source, n_docs, n_dup, n_contaminated, n_kept,
+         |  total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens
+         |FROM rep ORDER BY lang, source""".stripMargin,
     // Replays the 3 merge steps exactly: same vocabulary, same pair
     // counts, same (cnt DESC, a, b) argmax, same double-REPLACE
     // application (leftmost-rescan semantics shared by JVM and SQL).

@@ -61,6 +61,11 @@ object Bpe {
     * (step, sym_a, sym_b, pair_count), step 1-based in learning
     * order. Triggers `nMerges + 1` eager local checkpoints of the
     * vocabulary during plan construction (documented above).
+    *
+    * If the corpus runs out of adjacent pairs before `nMerges` steps
+    * (e.g. every word is one char), the exhausted steps emit no row —
+    * the output TRUNCATES rather than fabricating a merge; the SQL
+    * replay truncates identically (its argmax CTEs go empty).
     */
   def merges(docs: DataFrame, idCol: String, textCol: String,
       nMerges: Int): DataFrame = {

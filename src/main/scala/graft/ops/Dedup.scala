@@ -255,6 +255,80 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Source-overlap matrix, EXACT: for every pair of sources, the
+    * Jaccard similarity of their word-n-gram shingle SETS — the
+    * "how much does src A duplicate src B" curation diagnostic that
+    * decides which sources to dedup against each other first.
+    *
+    * Shape: distinct (source, shingle) → per-source set sizes (a
+    * sources-sized frame) + a self equi-join on shingle for
+    * intersection counts; the complete matrix (zeros included) comes
+    * from the tiny sizes⨯sizes pair frame left-joined to the counts.
+    * The shingle self-join shuffles the distinct shingle set — exact
+    * is the oracle-checkable arm; at 100 TB use
+    * [[sourceOverlapMinhash]] (mergeable signatures, corpus scanned
+    * once, nothing source-crossed but the numHashes-long vectors).
+    */
+  def sourceOverlapExact(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2)
+    val sh = fanned(docs)
+      .select(col(sourceCol).as("source"), TextOps.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("source"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ' '))"))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("src_a"), col("sb.source").as("src_b"),
+        col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+        when(col("n_union") > 0,
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Source-overlap matrix, ESTIMATED — the 100 TB arm of
+    * [[sourceOverlapExact]]: a per-SOURCE MinHash signature is the
+    * element-wise min of its documents' signatures (min is mergeable,
+    * so this is one map-side-combining aggregate over a single corpus
+    * scan — no distinct-shingle shuffle, no shingle self-join), and
+    * the pairwise estimate is the fraction of equal components.
+    * Standard error ≈ 1/√numHashes. Engine-specific (xxhash64) — the
+    * exact arm is the oracle; this one is spec-verified against it.
+    */
+  def sourceOverlapMinhash(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int, numHashes: Int): DataFrame = {
+    val sig = fanned(docs)
+      .select(col(sourceCol).as("source"),
+        graft.functions.minhashNative(col(textCol), n, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+    val srcSig = sig
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy("source", "i").agg(min(col("v")).as("v"))
+      .groupBy("source")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        s => s("v")).as("sig"))
+    srcSig.as("a")
+      .join(srcSig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          m => m)).cast("double") / lit(numHashes.toDouble))
+          .as("jaccard_est"))
+  }
+
   /** MinHash signature from an already-materialized shingle-array
     * COLUMN (not an inline expression): the signature references the
     * shingle array `numHashes` times, and lambda-referenced

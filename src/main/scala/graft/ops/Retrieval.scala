@@ -95,4 +95,50 @@ object Retrieval {
         col("e.key").as("doc_id"), col("e.value").cast("long").as("score6"),
         (col("e.value") / lit(1000000.0)).as("score"))
   }
+
+  /** Exact positional phrase search: for each query phrase, every
+    * corpus document containing the phrase as CONSECUTIVE tokens, with
+    * occurrence count and first position — the Lucene-style phrase
+    * query as one relational join.
+    *
+    * Formulation (arity-free — phrases of any/mixed length): a phrase
+    * occurrence at start s exists iff every (idx, term) of the phrase
+    * has a posting (doc, term, s + idx); so candidate rows
+    * (qid, doc, pos − idx) from the postings⋈phrase-tokens join are
+    * grouped and an occurrence is a group hitting all `m` DISTINCT
+    * idx values. Overlapping occurrences count individually; repeated
+    * terms inside a phrase are handled by the distinct-idx count.
+    *
+    * Scale: phrase tokens broadcast (the query set is small by
+    * definition); corpus positions are semi-joined to query terms
+    * MAP-SIDE before any exchange, so only the matched-term sliver
+    * shuffles; the aggregate keys on (qid, doc, start). No corpus
+    * (doc, term) materialization for non-query terms, no windows.
+    *
+    * `phrases` carries (qidCol, phraseCol: array<string>); empty
+    * phrases yield no matches. Output:
+    * (query_id, doc_id, n_occurrences, first_pos), positions 0-based.
+    */
+  def phraseOccurrences(corpus: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, qidCol: String, phraseCol: String): DataFrame = {
+    val ptoks = phrases.select(col(qidCol).cast("long").as("qid"),
+        posexplode(col(phraseCol)).as(Seq("idx", "term")))
+    val plen = phrases.select(col(qidCol).cast("long").as("qid"),
+      size(col(phraseCol)).as("m"))
+    val postings = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
+      .select(col(idCol).cast("long").as("doc"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(ptoks.select("term").distinct()), Seq("term"), "left_semi")
+    val hits = postings.join(broadcast(ptoks), Seq("term"))
+      .select(col("qid"), col("doc"), (col("pos") - col("idx")).as("start"),
+        col("idx"))
+      .groupBy("qid", "doc", "start")
+      .agg(countDistinct(col("idx")).as("hit"))
+    hits.join(broadcast(plen), Seq("qid"))
+      .where(col("hit") === col("m"))
+      .groupBy("qid", "doc")
+      .agg(count(lit(1)).as("n_occurrences"), min(col("start")).as("first_pos"))
+      .select(col("qid").as("query_id"), col("doc").as("doc_id"),
+        col("n_occurrences"), col("first_pos"))
+  }
 }

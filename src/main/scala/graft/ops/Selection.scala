@@ -167,13 +167,21 @@ object Selection {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
     val total = perSource.agg(sum(col("n_tokens")).as("n_total"))
+    // degenerate-corpus guards (all texts empty ⇒ n_total = 0): the
+    // weight is 0 rather than floor(sqrt(0/0)·1e6) feeding NaN into a
+    // long, and the allocation is 0 rather than an ANSI div-by-zero
+    // abort on total6 = 0. Fixture data never hits either branch, so
+    // the guarded expression is value-identical to the plain one.
     val weighted = perSource.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        floor(sqrt(col("n_tokens").cast("double") / col("n_total").cast("double")) *
-          lit(1000000.0)).as("w6"))
+        when(col("n_total") > 0,
+          floor(sqrt(col("n_tokens").cast("double") / col("n_total").cast("double")) *
+            lit(1000000.0))).otherwise(lit(0L)).as("w6"))
     val norm = weighted.agg(sum(col("w6")).as("total6"))
     weighted.crossJoin(broadcast(norm))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("w6"),
-        expr(s"CAST($budgetDocs * w6 div total6 AS BIGINT)").as("alloc_docs"))
+        when(col("total6") > 0,
+          expr(s"CAST($budgetDocs * w6 div total6 AS BIGINT)"))
+          .otherwise(lit(0L)).as("alloc_docs"))
   }
 }

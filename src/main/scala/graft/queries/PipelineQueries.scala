@@ -677,6 +677,32 @@ object PipelineQueries {
         .orderBy("lang", "source")
     },
 
+    // Positional phrase search — docs 0-4's first 3 tokens play the
+    // query phrases; every corpus doc containing a phrase as
+    // consecutive tokens reports occurrence count + first position.
+    // One postings⋈phrase-tokens join + a distinct-idx aggregate:
+    // arity-free, no windows, only matched-term postings ever shuffle.
+    "q91_phrase_search" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val phrases = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          slice(TextOps.tokens(col("text")), 1, 3).as("ph"))
+        .where(size(col("ph")) === 3)
+      Retrieval.phraseOccurrences(docs.where(col("doc_id") >= 5),
+          "doc_id", "text", phrases, "qid", "ph")
+        .orderBy("query_id", "doc_id")
+    },
+
+    // Source-overlap matrix — exact pairwise Jaccard of word-3-gram
+    // shingle sets between sources (zeros included): the "which
+    // sources duplicate each other" curation diagnostic. The exact
+    // arm is fully portable; the mergeable-minhash scale arm is
+    // spec-verified against it (DedupSpec).
+    "q92_source_overlap" -> { (s, dir) =>
+      Dedup.sourceOverlapExact(Tables.documents(s, dir), "source", "text", n = 3)
+        .orderBy("src_a", "src_b")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -1291,6 +1317,72 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, w6,
          |  CAST((1000 * w6) // total6 AS BIGINT) AS alloc_docs
          |FROM wt CROSS JOIN nm ORDER BY source""".stripMargin,
+    // Shingle-set Jaccard between sources, exact: same distinct
+    // (source, shingle) sets, same self-join intersection, same
+    // complete pair frame with coalesced zeros.
+    "q92_source_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT source, shingle FROM (
+         |    SELECT source, unnest(list_distinct(
+         |      list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                     i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |    FROM toks WHERE len(w) >= 3)
+         |), sizes AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY source
+         |), inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY a.source, b.source
+         |), pairs AS (
+         |  SELECT sa.source AS src_a, sb.source AS src_b,
+         |    sa.sz AS sz_a, sb.sz AS sz_b
+         |  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+         |), wide AS (
+         |  SELECT p.src_a, p.src_b,
+         |    COALESCE(i.n_inter, 0) AS n_inter,
+         |    p.sz_a + p.sz_b - COALESCE(i.n_inter, 0) AS n_union
+         |  FROM pairs p LEFT JOIN inter i USING (src_a, src_b)
+         |)
+         |SELECT src_a, src_b, n_inter, n_union,
+         |  CASE WHEN n_union > 0
+         |       THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+         |       ELSE 0.0 END AS jaccard
+         |FROM wide ORDER BY src_a, src_b""".stripMargin,
+    // Same relational phrase formulation: candidate starts from the
+    // postings⋈phrase-tokens join, occurrence ⟺ all m distinct idx
+    // values hit — fully portable, value-exact.
+    "q91_phrase_search" ->
+      s"""WITH corp AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id >= 5
+         |), qd AS (
+         |  SELECT doc_id AS qid, w[1:3] AS ph
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id < 5)
+         |  WHERE len(w) >= 3
+         |), pt AS (
+         |  SELECT qid, i - 1 AS idx, ph[i] AS term
+         |  FROM (SELECT qid, ph, unnest(range(1, len(ph) + 1)) AS i FROM qd)
+         |), plen AS (SELECT qid, len(ph) AS m FROM qd
+         |), post AS (
+         |  SELECT doc_id AS doc, i - 1 AS pos, w[i] AS term
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM corp)
+         |), hits AS (
+         |  SELECT p.qid, o.doc, o.pos - p.idx AS strt,
+         |    COUNT(DISTINCT p.idx) AS hit
+         |  FROM post o JOIN pt p USING (term)
+         |  GROUP BY p.qid, o.doc, o.pos - p.idx
+         |), occ AS (
+         |  SELECT h.qid, h.doc, h.strt FROM hits h
+         |  JOIN plen USING (qid) WHERE h.hit = plen.m
+         |)
+         |SELECT qid AS query_id, doc AS doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(MIN(strt) AS INT) AS first_pos
+         |FROM occ GROUP BY qid, doc
+         |ORDER BY query_id, doc_id""".stripMargin,
     // Rebuilds the q83 nll6 scores, then the histogram-cutoff tercile:
     // cutoff k = smallest score whose cumulative count reaches
     // ceil(k·n/3) (integer comparison cum·3 >= k·n — no float

@@ -252,6 +252,42 @@ class DedupSpec extends SparkSpecBase {
       (1L, 5L, 2L, 2L), (2L, 4L, 2L, 2L), (3L, 3L, 0L, 1L)), got.toSeq)
   }
 
+  test("sourceOverlapExact: identical, partial, and disjoint source pairs") {
+    val docs = Seq(
+      (1L, "sA", "one two three four"),     // shingles: {one two three, two three four}
+      (2L, "sB", "one two three four"),     // identical to sA
+      (3L, "sC", "one two three unrelated"),// shares {one two three}
+      (4L, "sD", "totally different words here")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapExact(docs, "source", "text", n = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("sA", "sB")) == ((2L, 2L, 1.0)))
+    assert(got(("sA", "sC")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("sA", "sD")) == ((0L, 4L, 0.0))) // zero pair still present
+    assert(got.size == 6) // complete 4-choose-2 matrix
+  }
+
+  test("sourceOverlapMinhash tracks the exact matrix") {
+    val docs = Seq(
+      (1L, "sA", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "sB", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "sC", "iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "source", "text")
+    val est = Dedup.sourceOverlapMinhash(docs, "source", "text", n = 3,
+        numHashes = 128)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(est(("sA", "sB")) == 1.0)        // identical sets: every component equal
+    assert(est(("sA", "sC")) < 0.15)        // disjoint: only hash collisions
+    // per-source signature is the element-wise min over docs: adding a
+    // doc whose shingles are a subset cannot change the signature
+    val withSubset = docs.union(
+      Seq((4L, "sA", "alpha beta gamma")).toDF("doc_id", "source", "text"))
+    val est2 = Dedup.sourceOverlapMinhash(withSubset, "source", "text", 3, 128)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(est2(("sA", "sB")) == 1.0)
+  }
+
   test("stripRepeatedSpans removes covered tokens, keeps everything else") {
     val boiler = "all rights reserved contact us now" // exactly 6 tokens
     val docs = Seq(

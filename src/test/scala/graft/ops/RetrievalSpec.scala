@@ -83,4 +83,44 @@ class RetrievalSpec extends SparkSpecBase {
     val got = run().select("doc_id", "score6").as[(Long, Long)].collect().toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  private def phraseRun(corpus: Seq[(Long, String)], phrases: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    Retrieval.phraseOccurrences(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        phrases.toDF("qid", "ph"), "qid", "ph")
+      .as[(Long, Long, Long, Int)].collect().toSet
+  }
+
+  test("phraseOccurrences finds consecutive-token matches only") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "quick the brown fox"),        // tokens present, order wrong
+      (12L, "the quick red fox"),          // gap breaks the phrase
+      (13L, "prefix the quick brown tail")
+    )
+    val got = phraseRun(corpus, Seq((1L, Seq("the", "quick", "brown"))))
+    assert(got == Set((1L, 10L, 1L, 0), (1L, 13L, 1L, 1)), got)
+  }
+
+  test("phraseOccurrences counts overlapping occurrences individually") {
+    // "a a a" contains "a a" at starts 0 and 1
+    val got = phraseRun(Seq((20L, "a a a")), Seq((1L, Seq("a", "a"))))
+    assert(got == Set((1L, 20L, 2L, 0)), got)
+  }
+
+  test("phraseOccurrences handles repeated terms and multiple queries") {
+    val corpus = Seq((30L, "x y x y x"), (31L, "y x y"))
+    val got = phraseRun(corpus,
+      Seq((1L, Seq("x", "y", "x")), (2L, Seq("y", "x"))))
+    // q1 in doc 30 at starts 0 and 2; q2 in 30 at 1,3 and in 31 at 0
+    assert(got == Set((1L, 30L, 2L, 0), (2L, 30L, 2L, 1), (2L, 31L, 1L, 0)), got)
+  }
+
+  test("phraseOccurrences: single-token and no-match phrases") {
+    val corpus = Seq((40L, "alpha beta alpha"))
+    val got = phraseRun(corpus,
+      Seq((1L, Seq("alpha")), (2L, Seq("gamma"))))
+    assert(got == Set((1L, 40L, 2L, 0)), got)
+  }
 }

@@ -105,6 +105,16 @@ class SelectionSpec extends SparkSpecBase {
     assert(got.values.map(_._5).sum <= 100L)
   }
 
+  test("temperatureMixture: all-empty corpus yields zero allocations, no abort") {
+    val df = Seq(("s0", ""), ("s1", " ")).toDF("source", "text")
+    val got = Selection.temperatureMixture(df, "source", "text", 100L)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // n_total = 0: weights and allocations must be 0, not NaN-fed
+    // longs or an ANSI divide-by-zero error
+    assert(got("s0") == (("s0", 1L, 0L, 0L, 0L)))
+    assert(got("s1") == (("s1", 1L, 0L, 0L, 0L)))
+  }
+
   test("temperatureMixture floor under-fill is bounded by nSources - 1") {
     val df = (0 until 7).flatMap(s => Seq.fill(s + 1)((s"s$s", "a b c")))
       .toDF("source", "text")

@@ -77,4 +77,101 @@ object LanguageModel {
           .otherwise(col("nll6").cast("double") / lit(1000000.0) /
             col("n_bigrams").cast("double")).as("avg_nll"))
   }
+
+  /** Trigram language model with STUPID BACKOFF (Brants et al. 2007)
+    * — the cross-corpus variant of [[bigramCrossEntropy]]: the model
+    * trains on a separate curated `train` corpus and scores `score`
+    * documents, so unseen n-grams genuinely occur and the backoff
+    * chain fires (a self-trained model never backs off — every one of
+    * its own trigrams has count ≥ 1):
+    *
+    *   S(c|a,b) = c3(a,b,c)/c2(a,b)              if c3 > 0
+    *            = 0.4 · c2(b,c)/c1(b)            else if c2(b,c) > 0
+    *            = 0.4 · 0.4 · (c1(c)+1)/(N+V+1)  otherwise (add-one
+    *                                              unigram floor — the
+    *                                              OOV guard stupid
+    *                                              backoff leaves open;
+    *                                              the +1 keeps the arm
+    *                                              total even for a
+    *                                              language with no
+    *                                              training data at all)
+    *
+    * Every ratio is exact integers; the only float steps per scored
+    * trigram are ≤ 2 correctly-rounded multiplies by 0.4 and one ln,
+    * immediately floor-quantized to a scale-6 long — document totals
+    * are exact integer sums (the q83 rule). Per-language training.
+    *
+    * Scale: all count tables are vocabulary-bounded broadcasts (drop
+    * the hints on open-vocab corpora → gram-key shuffle joins, same
+    * plan shape); scoring is map-side joins + one doc-keyed aggregate.
+    *
+    * Output: (doc_id, lang, n_trigrams, nll6, avg_nll, n_bo2, n_bo1)
+    * — n_bo2/n_bo1 count trigrams scored by the bigram/unigram arms
+    * (the "how out-of-domain is this document" diagnostic).
+    */
+  def trigramStupidBackoff(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, langCol: String): DataFrame = {
+    def toks(df: DataFrame) = graft.engine.Tables.fanOut(df.sparkSession, df)
+      .select(col(idCol).cast("long").as("doc"), col(langCol).as("lang"),
+        TextOps.tokens(col(textCol)).as("w"))
+    def trigrams(t: DataFrame) = t.where(size(col("w")) >= 3)
+      .select(col("doc"), col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> struct(w[i-1] AS a, w[i] AS b, w[i+1] AS c))")).as("g"))
+      .select(col("doc"), col("lang"),
+        col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+
+    val trainToks = toks(train)
+    val c3 = trigrams(trainToks)
+      .groupBy("lang", "a", "b", "c").agg(count(lit(1)).as("c3"))
+    // ALL adjacent pairs (not just trigram prefixes): the bigram arm
+    // scores (b,c) pairs that include the train corpus's final pair
+    val c2 = trainToks.where(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS a, w[i] AS b))")).as("g"))
+      .select(col("lang"), col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy("lang", "a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = trainToks.select(col("lang"), explode(col("w")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c1"))
+    val stats = trainToks.select(col("lang"), explode(col("w")).as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+
+    val g = trigrams(toks(score))
+      .join(broadcast(c3), Seq("lang", "a", "b", "c"), "left")
+      .join(broadcast(c2.toDF("lang", "a", "b", "c2ab")), Seq("lang", "a", "b"), "left")
+      .join(broadcast(c2.toDF("lang", "b", "c", "c2bc")), Seq("lang", "b", "c"), "left")
+      .join(broadcast(c1.toDF("lang", "b", "c1b")), Seq("lang", "b"), "left")
+      .join(broadcast(c1.toDF("lang", "c", "c1c")), Seq("lang", "c"), "left")
+      .join(broadcast(stats), Seq("lang"), "left")
+    // the three arms; train-side implication guarantees the divisors
+    // of taken arms are > 0 (c3>0 ⇒ its prefix c2ab>0; c2bc>0 ⇒ c1b>0)
+    val v = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("c2ab").cast("double"))
+      .when(coalesce(col("c2bc"), lit(0L)) > 0,
+        lit(0.4) * (col("c2bc").cast("double") / col("c1b").cast("double")))
+      .otherwise(lit(0.4) * lit(0.4) *
+        ((coalesce(col("c1c"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("n"), lit(0L)) + coalesce(col("v"), lit(0L)) + lit(1L))
+            .cast("double")))
+    val perDoc = g
+      .withColumn("nll6", -floor(log(v) * lit(1000000.0)))
+      .withColumn("bo", when(coalesce(col("c3"), lit(0L)) > 0, 0)
+        .when(coalesce(col("c2bc"), lit(0L)) > 0, 1).otherwise(2))
+      .groupBy("doc")
+      .agg(sum(col("nll6")).as("nll6"), count(lit(1)).as("n_trigrams"),
+        sum(when(col("bo") === 1, 1L).otherwise(0L)).as("n_bo2"),
+        sum(when(col("bo") === 2, 1L).otherwise(0L)).as("n_bo1"))
+    score.select(col(idCol).cast("long").as("doc"), col(langCol).as("lang"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("lang"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("nll6"), lit(0L)).as("nll6"),
+        when(coalesce(col("n_trigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("nll6").cast("double") / lit(1000000.0) /
+            col("n_trigrams").cast("double")).as("avg_nll"),
+        coalesce(col("n_bo2"), lit(0L)).as("n_bo2"),
+        coalesce(col("n_bo1"), lit(0L)).as("n_bo1"))
+  }
 }

@@ -35,6 +35,11 @@ object PerplexityBuckets {
     * (doc_id, lang, nll6, bucket) with bucket ∈ {1, 2, 3}.
     * `scored` must carry (doc_id, lang, nll6) — the shape
     * [[LanguageModel.bigramCrossEntropy]] emits.
+    *
+    * `scored` is referenced TWICE (histogram + assignment join): pass
+    * a materialized frame (a persisted stage, or `localCheckpoint` at
+    * probe scale) when the scoring plan is expensive, or the LM
+    * scoring recomputes per reference.
     */
   def terciles(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("lang"), col("nll6"))

@@ -128,7 +128,8 @@ object Retrieval {
     val postings = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
       .select(col(idCol).cast("long").as("doc"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
-      .join(broadcast(ptoks.select("term").distinct()), Seq("term"), "left_semi")
+    // the broadcast inner join IS the map-side term filter — postings
+    // for non-query terms die here, before any exchange
     val hits = postings.join(broadcast(ptoks), Seq("term"))
       .select(col("qid"), col("doc"), (col("pos") - col("idx")).as("start"),
         col("idx"))

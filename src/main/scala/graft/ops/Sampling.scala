@@ -110,4 +110,29 @@ object Sampling {
       .select(explode(col("top.key")).as("__keep"))
     df.join(kept, idCol.cast("long") === col("__keep"), "left_semi")
   }
+
+  /** Leakage-safe train/val/test split: documents whose NORMALIZED
+    * text is identical (case/whitespace-folded — [[Dedup.normalizeText]])
+    * are routed to the SAME split, so an exact near-copy of a training
+    * document can never land in the eval set — the standard
+    * train/test-contamination guard, done at split time instead of by
+    * post-hoc decontamination.
+    *
+    * Mechanism: every duplicate group splits by its REPRESENTATIVE
+    * (min doc id over the group), via the same stable xxhash64 bucket
+    * routing as [[hashSplit]] — deterministic under retries and
+    * repartitioning, one groupBy + one join-back, no windows.
+    *
+    * Output: the input rows plus (rep, split). Co-location is exact by
+    * construction; split fractions hold at the GROUP level (a giant
+    * duplicate group moves as one unit — that is the point).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, textCol: Column,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val keyed = df.withColumn("__norm", graft.ops.Dedup.normalizeText(textCol))
+    val reps = keyed.groupBy(col("__norm"))
+      .agg(min(idCol.cast("long")).as("rep"))
+    hashSplit(keyed.join(reps, Seq("__norm")), col("rep"), weights)
+      .drop("__norm")
+  }
 }

@@ -95,9 +95,15 @@ object Selection {
         .select(col("doc"), explode(col("w")).as("tok"))
         .select(col("doc"), tokenBucket(col("tok"), nBuckets).as("b"))
 
-    val corpusBags = bucketBag(corpus)
+    // per-(doc, bucket) counts FIRST: both the corpus histogram (cr)
+    // and the per-doc scoring consume this one aggregation, so the
+    // corpus token explode is scanned once and the (doc, b) exchange
+    // is reused across the two consumers (sum over occurrences of lr6
+    // ≡ sum over buckets of cnt·lr6 — exact integer arithmetic).
+    val bagCounts = bucketBag(corpus)
+      .groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
     val ct = bucketBag(target).groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = corpusBags.groupBy("b").agg(count(lit(1)).as("cr"))
+    val cr = bagCounts.groupBy("b").agg(sum(col("cnt")).as("cr"))
     val nt = ct.agg(sum(col("ct")).as("nt"))
     val nr = cr.agg(sum(col("cr")).as("nr"))
     // bucket → quantized log ratio; buckets unseen in the target exist
@@ -115,10 +121,11 @@ object Selection {
             (coalesce(col("nt"), lit(0L)) + lit(nBuckets.toLong)).cast("double"))) *
           lit(1000000.0)).as("lr6"))
 
-    val perDoc = corpusBags
+    val perDoc = bagCounts
       .join(broadcast(ratios), Seq("b"))
       .groupBy("doc")
-      .agg(sum(col("lr6")).as("logw6"), count(lit(1)).as("n_tokens"))
+      .agg(sum(col("cnt") * col("lr6")).as("logw6"),
+        sum(col("cnt")).as("n_tokens"))
     val scored = corpus.select(col(idCol).cast("long").as("doc"))
       .join(perDoc, Seq("doc"), "left")
       .select(col("doc"),

@@ -637,9 +637,13 @@ object PipelineQueries {
     // broadcast join of two cutoff rows per language. Tied scores
     // share a bucket (the deterministic, engine-portable contract).
     "q89_perplexity_buckets" -> { (s, dir) =>
+      // localCheckpoint: terciles references the scored frame twice
+      // (histogram + assignment join) — without it the LM scoring
+      // plan runs twice (the q26/q87 materialization precedent)
       val scored = LanguageModel.bigramCrossEntropy(
           Tables.documents(s, dir), "doc_id", "text", "lang")
         .select(col("doc_id"), col("lang"), col("nll6"))
+        .localCheckpoint(true)
       PerplexityBuckets.terciles(scored).orderBy("doc_id")
     },
 
@@ -701,6 +705,43 @@ object PipelineQueries {
     "q92_source_overlap" -> { (s, dir) =>
       Dedup.sourceOverlapExact(Tables.documents(s, dir), "source", "text", n = 3)
         .orderBy("src_a", "src_b")
+    },
+
+    // Trigram stupid-backoff scoring — the CROSS-corpus LM quality
+    // signal: model trained per-language on docs 0-19 (the curated-
+    // target convention), the rest scored; unseen n-grams genuinely
+    // fire the backoff chain and the per-doc backoff counters are the
+    // "how out-of-domain" diagnostic. Quantized-ln scale-6 longs keep
+    // doc totals exact.
+    "q93_trigram_backoff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      LanguageModel.trigramStupidBackoff(
+          docs.where(col("doc_id") < 20), docs.where(col("doc_id") >= 20),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Leakage-safe split — normalized-dup groups route to ONE split
+    // (train/test contamination guard at split time). Contract output
+    // (q56 pattern): exact row/doc counts, zero bad labels, zero
+    // groups spanning >1 split (the co-location guarantee, exactly
+    // recomputable), train fraction within tolerance.
+    "q94_leakage_split" -> { (s, dir) =>
+      val split = Sampling.leakageSafeSplit(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val spanGroups = split
+        .groupBy(Dedup.normalizeText(col("text")).as("__n"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_span_groups"))
+      split.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(when(col("split").isin("train", "val", "test"), 0L)
+            .otherwise(1L)).as("bad_labels"),
+          (abs(avg(when(col("split") === "train", 1.0).otherwise(0.0)) - 0.8)
+            < 0.07).as("train_frac_ok"))
+        .crossJoin(broadcast(spanGroups))
     },
 
     // End-to-end corpus curation — the composed training-data filter:
@@ -1317,6 +1358,88 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, w6,
          |  CAST((1000 * w6) // total6 AS BIGINT) AS alloc_docs
          |FROM wt CROSS JOIN nm ORDER BY source""".stripMargin,
+    // Contract: counts exact; co-location (zero normalized-dup groups
+    // spanning splits) holds by construction; labels and the train
+    // fraction are hash-routing guarantees (q56's pattern).
+    "q94_leakage_split" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  CAST(0 AS BIGINT) AS bad_labels,
+        |  TRUE AS train_frac_ok,
+        |  CAST(0 AS BIGINT) AS n_span_groups
+        |FROM documents""".stripMargin,
+    // Replays the stupid-backoff chain arm-for-arm: exact integer
+    // counts, the same ≤2 correctly-rounded 0.4 multiplies, one ln,
+    // floor-quantized to scale-6 longs summed exactly.
+    "q93_trigram_backoff" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id, lang, $tokensSql AS w FROM documents WHERE doc_id < 20
+         |), sc AS (
+         |  SELECT doc_id, lang, $tokensSql AS w FROM documents WHERE doc_id >= 20
+         |), tg AS (
+         |  SELECT lang, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+         |  FROM (SELECT lang, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM tr WHERE len(w) >= 3)
+         |), c3 AS (
+         |  SELECT lang, a, b, c, CAST(COUNT(*) AS BIGINT) AS c3
+         |  FROM tg GROUP BY lang, a, b, c
+         |), bg AS (
+         |  SELECT lang, w[i] AS a, w[i+1] AS b
+         |  FROM (SELECT lang, w, unnest(range(1, len(w))) AS i
+         |        FROM tr WHERE len(w) >= 2)
+         |), c2 AS (
+         |  SELECT lang, a, b, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY lang, a, b
+         |), c1 AS (
+         |  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM (SELECT lang, unnest(w) AS t FROM tr) GROUP BY lang, t
+         |), st AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+         |  FROM (SELECT lang, unnest(w) AS t FROM tr) GROUP BY lang
+         |), sg AS (
+         |  SELECT doc_id, lang, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+         |  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w) - 1)) AS i
+         |        FROM sc WHERE len(w) >= 3)
+         |), scored AS (
+         |  SELECT g.doc_id,
+         |    CASE WHEN COALESCE(t3.c3, 0) > 0 THEN 0
+         |         WHEN COALESCE(bc.c2, 0) > 0 THEN 1 ELSE 2 END AS bo,
+         |    -CAST(floor(ln(
+         |      CASE WHEN COALESCE(t3.c3, 0) > 0
+         |           THEN CAST(t3.c3 AS DOUBLE) / CAST(ab.c2 AS DOUBLE)
+         |           WHEN COALESCE(bc.c2, 0) > 0
+         |           THEN 0.4 * (CAST(bc.c2 AS DOUBLE) / CAST(ub.c1 AS DOUBLE))
+         |           ELSE 0.4 * 0.4 *
+         |             ((CAST(COALESCE(uc.c1, 0) AS DOUBLE) + 1.0)
+         |              / CAST(COALESCE(st.n, 0) + COALESCE(st.v, 0) + 1 AS DOUBLE))
+         |      END) * 1000000.0) AS BIGINT) AS nll6
+         |  FROM sg g
+         |  LEFT JOIN c3 t3 USING (lang, a, b, c)
+         |  LEFT JOIN c2 ab ON ab.lang = g.lang AND ab.a = g.a AND ab.b = g.b
+         |  LEFT JOIN c2 bc ON bc.lang = g.lang AND bc.a = g.b AND bc.b = g.c
+         |  LEFT JOIN c1 ub ON ub.lang = g.lang AND ub.t = g.b
+         |  LEFT JOIN c1 uc ON uc.lang = g.lang AND uc.t = g.c
+         |  LEFT JOIN st ON st.lang = g.lang
+         |), perdoc AS (
+         |  SELECT doc_id, CAST(SUM(nll6) AS BIGINT) AS nll6,
+         |    CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(CASE WHEN bo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+         |    CAST(SUM(CASE WHEN bo = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1
+         |  FROM scored GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(p.n_trigrams, 0) AS n_trigrams,
+         |  COALESCE(p.nll6, 0) AS nll6,
+         |  CASE WHEN COALESCE(p.n_trigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(p.nll6 AS DOUBLE) / 1000000.0
+         |            / CAST(p.n_trigrams AS DOUBLE)
+         |  END AS avg_nll,
+         |  COALESCE(p.n_bo2, 0) AS n_bo2,
+         |  COALESCE(p.n_bo1, 0) AS n_bo1
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |WHERE d.doc_id >= 20
+         |ORDER BY d.doc_id""".stripMargin,
     // Shingle-set Jaccard between sources, exact: same distinct
     // (source, shingle) sets, same self-join intersection, same
     // complete pair frame with coalesced zeros.

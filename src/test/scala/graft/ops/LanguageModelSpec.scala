@@ -86,4 +86,50 @@ class LanguageModelSpec extends SparkSpecBase {
         s"P(.|$a) does not normalize")
     }
   }
+
+  test("trigramStupidBackoff matches an exact recompute across all arms") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq((0L, "a b c a b c d", "xx")).toDF("doc_id", "text", "lang")
+    // scored doc hits: (a,b,c) trigram arm; (b,c,x) unseen trigram but
+    // wait — pick grams so each arm fires: "a b c" = trigram arm;
+    // "c a b" = trigram arm (train has it); "b c d" trigram arm;
+    // "c d a" unseen trigram, bigram (d,a) unseen, unigram a arm;
+    // "d a b" unseen trigram, bigram (a,b) seen -> bigram arm
+    val score = Seq((10L, "a b c d a b", "xx")).toDF("doc_id", "text", "lang")
+    val got = LanguageModel.trigramStupidBackoff(train, score,
+        "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Double, Long, Long)].collect().head
+    // train counts: tokens a,b,c,a,b,c,d: N=7 V=4
+    // c3: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (b,c,d)=1; c2: ab=2 bc=2 ca=1 cd=1
+    // c1: a=2 b=2 c=2 d=1
+    // score trigrams: (a,b,c): 2/2; (b,c,d): 1/2; (c,d,a): c3 0, bigram
+    // (d,a) 0 -> unigram a: .4*.4*(2+1)/(7+4+1); (d,a,b): c3 0, bigram
+    // (a,b)=2, c1(a)=2 -> .4*(2/2)
+    def q(x: Double) = -math.floor(math.log(x) * 1e6).toLong
+    val expNll = q(2.0 / 2.0) + q(1.0 / 2.0) +
+      q(0.4 * 0.4 * ((2.0 + 1.0) / 12.0)) + q(0.4 * (2.0 / 2.0))
+    assert(got == ((10L, "xx", 4L, expNll,
+      expNll.toDouble / 1e6 / 4.0, 1L, 1L)), got)
+  }
+
+  test("trigramStupidBackoff: self-scoring never backs off") {
+    val docs = Seq((0L, "p q r s t p q r", "yy")).toDF("doc_id", "text", "lang")
+    val got = LanguageModel.trigramStupidBackoff(docs, docs,
+        "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Double, Long, Long)].collect().head
+    assert(got._6 == 0L && got._7 == 0L, s"self-trained must not back off: $got")
+    assert(got._3 == 6L)
+  }
+
+  test("trigramStupidBackoff: language absent from train floors, no abort") {
+    val train = Seq((0L, "a b c d", "xx")).toDF("doc_id", "text", "lang")
+    val score = Seq((10L, "m n o p", "zz")).toDF("doc_id", "text", "lang")
+    val got = LanguageModel.trigramStupidBackoff(train, score,
+        "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Double, Long, Long)].collect().head
+    // every trigram lands in the unigram floor: .4*.4*(0+1)/(0+0+1)
+    def q(x: Double) = -math.floor(math.log(x) * 1e6).toLong
+    assert(got._3 == 2L && got._7 == 2L)
+    assert(got._4 == 2 * q(0.4 * 0.4 * 1.0), got)
+  }
 }

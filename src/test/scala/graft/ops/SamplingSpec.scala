@@ -114,4 +114,33 @@ class SamplingSpec extends SparkSpecBase {
     val ids = capped.select("id").as[Long].collect().toSet
     assert(ids == Set(999L, 996L, 997L, 994L, 998L, 995L), ids)
   }
+
+  test("leakageSafeSplit co-locates normalized duplicates") {
+    val texts = Seq(
+      (1L, "Hello World"), (2L, "hello   world"), (3L, " HELLO WORLD "),
+      (4L, "something else"), (5L, "SOMETHING ELSE")
+    ) ++ (100L until 200L).map(i => (i, s"unique doc number $i"))
+    val split = Sampling.leakageSafeSplit(texts.toDF("doc_id", "text"),
+        col("doc_id"), col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size == 105) // exhaustive, no dup/drop
+    assert(Set(split(1L), split(2L), split(3L)).size == 1, "group A split")
+    assert(Set(split(4L), split(5L)).size == 1, "group B split")
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("leakageSafeSplit routes each group by its min-id representative") {
+    val df = Seq((7L, "dup text"), (3L, "dup  TEXT"), (9L, "solo")).toDF("doc_id", "text")
+    val got = Sampling.leakageSafeSplit(df, col("doc_id"), col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "rep", "split").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(7L)._2 == 3L && got(3L)._2 == 3L && got(9L)._2 == 9L)
+    // the group's split equals hashSplit of the representative id
+    val repSplit = Sampling.hashSplit(Seq(3L).toDF("id"), col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("split").as[String].collect().head
+    assert(got(7L)._3 == repSplit && got(3L)._3 == repSplit)
+  }
 }

@@ -142,4 +142,45 @@ object Retrieval {
       .select(col("qid").as("query_id"), col("doc").as("doc_id"),
         col("n_occurrences"), col("first_pos"))
   }
+
+  /** The MAP-ONLY formulation of [[phraseOccurrences]] — identical
+    * results, zero shuffles: each (doc, phrase) pair is checked inside
+    * one codegen'd array expression (every candidate start position
+    * verified element-wise), with the phrase set riding a broadcast
+    * cross join.
+    *
+    * When to use which: this one when the phrase set is small (the
+    * per-row cost is |phrases| · positions · phrase-length — fine for
+    * dozens of phrases, and the shape that drops into a STREAMING scan
+    * unchanged, since it needs no state and no exchange); the postings
+    * join when the phrase set is large (its cost scales with matched
+    * postings, not |phrases| × corpus).
+    */
+  def phraseOccurrencesMapSide(corpus: DataFrame, idCol: String,
+      textCol: String, phrases: DataFrame, qidCol: String,
+      phraseCol: String): DataFrame = {
+    val ph = phrases.select(col(qidCol).cast("long").as("qid"),
+      col(phraseCol).as("ph"))
+    val w = TextOps.tokens(col(textCol))
+    // starts are 1-based for element_at; output first_pos is 0-based
+    // (matching phraseOccurrences). sequence() REVERSES when stop <
+    // start, so the window list must be guarded for short docs.
+    val starts = when(size(w) >= size(col("ph")),
+        filter(
+          sequence(lit(1), greatest(size(w) - size(col("ph")) + 1, lit(1))),
+          s => size(filter(
+            sequence(lit(0), size(col("ph")) - 1),
+            j => element_at(w, (s + j).cast("int")) ===
+              element_at(col("ph"), (j + 1).cast("int")))) === size(col("ph"))))
+      .otherwise(array().cast("array<int>"))
+    graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
+      .crossJoin(broadcast(ph))
+      .where(size(col("ph")) > 0)
+      .select(col("qid").as("query_id"), col(idCol).cast("long").as("doc_id"),
+        starts.as("starts"))
+      .where(size(col("starts")) > 0)
+      .select(col("query_id"), col("doc_id"),
+        size(col("starts")).cast("long").as("n_occurrences"),
+        (array_min(col("starts")) - 1).cast("int").as("first_pos"))
+  }
 }

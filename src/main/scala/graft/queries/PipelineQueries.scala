@@ -744,6 +744,23 @@ object PipelineQueries {
         .crossJoin(broadcast(spanGroups))
     },
 
+    // The MAP-ONLY twin of q91: same phrases, same results, but each
+    // (doc, phrase) pair is decided inside one codegen'd array
+    // expression — zero shuffles before the output sort. This is the
+    // formulation that drops unchanged into a streaming scan (no
+    // state, no exchange); q91's postings join is the large-phrase-set
+    // arm. Shares q91's oracle verbatim — two plans, one contract.
+    "q95_phrase_mapside" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val phrases = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          slice(TextOps.tokens(col("text")), 1, 3).as("ph"))
+        .where(size(col("ph")) === 3)
+      Retrieval.phraseOccurrencesMapSide(docs.where(col("doc_id") >= 5),
+          "doc_id", "text", phrases, "qid", "ph")
+        .orderBy("query_id", "doc_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -932,6 +949,35 @@ object PipelineQueries {
 
   private def stopHitsSql(words: Seq[String]): String =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private val phraseOracleSql: String =
+    s"""WITH corp AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id >= 5
+         |), qd AS (
+         |  SELECT doc_id AS qid, w[1:3] AS ph
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id < 5)
+         |  WHERE len(w) >= 3
+         |), pt AS (
+         |  SELECT qid, i - 1 AS idx, ph[i] AS term
+         |  FROM (SELECT qid, ph, unnest(range(1, len(ph) + 1)) AS i FROM qd)
+         |), plen AS (SELECT qid, len(ph) AS m FROM qd
+         |), post AS (
+         |  SELECT doc_id AS doc, i - 1 AS pos, w[i] AS term
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM corp)
+         |), hits AS (
+         |  SELECT p.qid, o.doc, o.pos - p.idx AS strt,
+         |    COUNT(DISTINCT p.idx) AS hit
+         |  FROM post o JOIN pt p USING (term)
+         |  GROUP BY p.qid, o.doc, o.pos - p.idx
+         |), occ AS (
+         |  SELECT h.qid, h.doc, h.strt FROM hits h
+         |  JOIN plen USING (qid) WHERE h.hit = plen.m
+         |)
+         |SELECT qid AS query_id, doc AS doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(MIN(strt) AS INT) AS first_pos
+         |FROM occ GROUP BY qid, doc
+         |ORDER BY query_id, doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q16_events_hourly" ->
@@ -1478,34 +1524,11 @@ object PipelineQueries {
     // Same relational phrase formulation: candidate starts from the
     // postings⋈phrase-tokens join, occurrence ⟺ all m distinct idx
     // values hit — fully portable, value-exact.
-    "q91_phrase_search" ->
-      s"""WITH corp AS (
-         |  SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id >= 5
-         |), qd AS (
-         |  SELECT doc_id AS qid, w[1:3] AS ph
-         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents WHERE doc_id < 5)
-         |  WHERE len(w) >= 3
-         |), pt AS (
-         |  SELECT qid, i - 1 AS idx, ph[i] AS term
-         |  FROM (SELECT qid, ph, unnest(range(1, len(ph) + 1)) AS i FROM qd)
-         |), plen AS (SELECT qid, len(ph) AS m FROM qd
-         |), post AS (
-         |  SELECT doc_id AS doc, i - 1 AS pos, w[i] AS term
-         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM corp)
-         |), hits AS (
-         |  SELECT p.qid, o.doc, o.pos - p.idx AS strt,
-         |    COUNT(DISTINCT p.idx) AS hit
-         |  FROM post o JOIN pt p USING (term)
-         |  GROUP BY p.qid, o.doc, o.pos - p.idx
-         |), occ AS (
-         |  SELECT h.qid, h.doc, h.strt FROM hits h
-         |  JOIN plen USING (qid) WHERE h.hit = plen.m
-         |)
-         |SELECT qid AS query_id, doc AS doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-         |  CAST(MIN(strt) AS INT) AS first_pos
-         |FROM occ GROUP BY qid, doc
-         |ORDER BY query_id, doc_id""".stripMargin,
+    "q91_phrase_search" -> phraseOracleSql,
+    // q95 is the map-only twin — same phrases, same contract, same
+    // oracle; only the physical plan differs.
+    "q95_phrase_mapside" -> phraseOracleSql,
+
     // Rebuilds the q83 nll6 scores, then the histogram-cutoff tercile:
     // cutoff k = smallest score whose cumulative count reaches
     // ceil(k·n/3) (integer comparison cum·3 >= k·n — no float

@@ -123,4 +123,45 @@ class RetrievalSpec extends SparkSpecBase {
       Seq((1L, Seq("alpha")), (2L, Seq("gamma"))))
     assert(got == Set((1L, 40L, 2L, 0)), got)
   }
+
+  private def phraseRunMapSide(corpus: Seq[(Long, String)],
+      phrases: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    Retrieval.phraseOccurrencesMapSide(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        phrases.toDF("qid", "ph"), "qid", "ph")
+      .as[(Long, Long, Long, Int)].collect().toSet
+  }
+
+  test("map-side formulation is result-identical to the postings join") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps the quick brown"),
+      (11L, "a a a a"), (12L, "x y x y x"), (13L, "short"),
+      (14L, "the quick red fox"))
+    val phrases = Seq(
+      (1L, Seq("the", "quick", "brown")), (2L, Seq("a", "a")),
+      (3L, Seq("x", "y", "x")), (4L, Seq("nope")), (5L, Seq("short")))
+    val joinRes = phraseRun(corpus, phrases)
+    val mapRes = phraseRunMapSide(corpus, phrases)
+    assert(mapRes == joinRes, s"map-side $mapRes vs join $joinRes")
+    assert(joinRes.nonEmpty)
+  }
+
+  test("map-side phrase plan has no exchange before the output") {
+    import spark.implicits._
+    val df = Retrieval.phraseOccurrencesMapSide(
+      Seq((10L, "p q r")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq((1L, Seq("p", "q"))).toDF("qid", "ph"), "qid", "ph")
+    val plan = df.queryExecution.executedPlan.toString
+    // only the broadcast of the phrase side may appear — no shuffle
+    assert(!plan.contains("ShuffleExchange"), plan)
+  }
+
+  test("map-side handles docs shorter than the phrase (sequence guard)") {
+    // sequence(a, b) REVERSES when b < a — the guard must keep short
+    // docs from producing phantom windows
+    val got = phraseRunMapSide(Seq((50L, "one two")),
+      Seq((1L, Seq("one", "two", "three"))))
+    assert(got.isEmpty, got)
+  }
 }

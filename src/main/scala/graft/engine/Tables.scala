@@ -39,6 +39,10 @@ object Tables {
     * `Repartition`, so scan pushdown is unaffected either way.
     */
   def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    // streaming frames cannot be probed (.rdd forces execution) and
+    // their parallelism belongs to the source — pass them through, so
+    // operators built on fanned() run on streams verbatim
+    if (df.isStreaming) return df
     val target = spark.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes

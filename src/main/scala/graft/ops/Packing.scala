@@ -92,6 +92,40 @@ object Packing {
         least(lit(budget), col("__n") - col("chunk") * budget).as("n_tokens"))
   }
 
+  /** Sliding-window chunking with overlap — the RAG/embedding-corpus
+    * preparation step ([[chunkOversized]] is the disjoint token-BUDGET
+    * variant; this one materializes overlapping TEXT windows so no
+    * semantic span is cut at a hard boundary): windows of `size`
+    * tokens starting every `stride` tokens (overlap = size − stride),
+    * the final window short if the document runs out. A document with
+    * fewer than `size` tokens (including zero) yields exactly one
+    * chunk — corpus membership is preserved.
+    *
+    * Deterministic closed form (fully oracle-replayable):
+    * nChunks = 1 if len ≤ size else ⌈(len − size)/stride⌉ + 1;
+    * chunk i covers tokens [i·stride + 1, min(i·stride + size, len)].
+    * Map-side explode only — the bounded ≤ size/stride× row expansion,
+    * no shuffle.
+    */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("w"))
+      .withColumn("__len", org.apache.spark.sql.functions.size(col("w")).cast("long"))
+      .withColumn("__nc", when(col("__len") <= size, lit(1L))
+        .otherwise(expr(s"(__len - $size + ${stride - 1}) div $stride + 1")))
+      .select(col("doc_id"), col("w"), col("__len"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("i"))
+      .select(col("doc_id"), col("i").cast("int").as("chunk_idx"),
+        array_join(slice(col("w"), (col("i") * stride + 1).cast("int"),
+          lit(size)), " ").as("chunk_text"),
+        least(lit(size.toLong), col("__len") - col("i") * stride)
+          .as("n_tokens"))
+  }
+
   /** Fill-targeted packing: best-fit-decreasing WITHIN partition.
     * Docs are sorted descending by size inside each partition, then
     * each doc lands in the open sequence with the TIGHTEST remaining

@@ -761,6 +761,17 @@ object PipelineQueries {
         .orderBy("query_id", "doc_id")
     },
 
+    // Sliding-window chunking (size 48, stride 24 — 50% overlap;
+    // sized so fixture docs genuinely split into overlapping chunks):
+    // the RAG-corpus preparation step, fully closed-form so the
+    // oracle rebuilds every chunk text token-for-token. Map-side
+    // explode only; zero-token docs keep one empty chunk.
+    "q96_sliding_chunks" -> { (s, dir) =>
+      graft.ops.Packing.chunkSliding(Tables.documents(s, dir),
+          "doc_id", "text", size = 48, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -1404,6 +1415,24 @@ object PipelineQueries {
          |SELECT source, n_docs, n_tokens, w6,
          |  CAST((1000 * w6) // total6 AS BIGINT) AS alloc_docs
          |FROM wt CROSS JOIN nm ORDER BY source""".stripMargin,
+    // Rebuilds every chunk from the closed form: nChunks, starts,
+    // slices, and short final windows all integer arithmetic.
+    "q96_sliding_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id, w, len(w) AS l,
+         |    CASE WHEN len(w) <= 48 THEN 1
+         |         ELSE (len(w) - 48 + 23) // 24 + 1 END AS nc
+         |  FROM t
+         |), e AS (
+         |  SELECT doc_id, w, l, unnest(range(0, nc)) AS i FROM c
+         |)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(w[i*24 + 1 : least(i*24 + 48, l)], ' ')
+         |    AS chunk_text,
+         |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // Contract: counts exact; co-location (zero normalized-dup groups
     // spanning splits) holds by construction; labels and the train
     // fraction are hash-routing guarantees (q56's pattern).

@@ -112,4 +112,46 @@ class PackingSpec extends SparkSpecBase {
     // all chunk mass survives
     assert(packed.agg(sum("n_tokens")).head().getLong(0) == 4010L)
   }
+
+  test("chunkSliding: overlap windows cover every token, final short") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val got = Packing.chunkSliding(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Int, String, Long)].collect().toSeq
+    // nChunks = ceil((10-4)/2)+1 = 4; starts 1,3,5,7 — wait: stride 2
+    // from len 10: (10-4+1)/2 rounded up +1 = 4 chunks, last covers 7-10
+    assert(got == Seq(
+      (0, "t1 t2 t3 t4", 4L), (1, "t3 t4 t5 t6", 4L),
+      (2, "t5 t6 t7 t8", 4L), (3, "t7 t8 t9 t10", 4L)), got)
+  }
+
+  test("chunkSliding: short final window and stride=size disjoint mode") {
+    val text = (1 to 7).map(i => s"w$i").mkString(" ")
+    val overlap = Packing.chunkSliding(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, stride = 3)
+      .orderBy("chunk_idx").select("chunk_text", "n_tokens")
+      .as[(String, Long)].collect().toSeq
+    assert(overlap == Seq(("w1 w2 w3 w4", 4L), ("w4 w5 w6 w7", 4L)), overlap)
+    val disjoint = Packing.chunkSliding(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = 3, stride = 3)
+      .orderBy("chunk_idx").select("chunk_text", "n_tokens")
+      .as[(String, Long)].collect().toSeq
+    assert(disjoint == Seq(("w1 w2 w3", 3L), ("w4 w5 w6", 3L), ("w7", 1L)),
+      disjoint)
+  }
+
+  test("chunkSliding: zero-token and sub-size docs keep one chunk") {
+    val got = Packing.chunkSliding(
+        Seq((1L, ""), (2L, "only two"), (3L, "   ")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 5, stride = 5)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(got == Set((1L, 0, "", 0L), (2L, 0, "only two", 2L),
+      (3L, 0, "", 0L)), got)
+    intercept[IllegalArgumentException](
+      Packing.chunkSliding(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 2, stride = 3))
+  }
 }

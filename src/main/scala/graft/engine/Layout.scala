@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   */
 object Layout {
 
-  /** Raw events schema: ts is TIMESTAMP(NANOS) in the fixture, which
-    * Spark 4 refuses to read as a timestamp — carried as INT64 nanos
-    * through the relayout (Tables.events converts on read).
+  /** Raw events schema for NANOS-era fixtures: ts is TIMESTAMP(NANOS),
+    * which Spark 4 refuses to read as a timestamp — carried as INT64
+    * nanos through the relayout (Tables.events converts on read).
+    * Fixtures regenerated with TIMESTAMP(MICROS) read natively (the
+    * same sniff as Tables.events).
     */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -35,9 +37,15 @@ object Layout {
       targetFiles: Int, smallCutoffBytes: Long = 1024 * 1024): String = {
     Tables.all.foreach { name =>
       val src = s"$sfDir/$name.parquet"
-      val df = if (name == "events")
-        spark.read.schema(eventsRawSchema).parquet(src)
-      else spark.read.parquet(src)
+      val df = if (name == "events") {
+        val nativeTs =
+          try spark.read.parquet(src).schema.exists(f =>
+            f.name == "ts" && (f.dataType == TimestampType ||
+              f.dataType == TimestampNTZType))
+          catch { case _: Throwable => false } // NANOS inference refusal
+        if (nativeTs) spark.read.parquet(src)
+        else spark.read.schema(eventsRawSchema).parquet(src)
+      } else spark.read.parquet(src)
       val bytes = new java.io.File(src).length()
       val out =
         if (bytes > smallCutoffBytes) df.repartition(targetFiles)

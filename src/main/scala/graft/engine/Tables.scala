@@ -57,25 +57,47 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark 4 refuses to read natively. Read `ts` as raw INT64
-    * nanos via an explicit schema and convert to a microsecond
-    * timestamp (`timestamp_micros(ns / 1000)` — truncation, matching
-    * what DuckDB's ns→us cast does for positive epochs).
+  /** The events table's `ts` physical encoding is FIXTURE-GENERATION
+    * dependent: TIMESTAMP(NANOS) in the round-1..6 fixtures (which
+    * Spark 4 refuses to read natively) vs plain TIMESTAMP(MICROS)
+    * after a driver regeneration (round 7 observed both). Sniff the
+    * footer once per call by attempting normal schema inference:
+    *
+    *  - inference succeeds with a timestamp-typed `ts` → native
+    *    vectorized read (NTZ cast to session-TZ timestamp is
+    *    value-preserving under the forced UTC session);
+    *  - inference throws (the NANOS refusal) or yields INT64 → read
+    *    `ts` as raw INT64 nanos via an explicit schema and convert
+    *    with `timestamp_micros(ns div 1000)` (integer division — `/`
+    *    would round-trip ~1.7e18 through a 53-bit double mantissa;
+    *    truncation matches DuckDB's ns→us cast for positive epochs).
+    *
+    * The footer probe is a driver-side metadata read (no data scan),
+    * so the sniff costs one footer fetch — irrelevant at any scale.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
-      // integer division: `/` would go through double and lose precision
-      // on ~1.7e18 nanosecond epochs (53-bit mantissa)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
+    val path = s"$sfDir/events.parquet"
+    val nativeTs: Option[DataType] =
+      try spark.read.parquet(path).schema.find(_.name == "ts").map(_.dataType)
+      catch { case _: Throwable => None } // NANOS inference refusal
+    nativeTs match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        spark.read.parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+      case _ =>
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        spark.read.schema(schema).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")

@@ -108,6 +108,72 @@ object TextOps {
     regexp_count(c, lit(EmailPattern)).as("n_emails"),
     regexp_count(c, lit(Ipv4Pattern)).as("n_ipv4"))
 
+  /** Duplicate-token fraction: 1 − distinct/total over whitespace
+    * tokens — the unigram member of the Gopher repetition family
+    * (cheapest signal; [[dupNgramRatio]] generalizes to n ≥ 2).
+    * 0.0 for empty documents.
+    */
+  def dupTokenRatio(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(ts)).cast("double") / size(ts).cast("double"))
+  }
+
+  /** Gopher-style quality-rule battery (Rae et al. 2021, Appendix A —
+    * the rule SHAPE; thresholds are parameters). Four row-local rules,
+    * each a pure codegen'd expression over the token array, plus the
+    * conjunction:
+    *
+    *  - `len_ok`: token count within `[minTokens, maxTokens]`
+    *  - `mtl_ok`: mean token length within
+    *    `[minMeanTokLen, maxMeanTokLen]`
+    *  - `stop_ok`: at least `minStopHits` required-stopword hits
+    *    (Gopher's "contains ≥ 2 of a required word list")
+    *  - `rep_ok`: duplicate-token fraction ≤ `maxDupTokRatio`
+    *    (the duplicate-line/ngram repetition family, unigram grain)
+    *  - `keep` = all four.
+    *
+    * Every signal is a double computed by an identical IEEE expression
+    * shape in any engine (exact integer counts, one division), so the
+    * whole frame — signals AND rule booleans — is oracle-exact. The
+    * default thresholds are chosen so the driver fixtures exercise
+    * BOTH branches of every rule at every scale (the q96 lesson);
+    * Gopher's published production bands (e.g. word count 50–100k,
+    * mean word length 3–10) are one parameterization of the same
+    * operator.
+    *
+    * Scale: map-only scan→project, zero shuffles at any corpus size.
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      minTokens: Int = 40, maxTokens: Int = 100000,
+      minMeanTokLen: Double = 3.5, maxMeanTokLen: Double = 4.6,
+      minStopHits: Int = 2,
+      maxDupTokRatio: Double = 0.55): org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    val nTok = tokenCount(c)
+    val nTokD = nTok.cast("double")
+    val meanTokLen =
+      (length(c).cast("double") - (nTokD - lit(1.0))) / greatest(nTokD, lit(1.0))
+    val stopHits = stopwordHits(c, EnStopwords)
+    val dupTok = dupTokenRatio(c)
+    df.select(col(idCol),
+        nTok.as("n_tokens"),
+        meanTokLen.as("mean_tok_len"),
+        stopHits.as("stop_hits"),
+        dupTok.as("dup_tok_ratio"))
+      .withColumn("len_ok",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("mtl_ok",
+        col("mean_tok_len") >= minMeanTokLen &&
+          col("mean_tok_len") <= maxMeanTokLen)
+      .withColumn("stop_ok", col("stop_hits") >= minStopHits)
+      .withColumn("rep_ok", col("dup_tok_ratio") <= maxDupTokRatio)
+      .withColumn("keep",
+        col("len_ok") && col("mtl_ok") && col("stop_ok") && col("rep_ok"))
+  }
+
   /** Ratio of alphabetic characters to total length. */
   def alphaRatio(c: Column): Column =
     length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /

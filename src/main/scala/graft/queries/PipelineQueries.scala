@@ -772,6 +772,16 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Gopher-style rule battery (Rae et al. 2021 shape): four
+    // row-local quality rules + conjunction, every signal and boolean
+    // oracle-exact. Thresholds parameterize the operator; the
+    // registered defaults split the fixture corpus on every rule at
+    // every scale (keep ≈ 10-13%). Map-only, zero shuffles.
+    "q97_gopher_rules" -> { (s, dir) =>
+      TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -1433,6 +1443,36 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Every Gopher signal is exact-integer counts plus one double
+    // division in an identical IEEE shape, so signals AND rule
+    // booleans replay exactly.
+    "q97_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS INT) AS stop_hits,
+         |    CASE WHEN len($tokensSql) <= 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+         |                      / CAST(len($tokensSql) AS DOUBLE) END
+         |      AS dup_tok_ratio
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, n_tokens,
+         |    (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits, dup_tok_ratio
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tokens, mean_tok_len, stop_hits, dup_tok_ratio,
+         |  (n_tokens >= 40 AND n_tokens <= 100000) AS len_ok,
+         |  (mean_tok_len >= 3.5 AND mean_tok_len <= 4.6) AS mtl_ok,
+         |  (stop_hits >= 2) AS stop_ok,
+         |  (dup_tok_ratio <= 0.55) AS rep_ok,
+         |  ((n_tokens >= 40 AND n_tokens <= 100000)
+         |    AND (mean_tok_len >= 3.5 AND mean_tok_len <= 4.6)
+         |    AND (stop_hits >= 2) AND (dup_tok_ratio <= 0.55)) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
     // Contract: counts exact; co-location (zero normalized-dup groups
     // spanning splits) holds by construction; labels and the train
     // fraction are hash-routing guarantees (q56's pattern).

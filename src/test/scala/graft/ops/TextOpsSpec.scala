@@ -108,4 +108,53 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(0) > 0.6, s"loop doc ratio ${got(0)}")
     assert(got(1) == 0.0 && got(2) == 0.0)
   }
+
+  test("dupTokenRatio: repeated unigrams, all-distinct, empty") {
+    val df = Seq(
+      "spam spam spam spam",      // 1 distinct of 4 -> 0.75
+      "all distinct words here",  // -> 0
+      ""                          // empty -> 0
+    ).toDF("t").select(TextOps.dupTokenRatio(col("t")).as("r"))
+    assert(df.as[Double].collect().toSeq == Seq(0.75, 0.0, 0.0))
+  }
+
+  test("gopherRules: each rule fails on its own trigger; keep is the conjunction") {
+    // 46 distinct 4-char words + the/a/is/area: 50 tokens, mean token
+    // length 194/50 = 3.88 (in band), 3 stopword hits, dup ratio 0.
+    val good = ((1 to 46).map(i => f"w$i%03d") ++
+      Seq("the", "a", "is", "area")).mkString(" ")
+    // 48 distinct 15-char words + the/a: mean 724/50 = 14.48 — only
+    // the mean-token-length band fails.
+    val longWords = ((1 to 48).map(i => f"extraordinary$i%02d") ++
+      Seq("the", "a")).mkString(" ")
+    val rows = Seq(
+      (1L, good),                                 // passes all
+      (2L, "the a of in it is and to or an"),     // 10 tokens: len_ok false
+      (3L, longWords),                            // mtl_ok false, rest pass
+      (4L, ("zzz " * 60).trim),                   // no stopwords + repetition
+      (5L, good + " " + ("the " * 80).trim)       // dup 1-50/130 = 0.615
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def b(i: Int, f: String) = r(i).getBoolean(r(i).fieldIndex(f))
+    assert(b(0, "len_ok") && b(0, "mtl_ok") && b(0, "stop_ok") &&
+      b(0, "rep_ok") && b(0, "keep"))
+    assert(!b(1, "len_ok") && !b(1, "keep"))
+    assert(!b(2, "mtl_ok") && !b(2, "keep"))
+    assert(b(2, "len_ok") && b(2, "stop_ok") && b(2, "rep_ok"))
+    assert(!b(3, "stop_ok") && !b(3, "rep_ok") && !b(3, "keep"))
+    assert(!b(4, "rep_ok") && !b(4, "keep"))
+  }
+
+  test("gopherRules boundary: counts exactly at thresholds pass") {
+    // exactly minTokens=40 tokens, each 4 chars (mtl in band), with
+    // two stopword hits, all distinct (dup ratio 0 <= 0.55)
+    val toks = (1 to 38).map(i => f"w$i%03d") ++ Seq("the", "area")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(df, "doc_id", "text",
+      minStopHits = 1).collect()(0)
+    assert(r.getInt(r.fieldIndex("n_tokens")) == 40)
+    assert(r.getBoolean(r.fieldIndex("len_ok")))
+    assert(r.getBoolean(r.fieldIndex("keep")))
+  }
 }

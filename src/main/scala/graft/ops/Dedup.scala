@@ -708,6 +708,46 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware near-dup survivor selection — the Dolma/FineWeb
+    * keep-best policy: instead of min-id survivorship, each near-dup
+    * cluster keeps its HIGHEST-quality member (ties broken by lowest
+    * id). Composes with any pair detector (exact Jaccard, MinHash,
+    * SimHash, embedding) via the `pairs` (id_a, id_b) frame.
+    *
+    * `docs` must carry `idCol` and `quality6Col` — an exact-integer
+    * quality key (e.g. `floor(qualityScore·10⁶)` as a long), so the
+    * argmax is total-order deterministic and engine-portable (no
+    * float-compare ambiguity inside the aggregate).
+    *
+    * Scale shape: [[connectedComponents]] hash-join label propagation
+    * (no driver graph) + one `max_by` hash aggregate over clusters +
+    * one join-back. Singletons never enter the CC at all — they label
+    * as themselves via the left join, so the iterative part only sees
+    * documents that actually have a near-dup edge (a vanishing
+    * fraction of a deduped corpus).
+    *
+    * Output: (idCol, cluster, quality6Col, kept).
+    */
+  def qualityAwareSurvivors(docs: DataFrame, idCol: String,
+      quality6Col: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs) // (id, label) — paired docs only
+    val labeled = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(quality6Col).cast("long").as("q6"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),
+        col("q6"))
+    // argmax by (q6 desc, id asc): maximize the (q6, -id) struct —
+    // lexicographic struct ordering makes the tiebreak exact
+    val survivors = labeled.groupBy("cluster")
+      .agg(max_by(col("id"),
+        struct(col("q6"), (-col("id")).as("nid"))).as("keep_id"))
+    labeled.join(survivors, Seq("cluster"))
+      .select(col("id").as(idCol), col("cluster"),
+        col("q6").as(quality6Col),
+        (col("id") === col("keep_id")).as("kept"))
+  }
+
   /** Edit-distance near-dup pairs: candidate pairs from equality
     * blocking (same `blockCol` value), verified with full Levenshtein.
     * Blocking is the scale guard — edit distance is O(len²) per pair,

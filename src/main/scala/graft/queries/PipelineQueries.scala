@@ -782,6 +782,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-aware near-dup survivorship (Dolma/FineWeb keep-best):
+    // q48's cluster machinery + q19's quality score, argmax per
+    // cluster on the exact-integer quality key. Singletons keep
+    // themselves; every kept/dropped decision oracle-replayed.
+    "q98_quality_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      val scored = docs.select(col("doc_id"),
+        floor(TextOps.qualityScore(col("text")) * lit(1000000.0))
+          .cast("long").as("quality6"))
+      Dedup.qualityAwareSurvivors(scored, "doc_id", "quality6", pairs)
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus curation — the composed training-data filter:
     // exact-dedup survivors, quality-scored, token-counted, grouped per
     // declared language with kept/dropped accounting. Every piece is
@@ -1443,6 +1458,72 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q48's recursive-CTE cluster replay + q19's quality recompute;
+    // the keep decision is an exact-integer argmax (quality6 desc,
+    // doc_id asc) so every kept flag replays bit-for-bit.
+    "q98_quality_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), jp AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION SELECT id_b, id_a FROM jp
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT src, dst FROM edges
+         |    UNION
+         |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+         |  ) SELECT a, b FROM r
+         |), cl AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+         |  FROM reach GROUP BY a
+         |), t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_tokens, alpha_ratio, stop_hits,
+         |    (CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, CAST(floor((
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3) * 1000000.0) AS BIGINT) AS quality6
+         |  FROM m
+         |), lab AS (
+         |  SELECT q.doc_id, COALESCE(cl.cluster, q.doc_id) AS cluster, q.quality6
+         |  FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id
+         |), keepers AS (
+         |  SELECT cluster, doc_id AS keep_id FROM lab
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality6 DESC, doc_id) = 1
+         |)
+         |SELECT lab.doc_id, lab.cluster, lab.quality6,
+         |  (lab.doc_id = k.keep_id) AS kept
+         |FROM lab JOIN keepers k USING (cluster)
+         |ORDER BY lab.doc_id""".stripMargin,
     // Every Gopher signal is exact-integer counts plus one double
     // division in an identical IEEE shape, so signals AND rule
     // booleans replay exactly.

@@ -378,4 +378,34 @@ class DedupSpec extends SparkSpecBase {
     assert(tight == brute.filterNot { case (a, b) =>
       java.lang.Long.bitCount(vals(a) ^ vals(b)) == 3 })
   }
+
+  test("qualityAwareSurvivors: best quality wins, ties to min id, singletons kept") {
+    // cluster {0,1,2} (chained edges), cluster {3,4} (tie on quality),
+    // singleton 5
+    val docs = Seq(
+      (0L, 10L), (1L, 99L), (2L, 50L), // 1 has the best quality
+      (3L, 7L), (4L, 7L),              // tie -> 3 (min id) survives
+      (5L, 1L)
+    ).toDF("doc_id", "quality6")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.qualityAwareSurvivors(docs, "doc_id", "quality6", pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, false), (1L, 0L, true), (2L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true)))
+  }
+
+  test("qualityAwareSurvivors: exactly one survivor per cluster") {
+    val docs = (0L to 20L).map(i => (i, i % 5)).toDF("doc_id", "quality6")
+    val pairs = (0L until 20L by 2).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.qualityAwareSurvivors(docs, "doc_id", "quality6", pairs)
+    val perCluster = got.groupBy("cluster")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select("n_kept").as[Long].collect()
+    assert(perCluster.forall(_ == 1L))
+    assert(got.count() == 21)
+  }
 }

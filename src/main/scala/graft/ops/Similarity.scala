@@ -270,6 +270,67 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  /** Sign of entry (j, i) of the portable ±1 projection matrix: TWO
+    * LCG steps on seed `j·4096 + i + 1`, bit 16 of the low 31 bits
+    * picks the sign. Deliberately NOT xxhash64 — every operation
+    * (multiply, add, mod, shift on non-negative longs) replays
+    * exactly in ANSI SQL, the [[graft.ops.Selection.tokenBucket]]
+    * portability discipline. Two steps because one step of an LCG on
+    * a LINEAR seed is an arithmetic progression mod 2³¹ (correlated
+    * sign rows); the 4096 stride keeps per-row seed ranges disjoint
+    * up to dim 4096. Bit 16 (not bit 0) because an LCG's low bits
+    * cycle with short periods. Measured over 16×64 entries: 31–33
+    * ones per 64-wide row, all rows distinct (spec-pinned).
+    */
+  private def rpSign(j: Int, i: Column): Column = {
+    val h1 = pmod((i + lit(j * 4096L + 1L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    val h2 = pmod(h1 * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    when(pmod(shiftright(h2, 16), lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))
+  }
+
+  /** Random ±1 projection (the Johnson–Lindenstrauss / Achlioptas
+    * database-friendly flavor): each input vector is quantized to
+    * scale-6 longs (`floor(x·10⁶)`) and projected onto `outDim`
+    * deterministic ±1 sign rows derived from [[rpSign]], so every
+    * output coordinate is an EXACT integer sum — bit-portable to any
+    * engine, no float-summation order dependence.
+    *
+    * This is the 100 TB pre-ANN knob: at dim 768 → 64 the projection
+    * cuts downstream LSH/IVF flops and candidate-join width 12× while
+    * JL preserves pairwise geometry to O(√(ln n / outDim)) distortion.
+    * Map-only scan→project — zero shuffles at any corpus size; the
+    * sign matrix is a closed form, so nothing is broadcast or
+    * collected (unlike a sampled Gaussian matrix, there is no
+    * training/state at all).
+    *
+    * Corrupt vectors (any NaN/±Inf element) project to NULL in every
+    * output column — the q74 quarantine convention (ANSI mode would
+    * otherwise abort the job on `floor(NaN)`).
+    *
+    * Output: idCol plus `p00..p{outDim-1}` long columns.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int = 16): DataFrame = {
+    require(outDim > 0 && outDim <= 64, s"outDim out of range: $outDim")
+    val x = col(vecCol)
+    val valid = size(x) >= 1 &&
+      !exists(x, e => isnan(e.cast("double")) ||
+        e.cast("double") === Double.PositiveInfinity ||
+        e.cast("double") === Double.NegativeInfinity)
+    val q6 = when(valid,
+      transform(x, e => floor(e.cast("double") * lit(1000000.0)).cast("long")))
+    val base = df.select(col(idCol), q6.as("__q6"))
+    val projCols = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(col("__q6"),
+          sequence(lit(0), size(col("__q6")) - 1),
+          (v, i) => v * rpSign(j, i)),
+        lit(0L), (acc, v) => acc + v).as(f"p$j%02d")
+    }
+    base.select(col(idCol) +: projCols: _*)
+  }
+
   /** Cap on `adaptiveTopK`'s √|C| cell sizing — see the dispatch doc. */
   val MaxAdaptiveCells: Int = 65536
 

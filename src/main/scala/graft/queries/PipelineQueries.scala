@@ -782,6 +782,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Portable ±1 random projection (JL/Achlioptas): scale-6 quantized
+    // vectors onto 16 closed-form sign rows — exact integer sums,
+    // every output coordinate oracle-replayed. The 100 TB pre-ANN
+    // dimensionality knob; map-only, stateless, zero shuffles.
+    "q99_random_projection" -> { (s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir),
+          "vec_id", "embedding", outDim = 16)
+        .orderBy("vec_id")
+    },
+
     // Quality-aware near-dup survivorship (Dolma/FineWeb keep-best):
     // q48's cluster machinery + q19's quality score, argmax per
     // cluster on the exact-integer quality key. Singletons keep
@@ -1458,6 +1468,24 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Rebuilds every projected coordinate: the quantization, the LCG
+    // sign matrix, and the integer sums are all exact arithmetic.
+    "q99_random_projection" -> {
+      val pCols = (0 until 16).map { j =>
+        val h1 = s"(((i + ${j * 4096 + 1}) * 1103515245 + 12345) % 2147483648)"
+        val sign = s"CASE WHEN ((($h1 * 1103515245 + 12345) % 2147483648)" +
+          s" // 65536) % 2 = 1 THEN 1 ELSE -1 END"
+        f"  CAST(list_sum(list_transform(range(0, len(q6)), i -> q6[i+1] * ($sign))) AS BIGINT) AS p$j%02d"
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q6
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |$pCols
+         |FROM q ORDER BY vec_id""".stripMargin
+    },
     // q48's recursive-CTE cluster replay + q19's quality recompute;
     // the keep decision is an exact-integer argmax (quality6 desc,
     // doc_id asc) so every kept flag replays bit-for-bit.

@@ -418,4 +418,68 @@ class SimilaritySpec extends SparkSpecBase {
         s"vectors flow through the dedup: ${a.output}")
     }
   }
+
+  // Scala mirror of the rpSign/quantize law — an independent recompute,
+  // not a Spark re-execution.
+  private def rpRef(vec: Seq[Float], outDim: Int): Seq[Long] = {
+    val q6 = vec.map(x => math.floor(x.toDouble * 1e6).toLong)
+    (0 until outDim).map { j =>
+      q6.zipWithIndex.map { case (v, i) =>
+        val h1 = ((i + j * 4096L + 1L) * 1103515245L + 12345L) % 2147483648L
+        val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
+        val sign = if (((h2 >> 16) & 1L) == 1L) 1L else -1L
+        v * sign
+      }.sum
+    }
+  }
+
+  test("randomProjection matches the independent recompute; identical in, identical out") {
+    val vs = Seq(
+      (0L, Array(0.25f, -0.5f, 0.125f, 1.0f)),
+      (1L, Array(0.25f, -0.5f, 0.125f, 1.0f)), // duplicate of 0
+      (2L, Array(-1.0f, 2.0f, -3.0f, 0.0f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "vec_id", "embedding", outDim = 8)
+      .orderBy("vec_id").collect()
+    vs.zipWithIndex.foreach { case ((_, v), r) =>
+      val expect = rpRef(v.toSeq, 8)
+      (0 until 8).foreach { j =>
+        assert(got(r).getLong(got(r).fieldIndex(f"p$j%02d")) == expect(j),
+          s"row $r dim $j")
+      }
+    }
+    // identical vectors project identically
+    assert((0 until 8).forall(j =>
+      got(0).getLong(j + 1) == got(1).getLong(j + 1)))
+  }
+
+  test("randomProjection sign rows are balanced-ish and distinct across j") {
+    // over 64 input dims, each sign row should use both signs and
+    // differ from the other rows (no rank collapse)
+    val rows = (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val h1 = ((i + j * 4096L + 1L) * 1103515245L + 12345L) % 2147483648L
+        val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
+        (h2 >> 16) & 1L
+      }
+    }
+    rows.foreach { r =>
+      val ones = r.sum
+      assert(ones >= 16 && ones <= 48, s"degenerate sign row: $ones of 64")
+    }
+    assert(rows.distinct.size == 16, "duplicate sign rows")
+  }
+
+  test("randomProjection: NaN/Inf vectors quarantine to null, not abort") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(Float.NaN, 2.0f)),
+      (2L, Array(Float.PositiveInfinity, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "vec_id", "embedding", outDim = 4)
+      .orderBy("vec_id").collect()
+    assert(!got(0).isNullAt(1))
+    assert((1 to 4).forall(got(1).isNullAt))
+    assert((1 to 4).forall(got(2).isNullAt))
+  }
 }

@@ -232,6 +232,69 @@ object TextOps {
     picked
   }
 
+  /** Portable polynomial fold hash of a string: `(acc·31 + codepoint)
+    * mod 1,000,000,007` — the [[graft.ops.Selection.tokenBucket]]
+    * portability discipline at fingerprint modulus (large prime, not a
+    * bucket count). Replays exactly in ANSI SQL via
+    * `list_reduce(list_prepend(0, codepoints), ...)`.
+    */
+  def foldHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"),
+        lit(1000000007L)))
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * scheme): hash every word `k`-gram with the portable [[foldHash]],
+    * slide a window of `w` consecutive gram hashes, and select each
+    * window's minimum — RIGHTMOST occurrence on ties (the original
+    * paper's robust-winnowing rule). The distinct selected
+    * (position, hash) set is the document's fingerprint: winnowing
+    * guarantees any shared substring of ≥ `w + k − 1` words produces a
+    * shared selected hash, at ~2/(w+1) the density of full k-gram
+    * fingerprinting — the storage/recall dial for corpus-scale
+    * near-dup and plagiarism detection.
+    *
+    * Documents with fewer than `w` grams (but ≥ 1) winnow as a single
+    * window over all their grams; gram-less docs select nothing.
+    *
+    * Output per document: `n_grams`, `n_windows`, `n_selected`,
+    * `fp_min`/`fp_max` (null when nothing selected). Every value is
+    * exact integer arithmetic — the whole frame is oracle-replayable.
+    * Scale: map-only scan→project (the per-doc window walk is O(n·w)
+    * inside one codegen'd expression); zero shuffles at any corpus
+    * size.
+    */
+  def winnow(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, s"k/w out of range: $k/$w")
+    val maxLong = Long.MaxValue
+    val base = df.select(col(idCol),
+      transform(graft.functions.wordShinglesNative(col(textCol), k),
+        g => foldHash(g)).as("__h"))
+    val n = size(col("__h"))
+    val nWin = when(n >= 1, greatest(n - lit(w - 1), lit(1))).otherwise(lit(0))
+    // per window s: fold over indices [s, min(s+w-1, n-1)] keeping the
+    // (min, rightmost-pos) struct — `<=` makes later indices win ties
+    val picks = transform(sequence(lit(0), nWin - 1),
+      s => aggregate(
+        sequence(s, least(s + lit(w - 1), n - 1)),
+        struct(lit(maxLong).as("m"), lit(-1).as("p")),
+        (acc, i) => when(element_at(col("__h"), i + 1) <= acc.getField("m"),
+            struct(element_at(col("__h"), i + 1).as("m"), i.as("p")))
+          .otherwise(acc)))
+    val withSel = base
+      .withColumn("__nw", nWin)
+      .withColumn("__sel", when(nWin >= 1, array_distinct(picks)))
+    withSel.select(col(idCol),
+      n.as("n_grams"),
+      col("__nw").cast("int").as("n_windows"),
+      coalesce(size(col("__sel")), lit(0)).cast("int").as("n_selected"),
+      array_min(transform(col("__sel"), s => s.getField("m"))).as("fp_min"),
+      array_max(transform(col("__sel"), s => s.getField("m"))).as("fp_max"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): min and max
     * of 64-bit hashes over character k-grams, plus the full-text hash.
     * Near-identical documents collide on min/max k-gram hashes even

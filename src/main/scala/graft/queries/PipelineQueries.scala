@@ -782,6 +782,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprint selection (MOSS): window-min over portable
+    // rolling 3-gram hashes, rightmost tie rule — the guaranteed-
+    // recall/bounded-density fingerprint dial. Map-only; every count
+    // and selected hash oracle-replayed.
+    "q100_winnowing" -> { (s, dir) =>
+      TextOps.winnow(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc_id")
+    },
+
     // Portable ±1 random projection (JL/Achlioptas): scale-6 quantized
     // vectors onto 16 closed-form sign rows — exact integer sums,
     // every output coordinate oracle-replayed. The 100 TB pre-ANN
@@ -1468,6 +1478,51 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Replays gram hashing (the q84 fold at prime modulus), the
+    // window walk as unnested rows, and the rightmost-min tie rule.
+    "q100_winnowing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS wt FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(wt) >= 3 THEN list_transform(
+         |      range(1, greatest(len(wt) - 2, 0) + 1),
+         |      i -> array_to_string(wt[i:i+2], ' '))
+         |    ELSE [] END AS grams
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_transform(grams, g0 -> list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(split(g0, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs,
+         |    CAST(len(grams) AS INT) AS n
+         |  FROM g
+         |), wins AS (
+         |  SELECT doc_id, hs, n, unnest(range(0,
+         |    CASE WHEN n >= 1 THEN greatest(n - 3, 1) ELSE 0 END)) AS s
+         |  FROM h
+         |), pick AS (
+         |  SELECT doc_id,
+         |    list_min(hs[s+1 : least(s+4, n)]) AS m,
+         |    list_max(list_transform(range(s, least(s+4, n)),
+         |      i -> CASE WHEN hs[i+1] = list_min(hs[s+1 : least(s+4, n)])
+         |           THEN i ELSE -1 END)) AS p
+         |  FROM wins
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, m, p FROM pick
+         |), agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_selected,
+         |    MIN(m) AS fp_min, MAX(m) AS fp_max
+         |  FROM sel GROUP BY doc_id
+         |)
+         |SELECT h.doc_id, h.n AS n_grams,
+         |  CAST(CASE WHEN h.n >= 1 THEN greatest(h.n - 3, 1) ELSE 0 END AS INT)
+         |    AS n_windows,
+         |  COALESCE(agg.n_selected, 0) AS n_selected,
+         |  agg.fp_min, agg.fp_max
+         |FROM h LEFT JOIN agg ON h.doc_id = agg.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
     // Rebuilds every projected coordinate: the quantization, the LCG
     // sign matrix, and the integer sums are all exact arithmetic.
     "q99_random_projection" -> {

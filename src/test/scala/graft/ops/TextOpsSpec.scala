@@ -146,6 +146,63 @@ class TextOpsSpec extends SparkSpecBase {
     assert(!b(4, "rep_ok") && !b(4, "keep"))
   }
 
+  // Independent winnowing recompute: fold-hash word k-grams, window
+  // min with rightmost tie, distinct (pos, hash) selections.
+  private def winnowRef(text: String, k: Int = 3, w: Int = 4): (Int, Int, Set[(Int, Long)]) = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val grams =
+      if (toks.size < k) Seq.empty[String]
+      else (0 to toks.size - k).map(i => toks.slice(i, i + k).mkString(" "))
+    val hs = grams.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L))
+    val n = hs.size
+    val nw = if (n >= 1) math.max(n - w + 1, 1) else 0
+    val sel = (0 until nw).map { s =>
+      val win = hs.slice(s, math.min(s + w, n))
+      val m = win.min
+      val p = s + win.lastIndexOf(m)
+      (p, m)
+    }.toSet
+    (n, nw, sel)
+  }
+
+  test("winnow matches the independent recompute on crafted docs") {
+    val docs = Seq(
+      (0L, "a b c a b c a b c a b c"),       // repeated grams: tie rule fires
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),    // all distinct
+      (2L, "x y z q"),                        // n=2 grams < w: single window
+      (3L, "just two"),                       // no grams
+      (4L, "")                                // empty
+    ).toDF("doc_id", "text")
+    val got = TextOps.winnow(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val texts = Seq("a b c a b c a b c a b c",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9", "x y z q", "just two", "")
+    texts.zipWithIndex.foreach { case (t, r) =>
+      val (n, nw, sel) = winnowRef(t)
+      val row = got(r)
+      assert(row.getInt(row.fieldIndex("n_grams")) == n, s"doc $r n_grams")
+      assert(row.getInt(row.fieldIndex("n_windows")) == nw, s"doc $r n_windows")
+      assert(row.getInt(row.fieldIndex("n_selected")) == sel.size, s"doc $r n_selected")
+      if (sel.nonEmpty) {
+        assert(row.getLong(row.fieldIndex("fp_min")) == sel.map(_._2).min)
+        assert(row.getLong(row.fieldIndex("fp_max")) == sel.map(_._2).max)
+      } else {
+        assert(row.isNullAt(row.fieldIndex("fp_min")))
+        assert(row.isNullAt(row.fieldIndex("fp_max")))
+      }
+    }
+  }
+
+  test("winnowing guarantee: docs sharing >= w+k-1 words share a fingerprint") {
+    // shared 8-word run embedded in different surroundings
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = s"intro words here $shared closing remarks"
+    val b = s"different lead-in tokens now $shared and a new tail"
+    val (_, _, selA) = winnowRef(a)
+    val (_, _, selB) = winnowRef(b)
+    assert(selA.map(_._2).intersect(selB.map(_._2)).nonEmpty,
+      "no shared fingerprint despite 8-word shared run")
+  }
+
   test("gopherRules boundary: counts exactly at thresholds pass") {
     // exactly minTokens=40 tokens, each 4 chars (mtl in band), with
     // two stopword hits, all distinct (dup ratio 0 <= 0.55)

@@ -708,6 +708,43 @@ object Dedup {
     labels
   }
 
+  /** Winnowed candidate pairs — the MOSS pairing step over
+    * [[graft.ops.TextOps.winnowSelections]] fingerprints: documents
+    * sharing ≥ `minShared` distinct selected hashes become candidate
+    * near-dup pairs. The winnowing guarantee makes this the
+    * bounded-density twin of the exact shingle postings join (q24):
+    * any shared run of ≥ w+k−1 words is caught, at ≈ 2/(w+1) the
+    * index size — the storage/recall dial for corpus-scale overlap
+    * detection.
+    *
+    * Scale discipline mirrors `ngramJaccardPairs`: fingerprints
+    * selected by more than `maxDocFreq` documents are STOP
+    * fingerprints (boilerplate — they would contribute
+    * C(docfreq, 2) candidate pairs each) and are dropped before the
+    * self-join, bounding postings-list blowup; the pair aggregate is
+    * the only corpus-sized shuffle.
+    *
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 2,
+      s"minShared/maxDocFreq out of range: $minShared/$maxDocFreq")
+    val sel = TextOps.winnowSelections(docs, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("id"), col("fp"))
+      .distinct()
+    val rare = sel.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select("fp")
+    val kept = sel.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Quality-aware near-dup survivor selection — the Dolma/FineWeb
     * keep-best policy: instead of min-id survivorship, each near-dup
     * cluster keeps its HIGHEST-quality member (ties broken by lowest

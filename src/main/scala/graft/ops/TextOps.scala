@@ -268,6 +268,35 @@ object TextOps {
     */
   def winnow(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val (withSel, n) = winnowPicked(df, idCol, textCol, k, w)
+    withSel.select(col(idCol),
+      n.as("n_grams"),
+      col("__nw").cast("int").as("n_windows"),
+      coalesce(size(col("__sel")), lit(0)).cast("int").as("n_selected"),
+      array_min(transform(col("__sel"), s => s.getField("m"))).as("fp_min"),
+      array_max(transform(col("__sel"), s => s.getField("m"))).as("fp_max"))
+  }
+
+  /** Exploded winnowing selections: one row per selected
+    * (position, fingerprint) — the joinable form [[winnow]] summarizes
+    * and the inverted-index input for winnowed pair generation
+    * ([[graft.ops.Dedup.winnowedPairs]]). Map-side explode of a
+    * bounded-density array (≈ 2/(w+1) of grams); no shuffle here.
+    */
+  def winnowSelections(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val (withSel, _) = winnowPicked(df, idCol, textCol, k, w)
+    withSel.where(col("__sel").isNotNull)
+      .select(col(idCol), explode(col("__sel")).as("s"))
+      .select(col(idCol), col("s.p").as("pos"), col("s.m").as("fp"))
+  }
+
+  /** Shared winnowing core: returns the frame with `__nw` (window
+    * count) and `__sel` (distinct (m, p) picks, null when gram-less)
+    * plus the gram-count column expression.
+    */
+  private def winnowPicked(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): (org.apache.spark.sql.DataFrame, Column) = {
     require(k >= 1 && w >= 1, s"k/w out of range: $k/$w")
     val maxLong = Long.MaxValue
     val base = df.select(col(idCol),
@@ -284,15 +313,8 @@ object TextOps {
         (acc, i) => when(element_at(col("__h"), i + 1) <= acc.getField("m"),
             struct(element_at(col("__h"), i + 1).as("m"), i.as("p")))
           .otherwise(acc)))
-    val withSel = base
-      .withColumn("__nw", nWin)
-      .withColumn("__sel", when(nWin >= 1, array_distinct(picks)))
-    withSel.select(col(idCol),
-      n.as("n_grams"),
-      col("__nw").cast("int").as("n_windows"),
-      coalesce(size(col("__sel")), lit(0)).cast("int").as("n_selected"),
-      array_min(transform(col("__sel"), s => s.getField("m"))).as("fp_min"),
-      array_max(transform(col("__sel"), s => s.getField("m"))).as("fp_max"))
+    (base.withColumn("__nw", nWin)
+      .withColumn("__sel", when(nWin >= 1, array_distinct(picks))), n)
   }
 
   /** Rolling-hash document fingerprint (winnowing-style): min and max

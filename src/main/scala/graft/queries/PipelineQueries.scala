@@ -782,6 +782,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Winnowed candidate pairs: the MOSS pairing step — q100's
+    // fingerprints inverted into postings, stop-fingerprint cap,
+    // pairs sharing >= 3 selected hashes. The bounded-density twin of
+    // q24's exact shingle join; every pair and count oracle-replayed.
+    "q101_winnowed_pairs" -> { (s, dir) =>
+      Dedup.winnowedPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 3, maxDocFreq = 50)
+        .orderBy("id_a", "id_b")
+    },
+
     // Winnowing fingerprint selection (MOSS): window-min over portable
     // rolling 3-gram hashes, rightmost tie rule — the guaranteed-
     // recall/bounded-density fingerprint dial. Map-only; every count
@@ -1478,6 +1488,45 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q100's selection chain + docfreq cap + postings self-join —
+    // every candidate pair and shared count replays exactly.
+    "q101_winnowed_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS wt FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(wt) >= 3 THEN list_transform(
+         |      range(1, greatest(len(wt) - 2, 0) + 1),
+         |      i -> array_to_string(wt[i:i+2], ' '))
+         |    ELSE [] END AS grams
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_transform(grams, g0 -> list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(split(g0, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs,
+         |    CAST(len(grams) AS INT) AS n
+         |  FROM g
+         |), wins AS (
+         |  SELECT doc_id, hs, n, unnest(range(0,
+         |    CASE WHEN n >= 1 THEN greatest(n - 3, 1) ELSE 0 END)) AS s
+         |  FROM h
+         |), pick AS (
+         |  SELECT doc_id, list_min(hs[s+1 : least(s+4, n)]) AS m FROM wins
+         |), sel AS (
+         |  SELECT DISTINCT doc_id, m FROM pick
+         |), dfreq AS (
+         |  SELECT m, COUNT(*) AS df FROM sel GROUP BY m
+         |), kept AS (
+         |  SELECT sel.doc_id, sel.m FROM sel JOIN dfreq USING (m)
+         |  WHERE df <= 50
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // Replays gram hashing (the q84 fold at prime modulus), the
     // window walk as unnested rows, and the rightmost-min tie rule.
     "q100_winnowing" ->

@@ -379,6 +379,35 @@ class DedupSpec extends SparkSpecBase {
       java.lang.Long.bitCount(vals(a) ^ vals(b)) == 3 })
   }
 
+  test("winnowedPairs: near-dups pair, unrelated don't") {
+    val got = Dedup.winnowedPairs(corpus, "doc_id", "text",
+        minShared = 3, maxDocFreq = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 0/1 (one token differs), 0/3 (exact dup), and their closure
+    // all share fingerprints; 2 (unrelated) pairs with nobody
+    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)))
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnowedPairs: stop-fingerprint cap suppresses boilerplate pairs") {
+    // 5 docs share only a boilerplate run; docs 10/11 share a rare run
+    val boiler = "shared navigation header text repeated on every page"
+    val rare = "unique long passage appearing exactly twice in this corpus"
+    val docs = ((0L to 4L).map(i => (i, s"$boiler filler$i")) ++
+      Seq((10L, s"$rare alpha beta"), (11L, s"gamma delta $rare")))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowedPairs(docs, "doc_id", "text",
+        minShared = 1, maxDocFreq = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L)),
+      s"expected only the rare pair, got $got")
+    // without the cap, the boilerplate clique comes back
+    val uncapped = Dedup.winnowedPairs(docs, "doc_id", "text",
+        minShared = 1, maxDocFreq = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((10L, 11L)))
+  }
+
   test("qualityAwareSurvivors: best quality wins, ties to min id, singletons kept") {
     // cluster {0,1,2} (chained edges), cluster {3,4} (tie on quality),
     // singleton 5

@@ -86,6 +86,56 @@ object Bpe {
     steps.reduce(_ unionAll _)
   }
 
+  /** Corpus ENCODE with the learned tokenizer — the third leg of the
+    * BPE story (train [[merges]] → diagnose [[fertility]] → encode):
+    * per-document subword counts under the first `nMerges` learned
+    * rules, i.e. the honest "how many tokens does this corpus cost"
+    * number a budget/mixture pipeline needs.
+    *
+    * Scale design: the vocabulary-collapse trick again — merge
+    * application runs per DISTINCT word (morphology-bounded), never
+    * per occurrence; the corpus then joins word → symbol-count and
+    * aggregates per document. The word→count side is vocabulary-sized
+    * (Catalyst auto-broadcasts it under the threshold; at a
+    * multi-million-word vocabulary it degrades gracefully to a
+    * shuffle join on `word`, which is still vocab×1 — never
+    * corpus×corpus).
+    *
+    * Output: (idCol, n_tokens, n_subwords, doc_fertility) — fertility
+    * null for token-less documents (no division pole).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val ruleRows = merges(docs, idCol, textCol, nMerges)
+    val wordVocab = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("word"), symbolize(col("word")).as("sym"))
+    val rewritten = (1 to nMerges).foldLeft(wordVocab) { (v, s) =>
+      val rule = ruleRows.where(col("step") === s)
+        .select(col("sym_a"), col("sym_b"))
+      val pat = concat(lit(" "), col("sym_a"), lit(" "), col("sym_b"), lit(" "))
+      val rep = concat(lit(" "), col("sym_a"), col("sym_b"), lit(" "))
+      v.crossJoin(broadcast(rule))
+        .select(col("word"),
+          replace(replace(col("sym"), pat, rep), pat, rep).as("sym"))
+    }
+    val wordSyms = rewritten.select(col("word"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_syms"))
+    val docWords = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("word"))
+    val agg = docWords.join(wordSyms, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_syms")).as("n_subwords"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+          .as("doc_fertility"))
+  }
+
   /** Tokenizer-fertility report: apply the first `nMerges` learned
     * merges to the whole corpus and report symbols-per-word for each
     * language — the standard "how well does this tokenizer serve each

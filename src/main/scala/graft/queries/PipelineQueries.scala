@@ -630,6 +630,14 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // Corpus encode under the learned tokenizer — per-doc subword
+    // counts (the honest token-budget number). Merge application per
+    // DISTINCT word (vocabulary collapse), join-back + one aggregate.
+    "q102_bpe_encode" -> { (s, dir) =>
+      Bpe.encode(Tables.documents(s, dir), "doc_id", "text", nMerges = 3)
+        .orderBy("doc_id")
+    },
+
     // CCNet-style perplexity terciles — head/middle/tail thirds per
     // language by LM cross-entropy. The cutoffs come from the
     // per-(lang, score) HISTOGRAM (window over distinct scores only),
@@ -1968,6 +1976,47 @@ object PipelineQueries {
          |SELECT lang, n_words, n_symbols,
          |  CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
          |FROM rep ORDER BY lang""".stripMargin,
+    // Same merge chain applied to the DISTINCT-word vocabulary, then
+    // occurrences join word -> symbol count and sum per document.
+    "q102_bpe_encode" ->
+      s"""WITH ${bpeStagesSql(3)}, wv AS (
+         |  SELECT word, ' ' || array_to_string(split(word, ''), ' ') || ' ' AS sym
+         |  FROM (SELECT DISTINCT unnest($tokensSql) AS word FROM documents)
+         |), rw AS (
+         |  SELECT word,
+         |    replace(replace(replace(replace(replace(replace(sym,
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
+         |      (SELECT ' ' || a || b || ' ' FROM m1)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
+         |      (SELECT ' ' || a || b || ' ' FROM m1)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
+         |      (SELECT ' ' || a || b || ' ' FROM m2)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
+         |      (SELECT ' ' || a || b || ' ' FROM m2)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
+         |      (SELECT ' ' || a || b || ' ' FROM m3)),
+         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
+         |      (SELECT ' ' || a || b || ' ' FROM m3)) AS sym
+         |  FROM wv
+         |), ws AS (
+         |  SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+         |    AS n_syms
+         |  FROM rw
+         |), dt AS (
+         |  SELECT doc_id, unnest($tokensSql) AS word FROM documents
+         |), agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_syms) AS BIGINT) AS n_subwords
+         |  FROM dt JOIN ws USING (word) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+         |  COALESCE(agg.n_subwords, 0) AS n_subwords,
+         |  CASE WHEN COALESCE(agg.n_tokens, 0) > 0
+         |    THEN CAST(agg.n_subwords AS DOUBLE) / CAST(agg.n_tokens AS DOUBLE)
+         |  END AS doc_fertility
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q79_domain_cap" ->
       """SELECT source, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,

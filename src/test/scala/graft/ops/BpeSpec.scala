@@ -93,6 +93,42 @@ class BpeSpec extends SparkSpecBase {
     assert(got == Seq(("l1", 3L, 3L, 1.0), ("l2", 2L, 3L, 1.5)), got)
   }
 
+  test("encode: per-doc subword counts under the learned merges") {
+    val docs = Seq(
+      (1L, "abc abc ab"),
+      (2L, "abc zz"),
+      (3L, "   ") // token-less
+    ).toDF("doc_id", "text")
+    // merges on this corpus: (a,b) then (ab,c) — as pinned in the
+    // fertility test; abc -> 1 symbol, ab -> 1 symbol, zz -> 2.
+    val got = Bpe.encode(docs, "doc_id", "text", nMerges = 2)
+      .orderBy("doc_id")
+      .collect()
+    def row(i: Int) = (got(i).getLong(1), got(i).getLong(2),
+      if (got(i).isNullAt(3)) None else Some(got(i).getDouble(3)))
+    assert(row(0) == ((3L, 3L, Some(1.0))))
+    assert(row(1) == ((2L, 3L, Some(1.5))))
+    assert(row(2) == ((0L, 0L, None)))
+  }
+
+  test("encode laws: 1 <= syms-per-word <= word length; consistent with fertility") {
+    val docs = Seq(
+      (1L, "low lower newest widest", "en"),
+      (2L, "newest low low", "en")
+    ).toDF("doc_id", "text", "lang")
+    val enc = Bpe.encode(docs, "doc_id", "text", nMerges = 3)
+      .orderBy("doc_id").collect()
+    // doc1: 4 words, chars 3+5+6+6=20; doc2: 3 words, chars 6+3+3=12
+    assert(enc(0).getLong(1) == 4L && enc(0).getLong(2) >= 4L &&
+      enc(0).getLong(2) <= 20L)
+    assert(enc(1).getLong(1) == 3L && enc(1).getLong(2) >= 3L &&
+      enc(1).getLong(2) <= 12L)
+    // corpus-wide: sum of per-doc subwords == fertility's n_symbols
+    val fert = Bpe.fertility(docs, "doc_id", "text", "lang", nMerges = 3)
+      .collect()(0)
+    assert(enc.map(_.getLong(2)).sum == fert.getLong(2))
+  }
+
   test("nMerges bounds are enforced") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Bpe.merges(df, "doc_id", "text", 0))

@@ -132,6 +132,20 @@ object RecallProbe {
       println(s"[recall-probe] sf=$sfDir ivf_train_cap=$cap cells=8 nProbe=3: " +
         s"min=${recalls.min} mean=${recalls.sum / recalls.size}")
     }
+
+    // Projected-shortlist rerank (q103): JL 32-dim shortlist + exact
+    // cosine re-rank vs exact cosine — pins ProjectedRecallFloor.
+    for (rf <- Seq(4, 8)) {
+      val pr = Similarity.projectedRerankTopK(q, e, "vec_id", "embedding",
+          k = 5, projDim = 32, rerankFactor = rf)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exactCos.map { case (qid, ex) =>
+        (pr.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      println(s"[recall-probe] sf=$sfDir ann_projected projDim=32 rerank=$rf: " +
+        s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
+        s"per-query=${recalls.toSeq.sorted.mkString(",")}")
+    }
     spark.stop()
   }
 }

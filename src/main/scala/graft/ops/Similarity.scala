@@ -270,23 +270,31 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
-  /** Sign of entry (j, i) of the portable ±1 projection matrix: TWO
-    * LCG steps on seed `j·4096 + i + 1`, bit 16 of the low 31 bits
-    * picks the sign. Deliberately NOT xxhash64 — every operation
-    * (multiply, add, mod, shift on non-negative longs) replays
-    * exactly in ANSI SQL, the [[graft.ops.Selection.tokenBucket]]
-    * portability discipline. Two steps because one step of an LCG on
-    * a LINEAR seed is an arithmetic progression mod 2³¹ (correlated
-    * sign rows); the 4096 stride keeps per-row seed ranges disjoint
-    * up to dim 4096. Bit 16 (not bit 0) because an LCG's low bits
-    * cycle with short periods. Measured over 16×64 entries: 31–33
-    * ones per 64-wide row, all rows distinct (spec-pinned).
+  /** Sign of entry (j, i) of the portable ±1 projection matrix: a
+    * murmur-style multiply/xor-shift finalizer on seed
+    * `j·4096 + i + 1`, all in non-negative sub-2³¹ longs. Deliberately
+    * NOT xxhash64 — every operation (multiply, mod, xor, and
+    * shift-as-integer-division) replays exactly in ANSI SQL, the
+    * [[graft.ops.Selection.tokenBucket]] portability discipline.
+    *
+    * The mixing matters: LCG steps alone on a LINEAR seed leave sign
+    * rows correlated — the first cut (two LCG steps) measured a
+    * pairwise row dot of 58/64 (two rows 95% identical), which
+    * flattened projected-cosine recall to near-random. The xor-shift
+    * interleave brings the 16×64 Gram matrix off-diagonal under
+    * |20|/64 and the 32×64 under |24|/64 — true-random-matrix range —
+    * with 26–38 ones per 64-wide row (spec-pinned, including the
+    * pairwise-correlation bound).
     */
   private def rpSign(j: Int, i: Column): Column = {
-    val h1 = pmod((i + lit(j * 4096L + 1L)) * lit(1103515245L) + lit(12345L),
-      lit(2147483648L))
-    val h2 = pmod(h1 * lit(1103515245L) + lit(12345L), lit(2147483648L))
-    when(pmod(shiftright(h2, 16), lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))
+    val m31 = lit(2147483648L)
+    val h1 = pmod((i + lit(j * 4096L + 1L)) * lit(2654435761L), m31)
+    val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+    val h3 = pmod(h2 * lit(2246822519L), m31)
+    val h4 = h3.bitwiseXOR(shiftright(h3, 11))
+    val h5 = pmod(h4 * lit(3266489917L), m31)
+    val h6 = h5.bitwiseXOR(shiftright(h5, 16))
+    when(pmod(h6, lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))
   }
 
   /** Random ±1 projection (the Johnson–Lindenstrauss / Achlioptas
@@ -329,6 +337,61 @@ object Similarity {
         lit(0L), (acc, v) => acc + v).as(f"p$j%02d")
     }
     base.select(col(idCol) +: projCols: _*)
+  }
+
+  /** ANN via JL shortlisting — [[randomProjection]] integrated into
+    * the search path (the operator the projection exists for), the
+    * [[ivfTopKQuantizedRerank]] two-stage shape with a DIFFERENT
+    * cheap-scoring arm:
+    *
+    *  1. both sides project to `projDim` exact-integer coordinates
+    *     (map-only, stateless — nothing trained, broadcast, or
+    *     collected);
+    *  2. a `rerankFactor`·k shortlist per query is ranked on
+    *     PROJECTED cosine — per-pair work is projDim flops instead of
+    *     dim (the 4–48× candidate-scoring reduction at dim 64–768);
+    *  3. only the shortlist joins the full-precision vectors for the
+    *     exact top-k re-rank.
+    *
+    * JL distortion can evict a true neighbor from the shortlist, so
+    * recall ≤ exact; `rerankFactor` buys it back (measured floors in
+    * [[graft.queries.Calibration]]). Vectors quarantined by the
+    * projection (NaN/Inf) never enter the shortlist.
+    */
+  def projectedRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      projDim: Int = 16, rerankFactor: Int = 4,
+      simFn: (Column, Column) => Column = cosineExact,
+      simName: String = "cosine"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
+    // ÷10⁶ returns coordinates to raw-embedding magnitude, and the
+    // array must be FLOAT: cosine is scale-invariant, but the
+    // scaled-long dot kernel ([[graft.expressions.DecimalScaledDot]])
+    // (a) quantizes elements at 10⁻⁶ — raw ~10⁷-magnitude integer
+    // sums made element products overflow int64 silently — and
+    // (b) reads float arrays via `getFloat`, so an array<double>
+    // feeds it garbage 4-byte halves with NO error. Both measured as
+    // recall collapse before this projection-side normalization.
+    def projected(df: DataFrame): DataFrame =
+      randomProjection(df, idCol, vecCol, projDim)
+        .where(col("p00").isNotNull) // quarantined vectors can't rank
+        .select(col(idCol),
+          array((0 until projDim).map(j =>
+            (col(f"p$j%02d").cast("double") / lit(1000000.0)).cast("float")): _*)
+            .as("__pvec"))
+    val shortlist = bruteForceTopK(projected(queries), projected(corpus),
+        idCol, "__pvec", k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    rankTopK(
+      shortlist
+        .join(broadcast(qv), Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          simFn(col("__qv"), col("__cv")).as(simName)),
+      k, simName)
   }
 
   /** Cap on `adaptiveTopK`'s √|C| cell sizing — see the dispatch doc. */

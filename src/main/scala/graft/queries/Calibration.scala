@@ -47,6 +47,16 @@ object Calibration {
     */
   val IvfMeanRecallFloor = 0.5
 
+  /** q103: MEAN recall@5 floor for `projectedRerankTopK(projDim=32,
+    * rerankFactor=8)` — the JL-shortlist + exact-re-rank path — vs
+    * exact cosine. Measured mean 0.70/0.66/0.50 at sf0.001/0.01/0.1
+    * (RecallProbe r7 continuation); 0.4 keeps a five-hit margin below
+    * the weakest scale. (The synthetic near-isotropic embeddings are
+    * the hard case for JL — real embedding corpora cluster, raising
+    * recall at the same projDim.)
+    */
+  val ProjectedRecallFloor = 0.4
+
   /** q73: semantic-dedup cosine threshold. Calibrated to the synthetic
     * embeddings, whose max pairwise cosine tops out near 0.45 (real
     * embedding models sit near 0.95+) — τ=0.4 keeps the operator

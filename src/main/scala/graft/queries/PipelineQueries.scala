@@ -383,6 +383,47 @@ object PipelineQueries {
         col("n_self"))
     },
 
+    // ANN via JL shortlisting (q99's projection integrated into the
+    // search path): 32-dim projected-cosine shortlist, exact re-rank.
+    // CONTRACT oracle (q75 pattern): mean recall@5 vs the in-plan
+    // exact twin >= measured floor, every returned score equals the
+    // recomputed full-precision cosine, no self matches.
+    "q103_ann_projected" -> { (s, dir) =>
+      import graft.functions.cosineExact
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val proj = Similarity.projectedRerankTopK(q, e, "vec_id", "embedding",
+        k = 5, projDim = 32, rerankFactor = 8)
+      val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv2"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv2"))
+      val fidelity = proj
+        .join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .agg(
+          coalesce(sum(when(col("cosine") =!=
+            cosineExact(col("qv2"), col("cv2")), 1L).otherwise(0L)), lit(0L))
+            .as("n_inexact_score"),
+          coalesce(sum(when(col("query_id") === col("neighbor_id"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_self"))
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").withColumn("in_exact", lit(true))
+      val recall = exact
+        .join(proj.select("query_id", "neighbor_id").withColumn("in_p", lit(true)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("in_exact") && col("in_p"), 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"))
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(avg(col("n_hit").cast("double") /
+            col("n_exact").cast("double")), lit(1.0)).as("mean_recall"))
+      recall.crossJoin(fidelity).select(
+        col("n_queries"),
+        (col("mean_recall") >= Calibration.ProjectedRecallFloor)
+          .as("recall_floor_met"),
+        (col("n_inexact_score") === 0L).as("rerank_scores_exact"),
+        col("n_self"))
+    },
+
     // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
     // codec decode (header walk, BMP row padding, RIFF chunk list) →
     // container features. CONTRACT oracle: every decoded feature is a
@@ -1584,9 +1625,14 @@ object PipelineQueries {
     // sign matrix, and the integer sums are all exact arithmetic.
     "q99_random_projection" -> {
       val pCols = (0 until 16).map { j =>
-        val h1 = s"(((i + ${j * 4096 + 1}) * 1103515245 + 12345) % 2147483648)"
-        val sign = s"CASE WHEN ((($h1 * 1103515245 + 12345) % 2147483648)" +
-          s" // 65536) % 2 = 1 THEN 1 ELSE -1 END"
+        // the murmur-style finalizer, shifts as integer division
+        val h1 = s"(((i + ${j * 4096 + 1}) * 2654435761) % 2147483648)"
+        val h2 = s"xor($h1, $h1 // 8192)"
+        val h3 = s"(($h2 * 2246822519) % 2147483648)"
+        val h4 = s"xor($h3, $h3 // 2048)"
+        val h5 = s"(($h4 * 3266489917) % 2147483648)"
+        val h6 = s"xor($h5, $h5 // 65536)"
+        val sign = s"CASE WHEN $h6 % 2 = 1 THEN 1 ELSE -1 END"
         f"  CAST(list_sum(list_transform(range(0, len(q6)), i -> q6[i+1] * ($sign))) AS BIGINT) AS p$j%02d"
       }.mkString(",\n")
       s"""WITH q AS (
@@ -2147,6 +2193,15 @@ object PipelineQueries {
     // a correct quantized-candidate + exact-re-rank implementation
     // (floor measured with margin — see the query comment).
     "q75_ann_quantized" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  TRUE AS recall_floor_met,
+        |  TRUE AS rerank_scores_exact,
+        |  CAST(0 AS BIGINT) AS n_self
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // q75's contract shape for the JL-shortlist path: the floor and
+    // score-fidelity guarantees are recomputed in-plan; the oracle
+    // states the contract over the query set.
+    "q103_ann_projected" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  TRUE AS recall_floor_met,
         |  TRUE AS rerank_scores_exact,

@@ -421,15 +421,20 @@ class SimilaritySpec extends SparkSpecBase {
 
   // Scala mirror of the rpSign/quantize law — an independent recompute,
   // not a Spark re-execution.
+  private def rpSignRef(j: Int, i: Int): Long = {
+    val h1 = ((i + j * 4096L + 1L) * 2654435761L) % 2147483648L
+    val h2 = h1 ^ (h1 >> 13)
+    val h3 = (h2 * 2246822519L) % 2147483648L
+    val h4 = h3 ^ (h3 >> 11)
+    val h5 = (h4 * 3266489917L) % 2147483648L
+    val h6 = h5 ^ (h5 >> 16)
+    if ((h6 & 1L) == 1L) 1L else -1L
+  }
+
   private def rpRef(vec: Seq[Float], outDim: Int): Seq[Long] = {
     val q6 = vec.map(x => math.floor(x.toDouble * 1e6).toLong)
     (0 until outDim).map { j =>
-      q6.zipWithIndex.map { case (v, i) =>
-        val h1 = ((i + j * 4096L + 1L) * 1103515245L + 12345L) % 2147483648L
-        val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
-        val sign = if (((h2 >> 16) & 1L) == 1L) 1L else -1L
-        v * sign
-      }.sum
+      q6.zipWithIndex.map { case (v, i) => v * rpSignRef(j, i) }.sum
     }
   }
 
@@ -453,21 +458,36 @@ class SimilaritySpec extends SparkSpecBase {
       got(0).getLong(j + 1) == got(1).getLong(j + 1)))
   }
 
-  test("randomProjection sign rows are balanced-ish and distinct across j") {
-    // over 64 input dims, each sign row should use both signs and
-    // differ from the other rows (no rank collapse)
-    val rows = (0 until 16).map { j =>
-      (0 until 64).map { i =>
-        val h1 = ((i + j * 4096L + 1L) * 1103515245L + 12345L) % 2147483648L
-        val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
-        (h2 >> 16) & 1L
-      }
+  test("randomProjection sign rows are balanced, distinct, and uncorrelated") {
+    // over 64 input dims: both signs used, no near-duplicate rows —
+    // pairwise Gram off-diagonals must sit in true-random-matrix
+    // range (the two-LCG first cut measured 58/64 — near rank
+    // collapse — and near-random projected-cosine recall)
+    val rows = (0 until 32).map { j =>
+      (0 until 64).map(i => rpSignRef(j, i))
     }
     rows.foreach { r =>
-      val ones = r.sum
+      val ones = r.count(_ == 1L)
       assert(ones >= 16 && ones <= 48, s"degenerate sign row: $ones of 64")
     }
-    assert(rows.distinct.size == 16, "duplicate sign rows")
+    assert(rows.distinct.size == 32, "duplicate sign rows")
+    for (a <- 0 until 32; b <- (a + 1) until 32) {
+      val dot = math.abs((0 until 64).map(i => rows(a)(i) * rows(b)(i)).sum)
+      assert(dot <= 32, s"correlated sign rows $a,$b: |dot|=$dot of 64")
+    }
+  }
+
+  test("projectedRerankTopK: exhaustive shortlist equals brute force exactly") {
+    // rerankFactor large enough that the shortlist covers the whole
+    // corpus -> the exact re-rank must reproduce bruteForceTopK
+    // verbatim (ids, scores, ranks)
+    val q = corpus.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val proj = Similarity.projectedRerankTopK(q, corpus, "vec_id", "embedding",
+        k = 3, projDim = 8, rerankFactor = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(proj == brute)
   }
 
   test("randomProjection: NaN/Inf vectors quarantine to null, not abort") {

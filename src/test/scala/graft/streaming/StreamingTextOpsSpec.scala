@@ -65,4 +65,31 @@ class StreamingTextOpsSpec extends SparkSpecBase {
       assert(kept.nonEmpty)
     } finally q.stop()
   }
+
+  test("gopherRules and winnow run unchanged on a stream, row-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val g = TextOps.gopherRules(streamDf, "doc_id", "text")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    val wn = TextOps.winnow(streamDf, "doc_id", "text")
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      g.processAllAvailable(); wn.processAllAvailable()
+      val gStream = spark.table("gopher_stream")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val gBatch = TextOps.gopherRules(docs.toDF("doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(gStream == gBatch)
+      val wStream = spark.table("winnow_stream")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val wBatch = TextOps.winnow(docs.toDF("doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(wStream == wBatch)
+      assert(wStream.length == 4)
+    } finally { g.stop(); wn.stop() }
+  }
 }

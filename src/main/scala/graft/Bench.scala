@@ -80,9 +80,16 @@ object Bench {
   def outliers(results: Seq[(String, Double)],
       pins: Map[String, Double] = PinnedMinSf01): Seq[String] =
     results.flatMap { case (name, t) =>
-      val short = name.take(3)
+      val short = shortKey(name)
       pins.get(short).collect { case p if t > 2 * p && t > p + 2.0 => short }
     }
+
+  /** Short per-query key: the `qN…` prefix before the first
+    * underscore. `take(3)` broke at q100 — three-digit query numbers
+    * collapsed onto their two-digit prefixes (q100→"q10") and the
+    * compact record silently dropped the colliding keys.
+    */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
 
   /** `"outliers":[...],` fragment; "" when none flagged (keeps the
     * compact line at its floor length on clean runs).
@@ -110,7 +117,7 @@ object Bench {
       sfDir: String, calibStartSec: Double = -1.0, calibEndSec: Double = -1.0,
       load1Start: Double = -1.0, load1End: Double = -1.0,
       flagged: Seq[String] = Seq.empty): String = {
-    val qs = results.map { case (k, v) => "\"" + k.take(3) + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(totalSec)},"unit":"sec",""" +
       s""""parity_sec":${r3(paritySec)},"extensions_sec":${r3(totalSec - ingestSec - paritySec)},""" +

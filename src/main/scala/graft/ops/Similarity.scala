@@ -328,7 +328,11 @@ object Similarity {
         e.cast("double") === Double.NegativeInfinity)
     val q6 = when(valid,
       transform(x, e => floor(e.cast("double") * lit(1000000.0)).cast("long")))
-    val base = df.select(col(idCol), q6.as("__q6"))
+    // generator barrier (explode of a 1-element array): every projCol
+    // references __q6 several times, and CollapseProject would inline
+    // the quantization transform into each reference (NOTES
+    // invariant 16) — the barrier keeps __q6 one attribute.
+    val base = df.select(col(idCol), explode(array(q6)).as("__q6"))
     val projCols = (0 until outDim).map { j =>
       aggregate(
         zip_with(col("__q6"),

@@ -299,9 +299,16 @@ object TextOps {
       textCol: String, k: Int, w: Int): (org.apache.spark.sql.DataFrame, Column) = {
     require(k >= 1 && w >= 1, s"k/w out of range: $k/$w")
     val maxLong = Long.MaxValue
+    // explode(array(..)) is a deliberate GENERATOR BARRIER: the window
+    // walk below references __h once per fold step, and CollapseProject
+    // would otherwise inline the whole gram-hash pipeline into every
+    // element_at — re-hashing the document per window step (NOTES
+    // invariant 16; measured 382 s for q101 at sf0.1, 3.9 s with the
+    // barrier). A Generate node keeps __h an attribute reference, and
+    // unlike localCheckpoint it works on streaming frames.
     val base = df.select(col(idCol),
-      transform(graft.functions.wordShinglesNative(col(textCol), k),
-        g => foldHash(g)).as("__h"))
+      explode(array(transform(graft.functions.wordShinglesNative(col(textCol), k),
+        g => foldHash(g)))).as("__h"))
     val n = size(col("__h"))
     val nWin = when(n >= 1, greatest(n - lit(w - 1), lit(1))).otherwise(lit(0))
     // per window s: fold over indices [s, min(s+w-1, n-1)] keeping the

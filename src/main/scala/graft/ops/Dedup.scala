@@ -708,6 +708,50 @@ object Dedup {
     labels
   }
 
+  /** Per-document n-gram novelty vs the corpus: for each document,
+    * the fraction of its DISTINCT word n-grams that appear in no
+    * other document (`novelty`) and the fraction shared by more than
+    * `boilerplateFloor` documents (`boilerplate_frac`) — the
+    * "is this document new text or recycled text" curation signal
+    * that sits between exact dedup (all grams shared) and the pair
+    * detectors (which only fire above a similarity threshold).
+    *
+    * Scale shape: one distinct-(doc, gram) explode, one gram docfreq
+    * hash aggregate, one join back on gram, one per-doc aggregate —
+    * the q24 postings discipline without the pair join (postings
+    * carry doc ids, never text). Gram-less documents report null
+    * fractions (no division pole).
+    *
+    * Output: (idCol, n_grams, n_unique, n_boiler, novelty,
+    * boilerplate_frac).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, boilerplateFloor: Int = 2): DataFrame = {
+    require(boilerplateFloor >= 1, s"boilerplateFloor must be ≥ 1: $boilerplateFloor")
+    val grams = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          graft.functions.wordShinglesNative(col(textCol), n))).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(df, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("__df") > boilerplateFloor.toLong, 1L).otherwise(0L))
+          .as("n_boiler"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_grams") > 0,
+          col("n_unique").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"),
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .as("boilerplate_frac"))
+  }
+
   /** Winnowed candidate pairs — the MOSS pairing step over
     * [[graft.ops.TextOps.winnowSelections]] fingerprints: documents
     * sharing ≥ `minShared` distinct selected hashes become candidate

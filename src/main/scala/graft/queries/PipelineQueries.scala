@@ -831,6 +831,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // n-gram novelty vs the corpus: fraction of each doc's distinct
+    // 3-grams unique to it / shared by >2 docs — the new-text vs
+    // recycled-text curation signal. Postings discipline, no pair
+    // join; every count and fraction oracle-replayed.
+    "q104_ngram_novelty" -> { (s, dir) =>
+      Dedup.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, boilerplateFloor = 2)
+        .orderBy("doc_id")
+    },
+
     // Winnowed candidate pairs: the MOSS pairing step — q100's
     // fingerprints inverted into postings, stop-fingerprint cap,
     // pairs sharing >= 3 selected hashes. The bounded-density twin of
@@ -1537,6 +1547,37 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Distinct-gram docfreq replay: counts and one double division
+    // per fraction, identical IEEE shape.
+    "q104_ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS g
+         |  FROM toks WHERE len(w) >= 3
+         |), dfreq AS (
+         |  SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+         |), perdoc AS (
+         |  SELECT sh.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |    CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |  FROM sh JOIN dfreq USING (g) GROUP BY sh.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.n_unique, 0) AS n_unique,
+         |  COALESCE(p.n_boiler, 0) AS n_boiler,
+         |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+         |    THEN CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE) END
+         |    AS novelty,
+         |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+         |    THEN CAST(p.n_boiler AS DOUBLE) / CAST(p.n_grams AS DOUBLE) END
+         |    AS boilerplate_frac
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // q100's selection chain + docfreq cap + postings self-join —
     // every candidate pair and shared count replays exactly.
     "q101_winnowed_pairs" ->

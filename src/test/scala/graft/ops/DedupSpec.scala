@@ -379,6 +379,30 @@ class DedupSpec extends SparkSpecBase {
       java.lang.Long.bitCount(vals(a) ^ vals(b)) == 3 })
   }
 
+  test("ngramNovelty: unique text 1.0, replicated text 0.0 with boilerplate flagged") {
+    val docs = Seq(
+      (0L, "completely novel words never repeated anywhere else"),
+      (1L, "shared boiler plate text here"), // in 3 docs -> df 3 > floor 2
+      (2L, "shared boiler plate text here"),
+      (3L, "shared boiler plate text here"),
+      (4L, "too short"),                      // < 3 tokens: no grams
+      (5L, "half novel opening then shared boiler plate text here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text", n = 3,
+        boilerplateFloor = 2)
+      .orderBy("doc_id").collect()
+    def d(i: Int, f: String) = got(i).getDouble(got(i).fieldIndex(f))
+    assert(d(0, "novelty") == 1.0 && d(0, "boilerplate_frac") == 0.0)
+    assert(d(1, "novelty") == 0.0 && d(1, "boilerplate_frac") == 1.0)
+    assert(got(4).isNullAt(got(4).fieldIndex("novelty")) &&
+      got(4).getLong(got(4).fieldIndex("n_grams")) == 0L)
+    // doc 5: "shared boiler plate", "boiler plate text", "plate text
+    // here" appear in 4 docs (> floor); its novel prefix grams are
+    // unique -> strictly between
+    assert(d(5, "novelty") > 0.0 && d(5, "novelty") < 1.0)
+    assert(d(5, "boilerplate_frac") > 0.0 && d(5, "boilerplate_frac") < 1.0)
+  }
+
   test("winnowedPairs: near-dups pair, unrelated don't") {
     val got = Dedup.winnowedPairs(corpus, "doc_id", "text",
         minShared = 3, maxDocFreq = 50)

@@ -73,6 +73,45 @@ object CurationScaleProbe {
         docsN, "doc_id", "text", "lang")
         .select(col("doc_id"), col("lang"), col("nll6"))).count()
     }
+    import graft.ops.TextOps
+    // Continuation additions — what each must show at N×:
+    // gopherRules/winnow: linear (map-only scan→project);
+    // winnowedPairs: the fingerprint postings join grows with
+    //   replication-induced duplicate density (same inherent shape as
+    //   q24's exact join, at ~2/(w+1) the index size — the cap bounds
+    //   hot fingerprints);
+    // ngramNovelty: near-linear (docfreq aggregate + join-back —
+    //   no pair term at all).
+    // .agg over computed columns — a bare count() would let Catalyst
+    // prune the whole map stage and time nothing
+    t("gopherRules 1x") {
+      TextOps.gopherRules(docs1, "doc_id", "text")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
+    t(s"gopherRules ${mult}x") {
+      TextOps.gopherRules(docsN, "doc_id", "text")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
+    t("winnow 1x") {
+      TextOps.winnow(docs1, "doc_id", "text")
+        .agg(sum(col("n_selected"))).collect()
+    }
+    t(s"winnow ${mult}x") {
+      TextOps.winnow(docsN, "doc_id", "text")
+        .agg(sum(col("n_selected"))).collect()
+    }
+    t("winnowedPairs 1x") {
+      Dedup.winnowedPairs(docs1, "doc_id", "text", minShared = 3).count()
+    }
+    t(s"winnowedPairs ${mult}x") {
+      Dedup.winnowedPairs(docsN, "doc_id", "text", minShared = 3).count()
+    }
+    t("ngramNovelty 1x") {
+      Dedup.ngramNovelty(docs1, "doc_id", "text").count()
+    }
+    t(s"ngramNovelty ${mult}x") {
+      Dedup.ngramNovelty(docsN, "doc_id", "text").count()
+    }
     docsN.unpersist()
     spark.stop()
   }

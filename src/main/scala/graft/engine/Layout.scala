@@ -38,12 +38,7 @@ object Layout {
     Tables.all.foreach { name =>
       val src = s"$sfDir/$name.parquet"
       val df = if (name == "events") {
-        val nativeTs =
-          try spark.read.parquet(src).schema.exists(f =>
-            f.name == "ts" && (f.dataType == TimestampType ||
-              f.dataType == TimestampNTZType))
-          catch { case _: Throwable => false } // NANOS inference refusal
-        if (nativeTs) spark.read.parquet(src)
+        if (Tables.eventsTsIsNative(spark, src)) spark.read.parquet(src)
         else spark.read.schema(eventsRawSchema).parquet(src)
       } else spark.read.parquet(src)
       val bytes = new java.io.File(src).length()

@@ -75,28 +75,39 @@ object Tables {
     * The footer probe is a driver-side metadata read (no data scan),
     * so the sniff costs one footer fetch — irrelevant at any scale.
     */
+  /** True when the events parquet's `ts` column reads natively as a
+    * timestamp (MICROS-era fixtures). False on the TIMESTAMP(NANOS)
+    * inference refusal — only NonFatal failures count as "refusal";
+    * an OOM/interrupt during the footer read must propagate, not
+    * silently pick the int64 arm. Shared by [[events]] and
+    * [[Layout.relayout]] so the two readers can never disagree on
+    * the encoding.
+    */
+  private[engine] def eventsTsIsNative(spark: SparkSession, path: String): Boolean = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    try spark.read.parquet(path).schema.find(_.name == "ts").exists(f =>
+      f.dataType == TimestampType || f.dataType == TimestampNTZType)
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     val path = s"$sfDir/events.parquet"
-    val nativeTs: Option[DataType] =
-      try spark.read.parquet(path).schema.find(_.name == "ts").map(_.dataType)
-      catch { case _: Throwable => None } // NANOS inference refusal
-    nativeTs match {
-      case Some(TimestampType) | Some(TimestampNTZType) =>
-        spark.read.parquet(path)
-          .withColumn("ts", col("ts").cast(TimestampType))
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-      case _ =>
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        spark.read.schema(schema).parquet(path)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
+    if (eventsTsIsNative(spark, path))
+      spark.read.parquet(path)
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    else {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read.schema(schema).parquet(path)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")

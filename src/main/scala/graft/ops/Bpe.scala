@@ -86,6 +86,34 @@ object Bpe {
     steps.reduce(_ unionAll _)
   }
 
+  /** Apply the learned merge rules to a frame carrying a `sym`
+    * column, one broadcast rewrite per step — the single home of the
+    * double-REPLACE determinism contract shared by [[fertility]] and
+    * [[encode]].
+    *
+    * A step whose rule row is ABSENT (merge exhaustion truncated
+    * [[merges]]' output) leaves the frame UNCHANGED: the rule side is
+    * aggregated to exactly one row (null sym_a/sym_b when empty), so
+    * an exhausted step can never annihilate the vocabulary the way a
+    * crossJoin against an empty frame would (found in review: a
+    * corpus of single-character words returned zero rows — and
+    * therefore n_tokens = 0 for every document — instead of encoding
+    * under the truncated rule set).
+    */
+  private def applyMerges(frame: DataFrame, ruleRows: DataFrame,
+      nMerges: Int): DataFrame =
+    (1 to nMerges).foldLeft(frame) { (v, s) =>
+      val rule = ruleRows.where(col("step") === s)
+        .agg(max(col("sym_a")).as("sym_a"), max(col("sym_b")).as("sym_b"))
+      val pat = concat(lit(" "), col("sym_a"), lit(" "), col("sym_b"), lit(" "))
+      val rep = concat(lit(" "), col("sym_a"), col("sym_b"), lit(" "))
+      v.crossJoin(broadcast(rule))
+        .withColumn("sym", when(col("sym_a").isNotNull,
+          replace(replace(col("sym"), pat, rep), pat, rep))
+          .otherwise(col("sym")))
+        .drop("sym_a", "sym_b")
+    }
+
   /** Corpus ENCODE with the learned tokenizer — the third leg of the
     * BPE story (train [[merges]] → diagnose [[fertility]] → encode):
     * per-document subword counts under the first `nMerges` learned
@@ -111,15 +139,7 @@ object Bpe {
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .distinct()
       .select(col("word"), symbolize(col("word")).as("sym"))
-    val rewritten = (1 to nMerges).foldLeft(wordVocab) { (v, s) =>
-      val rule = ruleRows.where(col("step") === s)
-        .select(col("sym_a"), col("sym_b"))
-      val pat = concat(lit(" "), col("sym_a"), lit(" "), col("sym_b"), lit(" "))
-      val rep = concat(lit(" "), col("sym_a"), col("sym_b"), lit(" "))
-      v.crossJoin(broadcast(rule))
-        .select(col("word"),
-          replace(replace(col("sym"), pat, rep), pat, rep).as("sym"))
-    }
+    val rewritten = applyMerges(wordVocab, ruleRows, nMerges)
     val wordSyms = rewritten.select(col("word"),
       size(split(trim(col("sym")), " ")).cast("long").as("n_syms"))
     val docWords = docs.select(col(idCol),
@@ -155,15 +175,7 @@ object Bpe {
         explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("n"))
       .select(col("lang"), col("n"), symbolize(col("word")).as("sym"))
-    val rewritten = (1 to nMerges).foldLeft(langVocab) { (v, s) =>
-      val rule = ruleRows.where(col("step") === s)
-        .select(col("sym_a"), col("sym_b"))
-      val pat = concat(lit(" "), col("sym_a"), lit(" "), col("sym_b"), lit(" "))
-      val rep = concat(lit(" "), col("sym_a"), col("sym_b"), lit(" "))
-      v.crossJoin(broadcast(rule))
-        .select(col("lang"), col("n"),
-          replace(replace(col("sym"), pat, rep), pat, rep).as("sym"))
-    }
+    val rewritten = applyMerges(langVocab, ruleRows, nMerges)
     rewritten
       .select(col("lang"), col("n"),
         size(split(trim(col("sym")), " ")).cast("long").as("n_syms"))

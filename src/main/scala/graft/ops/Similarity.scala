@@ -283,12 +283,17 @@ object Similarity {
     * flattened projected-cosine recall to near-random. The xor-shift
     * interleave brings the 16×64 Gram matrix off-diagonal under
     * |20|/64 and the 32×64 under |24|/64 — true-random-matrix range —
-    * with 26–38 ones per 64-wide row (spec-pinned, including the
+    * with 21–39 ones per 64-wide row (spec-pinned, including the
     * pairwise-correlation bound).
+    *
+    * The 2²⁰ seed stride keeps per-row seed ranges disjoint up to
+    * dim 1,048,576 (a 4096 stride would alias rows on >4096-dim
+    * inputs — shifted-copy sign rows, the correlation degeneracy
+    * again); max seed · multiplier stays under 2⁶³.
     */
   private def rpSign(j: Int, i: Column): Column = {
     val m31 = lit(2147483648L)
-    val h1 = pmod((i + lit(j * 4096L + 1L)) * lit(2654435761L), m31)
+    val h1 = pmod((i + lit(j * 1048576L + 1L)) * lit(2654435761L), m31)
     val h2 = h1.bitwiseXOR(shiftright(h1, 13))
     val h3 = pmod(h2 * lit(2246822519L), m31)
     val h4 = h3.bitwiseXOR(shiftright(h3, 11))
@@ -321,8 +326,15 @@ object Similarity {
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int = 16): DataFrame = {
     require(outDim > 0 && outDim <= 64, s"outDim out of range: $outDim")
+    // input dim beyond the seed stride would alias sign rows (see
+    // rpSign) — reject loudly instead of degrading silently
+    val dimGuard = lit(1048576)
     val x = col(vecCol)
-    val valid = size(x) >= 1 &&
+    val sizeOk = when(size(x) <= dimGuard, lit(true))
+      .otherwise(raise_error(concat(
+        lit("randomProjection: input dim "), size(x).cast("string"),
+        lit(" exceeds the 1048576 sign-matrix stride"))).cast("boolean"))
+    val valid = sizeOk && size(x) >= 1 &&
       !exists(x, e => isnan(e.cast("double")) ||
         e.cast("double") === Double.PositiveInfinity ||
         e.cast("double") === Double.NegativeInfinity)

@@ -270,7 +270,10 @@ object TextOps {
       textCol: String, k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
     val (withSel, n) = winnowPicked(df, idCol, textCol, k, w)
     withSel.select(col(idCol),
-      n.as("n_grams"),
+      // null text -> null gram array; report 0 like the SQL mirror's
+      // ELSE-[] branch so the row stays internally consistent with
+      // n_windows/n_selected = 0
+      coalesce(n, lit(0)).as("n_grams"),
       col("__nw").cast("int").as("n_windows"),
       coalesce(size(col("__sel")), lit(0)).cast("int").as("n_selected"),
       array_min(transform(col("__sel"), s => s.getField("m"))).as("fp_min"),

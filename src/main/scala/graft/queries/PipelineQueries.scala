@@ -406,6 +406,11 @@ object PipelineQueries {
             .otherwise(0L)), lit(0L)).as("n_self"))
       val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id").withColumn("in_exact", lit(true))
+      // n_queries from the QUERY FRAME, not the joined groups: a
+      // quarantined (NaN) query would vanish from both arms and
+      // silently shrink a group count, diverging from the oracle's
+      // COUNT(*) over the query set
+      val nq = q.agg(count(lit(1)).as("n_queries"))
       val recall = exact
         .join(proj.select("query_id", "neighbor_id").withColumn("in_p", lit(true)),
           Seq("query_id", "neighbor_id"), "full_outer")
@@ -413,10 +418,9 @@ object PipelineQueries {
         .agg(
           sum(when(col("in_exact") && col("in_p"), 1L).otherwise(0L)).as("n_hit"),
           sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"))
-        .agg(count(lit(1)).as("n_queries"),
-          coalesce(avg(col("n_hit").cast("double") /
+        .agg(coalesce(avg(col("n_hit").cast("double") /
             col("n_exact").cast("double")), lit(1.0)).as("mean_recall"))
-      recall.crossJoin(fidelity).select(
+      recall.crossJoin(broadcast(nq)).crossJoin(fidelity).select(
         col("n_queries"),
         (col("mean_recall") >= Calibration.ProjectedRecallFloor)
           .as("recall_floor_met"),
@@ -1043,6 +1047,29 @@ object PipelineQueries {
     * counts (pK), the argmax merge (mK), and the rewritten vocabulary
     * (vocK) via the same double-REPLACE contract as ops/Bpe.scala.
     */
+  /** Merge-application CTE chain `rw1..rwN` over a symbolized source
+    * CTE, mirroring `Bpe.applyMerges`: each step's double-REPLACE is
+    * guarded by `EXISTS (m_k)` so an exhausted (truncated) merge step
+    * leaves `sym` UNCHANGED — the same no-annihilation semantics as
+    * the operator. `carryCols` are the non-sym columns to thread
+    * through.
+    */
+  private def bpeApplySql(sourceCte: String, carryCols: String, n: Int): String =
+    (1 to n).map { k =>
+      val src = if (k == 1) sourceCte else s"rw${k - 1}"
+      s""", rw$k AS (
+         |  SELECT $carryCols,
+         |    CASE WHEN EXISTS (SELECT 1 FROM m$k) THEN
+         |      replace(replace(sym,
+         |        (SELECT ' ' || a || ' ' || b || ' ' FROM m$k),
+         |        (SELECT ' ' || a || b || ' ' FROM m$k)),
+         |        (SELECT ' ' || a || ' ' || b || ' ' FROM m$k),
+         |        (SELECT ' ' || a || b || ' ' FROM m$k))
+         |    ELSE sym END AS sym
+         |  FROM $src
+         |)""".stripMargin
+    }.mkString
+
   private def bpeStagesSql(n: Int): String = {
     val voc0 =
       s"""voc0 AS (
@@ -1667,7 +1694,7 @@ object PipelineQueries {
     "q99_random_projection" -> {
       val pCols = (0 until 16).map { j =>
         // the murmur-style finalizer, shifts as integer division
-        val h1 = s"(((i + ${j * 4096 + 1}) * 2654435761) % 2147483648)"
+        val h1 = s"(((i + ${j * 1048576 + 1}) * 2654435761) % 2147483648)"
         val h2 = s"xor($h1, $h1 // 8192)"
         val h3 = s"(($h2 * 2246822519) % 2147483648)"
         val h4 = s"xor($h3, $h3 // 2048)"
@@ -1677,8 +1704,12 @@ object PipelineQueries {
         f"  CAST(list_sum(list_transform(range(0, len(q6)), i -> q6[i+1] * ($sign))) AS BIGINT) AS p$j%02d"
       }.mkString(",\n")
       s"""WITH q AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q6
+         |  SELECT vec_id,
+         |    CASE WHEN len(embedding) >= 1 AND len(list_filter(embedding,
+         |        x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+         |      THEN list_transform(embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+         |    END AS q6
          |  FROM embeddings
          |)
          |SELECT vec_id,
@@ -2038,22 +2069,8 @@ object PipelineQueries {
          |    ' ' || array_to_string(split(word, ''), ' ') || ' ' AS sym
          |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
          |  GROUP BY lang, word
-         |), rw AS (
-         |  SELECT lang, n,
-         |    replace(replace(replace(replace(replace(replace(sym,
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
-         |      (SELECT ' ' || a || b || ' ' FROM m1)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
-         |      (SELECT ' ' || a || b || ' ' FROM m1)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
-         |      (SELECT ' ' || a || b || ' ' FROM m2)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
-         |      (SELECT ' ' || a || b || ' ' FROM m2)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
-         |      (SELECT ' ' || a || b || ' ' FROM m3)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
-         |      (SELECT ' ' || a || b || ' ' FROM m3)) AS sym
-         |  FROM langvoc
+         |)${bpeApplySql("langvoc", "lang, n", 3)}, rw AS (
+         |  SELECT lang, n, sym FROM rw3
          |), rep AS (
          |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
          |    CAST(SUM(n * len(string_split(trim(sym), ' '))) AS BIGINT)
@@ -2069,22 +2086,8 @@ object PipelineQueries {
       s"""WITH ${bpeStagesSql(3)}, wv AS (
          |  SELECT word, ' ' || array_to_string(split(word, ''), ' ') || ' ' AS sym
          |  FROM (SELECT DISTINCT unnest($tokensSql) AS word FROM documents)
-         |), rw AS (
-         |  SELECT word,
-         |    replace(replace(replace(replace(replace(replace(sym,
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
-         |      (SELECT ' ' || a || b || ' ' FROM m1)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m1),
-         |      (SELECT ' ' || a || b || ' ' FROM m1)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
-         |      (SELECT ' ' || a || b || ' ' FROM m2)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m2),
-         |      (SELECT ' ' || a || b || ' ' FROM m2)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
-         |      (SELECT ' ' || a || b || ' ' FROM m3)),
-         |      (SELECT ' ' || a || ' ' || b || ' ' FROM m3),
-         |      (SELECT ' ' || a || b || ' ' FROM m3)) AS sym
-         |  FROM wv
+         |)${bpeApplySql("wv", "word", 3)}, rw AS (
+         |  SELECT word, sym FROM rw3
          |), ws AS (
          |  SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
          |    AS n_syms

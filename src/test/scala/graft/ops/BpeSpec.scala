@@ -129,6 +129,23 @@ class BpeSpec extends SparkSpecBase {
     assert(enc.map(_.getLong(2)).sum == fert.getLong(2))
   }
 
+  test("merge exhaustion leaves encode/fertility intact, never annihilates") {
+    // every word is one character: no adjacent pairs exist, merges()
+    // truncates to zero rows — encode must still count one symbol per
+    // word (review finding: the old crossJoin against an empty rule
+    // frame returned ZERO rows, i.e. n_tokens=0 for every doc)
+    val df = Seq((1L, "a b c a", "en"), (2L, "z z", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Bpe.merges(df, "doc_id", "text", nMerges = 2).count() == 0)
+    val enc = Bpe.encode(df, "doc_id", "text", nMerges = 2)
+      .orderBy("doc_id").collect()
+    assert(enc(0).getLong(1) == 4L && enc(0).getLong(2) == 4L)
+    assert(enc(1).getLong(1) == 2L && enc(1).getLong(2) == 2L)
+    val fert = Bpe.fertility(df, "doc_id", "text", "lang", nMerges = 2)
+      .collect()(0)
+    assert(fert.getLong(1) == 6L && fert.getLong(2) == 6L)
+  }
+
   test("nMerges bounds are enforced") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Bpe.merges(df, "doc_id", "text", 0))

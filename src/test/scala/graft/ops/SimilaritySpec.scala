@@ -422,7 +422,7 @@ class SimilaritySpec extends SparkSpecBase {
   // Scala mirror of the rpSign/quantize law — an independent recompute,
   // not a Spark re-execution.
   private def rpSignRef(j: Int, i: Int): Long = {
-    val h1 = ((i + j * 4096L + 1L) * 2654435761L) % 2147483648L
+    val h1 = ((i + j * 1048576L + 1L) * 2654435761L) % 2147483648L
     val h2 = h1 ^ (h1 >> 13)
     val h3 = (h2 * 2246822519L) % 2147483648L
     val h4 = h3 ^ (h3 >> 11)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, GramHashRange, Int8Dot, MinHashSignature, SimHash64, WordShingles}
+import graft.expressions.{DecimalScaledDot, GramHashRange, Int8Dot, MinHashSignature, RandomProjection, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -19,6 +19,8 @@ import graft.expressions.{DecimalScaledDot, GramHashRange, Int8Dot, MinHashSigna
   * - `word_shingles(text, n)` → ARRAY<STRING>
   * - `gram_hash_range(text, k)` → ARRAY<BIGINT> (min/max k-gram hash)
   * - `int8_dot(a, b)` → INT (integer dot of int8 code arrays)
+  * - `random_projection(vec, outDim)` → ARRAY<BIGINT> (JL ±1 sign
+  *   projection at scale-6 quantization)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -96,6 +98,15 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "int8_dot(a, b) takes 2 arguments")
         Int8Dot(children(0), children(1))
+      }),
+    (FunctionIdentifier("random_projection"),
+      info("random_projection",
+        "random_projection(vec, outDim) - JL ±1 sign projection of a float array to outDim scale-6 integer coordinates"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "random_projection(vec, outDim) takes 2 arguments")
+        RandomProjection(children.head,
+          intLiteralArg("random_projection", "outDim", children(1)))
       }))
 
   /** Register into an ALREADY-RUNNING session's function registry —

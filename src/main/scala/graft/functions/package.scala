@@ -103,6 +103,14 @@ package object functions {
     GraftSqlBridge.column(graft.expressions.Int8Dot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Native codegen'd JL ±1 sign projection
+    * (graft.expressions.RandomProjection) — bit-identical to the
+    * declarative `Similarity.randomProjection` HOF arm (spec-enforced).
+    */
+  def randomProjectionNative(c: Column, outDim: Int): Column =
+    GraftSqlBridge.column(graft.expressions.RandomProjection(
+      GraftSqlBridge.expression(c), outDim))
+
   /** Native codegen'd MinHash signature (graft.expressions.MinHashSignature). */
   def minhashNative(c: Column, n: Int, numHashes: Int): Column =
     GraftSqlBridge.column(

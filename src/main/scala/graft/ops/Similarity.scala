@@ -324,8 +324,20 @@ object Similarity {
     * Output: idCol plus `p00..p{outDim-1}` long columns.
     */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
-      outDim: Int = 16): DataFrame = {
+      outDim: Int = 16, native: Boolean = true): DataFrame = {
     require(outDim > 0 && outDim <= 64, s"outDim out of range: $outDim")
+    if (native) {
+      // one compiled pass per row (graft.expressions.RandomProjection)
+      // — the ingest-path form; the declarative arm below is the
+      // cross-checkable twin (native ≡ declarative, spec-enforced).
+      // The generator barrier keeps the outDim element_at references
+      // from re-invoking the kernel (NOTES invariant 16).
+      val base = df.select(col(idCol),
+        explode(array(graft.functions.randomProjectionNative(
+          col(vecCol), outDim))).as("__p"))
+      return base.select(col(idCol) +: (0 until outDim).map(j =>
+        element_at(col("__p"), j + 1).as(f"p$j%02d")): _*)
+    }
     // input dim beyond the seed stride would alias sign rows (see
     // rpSign) — reject loudly instead of degrading silently
     val dimGuard = lit(1048576)

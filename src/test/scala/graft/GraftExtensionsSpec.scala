@@ -66,11 +66,28 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("integer literal"), e3.getMessage)
   }
 
+  test("random_projection callable from SQL and equal to the Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT random_projection(
+        |  array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |  4) AS p""".stripMargin).collect()(0).getSeq[Long](0)
+    val viaCol = spark.range(1).select(
+      graft.functions.randomProjectionNative(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(0.25f),
+          org.apache.spark.sql.functions.lit(-0.5f),
+          org.apache.spark.sql.functions.lit(1.0f)), 4).as("p"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 4)
+  }
+
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
       Seq("decimal_scaled_dot", "gram_hash_range", "int8_dot",
-        "minhash_signature", "simhash64", "word_shingles"))
+        "minhash_signature", "random_projection", "simhash64",
+        "word_shingles"))
   }
 }

@@ -490,6 +490,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(proj == brute)
   }
 
+  test("randomProjection: native ≡ declarative on values, quarantine, and empties") {
+    val df = Seq(
+      (0L, Array(0.25f, -0.5f, 0.125f, 1.0f, 0.3f)),
+      (1L, Array(-1.0f, 2.0f, -3.0f, 0.0f, 0.7f)),
+      (2L, Array(Float.NaN, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val native = Similarity.randomProjection(df, "vec_id", "embedding",
+      outDim = 8, native = true).orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val decl = Similarity.randomProjection(df, "vec_id", "embedding",
+      outDim = 8, native = false).orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(native == decl)
+    // and both match the independent mirror on the clean rows
+    assert((0 until 8).forall(j =>
+      native(0)(j + 1) == rpRef(Seq(0.25f, -0.5f, 0.125f, 1.0f, 0.3f), 8)(j)))
+  }
+
   test("randomProjection: NaN/Inf vectors quarantine to null, not abort") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f)),

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.FloatArrayBinaryInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,7 +26,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * against `graft.functions.decimalDot`.
   */
 case class DecimalScaledDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayBinaryInputTypes {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "decimal_scaled_dot"
 

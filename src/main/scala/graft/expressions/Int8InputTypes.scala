@@ -1,7 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, FloatType}
 
 /** Input-type declaration for [[graft.expressions.Int8Dot]], hosted in
   * the spark.sql package because `AbstractDataType` is `private[sql]`
@@ -13,4 +13,27 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType}
 trait Int8ArrayInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(ByteType), ArrayType(ByteType))
+}
+
+/** Unary array<float> input declaration for
+  * [[graft.expressions.RandomProjection]]: the natural SQL spelling
+  * `random_projection(array(0.1, 0.2), 4)` analyzes with
+  * array<double> (SQL's default fractional literal type); without
+  * this cast `getFloat` would read 4-byte halves of each double —
+  * silently wrong projections. With it, any numeric element type is
+  * ANSI-cast to float first, matching the declarative arm's
+  * cast-to-double-of-float semantics.
+  */
+trait FloatArrayInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType))
+}
+
+/** Binary variant of [[FloatArrayInputTypes]] for
+  * [[graft.expressions.DecimalScaledDot]] — same double-literal
+  * misread hazard, two operands.
+  */
+trait FloatArrayBinaryInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 }

@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.FloatArrayInputTypes
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -24,7 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * seed stride (row aliasing — reject loudly, never degrade).
   */
 case class RandomProjection(child: Expression, outDim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with FloatArrayInputTypes {
   require(outDim > 0 && outDim <= 64, s"outDim out of range: $outDim")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

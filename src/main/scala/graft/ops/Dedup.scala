@@ -26,6 +26,22 @@ object Dedup {
   private def fanned(docs: DataFrame): DataFrame =
     graft.engine.Tables.fanOut(docs.sparkSession, docs)
 
+  /** Guard for operators that key clusters on a long id: the id column
+    * must already be integral. A silent `cast("long")` on a string/
+    * float id would turn non-numeric values into NULLs — pairs vanish,
+    * and `coalesce(label, id)` collapses every unlabeled doc onto one
+    * NULL cluster with no error. Reject loudly, never degrade (the
+    * projection-guard convention).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (byte/short/int/long), " +
+        s"got ${dt.simpleString} — cast-to-null would silently drop pairs / " +
+        "collapse clusters; map your ids to longs explicitly first")
+  }
+
   /** Canonical text normalization for near-exact dedup: lowercase,
     * collapse whitespace, trim.
     */
@@ -775,6 +791,7 @@ object Dedup {
       maxDocFreq: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDocFreq >= 2,
       s"minShared/maxDocFreq out of range: $minShared/$maxDocFreq")
+    requireIntegralId(docs, idCol, "winnowedPairs")
     val sel = TextOps.winnowSelections(docs, idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("id"), col("fp"))
       .distinct()
@@ -811,6 +828,7 @@ object Dedup {
     */
   def qualityAwareSurvivors(docs: DataFrame, idCol: String,
       quality6Col: String, pairs: DataFrame): DataFrame = {
+    requireIntegralId(docs, idCol, "qualityAwareSurvivors")
     val cc = connectedComponents(pairs) // (id, label) — paired docs only
     val labeled = docs
       .select(col(idCol).cast("long").as("id"),

@@ -272,7 +272,7 @@ object Similarity {
 
   /** Sign of entry (j, i) of the portable ±1 projection matrix: a
     * murmur-style multiply/xor-shift finalizer on seed
-    * `j·4096 + i + 1`, all in non-negative sub-2³¹ longs. Deliberately
+    * `j·2²⁰ + i + 1`, all in non-negative sub-2³¹ longs. Deliberately
     * NOT xxhash64 — every operation (multiply, mod, xor, and
     * shift-as-integer-division) replays exactly in ANSI SQL, the
     * [[graft.ops.Selection.tokenBucket]] portability discipline.

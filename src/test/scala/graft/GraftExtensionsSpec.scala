@@ -82,6 +82,30 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(viaSql == viaCol && viaSql.length == 4)
   }
 
+  test("random_projection casts double-literal arrays instead of misreading them") {
+    GraftExtensions.register(spark)
+    // The natural SQL spelling: fractional literals analyze as
+    // array<double>. Without the ImplicitCastInputTypes declaration,
+    // getFloat would read 4-byte halves of each double — silently
+    // wrong projections. With it, this must equal the float-array arm.
+    val viaDouble = spark.sql(
+      "SELECT random_projection(array(0.25, -0.5, 1.0), 4) AS p")
+      .collect()(0).getSeq[Long](0)
+    val viaFloat = spark.sql(
+      """SELECT random_projection(
+        |  array(CAST(0.25 AS FLOAT), CAST(-0.5 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |  4) AS p""".stripMargin).collect()(0).getSeq[Long](0)
+    assert(viaDouble == viaFloat, s"$viaDouble != $viaFloat")
+  }
+
+  test("decimal_scaled_dot casts double-literal arrays instead of misreading them") {
+    GraftExtensions.register(spark)
+    val viaDouble = spark.sql(
+      "SELECT decimal_scaled_dot(array(0.25, -0.5), array(2.0, 4.0)) AS d")
+      .collect()(0).getDouble(0)
+    assert(viaDouble == 0.25 * 2.0 + (-0.5) * 4.0, s"got $viaDouble")
+  }
+
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared

@@ -1,7 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DoubleType, FloatType}
 
 /** Input-type declaration for [[graft.expressions.Int8Dot]], hosted in
   * the spark.sql package because `AbstractDataType` is `private[sql]`
@@ -36,4 +36,15 @@ trait FloatArrayInputTypes extends ImplicitCastInputTypes {
 trait FloatArrayBinaryInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
+}
+
+/** Unary array<double> input declaration for
+  * [[graft.expressions.NearestCentroid]]/[[graft.expressions.NearestCells]]:
+  * float embedding columns are ANSI-cast to array<double> (exact) so
+  * `getDouble` never misreads, mirroring the declarative arm's
+  * per-element `cast("double")`.
+  */
+trait DoubleArrayInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType))
 }

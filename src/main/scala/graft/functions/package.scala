@@ -153,6 +153,24 @@ package object functions {
   def simhash64Native(c: Column): Column =
     GraftSqlBridge.column(graft.expressions.SimHash64(GraftSqlBridge.expression(c)))
 
+  /** Native exact nearest-centroid assignment against a driver-built
+    * [[graft.expressions.CentroidIndex]] — bit-identical to the
+    * declarative flat argmax-dot scan (spec-enforced) at O(√k·dim)
+    * expected per-row work.
+    */
+  def nearestCentroidNative(vec: Column,
+      index: graft.expressions.CentroidIndex): Column =
+    GraftSqlBridge.column(graft.expressions.NearestCentroid(
+      GraftSqlBridge.expression(vec), index))
+
+  /** Native exact top-n nearest cells (best first) — the multi-probe
+    * twin of [[nearestCentroidNative]].
+    */
+  def nearestCellsNative(vec: Column,
+      index: graft.expressions.CentroidIndex, nProbe: Int): Column =
+    GraftSqlBridge.column(graft.expressions.NearestCells(
+      GraftSqlBridge.expression(vec), index, nProbe))
+
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

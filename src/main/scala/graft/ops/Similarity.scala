@@ -587,17 +587,53 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id for a vector column, ties to the lowest
-    * cell id.
+    * cell id — the native two-level [[graft.expressions.CentroidIndex]]
+    * kernel: exact (bit-identical to [[assignCellDeclarative]],
+    * spec-enforced) at O(√k·dim) expected per-row work instead of the
+    * interpreted O(k·dim) flat scan, which at the 65,536-cell cap was
+    * the last ANN-family 100 TB scale-killer (~4.2M interpreted
+    * multiply-adds per corpus row at dim 64). NULL vectors coalesce to
+    * cell 0 — the declarative arm's all-ties resolution.
     */
-  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty,
+      "assignCell: no centroids (empty training corpus?) — assignment is undefined")
+    coalesce(
+      graft.functions.nearestCentroidNative(
+        vec, graft.expressions.CentroidIndex.forCentroids(centroids)),
+      lit(0L))
+  }
+
+  /** The declarative flat-scan arm of [[assignCell]] — kept as the
+    * semantics ORACLE the native kernel is spec-pinned against
+    * (including NaN/null/∞/dim-mismatch corruption cases), and as the
+    * ANSI-SQL-replayable formulation.
+    */
+  private[graft] def assignCellDeclarative(
+      vec: Column, centroids: Seq[Seq[Double]]): Column =
     (-array_max(cellScores(vec, centroids)).getField("ncell")).cast("long")
 
   /** The `nProbe` nearest cell ids, best first — multi-probe IVF's
     * query-side fan-out (probing only the single nearest cell loses
     * the neighbors that sit just across a Voronoi boundary; standard
-    * IVF recall/cost knob). Still map-side only.
+    * IVF recall/cost knob). Still map-side only; same native exact
+    * kernel as [[assignCell]] (matters at corpus scale because
+    * self-search ANN probes EVERY row as a query). NULL vectors
+    * coalesce to cells 0..n−1, the declarative all-ties order.
     */
-  def probeCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+  def probeCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    require(centroids.nonEmpty,
+      "probeCells: no centroids (empty training corpus?) — probing is undefined")
+    val n = math.min(nProbe, centroids.size)
+    coalesce(
+      graft.functions.nearestCellsNative(
+        vec, graft.expressions.CentroidIndex.forCentroids(centroids), nProbe),
+      sequence(lit(0L), lit(n.toLong - 1L)))
+  }
+
+  /** Declarative arm of [[probeCells]] — the spec oracle. */
+  private[graft] def probeCellsDeclarative(
+      vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     transform(
       // ascending (dot, ncell) sort reversed = dot desc, cell asc on ties
       slice(reverse(array_sort(cellScores(vec, centroids))), 1, nProbe),

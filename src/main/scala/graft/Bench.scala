@@ -59,14 +59,27 @@ object Bench {
     only.map(o =>
       s""""only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")},""").getOrElse("")
 
-  /** Isolated min-of-3 seconds at sf0.1 for the queries with a
-    * COMMITTED pinned measurement (`bench_local/`, NOTES.md r6/r7) —
-    * the heavy queries plus q45, whose r5/r6 driver entries smeared
-    * under positional noise. Used only to self-flag outliers below.
+  /** Per-query minimum seconds at sf0.1 over committed clean runs
+    * (`bench_local/`, NOTES.md) — loaded from the committed resource
+    * `graft/bench_pins_sf01.tsv`, which pins EVERY registered query:
+    * BENCH_r07's visibly contended driver run smeared q29 to 16.4 s
+    * vs its 2.9 s clean number and the artifact carried no flag
+    * because only 5 heavy queries were pinned — the self-adjudication
+    * mechanism missed the exact event it was built for. Completeness
+    * vs the registered inventory is spec-enforced (BenchRecordSpec).
     */
-  val PinnedMinSf01: Map[String, Double] = Map(
-    "q45" -> 1.62, "q64" -> 6.39, "q72" -> 6.10,
-    "q73" -> 4.97, "q75" -> 3.13)
+  val PinnedMinSf01: Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/bench_pins_sf01.tsv")
+    if (in == null) {
+      System.err.println("[bench] WARNING: bench_pins_sf01.tsv resource missing — outlier flags disabled")
+      Map.empty
+    } else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .map { l => val Array(k, v) = l.split("\t"); k -> v.toDouble }
+        .toMap
+    } finally in.close()
+  }
 
   /** Queries whose measured time exceeds BOTH 2× their pinned isolated
     * minimum AND pinned + 2 s (the absolute guard keeps sub-second
@@ -91,12 +104,27 @@ object Bench {
     */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
+  /** Most flags the compact record names individually: with all 104
+    * queries pinned, an unbounded list could blow the driver's ~2 KB
+    * stdout tail window on a fully-contended run. Beyond the cap the
+    * record carries `"outliers_more":N` — per-query attribution
+    * matters for the 1–3-smeared-query case; a wholesale smear is
+    * already self-evidenced by the calibration/loadavg sentinel.
+    */
+  val MaxNamedOutliers: Int = 8
+
   /** `"outliers":[...],` fragment; "" when none flagged (keeps the
     * compact line at its floor length on clean runs).
     */
   def outliersJson(flagged: Seq[String]): String =
     if (flagged.isEmpty) ""
-    else s""""outliers":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+    else {
+      val named = flagged.take(MaxNamedOutliers)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val more = if (flagged.size > MaxNamedOutliers)
+        s""""outliers_more":${flagged.size - MaxNamedOutliers},""" else ""
+      s""""outliers":$named,$more"""
+    }
 
   /** The machine-read stdout record. ONE SHORT line: the driver
     * captures only the last ~2 KB of stdout, and rounds 1-3 all lost

@@ -85,6 +85,42 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!clean.contains("outliers"))
   }
 
+  test("pin map covers EVERY registered query (BENCH_r07 q29 lesson)") {
+    // the r7 driver run smeared q29 to 16.4 s vs 2.9 s clean and the
+    // artifact carried no flag because only 5 heavy queries were
+    // pinned — any registered query must be adjudicable by itself
+    val missing = SparkEntry.queries.keys.map(Bench.shortKey).toSet --
+      Bench.PinnedMinSf01.keySet
+    assert(missing.isEmpty, s"unpinned queries: ${missing.toSeq.sorted}")
+    Bench.PinnedMinSf01.foreach { case (k, v) =>
+      assert(v > 0.0 && v < 60.0, s"implausible pin $k -> $v")
+    }
+  }
+
+  test("the BENCH_r07 smear replays as a flagged run now") {
+    // the exact event the mechanism missed: q29's driver entry at
+    // 16.355 s vs its clean 2.9 s (and q31 8.319 vs ~5.9) must flag
+    // against the committed pins; clean entries must not
+    val flagged = Bench.outliers(Seq(
+      "q29_ann_lsh" -> 16.355, "q28_ann_brute" -> 3.614, "q64_pipeline_run" -> 8.441))
+    assert(flagged.contains("q29"), s"q29 must flag: $flagged")
+    assert(!flagged.contains("q64"), s"q64 at its own clean time must not flag: $flagged")
+  }
+
+  test("outlier list is capped with an overflow count, record stays bounded") {
+    val many = (1 to 20).map(i => f"q$i%02d")
+    val frag = Bench.outliersJson(many)
+    assert(frag.contains(""""outliers":["q01","q02","q03","q04","q05","q06","q07","q08"],"""))
+    assert(frag.contains(""""outliers_more":12,"""))
+    // a fully-contended run (every query flagged) still fits the window
+    val rec = Bench.compactRecord(
+      SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888),
+      totalSec = 888.888, paritySec = 88.888, ingestSec = 8.888,
+      only = None, sfDir = "/root/testdata/sf0.1",
+      flagged = SparkEntry.queries.keys.toSeq.sorted.map(Bench.shortKey))
+    assert(rec.length < 1900, s"record is ${rec.length} bytes")
+  }
+
   test("values are millisecond-rounded, never scientific notation") {
     assert(Bench.r3(0.0000001) == "0.000")
     assert(Bench.r3(1.0 / 3.0) == "0.333")

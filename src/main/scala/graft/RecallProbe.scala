@@ -146,6 +146,30 @@ object RecallProbe {
         s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
         s"per-query=${recalls.toSeq.sorted.mkString(",")}")
     }
+
+    // Composed projected+quantized shortlist (q105): JL shortlist,
+    // int8 mid-trim, exact re-rank vs exact cosine — pins
+    // ProjectedQuantizedRecallFloor. Printed beside the pure
+    // projected path at the same shortlist width, isolating the
+    // int8-trim loss from the JL-shortlist loss.
+    for ((sf0, rf) <- Seq((16, 4), (16, 8), (32, 8))) {
+      val pq = Similarity.projectedQuantizedRerankTopK(q, e, "vec_id", "embedding",
+          k = 5, projDim = 32, shortlistFactor = sf0, rerankFactor = rf)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exactCos.map { case (qid, ex) =>
+        (pq.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      val pureProj = Similarity.projectedRerankTopK(q, e, "vec_id", "embedding",
+          k = 5, projDim = 32, rerankFactor = sf0)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val projRecalls = exactCos.map { case (qid, ex) =>
+        (pureProj.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      println(s"[recall-probe] sf=$sfDir ann_proj_quant shortlist=$sf0 rerank=$rf: " +
+        s"min=${recalls.min} mean=${recalls.sum / recalls.size} " +
+        s"(pure projected at same width mean=${projRecalls.sum / projRecalls.size}) " +
+        s"per-query=${recalls.toSeq.sorted.mkString(",")}")
+    }
     spark.stop()
   }
 }

@@ -174,6 +174,19 @@ object Similarity {
     *   not a fixture measurement — the test corpus tops out at 2k
     *   vectors, far below any honest crossover.
     *
+    * Two orthogonal refinements (r8):
+    * - large |Q|, mid corpus, `dim ≥ highDimFloor` → JL-PROJECTED
+    *   shortlist instead of LSH: LSH pays dim in both its stages
+    *   (plane dots and full-dim candidate scoring) while the
+    *   projected shortlist scores pairs at fixed projDim — measured
+    *   crossover at [[HighDimProjectionFloor]] (ShortlistProbe).
+    * - stored `q_codes`/`q_scale` on the corpus (or
+    *   `quantizedCandidates = true`) route candidate scoring through
+    *   [[quantizedDot]] — [[ivfTopKQuantizedRerank]] on the IVF
+    *   branch, [[projectedQuantizedRerankTopK]] on the projected
+    *   branch. Stored codes were materialized at ingest precisely so
+    *   searches use them; detection is automatic.
+    *
     * Dispatch needs both side sizes. Pass `querySideRows` /
     * `corpusRows` when the caller knows them (free); otherwise a
     * bounded `limit(threshold+1).count()` probe runs — its OUTPUT is
@@ -189,7 +202,14 @@ object Similarity {
       querySideRows: Option[Long] = None,
       corpusRows: Option[Long] = None,
       ivfCorpusFloor: Long = 100000L,
-      quantizedCandidates: Boolean = false): DataFrame = {
+      quantizedCandidates: Boolean = false,
+      highDimFloor: Int = HighDimProjectionFloor): DataFrame = {
+    // stored int8 codes on the corpus route candidate scoring through
+    // quantizedDot automatically — the codes were materialized at
+    // ingest precisely so searches would use them; an explicit
+    // quantizedCandidates=true forces the same with in-plan codes
+    val useQuant = quantizedCandidates ||
+      (corpus.columns.contains("q_codes") && corpus.columns.contains("q_scale"))
     val crossover = nPlanes * nTables
     val smallQ = querySideRows match {
       case Some(n) => n <= crossover
@@ -224,18 +244,42 @@ object Similarity {
         // TakeOrdered merge (see trainingSample) — free when hinted
         val cents = Some(trainIvfCentroids(corpus, idCol, vecCol,
           nCells, iters = 2, corpusRowsHint = corpusRows))
-        // quantizedCandidates routes the big-corpus branch through the
+        // quantized routing sends the big-corpus branch through the
         // int8-scored shortlist + exact re-rank — exactly the branch
         // where candidate-join width matters (measured recall-identical
         // to the full-precision path on the fixtures; RecallProbe)
-        if (quantizedCandidates)
+        if (useQuant)
           ivfTopKQuantizedRerank(queries, corpus, idCol, vecCol, k,
             nCells = nCells, iters = 2, nProbe = 2, centroids = cents)
         else ivfTopK(queries, corpus, idCol, vecCol, k,
           nCells = nCells, iters = 2, nProbe = 2, centroids = cents)
+      } else if (dim >= highDimFloor) {
+        // high-dim mid-corpus: LSH pays dim twice — nPlanes·nTables
+        // plane dots per vector AND full-dim candidate scoring — while
+        // the JL shortlist caps per-pair work at projDim regardless of
+        // dim (the ShortlistProbe crossover backing HighDimProjectionFloor).
+        // Stored/forced int8 codes stack the quantized mid-stage on top.
+        if (useQuant)
+          projectedQuantizedRerankTopK(queries, corpus, idCol, vecCol, k,
+            projDim = 32, shortlistFactor = 16, rerankFactor = 4)
+        else projectedRerankTopK(queries, corpus, idCol, vecCol, k,
+          projDim = 32, rerankFactor = 8)
       } else lshTopK(queries, corpus, idCol, vecCol, k, nPlanes, nTables, dim)
     }
   }
+
+  /** Vector dim at which `adaptiveTopK`'s mid-corpus branch abandons
+    * LSH for the JL-projected shortlist: LSH cost scales with dim in
+    * BOTH its stages (plane dots and full-dim candidate scoring);
+    * the projected shortlist scores pairs at fixed projDim after a
+    * dim-linear map-only projection pass. Measured (ShortlistProbe,
+    * NOTES r8): LSH 8×4 vs projected(32, ×8) on a 20k-vector
+    * clustered corpus, 256-query batch — break-even at dim 128
+    * (1.02×), projected 2.3–2.6× faster at dim 256/512; at dim 64
+    * LSH is ~1.3× faster. 256 sits one power of two above the
+    * measured break-even, margin for LSH-favorable data.
+    */
+  val HighDimProjectionFloor: Int = 256
 
   /** Symmetric per-vector int8 quantization: `q_scale` = max|x|/127,
     * `q_codes` = round(x/scale) as tinyint (zero vectors quantize to
@@ -386,6 +430,45 @@ object Similarity {
     * [[graft.queries.Calibration]]). Vectors quarantined by the
     * projection (NaN/Inf) never enter the shortlist.
     */
+  /** JL projection of `df` to a `projDim` float column `__pvec`.
+    * ÷10⁶ returns coordinates to raw-embedding magnitude, and the
+    * array must be FLOAT: cosine is scale-invariant, but the
+    * scaled-long dot kernel ([[graft.expressions.DecimalScaledDot]])
+    * (a) quantizes elements at 10⁻⁶ — raw ~10⁷-magnitude integer
+    * sums made element products overflow int64 silently — and
+    * (b) declares float-array input types, so an array<double> would
+    * cast (a silent precision identity here, but the float form is
+    * the calibrated one). Both measured as recall collapse before
+    * this projection-side normalization.
+    */
+  private def jlProjected(df: DataFrame, idCol: String, vecCol: String,
+      projDim: Int): DataFrame =
+    randomProjection(df, idCol, vecCol, projDim)
+      .where(col("p00").isNotNull) // quarantined vectors can't rank
+      .select(col(idCol),
+        array((0 until projDim).map(j =>
+          (col(f"p$j%02d").cast("double") / lit(1000000.0)).cast("float")): _*)
+          .as("__pvec"))
+
+  /** int8 side projection for quantized candidate scoring: reuses
+    * STORED `q_codes`/`q_scale` when the frame already carries them
+    * (quantized once at ingest and read from parquet — the intended
+    * corpus-scale shape), after nulling codes whose length mismatches
+    * the vector column (stale codes after re-embedding at a new dim);
+    * otherwise quantizes in-plan.
+    */
+  private def quantizedSide(df: DataFrame, idCol: String, vecCol: String,
+      side: String): DataFrame = {
+    val q =
+      if (df.columns.contains("q_codes") && df.columns.contains("q_scale"))
+        df.withColumn("q_codes",
+          when(size(col("q_codes")) === size(col(vecCol)), col("q_codes")))
+      else withQuantizedInt8(df, vecCol)
+    q.select(
+      col(idCol).as(s"${side}_id"),
+      col("q_codes").as(s"${side}_codes"), col("q_scale").as(s"${side}_scale"))
+  }
+
   def projectedRerankTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -393,28 +476,66 @@ object Similarity {
       simFn: (Column, Column) => Column = cosineExact,
       simName: String = "cosine"): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
-    // ÷10⁶ returns coordinates to raw-embedding magnitude, and the
-    // array must be FLOAT: cosine is scale-invariant, but the
-    // scaled-long dot kernel ([[graft.expressions.DecimalScaledDot]])
-    // (a) quantizes elements at 10⁻⁶ — raw ~10⁷-magnitude integer
-    // sums made element products overflow int64 silently — and
-    // (b) reads float arrays via `getFloat`, so an array<double>
-    // feeds it garbage 4-byte halves with NO error. Both measured as
-    // recall collapse before this projection-side normalization.
-    def projected(df: DataFrame): DataFrame =
-      randomProjection(df, idCol, vecCol, projDim)
-        .where(col("p00").isNotNull) // quarantined vectors can't rank
-        .select(col(idCol),
-          array((0 until projDim).map(j =>
-            (col(f"p$j%02d").cast("double") / lit(1000000.0)).cast("float")): _*)
-            .as("__pvec"))
-    val shortlist = bruteForceTopK(projected(queries), projected(corpus),
+    val shortlist = bruteForceTopK(
+        jlProjected(queries, idCol, vecCol, projDim),
+        jlProjected(corpus, idCol, vecCol, projDim),
         idCol, "__pvec", k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     rankTopK(
       shortlist
+        .join(broadcast(qv), Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          simFn(col("__qv"), col("__cv")).as(simName)),
+      k, simName)
+  }
+
+  /** The JL shortlist and the int8 codes STACKED — the composed
+    * shortlist family member (r7 verdict item 4): three stages, each
+    * cheaper per pair than the last is wide.
+    *
+    *  1. `shortlistFactor`·k candidates per query ranked on PROJECTED
+    *     cosine (projDim flops/pair — the [[projectedRerankTopK]]
+    *     stage, so the wide stage never touches full-dim vectors);
+    *  2. the shortlist re-scored with [[quantizedDot]] over int8
+    *     CODES (dim bytes/pair across the join instead of dim·8
+    *     float64 — stored `q_codes` reused when present) and trimmed
+    *     to `rerankFactor`·k;
+    *  3. ONLY the trimmed slice joins the full-precision vectors for
+    *     the exact top-k re-rank — every returned score is the exact
+    *     `simFn` value (contract-oracle-enforced in q105).
+    *
+    * Recall ≤ [[projectedRerankTopK]] at the same shortlistFactor
+    * (the int8 trim can only evict); the measured floor lives in
+    * [[graft.queries.Calibration.ProjectedQuantizedRecallFloor]].
+    */
+  def projectedQuantizedRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      projDim: Int = 16, shortlistFactor: Int = 16, rerankFactor: Int = 4,
+      simFn: (Column, Column) => Column = cosineExact,
+      simName: String = "cosine"): DataFrame = {
+    require(rerankFactor >= 1 && shortlistFactor >= rerankFactor,
+      s"need shortlistFactor ≥ rerankFactor ≥ 1, got $shortlistFactor/$rerankFactor")
+    val shortlist = bruteForceTopK(
+        jlProjected(queries, idCol, vecCol, projDim),
+        jlProjected(corpus, idCol, vecCol, projDim),
+        idCol, "__pvec", k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = shortlist
+      .join(quantizedSide(queries, idCol, vecCol, "query"), Seq("query_id"))
+      .join(quantizedSide(corpus, idCol, vecCol, "neighbor"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedDot(col("query_codes"), col("query_scale"),
+          col("neighbor_codes"), col("neighbor_scale")).as("approx"))
+    val trimmed = rankTopK(scored, k * rerankFactor, "approx")
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    rankTopK(
+      trimmed
         .join(broadcast(qv), Seq("query_id"))
         .join(cv, Seq("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
@@ -721,31 +842,11 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    // int8 codes ride the candidate join; floats stay home. A side
-    // that ALREADY carries `q_codes`/`q_scale` (quantized once at
-    // ingest with [[withQuantizedInt8]] and stored — the intended
-    // corpus-scale shape, where codes are read from parquet instead
-    // of recomputed from the float vectors per query batch) is used
-    // as-is.
-    def quantized(df: DataFrame, side: String): DataFrame = {
-      val q =
-        if (df.columns.contains("q_codes") && df.columns.contains("q_scale"))
-          // stored codes are trusted on NAME ONLY (no provenance check
-          // is possible) — but a dim mismatch vs the vector column
-          // (stale codes after re-embedding at a new dim, truncated
-          // row) is cheaply detectable and nulls the codes, restoring
-          // the quarantine semantics a partial min-length dot would
-          // silently bypass
-          df.withColumn("q_codes",
-            when(size(col("q_codes")) === size(col(vecCol)), col("q_codes")))
-        else withQuantizedInt8(df, vecCol)
-      q.select(
-        col(idCol).as(s"${side}_id"),
-        col("q_codes").as(s"${side}_codes"), col("q_scale").as(s"${side}_scale"))
-    }
+    // int8 codes ride the candidate join; floats stay home — stored
+    // codes reused, stale-dim codes nulled (see [[quantizedSide]])
     val cands = candIds
-      .join(quantized(queries, "query"), Seq("query_id"))
-      .join(quantized(corpus, "neighbor"), Seq("neighbor_id"))
+      .join(quantizedSide(queries, idCol, vecCol, "query"), Seq("query_id"))
+      .join(quantizedSide(corpus, idCol, vecCol, "neighbor"), Seq("neighbor_id"))
     val shortlist = rankTopK(
       cands.select(col("query_id"), col("neighbor_id"),
         quantizedDot(col("query_codes"), col("query_scale"),

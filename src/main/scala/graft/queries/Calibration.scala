@@ -59,6 +59,18 @@ object Calibration {
     */
   val ProjectedRecallFloor = 0.25
 
+  /** q105: MEAN recall@5 floor for `projectedQuantizedRerankTopK(
+    * projDim=32, shortlistFactor=16, rerankFactor=4)` — the composed
+    * JL-shortlist → int8-trim → exact-re-rank path — vs exact cosine.
+    * Measured mean 0.74/0.76/0.52 at sf0.001/0.01/0.1 (RecallProbe
+    * r8), IDENTICAL to the pure projected path at the same shortlist
+    * width at every scale and parameter set — the int8 trim costs no
+    * recall on the fixtures, the same result the IVF quantized arm
+    * measured in r6/r7. 0.35 keeps an ~8-hit margin under the weakest
+    * scale.
+    */
+  val ProjectedQuantizedRecallFloor = 0.35
+
   /** q73: semantic-dedup cosine threshold. Calibrated to the synthetic
     * embeddings, whose max pairwise cosine tops out near 0.45 (real
     * embedding models sit near 0.95+) — τ=0.4 keeps the operator

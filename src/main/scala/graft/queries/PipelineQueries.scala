@@ -428,6 +428,68 @@ object PipelineQueries {
         col("n_self"))
     },
 
+    // Adaptive-dispatch composed shortlist (r8 unification): the ONE
+    // ANN entry point routed onto its projected+quantized arm — JL
+    // shortlist → int8 trim → exact re-rank (q103's projection and
+    // q75's codes STACKED behind adaptiveTopK). Dispatch forcing:
+    // querySideRows past the brute crossover, the fixture corpus
+    // under the IVF floor, highDimFloor=1 (the fixtures are dim 64 —
+    // the honest floor is 256, ShortlistProbe), quantized candidates
+    // on. CONTRACT oracle (q103 shape): mean recall@5 vs the in-plan
+    // exact twin ≥ the r8-measured floor, every returned score equals
+    // the recomputed full-precision cosine (the int8 approximation
+    // never leaks into output), no self matches — PLUS a plan-derived
+    // dispatch proof: the optimized plan must carry BOTH the
+    // projected-shortlist column and the quantized-scoring columns,
+    // so the oracle row fails if the dispatcher quietly takes a
+    // different arm.
+    "q105_ann_adaptive" -> { (s, dir) =>
+      import graft.functions.cosineExact
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val res = Similarity.adaptiveTopK(q, e, "vec_id", "embedding", k = 5,
+        nPlanes = 2, nTables = 2, querySideRows = Some(10L),
+        highDimFloor = 1, quantizedCandidates = true)
+      // plan-tree detection, not string matching: project-collapse
+      // inlines the __pvec alias away, but the native kernels stay
+      val armProjQuant = {
+        val p = res.queryExecution.optimizedPlan
+        def has(pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean) =
+          p.exists(_.expressions.exists(_.exists(pred)))
+        has(_.isInstanceOf[graft.expressions.RandomProjection]) &&
+          has(_.isInstanceOf[graft.expressions.Int8Dot])
+      }
+      val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv2"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv2"))
+      val fidelity = res
+        .join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .agg(
+          coalesce(sum(when(col("cosine") =!=
+            cosineExact(col("qv2"), col("cv2")), 1L).otherwise(0L)), lit(0L))
+            .as("n_inexact_score"),
+          coalesce(sum(when(col("query_id") === col("neighbor_id"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_self"))
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").withColumn("in_exact", lit(true))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      val recall = exact
+        .join(res.select("query_id", "neighbor_id").withColumn("in_a", lit(true)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("in_exact") && col("in_a"), 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"))
+        .agg(coalesce(avg(col("n_hit").cast("double") /
+            col("n_exact").cast("double")), lit(1.0)).as("mean_recall"))
+      recall.crossJoin(broadcast(nq)).crossJoin(fidelity).select(
+        col("n_queries"),
+        (col("mean_recall") >= Calibration.ProjectedQuantizedRecallFloor)
+          .as("recall_floor_met"),
+        (col("n_inexact_score") === 0L).as("rerank_scores_exact"),
+        col("n_self"),
+        lit(armProjQuant).as("arm_projected_quantized"))
+    },
+
     // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
     // codec decode (header walk, BMP row padding, RIFF chunk list) →
     // container features. CONTRACT oracle: every decoded feature is a
@@ -2250,6 +2312,16 @@ object PipelineQueries {
         |  TRUE AS recall_floor_met,
         |  TRUE AS rerank_scores_exact,
         |  CAST(0 AS BIGINT) AS n_self
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // q103's contract shape + the dispatch proof bit: the oracle row
+    // asserts the adaptive dispatcher actually took the composed
+    // projected+quantized arm (plan-derived in the Spark side).
+    "q105_ann_adaptive" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  TRUE AS recall_floor_met,
+        |  TRUE AS rerank_scores_exact,
+        |  CAST(0 AS BIGINT) AS n_self,
+        |  TRUE AS arm_projected_quantized
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // Every decoded feature is a closed form of doc_id — the synthesis
     // formulas in Multimodal.synth*. The byte-stream means are

@@ -233,6 +233,63 @@ class SimilaritySpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  // plan-tree detection, not string matching: project-collapse
+  // inlines column aliases away, but the native kernel expressions stay
+  private def planHas(df: org.apache.spark.sql.DataFrame)(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(pred)))
+
+  test("adaptiveTopK: high-dim mid-corpus takes the projected-shortlist plan") {
+    val df = Similarity.adaptiveTopK(corpus, corpus, "vec_id", "embedding",
+      k = 3, nPlanes = 2, nTables = 2, dim = 8,
+      highDimFloor = 8) // dim 8 ≥ forced floor → projected arm
+    assert(planHas(df)(_.isInstanceOf[graft.expressions.RandomProjection]))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("bucket"))
+    // pure projected arm: no quantized mid-stage without codes/flag
+    assert(!planHas(df)(_.isInstanceOf[graft.expressions.Int8Dot]))
+    assert(df.count() > 0)
+  }
+
+  test("adaptiveTopK: high-dim + quantized stacks the int8 mid-stage on the projected plan") {
+    val df = Similarity.adaptiveTopK(corpus, corpus, "vec_id", "embedding",
+      k = 3, nPlanes = 2, nTables = 2, dim = 8,
+      highDimFloor = 8, quantizedCandidates = true)
+    assert(planHas(df)(_.isInstanceOf[graft.expressions.RandomProjection]))
+    assert(planHas(df)(_.isInstanceOf[graft.expressions.Int8Dot]))
+    assert(df.count() > 0)
+  }
+
+  test("adaptiveTopK: STORED corpus codes auto-route quantized scoring, no flag needed") {
+    val quantCorpus = Similarity.withQuantizedInt8(corpus, "embedding")
+    val df = Similarity.adaptiveTopK(corpus, quantCorpus, "vec_id", "embedding",
+      k = 3, nPlanes = 2, nTables = 2, dim = 8,
+      corpusRows = Some(200), ivfCorpusFloor = 100) // IVF branch
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("neighbor_codes") && plan.contains("cell"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("projectedQuantizedRerankTopK returns exact scores on the composed shortlist") {
+    val res = Similarity.projectedQuantizedRerankTopK(
+      corpus.where(col("vec_id") < 3), corpus, "vec_id", "embedding",
+      k = 3, projDim = 8, shortlistFactor = 4, rerankFactor = 2)
+    val exactTwin = Similarity.bruteForceTopK(
+      corpus.where(col("vec_id") < 3), corpus, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val rows = res.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c) =>
+      assert(a != b, s"self match $a")
+      // any returned pair's score must equal the exact cosine for
+      // that pair (the shortlist may differ from the exact top-k set,
+      // but scores must never carry quantized/projected approximation)
+      exactTwin.get((a, b)).foreach(ex => assert(c == ex, s"($a,$b): $c != $ex"))
+    }
+  }
+
   test("ivfAssignProbes: first probe is the assigned cell, probes distinct") {
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
       k = 3, iters = 4)

@@ -132,6 +132,27 @@ class CalibrationSpec extends SparkSpecBase {
         s"${Calibration.ProjectedRecallFloor} (projDim=32, rerankFactor=8, k=5)"))
   }
 
+  test("q105's composed projected+quantized mean-recall floor holds on the live fixtures") {
+    assume(fixturesPresent, s"$sfDir absent")
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.projectedQuantizedRerankTopK(q, e, "vec_id", "embedding",
+        k = 5, projDim = 32, shortlistFactor = 16, rerankFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= Calibration.ProjectedQuantizedRecallFloor,
+      repin("ProjectedQuantizedRecallFloor",
+        s"projectedQuantizedRerankTopK mean recall $mean < floor " +
+        s"${Calibration.ProjectedQuantizedRecallFloor} " +
+        "(projDim=32, shortlistFactor=16, rerankFactor=4, k=5)"))
+  }
+
   test("q73's semantic-dedup tau keeps the operator non-vacuous on the live fixtures") {
     assume(fixturesPresent, s"$sfDir absent")
     // τ must sit BELOW the corpus's max pairwise cosine (else q73

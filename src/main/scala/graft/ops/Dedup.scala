@@ -522,7 +522,12 @@ object Dedup {
     * (document frequency ≥ `minDocs`) removed. Overlapping frequent
     * spans union their coverage; a fully-covered document survives as
     * an empty string (so corpus membership is preserved — dropping is
-    * the caller's policy).
+    * the caller's policy). Adjacent/overlapping duplicate windows are
+    * COALESCED into maximal spans (Lee et al. 2022): a duplicated
+    * region longer than `spanTokens` chains its windows into one
+    * span, reported per doc as `n_spans_removed` (count of maximal
+    * removed intervals) and `longest_removed_span` (tokens in the
+    * longest) — the numbers a removal audit reads.
     *
     * 100 TB shape: span identity is the 64-bit hash (q24's 2^-64
     * trade); span document-frequency is the same two-level
@@ -557,6 +562,36 @@ object Dedup {
       .select(col("doc"),
         explode(sequence(col("start"), col("start") + (spanTokens - 1))).as("p"))
       .distinct()
+    // COALESCING pass (Lee et al. 2022 merge adjacent/overlapping
+    // duplicate windows into MAXIMAL spans): the covered-position set
+    // per doc, position-sorted inside one aggregation buffer, folded
+    // once into (span count, longest span) — a new maximal span starts
+    // exactly where a covered position has no covered predecessor.
+    // Exact integer arithmetic throughout; the q85 oracle rebuilds the
+    // same numbers independently via no-predecessor/no-successor
+    // start/end pairing.
+    val spanStats = covered.groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("p").cast("long"))).as("ps"))
+      .select(col("doc"), {
+        val folded = aggregate(col("ps"),
+          // prev sentinel -2: positions are ≥ 1, so p - (-2) ≥ 3 never
+          // reads as adjacent — and never overflows under ANSI (a
+          // Long.MinValue sentinel would: p - MinValue throws)
+          struct(lit(0L).as("n"), lit(0L).as("longest"),
+            lit(0L).as("cur"), lit(-2L).as("prev")),
+          (acc, p) => {
+            val adjacent = p - acc.getField("prev") === 1L
+            val curLen = when(adjacent, acc.getField("cur") + 1L).otherwise(1L)
+            struct(
+              when(adjacent, acc.getField("n")).otherwise(acc.getField("n") + 1L).as("n"),
+              greatest(acc.getField("longest"), curLen).as("longest"),
+              curLen.as("cur"), p.as("prev"))
+          })
+        struct(folded.getField("n").as("n_spans"),
+          folded.getField("longest").as("longest")).as("sp")
+      })
+      .select(col("doc"), col("sp.n_spans").as("n_spans_removed"),
+        col("sp.longest").as("longest_removed_span"))
     val tokPos = toks
       .select(col("doc"), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc"), (col("p0") + 1).as("p"), col("tok"))
@@ -570,10 +605,13 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("doc"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc"), "left")
+      .join(spanStats, Seq("doc"), "left")
       .select(col("doc").as("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("longest_removed_span"), lit(0L)).as("longest_removed_span"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is

@@ -490,6 +490,25 @@ object PipelineQueries {
         lit(armProjQuant).as("arm_projected_quantized"))
     },
 
+    // The STREAMING path's own correctness row (not batch parity on a
+    // batch plan): the events table replayed through a REAL
+    // Structured Streaming execution — file source split into 3
+    // deterministic micro-batches (mod-3 on event_id),
+    // maxFilesPerTrigger=1, Trigger.AvailableNow, watermark + window
+    // aggregation, Complete-mode memory sink. The final state must
+    // hash-equal the plain-SQL rollup (Complete mode makes it
+    // arrival-order-independent); replayed_multibatch proves the run
+    // actually took ≥ 3 micro-batches through the state store rather
+    // than collapsing into one.
+    "q106_streaming_replay" -> { (s, dir) =>
+      val (state, nBatches) = graft.streaming.Replay.hourlyRollupReplay(
+        s, Tables.events(s, dir))
+      state.select(col("hour"), col("event_type"),
+          col("n_events"), col("value_sum"),
+          lit(nBatches >= 3).as("replayed_multibatch"))
+        .orderBy("hour", "event_type")
+    },
+
     // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
     // codec decode (header walk, BMP row padding, RIFF chunk list) →
     // container features. CONTRACT oracle: every decoded feature is a
@@ -1594,11 +1613,30 @@ object PipelineQueries {
          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
          |    CAST(COUNT(*) AS BIGINT) AS n_kept
          |  FROM kept GROUP BY doc_id
+         |), st AS (
+         |  SELECT c.doc_id, c.p,
+         |    ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY c.p) AS k
+         |  FROM cov c WHERE NOT EXISTS (
+         |    SELECT 1 FROM cov c2 WHERE c2.doc_id = c.doc_id AND c2.p = c.p - 1)
+         |), en AS (
+         |  SELECT c.doc_id, c.p,
+         |    ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY c.p) AS k
+         |  FROM cov c WHERE NOT EXISTS (
+         |    SELECT 1 FROM cov c2 WHERE c2.doc_id = c.doc_id AND c2.p = c.p + 1)
+         |), runs AS (
+         |  SELECT st.doc_id, en.p - st.p + 1 AS len
+         |  FROM st JOIN en ON st.doc_id = en.doc_id AND st.k = en.k
+         |), sp AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+         |    CAST(MAX(len) AS BIGINT) AS longest_removed_span
+         |  FROM runs GROUP BY doc_id
          |)
          |SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
          |  CAST(len(t.w) AS BIGINT) AS n_tokens,
-         |  CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
-         |FROM toks t LEFT JOIN reb r USING (doc_id)
+         |  CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(s.n_spans_removed, CAST(0 AS BIGINT)) AS n_spans_removed,
+         |  COALESCE(s.longest_removed_span, CAST(0 AS BIGINT)) AS longest_removed_span
+         |FROM toks t LEFT JOIN reb r USING (doc_id) LEFT JOIN sp s USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
     // sqrt and double division are IEEE-correctly-rounded (portable by
     // spec); the floor-quantized w6 makes the normalizer and the
@@ -2313,6 +2351,16 @@ object PipelineQueries {
         |  TRUE AS rerank_scores_exact,
         |  CAST(0 AS BIGINT) AS n_self
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // The batch rollup's exact SQL (q16) + the multi-batch proof bit:
+    // hash-equality here means the REAL streaming execution (file
+    // micro-batches through the state store) reproduced the batch
+    // aggregate bit-for-bit.
+    "q106_streaming_replay" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum,
+        |  TRUE AS replayed_multibatch
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
     // q103's contract shape + the dispatch proof bit: the oracle row
     // asserts the adaptive dispatcher actually took the composed
     // projected+quantized arm (plan-derived in the Spark side).

@@ -324,6 +324,36 @@ class DedupSpec extends SparkSpecBase {
     assert(got(2L) == ((2L, "head2", 7L)))
   }
 
+  test("stripRepeatedSpans coalesces window chains into maximal spans") {
+    // Chain CROSSING window boundaries: a 15-token shared run with
+    // spanTokens=6 produces 10 overlapping frequent windows per doc —
+    // they must coalesce into ONE maximal 15-token span, not 10.
+    val run15 = (1 to 15).map(i => s"w$i").mkString(" ")
+    // A second, separated shared run (6 tokens exactly) in the same
+    // docs must count as a SECOND distinct span.
+    val run6 = "p q r s t u"
+    val docs = Seq(
+      (1L, s"$run15 gapA $run6"),
+      (2L, s"$run15 gapB gapC $run6 gapD")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text",
+        spanTokens = 6, minDocs = 2)
+      .select("doc_id", "n_removed", "n_spans_removed", "longest_removed_span")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 21L, 2L, 15L)), s"${got(1L)}")
+    assert(got(2L) == ((2L, 21L, 2L, 15L)), s"${got(2L)}")
+    // an untouched doc reports zero spans
+    val clean = Dedup.stripRepeatedSpans(
+      docs.union(Seq((3L, "entirely novel content never repeated anywhere else"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", spanTokens = 6, minDocs = 2)
+      .where(col("doc_id") === 3L)
+      .select("n_spans_removed", "longest_removed_span")
+      .as[(Long, Long)].head()
+    assert(clean == ((0L, 0L)))
+  }
+
   test("incrementalLshPairs: cross-side pairs only, verified jaccard") {
     // corpus doc 10 and batch doc 20 are near-identical; batch docs
     // 20/21 are identical to EACH OTHER (batch-internal — must not

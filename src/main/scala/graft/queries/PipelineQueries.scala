@@ -509,6 +509,23 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     },
 
+    // The CUSTOM-STATE streaming path's correctness row: the events
+    // table replayed through flatMapGroupsWithState sessionization in
+    // time-ordered micro-batches (time-range tercile files + a
+    // sentinel file that flushes every open session — see Replay's
+    // parity argument). The emitted session set must hash-equal the
+    // batch gaps-and-islands SQL (q17's oracle) exactly: per-user
+    // session numbering, bounds, and event counts all come out of the
+    // incremental state machine.
+    "q107_streaming_sessions" -> { (s, dir) =>
+      val (state, nBatches) = graft.streaming.Replay.sessionizationReplay(
+        s, Tables.events(s, dir), gapMinutes = 30)
+      state.select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"),
+          lit(nBatches >= 3).as("replayed_multibatch"))
+        .orderBy("user_id", "session_seq")
+    },
+
     // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
     // codec decode (header walk, BMP row padding, RIFF chunk list) →
     // container features. CONTRACT oracle: every decoded feature is a
@@ -2361,6 +2378,30 @@ object PipelineQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum,
         |  TRUE AS replayed_multibatch
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    // q17's exact gaps-and-islands SQL + the multi-batch proof bit:
+    // hash-equality means the per-user session STATE MACHINE
+    // (flatMapGroupsWithState across time-ordered micro-batches)
+    // reproduced the batch window scan bit-for-bit.
+    "q107_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts_s,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL
+        |           OR CAST(epoch(ts_s) AS BIGINT) - CAST(epoch(lag(ts_s) OVER w) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_s,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM g
+        |)
+        |SELECT user_id, session_seq, MIN(ts_s) AS session_start,
+        |  MAX(ts_s) AS session_end, COUNT(*) AS n_events,
+        |  TRUE AS replayed_multibatch
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     // q103's contract shape + the dispatch proof bit: the oracle row
     // asserts the adaptive dispatcher actually took the composed
     // projected+quantized arm (plan-derived in the Spark side).

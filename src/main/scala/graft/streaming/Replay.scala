@@ -54,4 +54,75 @@ object Replay {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     (spark.table(name), dataBatches)
   }
+
+  /** Replay `events` through the CUSTOM-STATE streaming path
+    * ([[EventStreams.sessionizeStream]], `flatMapGroupsWithState`) in
+    * time-ordered micro-batches, so the per-user session state machine
+    * itself gets a hash-exact correctness row (q107).
+    *
+    * Determinism/parity with the batch [[EventStreams.sessionize]]:
+    *  - the feed is second-truncated UP FRONT (the batch operator
+    *    truncates internally), so both sides session identical
+    *    timestamps;
+    *  - files split the time RANGE into `nBatches` terciles on the
+    *    truncated ts — the split predicate depends only on ts, so a
+    *    user's equal-ts events can never straddle a boundary, and
+    *    cross-batch arrival is time-ordered per user (the state
+    *    machine's requirement); within a batch the operator sorts by
+    *    (ts, event_id), the batch window's exact order. Files are
+    *    written sequentially (distinct mtimes → file-source order);
+    *    even a same-mtime tie that merges two files into one
+    *    micro-batch stays correct — the union is still time-ordered
+    *    after the in-batch sort, only an order INVERSION could break
+    *    parity, and the oracle hash would catch it.
+    *  - a final SENTINEL file carries one far-future event per user
+    *    (event_id −1, ts past every real session's gap), forcing the
+    *    state machine to close and emit every user's LAST session;
+    *    the sentinel's own session stays in state and is never
+    *    emitted, so the emitted set is EXACTLY the batch session set.
+    */
+  def sessionizationReplay(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, nBatches: Int = 3,
+      stageDir: String = "/tmp/graft_stream_replay_sessions")
+      : (DataFrame, Int) = {
+    import spark.implicits._
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val feed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      date_trunc("second", col("ts")).as("ts"))
+    val (tMin, tMax) = feed
+      .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+      .as[(Long, Long)].head()
+    val path = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    val span = math.max(tMax - tMin, nBatches.toLong)
+    for (k <- 0 until nBatches) {
+      val lo = tMin + span * k / nBatches
+      val hi = tMin + span * (k + 1) / nBatches
+      val part = feed.where(
+        unix_timestamp(col("ts")) >= lo &&
+          (if (k == nBatches - 1) lit(true)
+           else unix_timestamp(col("ts")) < hi))
+      part.coalesce(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(15) // distinct file mtimes → deterministic source order
+    }
+    val sentinelTs = tMax + gapMinutes * 60L + 61L
+    feed.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        to_timestamp(lit(sentinelTs)).as("ts"))
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    val src = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+      .as[EventStreams.SessionEvent]
+    val name = "graft_replay_sessions"
+    spark.catalog.dropTempView(name)
+    val q = EventStreams.sessionizeStream(src, gapMinutes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.table(name), dataBatches)
+  }
 }

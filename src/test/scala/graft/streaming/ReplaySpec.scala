@@ -32,6 +32,36 @@ class ReplaySpec extends SparkSpecBase {
       s"streamed=$streamed\nbatch=$batch")
   }
 
+  test("replayed custom-state sessionization equals the batch window scan") {
+    // multi-user, multi-session: user 1 has sessions spanning the
+    // batch-boundary terciles (state must carry open sessions across
+    // micro-batches); every user's LAST session only exists in state
+    // until the sentinel flushes it
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(id: Long, user: Long, minutes: Long) =
+      (id, user, new java.sql.Timestamp(base + minutes * 60000L), "view", 0.0)
+    val df = Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20),     // session 1 (u1)
+      ev(4, 1, 60), ev(5, 1, 75),                  // session 2 (u1), crosses tercile
+      ev(6, 1, 130),                               // session 3 (u1)
+      ev(7, 2, 5), ev(8, 2, 50),                   // two singleton-ish (u2)
+      ev(9, 3, 140)                                // one late session (u3)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val (state, nBatches) = Replay.sessionizationReplay(spark, df,
+      gapMinutes = 30, stageDir = "/tmp/graft_replay_spec_sessions")
+    assert(nBatches >= 3, s"replay collapsed into $nBatches batches")
+    val streamed = state
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.sessionize(df, 30)
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // every user's final session made it out (sentinel flush worked)
+    assert(streamed.count(_.head == 1L) == 3)
+    assert(streamed.count(_.head == 3L) == 1)
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

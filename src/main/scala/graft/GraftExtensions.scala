@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, GramHashRange, Int8Dot, MinHashSignature, RandomProjection, SimHash64, WordShingles}
+import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, MinHashSignature, RandomProjection, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -21,6 +21,7 @@ import graft.expressions.{DecimalScaledDot, GramHashRange, Int8Dot, MinHashSigna
   * - `int8_dot(a, b)` → INT (integer dot of int8 code arrays)
   * - `random_projection(vec, outDim)` → ARRAY<BIGINT> (JL ±1 sign
   *   projection at scale-6 quantization)
+  * - `fold_hash(text)` → BIGINT (codepoint polynomial fold mod 1e9+7)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -107,6 +108,13 @@ object GraftExtensions {
           "random_projection(vec, outDim) takes 2 arguments")
         RandomProjection(children.head,
           intLiteralArg("random_projection", "outDim", children(1)))
+      }),
+    (FunctionIdentifier("fold_hash"),
+      info("fold_hash",
+        "fold_hash(text) - polynomial codepoint fold (acc*31 + cp) mod 1e9+7"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "fold_hash(text) takes 1 argument")
+        FoldHash(children.head)
       }))
 
   /** Register into an ALREADY-RUNNING session's function registry —

@@ -1,7 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DoubleType, FloatType, StringType}
 
 /** Input-type declaration for [[graft.expressions.Int8Dot]], hosted in
   * the spark.sql package because `AbstractDataType` is `private[sql]`
@@ -36,6 +36,14 @@ trait FloatArrayInputTypes extends ImplicitCastInputTypes {
 trait FloatArrayBinaryInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
+}
+
+/** Unary string input declaration for [[graft.expressions.FoldHash]]:
+  * non-string arguments (numbers, dates) are ANSI-cast to string
+  * rather than misread.
+  */
+trait StringInputType extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 }
 
 /** Unary array<double> input declaration for

@@ -171,6 +171,14 @@ package object functions {
     GraftSqlBridge.column(graft.expressions.NearestCells(
       GraftSqlBridge.expression(vec), index, nProbe))
 
+  /** Native codegen'd codepoint fold hash (graft.expressions.FoldHash)
+    * — `(acc·31 + codepoint) mod 1e9+7`, oracle-replayable for all
+    * Unicode.
+    */
+  def foldHashNative(c: Column): Column =
+    GraftSqlBridge.column(graft.expressions.FoldHash(
+      GraftSqlBridge.expression(c)))
+
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

@@ -232,24 +232,25 @@ object TextOps {
     picked
   }
 
-  /** Portable polynomial fold hash of a string: `(acc·31 + char)
-    * mod 1,000,000,007` — the [[graft.ops.Selection.tokenBucket]]
-    * portability discipline at fingerprint modulus (large prime, not a
-    * bucket count). Replays exactly in ANSI SQL via
-    * `list_reduce(list_prepend(0, codepoints), ...)`.
-    *
-    * PORTABILITY ENVELOPE: ASCII-only. Spark's `ascii()` and the
-    * oracle's `unicode()` agree on all single-byte ASCII characters;
-    * outside that range (accented letters, CJK, supplementary-plane
-    * characters that `split(c, "")` slices into surrogate halves) the
-    * two sides can diverge. The winnowing/fingerprint operators built
-    * on this hash therefore pin their oracle parity claims to ASCII
-    * token streams — callers hashing arbitrary Unicode should
-    * normalize (e.g. [[graft.ops.Dedup.normalizeText]]-style folding
-    * or a byte-level transform) first. Collision behavior is still
-    * uniform either way; only cross-engine replay is affected.
+  /** Portable polynomial fold hash of a string over UNICODE
+    * CODEPOINTS: `(acc·31 + codepoint) mod 1,000,000,007` — the
+    * [[graft.ops.Selection.tokenBucket]] portability discipline at
+    * fingerprint modulus (large prime, not a bucket count). Replays
+    * exactly in ANSI SQL via
+    * `list_reduce(list_prepend(0, codepoints), ...)` for EVERY valid
+    * Unicode string — the native [[graft.expressions.FoldHash]]
+    * kernel walks codepoints, so there is no ASCII-only envelope
+    * (the declarative `split("")+ascii` arm it replaced hashed
+    * supplementary-plane characters as surrogate halves; kept below
+    * as the spec's ASCII-parity oracle).
     */
-  def foldHash(c: Column): Column =
+  def foldHash(c: Column): Column = graft.functions.foldHashNative(c)
+
+  /** The pre-r8 declarative arm — UTF-16 unit walk via split+ascii;
+    * agrees with [[foldHash]] on ASCII (spec-pinned), diverges on
+    * supplementary-plane input. Retained ONLY as a spec oracle.
+    */
+  private[graft] def foldHashDeclarative(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),

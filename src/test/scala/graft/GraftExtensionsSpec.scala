@@ -106,11 +106,25 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(viaDouble == 0.25 * 2.0 + (-0.5) * 4.0, s"got $viaDouble")
   }
 
+  test("fold_hash callable from SQL, codepoint-exact beyond the BMP") {
+    GraftExtensions.register(spark)
+    // expected values computed by an independent JVM codepoint walk
+    def expected(s: String): Long = {
+      var acc = 0L
+      s.codePoints().toArray.foreach(cp => acc = (acc * 31L + cp) % 1000000007L)
+      acc
+    }
+    for (s <- Seq("a b c", "héllo wörld", "日本語テキスト", "clef 𝄞 here", "")) {
+      val got = spark.sql(s"SELECT fold_hash('${s}') AS h").collect()(0).getLong(0)
+      assert(got == expected(s), s"'$s': $got != ${expected(s)}")
+    }
+  }
+
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
-      Seq("decimal_scaled_dot", "gram_hash_range", "int8_dot",
+      Seq("decimal_scaled_dot", "fold_hash", "gram_hash_range", "int8_dot",
         "minhash_signature", "random_projection", "simhash64",
         "word_shingles"))
   }

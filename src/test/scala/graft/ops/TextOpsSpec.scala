@@ -203,6 +203,28 @@ class TextOpsSpec extends SparkSpecBase {
       "no shared fingerprint despite 8-word shared run")
   }
 
+  test("foldHash native kernel: ASCII parity with the declarative arm, codepoint-exact beyond it") {
+    // ASCII: the pre-r8 split+ascii fold and the native codepoint walk
+    // must agree exactly (the winnowing fixtures' regime)
+    val ascii = Seq("alpha beta", "the quick brown fox", "a", "", "x y z w")
+      .toDF("s")
+    val both = ascii.select(
+      TextOps.foldHash(col("s")).as("native"),
+      TextOps.foldHashDeclarative(col("s")).as("decl"))
+    assert(both.where(not(col("native") <=> col("decl"))).count() == 0)
+    // beyond ASCII the native arm is the CORRECT one: equal to an
+    // independent JVM codepoint walk, including supplementary plane
+    def expected(s: String): Long = {
+      var acc = 0L
+      s.codePoints().toArray.foreach(cp => acc = (acc * 31L + cp) % 1000000007L)
+      acc
+    }
+    val uni = Seq("héllo", "日本語", "clef 𝄞 end").toDF("s")
+    val got = uni.select(col("s"), TextOps.foldHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (s, h) => assert(h == expected(s), s"'$s'") }
+  }
+
   test("gopherRules boundary: counts exactly at thresholds pass") {
     // exactly minTokens=40 tokens, each 4 chars (mtl in band), with
     // two stopword hits, all distinct (dup ratio 0 <= 0.55)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, MinHashSignature, RandomProjection, SimHash64, WordShingles}
+import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, MinHashSignature, RandomProjection, SimHash64, SubseqStarts, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -22,6 +22,8 @@ import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, Mi
   * - `random_projection(vec, outDim)` → ARRAY<BIGINT> (JL ±1 sign
   *   projection at scale-6 quantization)
   * - `fold_hash(text)` → BIGINT (codepoint polynomial fold mod 1e9+7)
+  * - `subseq_starts(haystack, needle)` → ARRAY<INT> (1-based phrase
+  *   match starts over token arrays)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -115,6 +117,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "fold_hash(text) takes 1 argument")
         FoldHash(children.head)
+      }),
+    (FunctionIdentifier("subseq_starts"),
+      info("subseq_starts",
+        "subseq_starts(haystack, needle) - 1-based starts where needle occurs contiguously in haystack (token arrays)"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "subseq_starts(haystack, needle) takes 2 arguments")
+        SubseqStarts(children(0), children(1))
       }))
 
   /** Register into an ALREADY-RUNNING session's function registry —

@@ -46,6 +46,14 @@ trait StringInputType extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 }
 
+/** Binary array<string> input declaration for
+  * [[graft.expressions.SubseqStarts]].
+  */
+trait StringArrayBinaryInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+}
+
 /** Unary array<double> input declaration for
   * [[graft.expressions.NearestCentroid]]/[[graft.expressions.NearestCells]]:
   * float embedding columns are ANSI-cast to array<double> (exact) so

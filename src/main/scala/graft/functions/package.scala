@@ -179,6 +179,13 @@ package object functions {
     GraftSqlBridge.column(graft.expressions.FoldHash(
       GraftSqlBridge.expression(c)))
 
+  /** Native codegen'd token-phrase match (graft.expressions.SubseqStarts):
+    * 1-based starts where `needle` occurs contiguously in `haystack`.
+    */
+  def subseqStartsNative(haystack: Column, needle: Column): Column =
+    GraftSqlBridge.column(graft.expressions.SubseqStarts(
+      GraftSqlBridge.expression(haystack), GraftSqlBridge.expression(needle)))
+
   /** L2 norm of a float-array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval: BM25 scoring + top-k ranking — the text
@@ -161,26 +161,33 @@ object Retrieval {
       phraseCol: String): DataFrame = {
     val ph = phrases.select(col(qidCol).cast("long").as("qid"),
       col(phraseCol).as("ph"))
-    val w = TextOps.tokens(col(textCol))
-    // starts are 1-based for element_at; output first_pos is 0-based
-    // (matching phraseOccurrences). sequence() REVERSES when stop <
-    // start, so the window list must be guarded for short docs.
-    val starts = when(size(w) >= size(col("ph")),
-        filter(
-          sequence(lit(1), greatest(size(w) - size(col("ph")) + 1, lit(1))),
-          s => size(filter(
-            sequence(lit(0), size(col("ph")) - 1),
-            j => element_at(w, (s + j).cast("int")) ===
-              element_at(col("ph"), (j + 1).cast("int")))) === size(col("ph"))))
-      .otherwise(array().cast("array<int>"))
-    graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
-      .crossJoin(broadcast(ph))
+    // tokenize ONCE per doc BELOW the broadcast join (the projection
+    // stays under the join node — |phrases|× re-tokenization was part
+    // of the interpreted arm's measured cost), then one compiled
+    // window walk per (doc, phrase) via the native kernel
+    val toks = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__w"))
+    toks.crossJoin(broadcast(ph))
       .where(size(col("ph")) > 0)
-      .select(col("qid").as("query_id"), col(idCol).cast("long").as("doc_id"),
-        starts.as("starts"))
+      .select(col("qid").as("query_id"), col("doc_id"),
+        graft.functions.subseqStartsNative(col("__w"), col("ph")).as("starts"))
       .where(size(col("starts")) > 0)
       .select(col("query_id"), col("doc_id"),
         size(col("starts")).cast("long").as("n_occurrences"),
         (array_min(col("starts")) - 1).cast("int").as("first_pos"))
   }
+
+  /** The pre-r8 interpreted HOF arm of [[phraseOccurrencesMapSide]]'s
+    * window check — retained ONLY as the native kernel's spec oracle.
+    */
+  private[graft] def phraseStartsDeclarative(w: Column, ph: Column): Column =
+    when(size(w) >= size(ph),
+      filter(
+        sequence(lit(1), greatest(size(w) - size(ph) + 1, lit(1))),
+        s => size(filter(
+          sequence(lit(0), size(ph) - 1),
+          j => element_at(w, (s + j).cast("int")) ===
+            element_at(ph, (j + 1).cast("int")))) === size(ph)))
+    .otherwise(array().cast("array<int>"))
 }

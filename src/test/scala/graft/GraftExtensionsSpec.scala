@@ -126,6 +126,6 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
       Seq("decimal_scaled_dot", "fold_hash", "gram_hash_range", "int8_dot",
         "minhash_signature", "random_projection", "simhash64",
-        "word_shingles"))
+        "subseq_starts", "word_shingles"))
   }
 }

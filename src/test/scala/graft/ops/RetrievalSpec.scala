@@ -147,6 +147,31 @@ class RetrievalSpec extends SparkSpecBase {
     assert(joinRes.nonEmpty)
   }
 
+  test("subseq_starts native kernel ≡ the declarative window filter, exhaustively") {
+    import spark.implicits._
+    // small vocab forces matches, overlaps, and repeats; fixed seed
+    val rnd = new scala.util.Random(42L)
+    val vocab = Seq("a", "b", "c")
+    val hays = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(3)))))
+    val needles = Seq(Seq("a"), Seq("a", "b"), Seq("b", "b"),
+      Seq("a", "b", "a"), Seq("c", "c", "c", "c"))
+    for (ndl <- needles) {
+      val df = hays.toDF("id", "w")
+      val both = df.select(
+        graft.functions.subseqStartsNative(col("w"), typedlit(ndl)).as("native"),
+        Retrieval.phraseStartsDeclarative(col("w"), typedlit(ndl)).as("decl"))
+      val bad = both.where(not(col("native") <=> col("decl"))).collect()
+      assert(bad.isEmpty, s"needle=$ndl: ${bad.take(3).mkString(";")}")
+    }
+    // SQL registration round-trips
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT subseq_starts(array('x','y','x','y'), array('x','y')) AS s")
+      .collect()(0).getSeq[Int](0)
+    assert(viaSql == Seq(1, 3))
+  }
+
   test("map-side phrase plan has no exchange before the output") {
     import spark.implicits._
     val df = Retrieval.phraseOccurrencesMapSide(

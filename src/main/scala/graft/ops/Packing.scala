@@ -182,4 +182,65 @@ object Packing {
         count(lit(1)).as("n_sequences"),
         avg(col("seq_tokens").cast("double") / budget).as("mean_fill"),
         max(when(col("n_docs") > 1, col("seq_tokens")).otherwise(0L)).as("max_packed_tokens"))
+
+  /** GPT-style token-stream layout: documents laid end-to-end in
+    * `idCol` order form ONE contiguous token stream; doc i occupies
+    * [start_offset, start_offset + n_tokens). The stream is then cut
+    * into fixed `window`-token training sequences, so a doc's tokens
+    * land in windows `start_offset/window .. (start+n-1)/window` —
+    * this is the boundary-crossing packing (docs split mid-window,
+    * zero padding) that next-fit packing (`packGreedy`) trades away.
+    *
+    * The global offsets are the scalable exclusive prefix sum
+    * ([[ScalableWindows.prefixSumByBucket]]) — arithmetic-bucketed
+    * partitioned windows, never a single-partition WindowExec, so the
+    * layout of a 10¹²-doc corpus is two scans and one bounded driver
+    * scan of bucket totals. Deterministic: the order is total (unique
+    * ids enforced), the bucketing is pure arithmetic.
+    *
+    * Output: (doc_id, n_tokens, start_offset, first_window,
+    * last_window) — window columns NULL for empty (0-token) docs,
+    * which occupy no stream positions.
+    */
+  def tokenStreamOffsets(docs: DataFrame, idCol: String, tokensCol: String,
+      window: Long, nBuckets: Int = 1024): DataFrame = {
+    require(window > 0, s"tokenStreamOffsets: window=$window")
+    requireIntegralId(docs, idCol)
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    ScalableWindows.prefixSumByBucket(
+        src, "doc_id", "n_tokens", "start_offset", nBuckets)
+      .withColumn("first_window",
+        when(col("n_tokens") > 0, expr(s"start_offset div ${window}L")))
+      .withColumn("last_window",
+        when(col("n_tokens") > 0,
+          expr(s"(start_offset + n_tokens - 1) div ${window}L")))
+  }
+
+  /** Per-(window, doc) training manifest over [[tokenStreamOffsets]]
+    * output: which slice of which doc fills each fixed-size window —
+    * exactly what a data loader needs to materialize sequence
+    * `window_id`. `slice_start` is the 0-based token position WITHIN
+    * the doc where the window's slice begins; `tokens_in_window` its
+    * length. Bounded map-side explode: a doc spans
+    * ceil(n_tokens/window)+1 windows at most, so blowup is ~1 + 1/fill
+    * rows per doc — no shuffle at all (the window id rides the
+    * arithmetic, not a join).
+    */
+  def windowManifest(offsets: DataFrame, window: Long): DataFrame = {
+    require(window > 0, s"windowManifest: window=$window")
+    offsets.where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("first_window"), col("last_window")))
+          .as("window_id"))
+      .select(
+        col("window_id"),
+        col("doc_id"),
+        (greatest(col("window_id") * window, col("start_offset")) -
+          col("start_offset")).as("slice_start"),
+        (least((col("window_id") + 1) * window,
+            col("start_offset") + col("n_tokens")) -
+          greatest(col("window_id") * window, col("start_offset")))
+          .as("tokens_in_window"))
+  }
 }

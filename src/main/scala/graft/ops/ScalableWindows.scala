@@ -64,4 +64,65 @@ object ScalableWindows {
     }
     withAggs.where(!col("__carry")).drop("__b", "__carry")
   }
+
+  /** Exclusive global running sum (`SUM(value) OVER (ORDER BY orderCol
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`) computed with
+    * PARTITIONED windows — the two-phase prefix sum.
+    *
+    * Mechanics: the order-key domain is cut into `nBuckets` equal-width
+    * ranges (deterministic arithmetic on the key — no sampled range
+    * partitioner, so the bucketing is identical across jobs and
+    * recomputations). Phase 1 aggregates one (bucket, total) row per
+    * present bucket — ≤ `nBuckets` rows collected driver-side, an
+    * exclusive scan of which yields each bucket's base offset. Phase 2
+    * adds base + within-bucket exclusive running sum, each bucket its
+    * own window partition. Two scans of the input, no single-partition
+    * WindowExec, no global shuffle beyond the window's hash exchange.
+    *
+    * `orderCol` values must be unique and long-castable (the usual
+    * dense doc-id shape); ties would make the within-bucket frame
+    * order — and therefore the prefix sum — nondeterministic, so
+    * duplicate keys are rejected by count. Dense ids give balanced
+    * buckets; sparse ids degrade bucket balance, never correctness.
+    * `valueCol` must be non-negative longs (token counts); the running
+    * total lives in a LONG — fine to ~9.2e18 total tokens.
+    */
+  def prefixSumByBucket(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, s"prefixSumByBucket: nBuckets=$nBuckets")
+    val keyed = df.withColumn("__o", col(orderCol).cast("long"))
+      .withColumn("__v", col(valueCol).cast("long"))
+    // One column-pruned scan: key bounds + uniqueness + value contract.
+    val stats = keyed.agg(
+      min(col("__o")), max(col("__o")), count(col("__o")),
+      count_distinct(col("__o")), count(lit(1)),
+      sum(when(col("__v") < 0 || col("__v").isNull, 1L).otherwise(0L))).head()
+    if (stats.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+    require(stats.getLong(2) == stats.getLong(4) && stats.getLong(5) == 0L,
+      s"prefixSumByBucket: '$orderCol' must be non-null long-castable and " +
+        s"'$valueCol' non-negative (nulls or negatives present)")
+    require(stats.getLong(3) == stats.getLong(2),
+      s"prefixSumByBucket: duplicate '$orderCol' keys — a global order " +
+        "needs unique keys (dense-rank upstream)")
+    // ceil((hi-lo+1)/nBuckets) without overflow on extreme key ranges
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val width = ((span + nBuckets - 1) / nBuckets).max(1).toLong
+    // `div` = exact integer division (Column./ is double — lossy > 2^53)
+    val bucketed = keyed.withColumn("__b",
+      expr(s"(__o - ${lo}L) div ${width}L"))
+    val totals = bucketed.groupBy("__b").agg(sum(col("__v")).as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val baseOf: Map[Long, Long] = { // exclusive scan over ≤ nBuckets rows
+      var acc = 0L
+      totals.map { case (b, t) => val r = b -> acc; acc += t; r }.toMap
+    }
+    val w = Window.partitionBy(col("__b")).orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn(outCol,
+        try_element_at(typedLit(baseOf), col("__b")) +
+          coalesce(sum(col("__v")).over(w), lit(0L)))
+      .drop("__o", "__v", "__b")
+  }
 }

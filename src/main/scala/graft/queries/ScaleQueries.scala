@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.money
-import graft.ops.{BloomPrune, RangeJoin, Scd2, Sketches}
+import graft.ops.{BloomPrune, Packing, RangeJoin, Scd2, Sketches, TextOps}
 
 /** Scale-pattern operators as registered queries: runtime-filter
   * (bloom) join pruning, binned range join, SCD2 dimension versioning,
@@ -202,6 +202,29 @@ object ScaleQueries {
         (count(lit(1)) <= sum(col("n_chunks"))).as("seq_count_le_chunks"))
     },
 
+    // Global token-stream layout: docs laid end-to-end in doc_id order,
+    // each assigned its exclusive-prefix-sum start offset and the fixed
+    // 2048-token training windows it spans. The offsets come from the
+    // two-phase partitioned prefix sum (arithmetic bucketing + bounded
+    // driver scan of bucket totals) — never a single-partition window.
+    "q108_token_stream" -> { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      Packing.tokenStreamOffsets(withTokens, "doc_id", "n_tokens",
+        window = 2048L, nBuckets = 64)
+    },
+
+    // Data-loader manifest for the token stream: which slice of which
+    // doc fills each fixed 2048-token window — bounded map-side explode
+    // over the q108 layout, no shuffle (window ids are arithmetic).
+    "q109_window_manifest" -> { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      val offsets = Packing.tokenStreamOffsets(withTokens, "doc_id", "n_tokens",
+        window = 2048L, nBuckets = 64)
+      Packing.windowManifest(offsets, window = 2048L)
+    },
+
     // Incremental aggregate maintenance: a pre-aggregated "state"
     // (orders before 1998) merged with a partial aggregate of the new
     // "delta" partition — re-aggregation is exact because the decimal
@@ -323,6 +346,41 @@ object ScaleQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q108_token_stream" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       CASE WHEN n_tokens > 0 THEN start_offset // 2048 END AS first_window,
+        |       CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 2048 END AS last_window
+        |FROM o
+        |""".stripMargin,
+
+    "q109_window_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, n_tokens, start_offset,
+        |         unnest(generate_series(start_offset // 2048, (start_offset + n_tokens - 1) // 2048)) AS window_id
+        |  FROM o WHERE n_tokens > 0)
+        |SELECT window_id, doc_id,
+        |       GREATEST(window_id * 2048, start_offset) - start_offset AS slice_start,
+        |       LEAST((window_id + 1) * 2048, start_offset + n_tokens)
+        |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
+        |FROM m
+        |""".stripMargin,
 
     "q49_bloom_semi" ->
       """SELECT COUNT(*) AS n,

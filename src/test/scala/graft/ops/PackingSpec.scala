@@ -154,4 +154,50 @@ class PackingSpec extends SparkSpecBase {
       Packing.chunkSliding(Seq((1L, "x")).toDF("doc_id", "text"),
         "doc_id", "text", size = 2, stride = 3))
   }
+
+  // ---- token-stream layout (global-prefix-sum packing) ----
+
+  test("tokenStreamOffsets: offsets equal the sequential layout; empty docs span no windows") {
+    val docs = Seq((0L, 100L), (1L, 0L), (2L, 50L), (3L, 120L), (4L, 30L),
+      (5L, 0L), (6L, 64L)).toDF("doc_id", "n")
+    val got = Packing.tokenStreamOffsets(docs, "doc_id", "n", window = 64L,
+        nBuckets = 3)
+      .select("doc_id", "n_tokens", "start_offset", "first_window", "last_window")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    // hand layout: 0:[0,100) w0-1, 2:[100,150) w1-2, 3:[150,270) w2-4,
+    // 4:[270,300) w4, 6:[300,364) w4-5; empty docs 1,5 → NULL windows
+    assert(got == Set(
+      (0L, 100L, 0L, 0L, 1L), (1L, 0L, 100L, -1L, -1L),
+      (2L, 50L, 100L, 1L, 2L), (3L, 120L, 150L, 2L, 4L),
+      (4L, 30L, 270L, 4L, 4L), (5L, 0L, 300L, -1L, -1L),
+      (6L, 64L, 300L, 4L, 5L)), got)
+  }
+
+  test("windowManifest: token mass conserved per doc, windows full except the last") {
+    val docs = (0 until 60).map(i => (i.toLong, ((i * 37) % 120).toLong))
+      .toDF("doc_id", "n")
+    val W = 64L
+    val offsets = Packing.tokenStreamOffsets(docs, "doc_id", "n", W, nBuckets = 7)
+    val manifest = Packing.windowManifest(offsets, W)
+    val perDoc = manifest.groupBy("doc_id")
+      .agg(sum(col("tokens_in_window")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val expected = docs.where(col("n") > 0).as[(Long, Long)].collect().toMap
+    assert(perDoc == expected) // every nonzero doc's tokens all land somewhere
+    val perWindow = manifest.groupBy("window_id")
+      .agg(sum(col("tokens_in_window")).as("m"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val total = expected.values.sum
+    assert(perWindow.map(_._1).toSeq == (0L until perWindow.size).toSeq,
+      "window ids must be contiguous from 0")
+    assert(perWindow.dropRight(1).forall(_._2 == W),
+      "every window except the last must be exactly full (contiguous stream)")
+    assert(perWindow.map(_._2).sum == total)
+    // slice bounds stay inside each doc
+    val bad = manifest.where(col("slice_start") < 0 ||
+      col("tokens_in_window") <= 0).count()
+    assert(bad == 0L)
+  }
 }

@@ -59,4 +59,56 @@ class ScalableWindowsSpec extends SparkSpecBase {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "found a Window with no partition spec (global window)")
   }
+
+  // ---- prefixSumByBucket ----
+
+  private def prefixOracle(rows: Seq[(Long, Long)]): Map[Long, Long] = {
+    var acc = 0L
+    rows.sortBy(_._1).map { case (id, v) => val r = id -> acc; acc += v; r }.toMap
+  }
+
+  private def prefixRows(df: org.apache.spark.sql.DataFrame, nBuckets: Int) =
+    ScalableWindows.prefixSumByBucket(df, "id", "v", "run", nBuckets)
+      .select("id", "run").as[(Long, Long)].collect().toMap
+
+  test("bucketed prefix sum is bit-identical to the sequential scan") {
+    val rows = Seq((3L, 5L), (10L, 0L), (1L, 7L), (42L, 9L), (17L, 2L),
+      (18L, 3L), (99L, 1L), (100L, 4L), (55L, 6L))
+    val df = rows.toDF("id", "v").repartition(4)
+    for (nBuckets <- Seq(1, 2, 7, 64, 1024))
+      assert(prefixRows(df, nBuckets) == prefixOracle(rows),
+        s"nBuckets=$nBuckets")
+  }
+
+  test("prefix sum survives sparse ids and cross-bucket boundaries") {
+    // ids straddle arithmetic bucket edges at every width
+    val rows = (0 until 200).map(i => (i.toLong * 13 + 7, (i % 5).toLong))
+    val df = rows.toDF("id", "v").repartition(8)
+    assert(prefixRows(df, 16) == prefixOracle(rows))
+  }
+
+  test("prefix sum rejects duplicate order keys and negative values") {
+    val dup = Seq((1L, 2L), (1L, 3L)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](prefixRows(dup, 4))
+    assert(e1.getMessage.contains("duplicate"))
+    val neg = Seq((1L, 2L), (2L, -3L)).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException](prefixRows(neg, 4))
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
+  test("prefix sum on an empty frame yields zero offsets, no failure") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(prefixRows(empty, 4).isEmpty)
+  }
+
+  test("prefix-sum windows are partitioned (never a global WindowExec)") {
+    val df = (0 until 50).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val out = ScalableWindows.prefixSumByBucket(df, "id", "v", "run", 8)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a Window with no partition spec (global window)")
+  }
 }

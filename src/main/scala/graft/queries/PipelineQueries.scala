@@ -526,6 +526,53 @@ object PipelineQueries {
         .orderBy("user_id", "session_seq")
     },
 
+    // Corpus k-means clustering — the SemDeDup-style curation
+    // primitive (cluster, then curate within clusters): centroids
+    // trained on the bounded deterministic sample
+    // (trainIvfCentroids), the FULL corpus assigned through the
+    // native NearestCentroid kernel (the scale-honest ingest path —
+    // the declarative HOF scan exists only as the contract arm
+    // below). CONTRACT oracle: (a) every vector gets exactly one
+    // cluster in [0,k); (b) the kernel assignment equals the
+    // declarative argmax recompute on EVERY corpus row; (c) in
+    // aggregate, mean cosine to the OWN centroid beats the mean
+    // cosine over all centroids (max ≥ mean rowwise — 1e-9 fp
+    // slack); (d) 1 ≤ clusters used ≤ k.
+    "q110_corpus_clusters" -> { (s, dir) =>
+      val k = 16
+      val e = Tables.embeddings(s, dir)
+      val cents = Similarity.trainIvfCentroids(
+        e, "vec_id", "embedding", k = k, iters = 3)
+      val assigned = Similarity.ivfAssign(e, "embedding", cents)
+      val normed = cents.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) c else c.map(_ / n)
+      }
+      val centLit = typedLit(normed)
+      val dots = transform(sequence(lit(1), lit(k)), j =>
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            element_at(centLit, j), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+      assigned
+        .withColumn("__decl",
+          Similarity.assignCellDeclarative(col("embedding"), cents))
+        .withColumn("__dots", dots)
+        .withColumn("__own", element_at(col("__dots"), col("cell").cast("int") + 1))
+        .withColumn("__mean",
+          aggregate(col("__dots"), lit(0.0), (a, x) => a + x) / lit(k.toDouble))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when(col("cell").isNull || col("cell") < 0 ||
+            col("cell") >= k, 1L).otherwise(0L)).as("n_bad_cell"),
+          sum(when(col("cell") =!= col("__decl"), 1L).otherwise(0L))
+            .as("n_kernel_mismatch"),
+          (avg(col("__own")) >= avg(col("__mean")) - lit(1e-9))
+            .as("own_beats_mean"),
+          (count_distinct(col("cell")).between(1L, k.toLong))
+            .as("clusters_bounded"))
+    },
+
     // Multimodal: synthesized BMP/PPM/WAV payloads → REAL pure-JVM
     // codec decode (header walk, BMP row padding, RIFF chunk list) →
     // container features. CONTRACT oracle: every decoded feature is a
@@ -2412,6 +2459,14 @@ object PipelineQueries {
         |  CAST(0 AS BIGINT) AS n_self,
         |  TRUE AS arm_projected_quantized
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q110_corpus_clusters" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(0 AS BIGINT) AS n_bad_cell,
+        |  CAST(0 AS BIGINT) AS n_kernel_mismatch,
+        |  TRUE AS own_beats_mean,
+        |  TRUE AS clusters_bounded
+        |FROM embeddings""".stripMargin,
     // Every decoded feature is a closed form of doc_id — the synthesis
     // formulas in Multimodal.synth*. The byte-stream means are
     // recomputed exactly (integer sums < 2^53, one final IEEE

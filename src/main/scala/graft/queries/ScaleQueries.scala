@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.money
-import graft.ops.{BloomPrune, Packing, RangeJoin, Scd2, Sketches, TextOps}
+import graft.ops.{BloomPrune, Packing, RangeJoin, ScalableWindows, Scd2, Sketches, TextOps}
 
 /** Scale-pattern operators as registered queries: runtime-filter
   * (bloom) join pruning, binned range join, SCD2 dimension versioning,
@@ -225,6 +225,31 @@ object ScaleQueries {
       Packing.windowManifest(offsets, window = 2048L)
     },
 
+    // Deterministic multi-epoch shuffle order: each training epoch
+    // re-permutes the corpus with a bijective odd-multiplier hash
+    // (doc_id·m mod 2³² is a permutation of the id domain for any odd
+    // m), and every (epoch, doc) gets its GLOBAL position in the
+    // epoch-concatenated stream from the bucketed prefix sum — the
+    // multi-epoch data-loader ordering, computed without a global
+    // single-partition sort. doc_id must stay < 2³¹ (dense-id
+    // contract); ANSI overflow rejects wider ids loudly.
+    "q111_epoch_shuffle" -> { (s, dir) =>
+      val epochs = 3
+      val mults = Seq(2654435761L, 2246822519L, 3266489917L)
+      val exploded = Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+        .withColumn("shuffle_key",
+          pmod(col("doc_id") * element_at(typedLit(mults), col("epoch") + 1),
+            lit(4294967296L)))
+        .withColumn("__ord",
+          col("epoch").cast("long") * lit(8589934592L) + col("shuffle_key"))
+        .withColumn("__one", lit(1L))
+      ScalableWindows.prefixSumByBucket(
+          exploded, "__ord", "__one", "stream_pos", nBuckets = 64)
+        .select("epoch", "doc_id", "shuffle_key", "stream_pos")
+    },
+
     // Incremental aggregate maintenance: a pre-aggregated "state"
     // (orders before 1998) merged with a partial aggregate of the new
     // "delta" partition — re-aggregation is exact because the decimal
@@ -380,6 +405,19 @@ object ScaleQueries {
         |       LEAST((window_id + 1) * 2048, start_offset + n_tokens)
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
+        |""".stripMargin,
+
+    "q111_epoch_shuffle" ->
+      """WITH m AS (
+        |  SELECT unnest([0,1,2]) AS epoch,
+        |         unnest([2654435761, 2246822519, 3266489917]) AS mult),
+        |x AS (
+        |  SELECT CAST(m.epoch AS INTEGER) AS epoch, d.doc_id,
+        |         (d.doc_id * m.mult) % 4294967296 AS shuffle_key
+        |  FROM documents d, m)
+        |SELECT epoch, doc_id, shuffle_key,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY epoch, shuffle_key) - 1 AS BIGINT) AS stream_pos
+        |FROM x
         |""".stripMargin,
 
     "q49_bloom_semi" ->

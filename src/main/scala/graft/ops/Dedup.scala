@@ -220,9 +220,17 @@ object Dedup {
     * prefer [[minhashLshPairs]] (measured sublinear per doc); this
     * exact form is the small-scale / verification tool.
     */
-  def ngramJaccardPairs(
+  /** Shared pair machinery for the exact shingle-set measures
+    * (Jaccard, containment): per-doc distinct-shingle sizes and the
+    * per-pair intersection counts, in the postings formulation — one
+    * shuffle groups docs per shingle hash, C(p,2) ordered pairs
+    * generated map-side per posting list, partial-aggregated before
+    * the pair shuffle. Returns (inter: id_a < id_b × inter,
+    * sizes: doc × n_shingles).
+    */
+  private def shinglePairIntersections(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+      n: Int, maxDocFreq: Option[Int]): (DataFrame, DataFrame) = {
     val src = fanned(docs)
     val idx = shingleIndex(src, idCol, textCol, n, maxDocFreq)
     // Per-doc set sizes: map-side from the source text when no cap is
@@ -261,14 +269,55 @@ object Dedup {
     val inter = pairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+    (inter, sizes)
+  }
+
+  private def withPairSizes(inter: DataFrame, sizes: DataFrame): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val (inter, sizes) =
+      shinglePairIntersections(docs, idCol, textCol, n, maxDocFreq)
+    withPairSizes(inter, sizes)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Asymmetric shingle-set containment — the directed cousin of
+    * Jaccard the dedup literature uses for CONTAINED-document removal
+    * (quotes, mirrored excerpts, doc-inside-digest): c(A→B) =
+    * |S(A) ∩ S(B)| / |S(A)|. A short doc fully quoted inside a long
+    * one scores c ≈ 1 while its Jaccard stays near |A|/|B| — the
+    * pairs a symmetric threshold misses. Emits one DIRECTED row
+    * (contained_id, container_id, containment) per direction meeting
+    * the threshold, so a mutually-containing near-identical pair
+    * yields both rows. Same postings discipline as
+    * [[ngramJaccardPairs]] (shared machinery): no index self-join, no
+    * all-pairs, `maxDocFreq` caps stop-shingle posting lists at
+    * scale.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+    val (inter, sizes) =
+      shinglePairIntersections(docs, idCol, textCol, n, maxDocFreq)
+    val directed = withPairSizes(inter, sizes).select(
+      explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          (col("inter").cast("double") / col("size_a").cast("double"))
+            .as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          (col("inter").cast("double") / col("size_b").cast("double"))
+            .as("containment")))).as("d"))
+      .select(col("d.contained_id"), col("d.container_id"), col("d.containment"))
+    directed.where(col("containment") >= threshold)
   }
 
   /** Source-overlap matrix, EXACT: for every pair of sources, the

@@ -128,6 +128,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Asymmetric containment (|S(A)∩S(B)| / |S(A)|): the DIRECTED
+    // dedup measure that catches a short doc fully quoted inside a
+    // long one (containment ≈ 1 while Jaccard ≈ |A|/|B| stays under a
+    // symmetric threshold). Same exact postings machinery as q24
+    // (shared helper); FULLY hash-exact per directed pair.
+    "q112_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("contained_id", "container_id")
+    },
+
     // MinHash + banded LSH, verified with exact Jaccard — the 100 TB
     // dedup shape (4 bands × 8 rows: j≈0.99 near-dups collide with
     // probability ~1, j≈0.6 false candidates at ~0.6^8 per band).
@@ -1380,6 +1391,33 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_shingles + sb.n_shingles - inter AS DOUBLE) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q112_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), directed AS (
+         |  SELECT id_a AS contained_id, id_b AS container_id,
+         |         CAST(inter AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE) AS containment
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |  UNION ALL
+         |  SELECT id_b AS contained_id, id_a AS container_id,
+         |         CAST(inter AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE) AS containment
+         |  FROM inter JOIN sizes sb ON sb.doc_id = id_b
+         |)
+         |SELECT contained_id, container_id, containment
+         |FROM directed WHERE containment >= 0.6
+         |ORDER BY contained_id, container_id""".stripMargin,
     // Scaled-integer dot: round(x*1e6) is exact for floats in both
     // engines (float mantissa x 10^6 < 2^53, ties away from zero), all
     // partial sums are exact integers < 2^53 (order-independent), and

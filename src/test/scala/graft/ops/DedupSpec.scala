@@ -89,6 +89,27 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
   }
 
+  test("containmentPairs: full quote scores 1.0 where Jaccard misses it") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val host = s"unrelated preamble text goes here first $quote and then a " +
+      "long tail of additional words that dilute the union considerably " +
+      "far beyond any symmetric threshold you might pick"
+    val docs = Seq((10L, quote), (11L, host), (12L, "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 11L, 1.0))) // quote ⊂ host, directed, exact 1.0
+    // the symmetric measure misses the same pair at the same bar
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+    // near-identical docs contain each other: both directions emitted
+    val twins = Seq((20L, quote), (21L, quote)).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(twins, "doc_id", "text", 3, 0.9)
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(both == Set((20L, 21L), (21L, 20L)))
+  }
+
   test("minhashLshPairs recovers the exact-jaccard pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -201,15 +201,24 @@ object Packing {
     * Output: (doc_id, n_tokens, start_offset, first_window,
     * last_window) — window columns NULL for empty (0-token) docs,
     * which occupy no stream positions.
+    *
+    * `base` is the incremental-ingest hook: a new batch appended to an
+    * existing stream passes the stream's current total token count and
+    * its docs continue from that offset — layout(batch1) ++
+    * layout(batch2, base = tokens(batch1)) is bit-identical to laying
+    * out the concatenation in one pass (spec-pinned), so a periodic
+    * ingest job never re-lays-out the corpus.
     */
   def tokenStreamOffsets(docs: DataFrame, idCol: String, tokensCol: String,
-      window: Long, nBuckets: Int = 1024): DataFrame = {
+      window: Long, nBuckets: Int = 1024, base: Long = 0L): DataFrame = {
     require(window > 0, s"tokenStreamOffsets: window=$window")
+    require(base >= 0L, s"tokenStreamOffsets: base=$base")
     requireIntegralId(docs, idCol)
     val src = docs.select(col(idCol).cast("long").as("doc_id"),
       col(tokensCol).cast("long").as("n_tokens"))
     ScalableWindows.prefixSumByBucket(
         src, "doc_id", "n_tokens", "start_offset", nBuckets)
+      .withColumn("start_offset", col("start_offset") + lit(base))
       .withColumn("first_window",
         when(col("n_tokens") > 0, expr(s"start_offset div ${window}L")))
       .withColumn("last_window",

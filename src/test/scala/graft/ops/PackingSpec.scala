@@ -200,4 +200,23 @@ class PackingSpec extends SparkSpecBase {
       col("tokens_in_window") <= 0).count()
     assert(bad == 0L)
   }
+
+  test("tokenStreamOffsets: incremental append equals one-pass layout") {
+    val all = (0 until 40).map(i => (i.toLong, ((i * 13) % 90).toLong))
+    val (b1, b2) = all.splitAt(25)
+    val W = 64L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "start_offset").as[(Long, Long)].collect().toSet
+    val onePass = rows(Packing.tokenStreamOffsets(
+      all.toDF("doc_id", "n"), "doc_id", "n", W, nBuckets = 5))
+    val base = b1.map(_._2).sum
+    val incremental =
+      rows(Packing.tokenStreamOffsets(
+        b1.toDF("doc_id", "n"), "doc_id", "n", W, nBuckets = 5)) ++
+      rows(Packing.tokenStreamOffsets(
+        b2.toDF("doc_id", "n"), "doc_id", "n", W, nBuckets = 5, base = base))
+    assert(incremental == onePass)
+    intercept[IllegalArgumentException](Packing.tokenStreamOffsets(
+      b1.toDF("doc_id", "n"), "doc_id", "n", W, base = -1L))
+  }
 }

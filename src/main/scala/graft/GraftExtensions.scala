@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, MinHashSignature, RandomProjection, SimHash64, SubseqStarts, WordShingles}
+import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, LshBuckets, MinHashSignature, RandomProjection, SimHash64, SubseqStarts, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -21,6 +21,8 @@ import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, Mi
   * - `int8_dot(a, b)` → INT (integer dot of int8 code arrays)
   * - `random_projection(vec, outDim)` → ARRAY<BIGINT> (JL ±1 sign
   *   projection at scale-6 quantization)
+  * - `lsh_buckets(vec, nTables, nPlanes)` → ARRAY<BIGINT> (random-
+  *   hyperplane LSH bucket ids, one long per table)
   * - `fold_hash(text)` → BIGINT (codepoint polynomial fold mod 1e9+7)
   * - `subseq_starts(haystack, needle)` → ARRAY<INT> (1-based phrase
   *   match starts over token arrays)
@@ -117,6 +119,16 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "fold_hash(text) takes 1 argument")
         FoldHash(children.head)
+      }),
+    (FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(vec, nTables, nPlanes) - random-hyperplane LSH bucket ids (one long per table) of a float array"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "lsh_buckets(vec, nTables, nPlanes) takes 3 arguments")
+        LshBuckets(children.head,
+          intLiteralArg("lsh_buckets", "nTables", children(1)),
+          intLiteralArg("lsh_buckets", "nPlanes", children(2)))
       }),
     (FunctionIdentifier("subseq_starts"),
       info("subseq_starts",

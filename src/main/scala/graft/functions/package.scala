@@ -171,6 +171,15 @@ package object functions {
     GraftSqlBridge.column(graft.expressions.NearestCells(
       GraftSqlBridge.expression(vec), index, nProbe))
 
+  /** Native random-hyperplane LSH bucketing
+    * (graft.expressions.LshBuckets): all nTables bucket ids of a float
+    * vector in one compiled pass — bit-identical to the declarative
+    * per-table HOF arm (spec-enforced).
+    */
+  def lshBucketsNative(vec: Column, nTables: Int, nPlanes: Int): Column =
+    GraftSqlBridge.column(graft.expressions.LshBuckets(
+      GraftSqlBridge.expression(vec), nTables, nPlanes))
+
   /** Native codegen'd codepoint fold hash (graft.expressions.FoldHash)
     * — `(acc·31 + codepoint) mod 1e9+7`, oracle-replayable for all
     * Unicode.

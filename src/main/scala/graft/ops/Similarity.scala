@@ -100,8 +100,15 @@ object Similarity {
     * hyperplane side — cosine-similar vectors collide with high
     * probability. `dim` is the embedding dimensionality (planes are
     * driver-side literals).
+    *
+    * This is the declarative arm, kept as the semantics ORACLE the
+    * native [[graft.expressions.LshBuckets]] kernel is spec-pinned
+    * against (same splitmix plane matrix, same IEEE fold order, same
+    * Spark NaN-above-everything `> 0`); the search path bucketes
+    * through the kernel — one compiled pass for all tables instead of
+    * nTables·nPlanes interpreted lambda aggregates per corpus row.
     */
-  def lshBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column =
+  private[graft] def lshBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
       val dotp = aggregate(
         zip_with(vec, planeLit(table, p, dim), (x, w) => x.cast("double") * w),
@@ -126,8 +133,8 @@ object Similarity {
     def withBuckets(df: DataFrame, side: String): DataFrame =
       df.select(
         col(idCol).as(s"${side}_id"),
-        posexplode(array((0 until nTables).map(t =>
-          lshBucket(col(vecCol), t, nPlanes, dim)): _*)))
+        posexplode(
+          graft.functions.lshBucketsNative(col(vecCol), nTables, nPlanes)))
         .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val qb = withBuckets(queries, "query")
     val cb = withBuckets(corpus, "neighbor")

@@ -190,10 +190,46 @@ object OrchestrationQueries {
           r.getLong(4), r.getDouble(5)))
           .toDF("n_rows", "n_name", "n_empty_seg", "n_seg", "key_sum", "bal_sum")
       } finally drainAndDelete(s, tmp)
+    },
+
+    // Dataset versioning: the snapshot diff a promotion gate audits
+    // before retraining on a refreshed crawl. Two deterministic
+    // derived snapshots of the documents table (v_old drops doc_id %
+    // 7 == 0; v_new drops % 5 == 0 and reverses the text of % 11 ==
+    // 0) diffed by content hash — only (id, hash) pairs shuffle, doc
+    // bodies never cross the wire. The oracle replays the diff by
+    // comparing TEXTS directly, so an engine hash that misclassifies
+    // anything hash-mismatches.
+    "q113_snapshot_diff" -> { (s, dir) =>
+      import graft.ops.Versioning
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val vOld = docs.where(col("doc_id") % 7 =!= 0)
+      val vNew = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, reverse(col("text")))
+            .otherwise(col("text")))
+      Versioning.snapshotDiff(vOld, vNew, "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q113_snapshot_diff" ->
+      """WITH v_old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v_new AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text IS DISTINCT FROM n.text THEN 'modified' END AS change
+        |FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |   OR o.text IS DISTINCT FROM n.text
+        |ORDER BY doc_id""".stripMargin,
     // The oracle states the pipeline CONTRACT directly over the source:
     // extract and clean preserve row count; load dedups on the PK pair;
     // a re-run loads nothing; the catalog table holds the PK-distinct

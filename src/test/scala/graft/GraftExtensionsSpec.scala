@@ -125,7 +125,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
     new GraftExtensions()(ext) // must not throw; builder list is shared
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
       Seq("decimal_scaled_dot", "fold_hash", "gram_hash_range", "int8_dot",
-        "minhash_signature", "random_projection", "simhash64",
+        "lsh_buckets", "minhash_signature", "random_projection", "simhash64",
         "subseq_starts", "word_shingles"))
   }
 }

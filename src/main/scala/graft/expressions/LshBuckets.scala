@@ -108,7 +108,14 @@ object LshBucketsImpl {
     val m = planes(nTables, nPlanes, d)
     val x = new Array[Double](d)
     var i = 0
-    while (i < d) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+    while (i < d) {
+      // a null ELEMENT nulls every plane dot in the declarative arm
+      // (`when(null > 0)` falls through to 0) → all-zero buckets;
+      // getFloat on a null slot would silently read 0.0f instead
+      if (arr.isNullAt(i)) return new GenericArrayData(out)
+      x(i) = arr.getFloat(i).toDouble
+      i += 1
+    }
     var t = 0
     var base = 0
     while (t < nTables) {

@@ -86,6 +86,11 @@ object ScalableWindows {
     * buckets; sparse ids degrade bucket balance, never correctness.
     * `valueCol` must be non-negative longs (token counts); the running
     * total lives in a LONG — fine to ~9.2e18 total tokens.
+    *
+    * `nBuckets` is the parallelism grain of phase 2 (each bucket is
+    * ONE window task) AND the driver-scan bound — size it to a few ×
+    * cluster cores (the default 1,024 serves up to ~10¹⁰ rows; go
+    * higher for more, the driver scan stays trivially cheap to ~10⁶).
     */
   def prefixSumByBucket(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, nBuckets: Int = 1024): DataFrame = {

@@ -120,6 +120,10 @@ object Similarity {
     * vectors in the same bucket. Multi-probe via `nTables` independent
     * hash tables (different plane seeds) to recover recall; results
     * are the union of tables, re-ranked exactly.
+    *
+    * `dim` is retained for API stability but unused since bucketing
+    * moved to the native kernel, which reads each vector's own length
+    * (the declarative arm needed the literal plane width up front).
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,

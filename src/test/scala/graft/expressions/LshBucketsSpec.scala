@@ -56,6 +56,17 @@ class LshBucketsSpec extends SparkSpecBase {
       assert(rows.find(_.getLong(0) == id).get.getSeq[Long](1) == Seq(0L, 0L))
   }
 
+  test("a null ELEMENT matches the declarative arm: all-zero buckets") {
+    val df = spark.sql(
+      "SELECT array(cast(null as float), cast(3.0 as float)) AS vec")
+    val r = df.select(
+        graft.functions.lshBucketsNative(col("vec"), 2, 4).as("n"),
+        declarative(2, 4, 2).as("d"))
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(0L, 0L))
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("SQL registration round-trips") {
     graft.GraftExtensions.register(spark)
     val got = spark.sql(

@@ -76,7 +76,18 @@ object Bench {
     } else try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-        .map { l => val Array(k, v) = l.split("\t"); k -> v.toDouble }
+        .flatMap { l =>
+          // tolerate a malformed line with a visible warning instead of
+          // an opaque initializer MatchError killing the whole run
+          l.split("\t") match {
+            case Array(k, v) if v.toDoubleOption.isDefined =>
+              Some(k -> v.toDouble)
+            case _ =>
+              System.err.println(
+                s"[bench] WARNING: malformed pin line ignored: '$l'")
+              None
+          }
+        }
         .toMap
     } finally in.close()
   }

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * NaN above every numeric, so a NaN dot SETS its plane bit — both
   * arms agree (a corrupt vector lands deterministically in the
   * all-ones bucket of every table).
+  *
+  * Dimensionality envelope: the kernel reads each vector's OWN length
+  * as the plane width, so bit-identity to the declarative arm (whose
+  * plane literals are built at a fixed dim) holds for vectors of
+  * exactly that length. A wrong-length row — a truncated or stale
+  * embedding in a fixed-dim corpus — buckets against a DIFFERENT
+  * plane matrix than its peers (the declarative arm would null-pad it
+  * to bucket 0): quarantine mixed-dim rows upstream, as the ANN entry
+  * points already do for corrupt vectors.
   */
 case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
     extends UnaryExpression with FloatArrayInputTypes {
@@ -70,16 +79,34 @@ object LshBucketsImpl {
     if ((x & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** Plane-matrix entry budget: 2²⁶ booleans = 64 MB worst case. The
+    * class requires alone (nTables ≤ 64, nPlanes ≤ 63, dim ≤ 2²⁰)
+    * would allow 4.2e9 entries — an Int overflow and a multi-GB
+    * allocation; realistic LSH shapes (≤ 64 tables × 63 planes ×
+    * dim 16k, or 8×16×2²⁰) sit far inside the budget.
+    */
+  val MaxPlaneEntries: Long = 1L << 26
+
   // Plane matrices are pure functions of (nTables, nPlanes, dim) —
   // cached per executor JVM, keyed by the packed parameter triple.
   // positive(t·nPlanes·dim + p·dim + d) ⇔ planeSign(t, p, d) > 0.
+  // Entry count is bounded by MaxPlaneEntries and shape count by
+  // MaxCachedShapes (a workload uses one or two shapes; clearing on
+  // overflow just recomputes a cheap pure function).
+  private val MaxCachedShapes = 32
   private val cache = new ConcurrentHashMap[Long, Array[Boolean]]()
 
   private def planes(nTables: Int, nPlanes: Int, dim: Int): Array[Boolean] = {
+    val entries = nTables.toLong * nPlanes.toLong * dim.toLong
+    require(entries <= MaxPlaneEntries,
+      s"lsh_buckets: plane matrix $nTables×$nPlanes×$dim = $entries entries " +
+        s"exceeds the $MaxPlaneEntries budget — reduce tables/planes or " +
+        "project the vectors down first")
     val key = (nTables.toLong << 42) | (nPlanes.toLong << 21) | dim.toLong
     var m = cache.get(key)
     if (m == null) {
-      m = new Array[Boolean](nTables * nPlanes * dim)
+      if (cache.size >= MaxCachedShapes) cache.clear()
+      m = new Array[Boolean](entries.toInt)
       var i = 0
       var t = 0
       while (t < nTables) {

@@ -33,14 +33,8 @@ object Dedup {
     * NULL cluster with no error. Reject loudly, never degrade (the
     * projection-guard convention).
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$op: id column '$idCol' must be an integral type (byte/short/int/long), " +
-        s"got ${dt.simpleString} — cast-to-null would silently drop pairs / " +
-        "collapse clusters; map your ids to longs explicitly first")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    Contracts.requireIntegralId(df, idCol, op)
 
   /** Canonical text normalization for near-exact dedup: lowercase,
     * collapse whitespace, trim.

@@ -23,20 +23,12 @@ object Packing {
 
   case class Packed(doc_id: Long, n_tokens: Long, seq_id: Long, seq_pos: Int)
 
-  /** All packers key rows by a LONG id. A silent `cast("long")` of a
-    * non-numeric id would null it and collapse every such row onto one
-    * doc_id — so the integral-id contract is enforced up front (the
-    * same explicit check rankTopK applies).
+  /** All packers key rows by a LONG id: the shared reject-loudly
+    * contract ([[Contracts.requireIntegralId]], same check rankTopK
+    * and the pair ops apply).
     */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"Packing requires an integral id column; '$idCol' is $dt " +
-        "(dense-rank or monotonically_increasing_id string ids upstream; " +
-        "avoid raw 64-bit hashes if you later compose ids arithmetically " +
-        "— doc_id * 2^32 + chunk needs doc_id < 2^31)")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit =
+    Contracts.requireIntegralId(df, idCol, "Packing")
 
   /** Assign each doc a (seq_id, seq_pos): next-fit greedy per
     * partition. A doc larger than `budget` gets a sequence of its own

@@ -102,20 +102,27 @@ object ScalableWindows {
       min(col("__o")), max(col("__o")), count(col("__o")),
       count_distinct(col("__o")), count(lit(1)),
       sum(when(col("__v") < 0 || col("__v").isNull, 1L).otherwise(0L))).head()
-    if (stats.isNullAt(0)) return df.withColumn(outCol, lit(0L))
-    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
-    require(stats.getLong(2) == stats.getLong(4) && stats.getLong(5) == 0L,
+    if (stats.getLong(4) == 0L) return df.withColumn(outCol, lit(0L))
+    require(!stats.isNullAt(0) && stats.getLong(2) == stats.getLong(4) &&
+      stats.getLong(5) == 0L,
       s"prefixSumByBucket: '$orderCol' must be non-null long-castable and " +
         s"'$valueCol' non-negative (nulls or negatives present)")
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
     require(stats.getLong(3) == stats.getLong(2),
       s"prefixSumByBucket: duplicate '$orderCol' keys — a global order " +
         "needs unique keys (dense-rank upstream)")
     // ceil((hi-lo+1)/nBuckets) without overflow on extreme key ranges
     val span = BigInt(hi) - BigInt(lo) + 1
     val width = ((span + nBuckets - 1) / nBuckets).max(1).toLong
-    // `div` = exact integer division (Column./ is double — lossy > 2^53)
+    // Bucket = (__o div w) - (lo div w), NOT (__o - lo) div w: the
+    // subtraction-first form overflows for key ranges wider than 2^63
+    // (hash-valued keys). Truncating `div` keeps each quotient in
+    // range, the difference is ≤ span/w + 1, and trunc-division is
+    // monotone in __o — the only property the exclusive scan needs
+    // (the zero-straddling bucket may split in two; count stays
+    // ≤ nBuckets + 2). `div`, never Column./ (double — lossy > 2^53).
     val bucketed = keyed.withColumn("__b",
-      expr(s"(__o - ${lo}L) div ${width}L"))
+      expr(s"(__o div ${width}L) - (${lo}L div ${width}L)"))
     val totals = bucketed.groupBy("__b").agg(sum(col("__v")).as("__t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val baseOf: Map[Long, Long] = { // exclusive scan over ≤ nBuckets rows

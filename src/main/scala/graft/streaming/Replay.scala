@@ -26,33 +26,48 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Replay {
 
+  /** Fresh process-unique staging dir: two concurrent replay runs
+    * (parallel CI, two users on one host) must never stage into the
+    * same world-shared path — one run's cleanup would delete the
+    * other's in-flight micro-batch files.
+    */
+  private def freshStageDir(tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_replay_${tag}_" +
+      java.util.UUID.randomUUID().toString
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
-    * observed). Idempotent per (session, stage dir): the stage dir is
-    * recreated and the memory sink view replaced on every call.
+    * observed). The stage dir is process-unique by default and deleted
+    * before returning (the memory sink holds the result); a
+    * caller-supplied dir is recreated per call and also cleaned up.
     */
   def hourlyRollupReplay(spark: SparkSession, events: DataFrame,
-      nBatches: Int = 3, stageDir: String = "/tmp/graft_stream_replay_rollup")
-      : (DataFrame, Int) = {
+      nBatches: Int = 3, stageDir: String = null): (DataFrame, Int) = {
     require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
-    val path = new org.apache.hadoop.fs.Path(stageDir)
+    val dir = Option(stageDir).getOrElse(freshStageDir("rollup"))
+    val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    // one file per micro-batch: a fixed mod-N row partition, each
-    // written as a single part file
-    for (k <- 0 until nBatches)
-      events.where(pmod(col("event_id"), lit(nBatches)) === k)
-        .coalesce(1).write.mode("append").parquet(stageDir)
-    val src = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir)
-    val name = "graft_replay_rollup"
-    spark.catalog.dropTempView(name)
-    val q = EventStreams.hourlyRollupStream(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    (spark.table(name), dataBatches)
+    try {
+      // one file per micro-batch: a fixed mod-N row partition, each
+      // written as a single part file
+      for (k <- 0 until nBatches)
+        events.where(pmod(col("event_id"), lit(nBatches)) === k)
+          .coalesce(1).write.mode("append").parquet(dir)
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val name = "graft_replay_rollup"
+      spark.catalog.dropTempView(name)
+      val q = EventStreams.hourlyRollupStream(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.table(name), dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+    }
   }
 
   /** Replay `events` through the CUSTOM-STATE streaming path
@@ -83,10 +98,10 @@ object Replay {
     */
   def sessionizationReplay(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30, nBatches: Int = 3,
-      stageDir: String = "/tmp/graft_stream_replay_sessions")
-      : (DataFrame, Int) = {
+      stageDir: String = null): (DataFrame, Int) = {
     import spark.implicits._
     require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir("sessions"))
     val feed = events.select(
       col("user_id").cast("long").as("user_id"),
       col("event_id").cast("long").as("event_id"),
@@ -94,35 +109,40 @@ object Replay {
     val (tMin, tMax) = feed
       .agg(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
       .as[(Long, Long)].head()
-    val path = new org.apache.hadoop.fs.Path(stageDir)
+    val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    val span = math.max(tMax - tMin, nBatches.toLong)
-    for (k <- 0 until nBatches) {
-      val lo = tMin + span * k / nBatches
-      val hi = tMin + span * (k + 1) / nBatches
-      val part = feed.where(
-        unix_timestamp(col("ts")) >= lo &&
-          (if (k == nBatches - 1) lit(true)
-           else unix_timestamp(col("ts")) < hi))
-      part.coalesce(1).write.mode("append").parquet(stageDir)
-      Thread.sleep(15) // distinct file mtimes → deterministic source order
+    try {
+      val span = math.max(tMax - tMin, nBatches.toLong)
+      for (k <- 0 until nBatches) {
+        val lo = tMin + span * k / nBatches
+        val hi = tMin + span * (k + 1) / nBatches
+        val part = feed.where(
+          unix_timestamp(col("ts")) >= lo &&
+            (if (k == nBatches - 1) lit(true)
+             else unix_timestamp(col("ts")) < hi))
+        part.coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(15) // distinct file mtimes → deterministic source order
+      }
+      val sentinelTs = tMax + gapMinutes * 60L + 61L
+      feed.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(-1L).as("event_id"),
+          to_timestamp(lit(sentinelTs)).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .as[EventStreams.SessionEvent]
+      val name = "graft_replay_sessions"
+      spark.catalog.dropTempView(name)
+      val q = EventStreams.sessionizeStream(src, gapMinutes)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.table(name), dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
     }
-    val sentinelTs = tMax + gapMinutes * 60L + 61L
-    feed.select(col("user_id")).distinct()
-      .select(col("user_id"), lit(-1L).as("event_id"),
-        to_timestamp(lit(sentinelTs)).as("ts"))
-      .coalesce(1).write.mode("append").parquet(stageDir)
-    val src = spark.readStream.schema(feed.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stageDir)
-      .as[EventStreams.SessionEvent]
-    val name = "graft_replay_sessions"
-    spark.catalog.dropTempView(name)
-    val q = EventStreams.sessionizeStream(src, gapMinutes)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    (spark.table(name), dataBatches)
   }
 }

@@ -120,6 +120,31 @@ class GraftExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("fold_hash byte-walk fast path ≡ String walk, incl. malformed UTF-8") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // valid strings across planes: fast path must equal the String walk
+    for (s <- Seq("", "plain ascii", "héllo wörld", "日本語テキスト",
+        "clef 𝄞 here", "mixed 𝄞 ascii ü 語")) {
+      val u = UTF8String.fromString(s)
+      assert(graft.expressions.FoldHashImpl.compute(u) ==
+        graft.expressions.FoldHashImpl.computeSlow(u), s"'$s'")
+    }
+    // malformed byte sequences: fast path must defer to the String
+    // walk's replacement-char semantics, bit-exactly
+    val malformed = Seq(
+      Array(0xFF.toByte),                          // invalid lead
+      Array(0xC3.toByte),                          // truncated 2-byte
+      Array(0xC0.toByte, 0x80.toByte),             // overlong NUL
+      Array(0xED.toByte, 0xA0.toByte, 0x80.toByte), // surrogate D800
+      Array('a'.toByte, 0xE2.toByte, 0x28.toByte, 0xA1.toByte, 'b'.toByte))
+    for (bytes <- malformed) {
+      val u = UTF8String.fromBytes(bytes)
+      assert(graft.expressions.FoldHashImpl.compute(u) ==
+        graft.expressions.FoldHashImpl.computeSlow(u),
+        bytes.map(b => f"${b & 0xFF}%02X").mkString(" "))
+    }
+  }
+
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared

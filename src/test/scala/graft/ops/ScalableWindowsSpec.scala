@@ -101,6 +101,22 @@ class ScalableWindowsSpec extends SparkSpecBase {
     assert(prefixRows(empty, 4).isEmpty)
   }
 
+  test("prefix sum survives a full-range (hash-valued) key domain") {
+    // span > 2^63: (__o - lo) would overflow; the div-then-subtract
+    // bucket form must not
+    val rows = Seq((Long.MinValue + 1, 3L), (-1000000007L, 5L), (0L, 7L),
+      (42L, 2L), (Long.MaxValue - 1, 11L))
+    val df = rows.toDF("id", "v").repartition(3)
+    assert(prefixRows(df, 8) == prefixOracle(rows))
+  }
+
+  test("all-null order keys are rejected loudly, not zero-filled") {
+    val allNull = Seq(Some(1L), Some(2L)).toDF("v")
+      .select(lit(null).cast("long").as("id"), col("v"))
+    val e = intercept[IllegalArgumentException](prefixRows(allNull, 4))
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("prefix-sum windows are partitioned (never a global WindowExec)") {
     val df = (0 until 50).map(i => (i.toLong, 1L)).toDF("id", "v")
     val out = ScalableWindows.prefixSumByBucket(df, "id", "v", "run", 8)

@@ -190,4 +190,50 @@ object Retrieval {
           j => element_at(w, (s + j).cast("int")) ===
             element_at(ph, (j + 1).cast("int")))) === size(ph)))
     .otherwise(array().cast("array<int>"))
+
+  /** Scale-6 quantized ln-discount gain: `floor(rel·10⁶ / ln(rank+1))`
+    * — per-position terms are exact integers, so DCG sums are
+    * order-independent and oracle-replayable (the q82/q83 ln
+    * discipline applied to ranking evaluation).
+    */
+  private def gain6(rel: Column, rank: Column): Column =
+    floor(rel.cast("double") * lit(1000000.0) /
+      log(rank.cast("double") + lit(1.0))).cast("long")
+
+  /** Retrieval quality evaluation — nDCG@k with the ln-position
+    * discount: how close a ranked result list comes to the ideal
+    * ordering under graded relevance labels, the metric a retrieval
+    * pipeline regression-gates on.
+    *
+    * `ranked` is (query_id, rank, doc_id) — e.g. [[bm25TopK]] output;
+    * `relevance` is (query_id, doc_id, rel ≥ 0) graded labels. The
+    * ideal ranking takes each query's k highest-relevance docs
+    * (rel desc, doc_id asc on ties) — a window PARTITIONED by query
+    * over the rel > 0 label slice only (labels are sparse: the dense
+    * corpus never enters the window). A query retrieved by `ranked`
+    * but with zero relevant labels gets ndcg 0 by convention;
+    * queries absent from `ranked` are absent from the output.
+    */
+  def ndcgAtK(ranked: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"ndcgAtK: k=$k")
+    val rel = relevance.select(col("query_id"), col("doc_id"),
+      col("rel").cast("long").as("rel"))
+    val dcg = ranked.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(gain6(coalesce(col("rel"), lit(0L)), col("rank"))).as("dcg6"))
+    val idealW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val ideal = rel.where(col("rel") > 0)
+      .withColumn("irank", row_number().over(idealW))
+      .where(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum(gain6(col("rel"), col("irank"))).as("idcg6"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("dcg6"),
+        coalesce(col("idcg6"), lit(0L)).as("idcg6"),
+        when(coalesce(col("idcg6"), lit(0L)) > 0,
+          col("dcg6").cast("double") / col("idcg6").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
 }

@@ -760,6 +760,30 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Retrieval EVALUATION — nDCG@10 of the q82 BM25 ranking against
+    // graded relevance labels (distinct shared-token counts, exactly
+    // recomputable on both engines): the regression metric a
+    // retrieval pipeline gates on. ln-position discounts are scale-6
+    // floor-quantized per position (the q82/q83 ln discipline), so
+    // DCG/IDCG are exact integer sums and the row is FULLY
+    // hash-exact.
+    "q114_retrieval_ndcg" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") >= 5)
+      val queries = docs.where(col("doc_id") < 5)
+      val ranked = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", queries, "doc_id", "text", k = 10)
+      def bag(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.select(col("doc_id").as(side),
+          explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+            .as("tok"))
+      val rel = bag(queries, "query_id")
+        .join(bag(corpus, "doc_id"), "tok")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+      Retrieval.ndcgAtK(ranked.select("query_id", "rank", "doc_id"), rel, 10)
+        .orderBy("query_id")
+    },
+
     // Bigram-LM cross-entropy scoring — the CCNet-style perplexity
     // quality signal: add-one bigram model trained per language on the
     // corpus itself, every doc scored in nats/transition. Count tables
@@ -1601,6 +1625,77 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q114_retrieval_ndcg" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
+         |  FROM toks WHERE doc_id < 5
+         |), post AS (
+         |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
+         |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
+         |), matched AS (
+         |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
+         |), stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM d
+         |), dfreq AS (
+         |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+         |), scored AS (
+         |  SELECT q.query_id, m.doc,
+         |    CAST(floor(
+         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |               / (CAST(f.df AS DOUBLE) + 0.5))
+         |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
+         |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
+         |      * 1000000.0) AS BIGINT) AS s6
+         |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
+         |  CROSS JOIN stats s
+         |), perdoc AS (
+         |  SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
+         |  FROM scored GROUP BY query_id, doc
+         |), topk AS (
+         |  SELECT query_id, doc AS doc_id, rnk FROM (
+         |    SELECT query_id, doc, score6,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY score6 DESC, doc) AS rnk
+         |    FROM perdoc
+         |  ) WHERE rnk <= 10
+         |), rel AS (
+         |  SELECT qd.query_id, cd.doc_id, COUNT(*) AS rel
+         |  FROM (SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok
+         |        FROM toks WHERE doc_id < 5) qd
+         |  JOIN (SELECT doc_id, unnest(list_distinct(w)) AS tok
+         |        FROM toks WHERE doc_id >= 5) cd USING (tok)
+         |  GROUP BY 1, 2
+         |), dcg AS (
+         |  SELECT t.query_id,
+         |    CAST(SUM(CAST(floor(CAST(COALESCE(r.rel, 0) AS DOUBLE) * 1000000.0
+         |      / ln(CAST(t.rnk AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT) AS dcg6
+         |  FROM topk t LEFT JOIN rel r
+         |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+         |  GROUP BY 1
+         |), ideal AS (
+         |  SELECT query_id,
+         |    CAST(SUM(CAST(floor(CAST(rel AS DOUBLE) * 1000000.0
+         |      / ln(CAST(irank AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT) AS idcg6
+         |  FROM (SELECT query_id, rel, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY rel DESC, doc_id) AS irank
+         |        FROM rel WHERE rel > 0)
+         |  WHERE irank <= 10 GROUP BY 1
+         |)
+         |SELECT d.query_id, d.dcg6, COALESCE(i.idcg6, 0) AS idcg6,
+         |  CASE WHEN COALESCE(i.idcg6, 0) > 0
+         |       THEN CAST(d.dcg6 AS DOUBLE) / CAST(i.idcg6 AS DOUBLE)
+         |       ELSE 0.0 END AS ndcg
+         |FROM dcg d LEFT JOIN ideal i USING (query_id)
+         |ORDER BY d.query_id""".stripMargin,
     // Add-one smoothing keeps every probability a ratio of exact
     // integers; per-token ln is floor-quantized to scale-6 longs, so
     // document totals are exact integer sums on both engines.

@@ -189,4 +189,24 @@ class RetrievalSpec extends SparkSpecBase {
       Seq((1L, Seq("one", "two", "three"))))
     assert(got.isEmpty, got)
   }
+
+  test("ndcgAtK: ideal order scores 1.0, inversions score below, no labels score 0") {
+    def g(rel: Long, rank: Long): Long =
+      math.floor(rel * 1000000.0 / math.log(rank + 1.0)).toLong
+    val rel = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L),
+      (2L, 10L, 5L)).toDF("query_id", "doc_id", "rel")
+    // query 1 ranked ideally; query 2's only relevant doc at rank 2;
+    // query 3 retrieved docs but has no labels at all
+    val ranked = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 99L), (2L, 2, 10L),
+      (3L, 1, 10L)).toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.ndcgAtK(ranked, rel, k = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val ideal1 = g(3, 1) + g(2, 2) + g(1, 3)
+    assert(got(0) == ((1L, ideal1, ideal1, 1.0)))
+    val (dcg2, idcg2) = (g(0, 1) + g(5, 2), g(5, 1))
+    assert(got(1) == ((2L, dcg2, idcg2, dcg2.toDouble / idcg2)))
+    assert(got(1)._4 < 1.0)
+    assert(got(2) == ((3L, 0L, 0L, 0.0)))
+  }
 }

@@ -225,6 +225,28 @@ object ScaleQueries {
       Packing.windowManifest(offsets, window = 2048L)
     },
 
+    // Skew mitigation, driver-checked: the salted join (small side
+    // replicated saltFactor×, hot keys splintered across 8 sub-keys)
+    // composed with the salted two-phase aggregation — row-identical
+    // to the plain join+groupBy by construction (salting only
+    // redistributes), so the whole skew-handling path is hash-exact
+    // against the unsalted SQL. Decimal sums keep the merge exact.
+    "q115_salted_skew" -> { (s, dir) =>
+      import graft.ops.Skew
+      val li = Tables.lineitem(s, dir).select(
+        col("l_suppkey").as("suppkey"), money(col("l_extendedprice")).as("rev"),
+        col("l_orderkey"), col("l_linenumber"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      val joined = Skew.saltedJoin(li, sup, "suppkey",
+        saltFactor = 8, largeSaltCols = Seq("l_orderkey", "l_linenumber"))
+      Skew.saltedSumCount(joined, "s_nationkey", "rev",
+          saltFactor = 8, saltCols = Seq("suppkey", "l_orderkey", "l_linenumber"))
+        .select(col("s_nationkey"), col("sum").cast("double").as("revenue"),
+          col("count").as("n"))
+        .orderBy("s_nationkey")
+    },
+
     // Deterministic multi-epoch shuffle order: each training epoch
     // re-permutes the corpus with a bijective odd-multiplier hash
     // (doc_id·m mod 2³² is a permutation of the id domain for any odd
@@ -406,6 +428,14 @@ object ScaleQueries {
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
         |""".stripMargin,
+
+    "q115_salted_skew" ->
+      """SELECT s_nationkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
 
     "q111_epoch_shuffle" ->
       """WITH m AS (

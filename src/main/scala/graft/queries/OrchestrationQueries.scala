@@ -192,6 +192,58 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // Z-order layout, driver-checked: lineitem written twice — Morton-
+    // clustered on (l_partkey, l_suppkey) vs range-sorted on l_partkey
+    // alone — then probed with a SUPPKEY-only predicate. The linear
+    // layout must touch (almost) every file (suppkey scattered); the z
+    // layout must skip at least half. Row counts round-trip exactly
+    // (oracle-computable); the pruning contract is recomputed in-query
+    // from the actual part files.
+    "q116_zorder_layout" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_q116_")
+      try {
+        // deterministic quarter of the fact — the layout contract
+        // needs a representative slice, not the full write cost
+        val li = Tables.lineitem(s, dir)
+          .where(col("l_orderkey") % 4 === 0)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        graft.ops.ZOrder.zorderByN(li, Seq("l_partkey", "l_suppkey"),
+            numFiles = 16, bitsPer = 12)
+          .write.mode("overwrite").parquet(s"$tmp/z")
+        li.repartitionByRange(16, col("l_partkey"))
+          .sortWithinPartitions("l_partkey")
+          .write.mode("overwrite").parquet(s"$tmp/linear")
+        // scale-adaptive band: the lowest ~10% of the suppkey domain,
+        // never empty at any fixture scale (oracle mirrors the bound)
+        val hiSupp = math.max(1L,
+          li.agg(max(col("l_suppkey").cast("long"))).head().getLong(0) / 10L)
+        val pred = col("l_suppkey").between(1L, hiSupp)
+        // one job per layout: files contributing matching rows,
+        // counted via input_file_name (NOT one limit(1) job per file)
+        def filesTouched(d: String): (Long, Long) = {
+          val total = new java.io.File(d).listFiles()
+            .count(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).toLong
+          val touched = s.read.parquet(d).where(pred)
+            .select(input_file_name().as("__f"))
+            .distinct().count()
+          (touched, total)
+        }
+        val (zT, zTot) = filesTouched(s"$tmp/z")
+        val (lT, lTot) = filesTouched(s"$tmp/linear")
+        val rd = s.read.parquet(s"$tmp/z")
+        val nBox = rd.where(pred).count()
+        val total = rd.count()
+        Seq((nBox, total,
+          lT >= lTot - 1,          // linear layout cannot skip suppkey files
+          zT <= zTot / 2,          // z layout must skip at least half
+          zT < lT))
+          .toDF("n_box_rows", "n_total_rows",
+            "linear_scans_all", "zorder_prunes_half", "zorder_beats_linear")
+      } finally drainAndDelete(s, tmp)
+    },
+
     // Dataset versioning: the snapshot diff a promotion gate audits
     // before retraining on a refreshed crawl. Two deterministic
     // derived snapshots of the documents table (v_old drops doc_id %
@@ -214,6 +266,18 @@ object OrchestrationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q116_zorder_layout" ->
+      """WITH li AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 4 = 0)
+        |SELECT
+        |  (SELECT COUNT(*) FROM li
+        |   WHERE l_suppkey BETWEEN 1 AND
+        |     GREATEST(1, (SELECT MAX(l_suppkey) FROM li) // 10)) AS n_box_rows,
+        |  (SELECT COUNT(*) FROM li) AS n_total_rows,
+        |  TRUE AS linear_scans_all,
+        |  TRUE AS zorder_prunes_half,
+        |  TRUE AS zorder_beats_linear""".stripMargin,
 
     "q113_snapshot_diff" ->
       """WITH v_old AS (

@@ -152,6 +152,10 @@ object RecallProbe {
     // ProjectedQuantizedRecallFloor. Printed beside the pure
     // projected path at the same shortlist width, isolating the
     // int8-trim loss from the JL-shortlist loss.
+    // the pure-projected baseline depends only on the shortlist
+    // width — memoized so the duplicated sf0=16 tuples don't rerun
+    // an identical shortlist+rerank job
+    val pureBySf0 = scala.collection.mutable.Map.empty[Int, Map[Long, Set[Long]]]
     for ((sf0, rf) <- Seq((16, 4), (16, 8), (32, 8))) {
       val pq = Similarity.projectedQuantizedRerankTopK(q, e, "vec_id", "embedding",
           k = 5, projDim = 32, shortlistFactor = sf0, rerankFactor = rf)
@@ -159,10 +163,11 @@ object RecallProbe {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val recalls = exactCos.map { case (qid, ex) =>
         (pq.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
-      val pureProj = Similarity.projectedRerankTopK(q, e, "vec_id", "embedding",
-          k = 5, projDim = 32, rerankFactor = sf0)
-        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val pureProj = pureBySf0.getOrElseUpdate(sf0,
+        Similarity.projectedRerankTopK(q, e, "vec_id", "embedding",
+            k = 5, projDim = 32, rerankFactor = sf0)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
       val projRecalls = exactCos.map { case (qid, ex) =>
         (pureProj.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
       println(s"[recall-probe] sf=$sfDir ann_proj_quant shortlist=$sf0 rerank=$rf: " +

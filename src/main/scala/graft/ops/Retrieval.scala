@@ -218,6 +218,15 @@ object Retrieval {
     require(k > 0, s"ndcgAtK: k=$k")
     val rel = relevance.select(col("query_id"), col("doc_id"),
       col("rel").cast("long").as("rel"))
+    // Duplicate (query, doc) labels would fan out the DCG join AND
+    // double-rank in the ideal window — silently inflated (even > 1)
+    // ndcg. Reject loudly (labels are small next to the corpus; one
+    // count pass is cheap), the prefixSumByBucket convention.
+    val labelStats = rel.agg(count(lit(1)),
+      count_distinct(col("query_id"), col("doc_id"))).head()
+    require(labelStats.getLong(0) == labelStats.getLong(1),
+      "ndcgAtK: duplicate (query_id, doc_id) relevance labels — " +
+        "aggregate judgments upstream (max/mean per pair) first")
     val dcg = ranked.where(col("rank") <= k)
       .join(rel, Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")

@@ -111,9 +111,16 @@ object ScalableWindows {
     require(stats.getLong(3) == stats.getLong(2),
       s"prefixSumByBucket: duplicate '$orderCol' keys — a global order " +
         "needs unique keys (dense-rank upstream)")
-    // ceil((hi-lo+1)/nBuckets) without overflow on extreme key ranges
+    // ceil((hi-lo+1)/nBuckets) without overflow on extreme key ranges;
+    // SATURATE at Long.MaxValue before toLong — with nBuckets ≤ 2 over
+    // a near-full hash-key domain the BigInt width exceeds Long and
+    // toLong would wrap negative (making `div width` monotone
+    // DECREASING — silently reversed offsets) or hit zero. Saturation
+    // keeps div monotone; the degenerate 1-2-bucket layout it yields
+    // is exactly what nBuckets ≤ 2 asked for.
     val span = BigInt(hi) - BigInt(lo) + 1
-    val width = ((span + nBuckets - 1) / nBuckets).max(1).toLong
+    val width = ((span + nBuckets - 1) / nBuckets)
+      .max(1).min(BigInt(Long.MaxValue)).toLong
     // Bucket = (__o div w) - (lo div w), NOT (__o - lo) div w: the
     // subtraction-first form overflows for key ranges wider than 2^63
     // (hash-valued keys). Truncating `div` keeps each quotient in

@@ -35,6 +35,26 @@ object Replay {
     s"${sys.props("java.io.tmpdir")}/graft_stream_replay_${tag}_" +
       java.util.UUID.randomUUID().toString
 
+  /** Stamp every not-yet-stamped part file with an explicit strictly-
+    * increasing mtime (10 s per batch step): the file source orders
+    * and groups files by timestamp, and wall-clock mtimes are NOT
+    * guaranteed distinct on coarse-granularity filesystems (1-2 s on
+    * some NFS/HFS+/FAT mounts) — a merged batch would flip the
+    * replayed_multibatch proof bit on an otherwise-correct run.
+    * Explicit stamps make the micro-batch sequence deterministic on
+    * any filesystem; 10 s dwarfs every real mtime granularity.
+    */
+  private def stampBatch(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path,
+      seen: scala.collection.mutable.Set[String],
+      base: Long, step: Int): Unit =
+    fs.listStatus(path).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !seen.contains(p.getName))
+      .foreach { p =>
+        fs.setTimes(p, base + step * 10000L, -1)
+        seen += p.getName
+      }
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
     * observed). The stage dir is process-unique by default and deleted
@@ -50,10 +70,14 @@ object Replay {
     if (fs.exists(path)) fs.delete(path, true)
     try {
       // one file per micro-batch: a fixed mod-N row partition, each
-      // written as a single part file
-      for (k <- 0 until nBatches)
+      // written as a single part file with an explicit batch mtime
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      for (k <- 0 until nBatches) {
         events.where(pmod(col("event_id"), lit(nBatches)) === k)
           .coalesce(1).write.mode("append").parquet(dir)
+        stampBatch(fs, path, seen, base, k)
+      }
       val src = spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
       val name = "graft_replay_rollup"
@@ -84,12 +108,15 @@ object Replay {
     *    user's equal-ts events can never straddle a boundary, and
     *    cross-batch arrival is time-ordered per user (the state
     *    machine's requirement); within a batch the operator sorts by
-    *    (ts, event_id), the batch window's exact order. Files are
-    *    written sequentially (distinct mtimes → file-source order);
-    *    even a same-mtime tie that merges two files into one
-    *    micro-batch stays correct — the union is still time-ordered
-    *    after the in-batch sort, only an order INVERSION could break
-    *    parity, and the oracle hash would catch it.
+    *    (ts, event_id), the batch window's exact order. Batch files
+    *    carry EXPLICIT strictly-increasing mtimes (stampBatch, 10 s
+    *    apart) — the file source orders and groups by timestamp, and
+    *    wall-clock mtimes are not distinct on coarse-granularity
+    *    filesystems; even a hypothetical merge of two batches stays
+    *    correct (the union is still time-ordered after the in-batch
+    *    sort — only an order INVERSION could break parity, and the
+    *    oracle hash would catch it), but the multibatch proof bit
+    *    demands the batches actually stay separate.
     *  - a final SENTINEL file carries one far-future event per user
     *    (event_id −1, ts past every real session's gap), forcing the
     *    state machine to close and emit every user's LAST session;
@@ -114,6 +141,8 @@ object Replay {
     if (fs.exists(path)) fs.delete(path, true)
     try {
       val span = math.max(tMax - tMin, nBatches.toLong)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
       for (k <- 0 until nBatches) {
         val lo = tMin + span * k / nBatches
         val hi = tMin + span * (k + 1) / nBatches
@@ -122,13 +151,14 @@ object Replay {
             (if (k == nBatches - 1) lit(true)
              else unix_timestamp(col("ts")) < hi))
         part.coalesce(1).write.mode("append").parquet(dir)
-        Thread.sleep(15) // distinct file mtimes → deterministic source order
+        stampBatch(fs, path, seen, base, k) // explicit batch order
       }
       val sentinelTs = tMax + gapMinutes * 60L + 61L
       feed.select(col("user_id")).distinct()
         .select(col("user_id"), lit(-1L).as("event_id"),
           to_timestamp(lit(sentinelTs)).as("ts"))
         .coalesce(1).write.mode("append").parquet(dir)
+      stampBatch(fs, path, seen, base, nBatches)
       val src = spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
         .as[EventStreams.SessionEvent]

@@ -208,5 +208,10 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got(1) == ((2L, dcg2, idcg2, dcg2.toDouble / idcg2)))
     assert(got(1)._4 < 1.0)
     assert(got(2) == ((3L, 0L, 0L, 0.0)))
+    // duplicate labels inflate both sums silently — rejected loudly
+    val dup = rel.unionAll(rel.limit(1))
+    val e = intercept[IllegalArgumentException](
+      Retrieval.ndcgAtK(ranked, dup, k = 10))
+    assert(e.getMessage.contains("duplicate"))
   }
 }

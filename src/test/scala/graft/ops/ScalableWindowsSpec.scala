@@ -103,11 +103,14 @@ class ScalableWindowsSpec extends SparkSpecBase {
 
   test("prefix sum survives a full-range (hash-valued) key domain") {
     // span > 2^63: (__o - lo) would overflow; the div-then-subtract
-    // bucket form must not
+    // bucket form must not — and at nBuckets 1-2 the BigInt width
+    // exceeds Long, where an unsaturated toLong wraps negative and
+    // silently REVERSES the offsets
     val rows = Seq((Long.MinValue + 1, 3L), (-1000000007L, 5L), (0L, 7L),
       (42L, 2L), (Long.MaxValue - 1, 11L))
     val df = rows.toDF("id", "v").repartition(3)
-    assert(prefixRows(df, 8) == prefixOracle(rows))
+    for (nBuckets <- Seq(1, 2, 8))
+      assert(prefixRows(df, nBuckets) == prefixOracle(rows), s"nBuckets=$nBuckets")
   }
 
   test("all-null order keys are rejected loudly, not zero-filled") {

@@ -112,6 +112,48 @@ object CurationScaleProbe {
     t(s"ngramNovelty ${mult}x") {
       Dedup.ngramNovelty(docsN, "doc_id", "text").count()
     }
+    // r8 continuation — what each must show at N×:
+    // containmentPairs: same postings shape as the exact Jaccard join;
+    //   replication multiplies per-shingle posting lists, so the
+    //   docFreq cap is what bounds it (probe runs the capped form —
+    //   the uncapped arm is the q24-measured quadratic);
+    // tokenStreamOffsets/windowManifest: near-linear (two scans + a
+    //   bounded driver scan; explode is ~1 row per window);
+    // snapshotDiff: near-linear (two hash projections + one 16-byte
+    //   full-outer join).
+    t("containmentPairs(cap=64) 1x") {
+      Dedup.containmentPairs(docs1, "doc_id", "text", n = 3,
+        threshold = 0.6, maxDocFreq = Some(64)).count()
+    }
+    t(s"containmentPairs(cap=64) ${mult}x") {
+      Dedup.containmentPairs(docsN, "doc_id", "text", n = 3,
+        threshold = 0.6, maxDocFreq = Some(64)).count()
+    }
+    import graft.ops.{Packing, Versioning}
+    def denseIds(df: org.apache.spark.sql.DataFrame) = df.select(
+      ((col("doc_id") % 1000000L) * mult +
+        expr("doc_id div 1000000")).cast("long").as("doc_id"),
+      TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+    t("tokenStream+manifest 1x") {
+      Packing.windowManifest(Packing.tokenStreamOffsets(
+        denseIds(docs1), "doc_id", "n_tokens", 2048L), 2048L)
+        .agg(sum(col("tokens_in_window"))).collect()
+    }
+    t(s"tokenStream+manifest ${mult}x") {
+      Packing.windowManifest(Packing.tokenStreamOffsets(
+        denseIds(docsN), "doc_id", "n_tokens", 2048L), 2048L)
+        .agg(sum(col("tokens_in_window"))).collect()
+    }
+    t("snapshotDiff 1x") {
+      Versioning.snapshotDiff(
+        docs1.where(col("doc_id") % 7 =!= 0),
+        docs1.where(col("doc_id") % 5 =!= 0), "doc_id", "text").count()
+    }
+    t(s"snapshotDiff ${mult}x") {
+      Versioning.snapshotDiff(
+        docsN.where(col("doc_id") % 7 =!= 0),
+        docsN.where(col("doc_id") % 5 =!= 0), "doc_id", "text").count()
+    }
     docsN.unpersist()
     spark.stop()
   }

@@ -245,4 +245,45 @@ object Retrieval {
           col("dcg6").cast("double") / col("idcg6").cast("double"))
           .otherwise(lit(0.0)).as("ndcg"))
   }
+
+  /** Rank-based retrieval metrics per query — the binary-relevance
+    * companions to [[ndcgAtK]]: reciprocal rank of the FIRST relevant
+    * (rel > 0) retrieved doc and recall@k (relevant retrieved in the
+    * top k / all relevant). Every number is a ratio of exact integers
+    * computed by ONE IEEE division with the same expression shape on
+    * both engines — no ln, no quantization needed. Same input
+    * contracts as ndcgAtK (unique label pairs enforced there applies
+    * here too — this op aggregates per pair, so duplicates would
+    * inflate recall's denominator); label-free queries get rr 0 /
+    * recall 0 by convention.
+    */
+  def retrievalMetrics(ranked: DataFrame, relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"retrievalMetrics: k=$k")
+    val rel = relevance.select(col("query_id"), col("doc_id"),
+      col("rel").cast("long").as("rel"))
+    val labelStats = rel.agg(count(lit(1)),
+      count_distinct(col("query_id"), col("doc_id"))).head()
+    require(labelStats.getLong(0) == labelStats.getLong(1),
+      "retrievalMetrics: duplicate (query_id, doc_id) relevance labels")
+    val hits = ranked.where(col("rank") <= k)
+      .join(rel.where(col("rel") > 0), Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        min(when(col("rel") > 0, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"))
+    val totals = rel.where(col("rel") > 0)
+      .groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    hits.join(totals, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rel_rank"), lit(0)).as("first_rel_rank"),
+        col("n_hits"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0)).as("reciprocal_rank"),
+        when(coalesce(col("n_relevant"), lit(0L)) > 0,
+          col("n_hits").cast("double") / col("n_relevant").cast("double"))
+          .otherwise(lit(0.0)).as("recall_at_k"))
+  }
 }

@@ -760,6 +760,36 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Retrieval EVALUATION, binary-relevance companions to q114: MRR
+    // and recall@10 of the q82 BM25 ranking against each query's 20
+    // highest-overlap docs (shared distinct-token count, rel desc /
+    // doc asc tie-break — a fixed-size label set that stays
+    // discriminating at every fixture scale, unlike an absolute
+    // overlap threshold). Every metric is a ratio of exact integers
+    // through one IEEE division — hash-exact with no quantization.
+    "q117_retrieval_mrr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.where(col("doc_id") >= 5)
+      val queries = docs.where(col("doc_id") < 5)
+      val ranked = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", queries, "doc_id", "text", k = 10)
+      def bag(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.select(col("doc_id").as(side),
+          explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+            .as("tok"))
+      val overlap = bag(queries, "query_id")
+        .join(bag(corpus, "doc_id"), "tok")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+      val labelW = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+      val labels = overlap
+        .withColumn("__r", row_number().over(labelW))
+        .where(col("__r") <= 20).drop("__r")
+      Retrieval.retrievalMetrics(
+          ranked.select("query_id", "rank", "doc_id"), labels, k = 10)
+        .orderBy("query_id")
+    },
+
     // Retrieval EVALUATION — nDCG@10 of the q82 BM25 ranking against
     // graded relevance labels (distinct shared-token counts, exactly
     // recomputable on both engines): the regression metric a
@@ -1625,6 +1655,72 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q117_retrieval_mrr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
+         |  FROM toks WHERE doc_id < 5
+         |), post AS (
+         |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
+         |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
+         |), matched AS (
+         |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
+         |), stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d
+         |), dfreq AS (
+         |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+         |), scored AS (
+         |  SELECT q.query_id, m.doc,
+         |    CAST(floor(
+         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |               / (CAST(f.df AS DOUBLE) + 0.5))
+         |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
+         |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
+         |      * 1000000.0) AS BIGINT) AS s6
+         |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
+         |  CROSS JOIN stats s
+         |), perdoc AS (
+         |  SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
+         |  FROM scored GROUP BY query_id, doc
+         |), topk AS (
+         |  SELECT query_id, doc AS doc_id, rnk FROM (
+         |    SELECT query_id, doc, score6,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc) AS rnk
+         |    FROM perdoc) WHERE rnk <= 10
+         |), overlap AS (
+         |  SELECT qd.query_id, cd.doc_id, COUNT(*) AS rel
+         |  FROM (SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok FROM toks WHERE doc_id < 5) qd
+         |  JOIN (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM toks WHERE doc_id >= 5) cd USING (tok)
+         |  GROUP BY 1, 2
+         |), rel AS (
+         |  SELECT query_id, doc_id, rel FROM (
+         |    SELECT query_id, doc_id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS lr
+         |    FROM overlap) WHERE lr <= 20
+         |), hits AS (
+         |  SELECT t.query_id,
+         |    MIN(CASE WHEN r.rel > 0 THEN t.rnk END) AS fr,
+         |    CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM topk t LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+         |  GROUP BY 1
+         |), totals AS (
+         |  SELECT query_id, COUNT(*) AS n_relevant FROM rel WHERE rel > 0 GROUP BY 1
+         |)
+         |SELECT h.query_id,
+         |  CAST(COALESCE(h.fr, 0) AS INT) AS first_rel_rank,
+         |  h.n_hits,
+         |  CAST(COALESCE(t.n_relevant, 0) AS BIGINT) AS n_relevant,
+         |  CASE WHEN h.fr IS NOT NULL THEN 1.0 / CAST(h.fr AS DOUBLE) ELSE 0.0 END AS reciprocal_rank,
+         |  CASE WHEN COALESCE(t.n_relevant, 0) > 0
+         |       THEN CAST(h.n_hits AS DOUBLE) / CAST(t.n_relevant AS DOUBLE) ELSE 0.0 END AS recall_at_k
+         |FROM hits h LEFT JOIN totals t USING (query_id)
+         |ORDER BY h.query_id""".stripMargin,
 
     "q114_retrieval_ndcg" ->
       s"""WITH toks AS (

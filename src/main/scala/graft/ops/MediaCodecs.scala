@@ -262,6 +262,40 @@ object MediaCodecs {
     })
   }
 
+  /** REAL nearest-neighbor resample of a 24-bit image payload (BMP or
+    * PPM) to `tw`×`th`, re-encoded as binary PPM: target byte
+    * k = (y·tw + x)·3 + c takes source byte
+    * ((y·h div th)·w + (x·w div tw))·3 + c in the logical top-down
+    * order both encoders share (our BMP encoder writes `pix(k)` bytes
+    * verbatim, so channel order round-trips without a BGR swap). Pure
+    * integer arithmetic end to end — an oracle can replay every
+    * output byte. None for non-image payloads (the resize stage is a
+    * pass-through for audio).
+    */
+  def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"resizeImage: target ${tw}x$th")
+    def sampled(w: Int, h: Int, srcByte: (Int, Int, Int) => Int): Array[Byte] =
+      encodePpm(tw, th, k => {
+        val c = (k % 3).toInt
+        val x = ((k / 3) % tw).toInt
+        val y = (k / (3L * tw)).toInt
+        srcByte((x.toLong * w / tw).toInt, (y.toLong * h / th).toInt, c)
+      })
+    sniffFormat(bytes) match {
+      case Some("bmp") =>
+        val h = parseBmpHeader(bytes)
+        Some(sampled(h.width, h.height, (sx, sy, c) => {
+          val stored = if (h.topDown) sy else h.height - 1 - sy
+          bytes(h.dataOffset + stored * h.rowSize + 3 * sx + c) & 0xFF
+        }))
+      case Some("ppm") =>
+        val h = parsePpmHeader(bytes)
+        Some(sampled(h.width, h.height, (sx, sy, c) =>
+          bytes(h.rasterOff + 3 * (sy * h.width + sx) + c) & 0xFF))
+      case _ => None
+    }
+  }
+
   // ---- WAV (RIFF, PCM 16-bit) ------------------------------------------
 
   /** RIFF/WAVE with one `fmt ` chunk (PCM, 16-bit) and one `data`

@@ -197,16 +197,29 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stage stub: recompute metadata for a target size while
-    * passing the rest of the feature row through — exercises schema
-    * evolution of the media struct without a real resampler (the one
-    * remaining piece a native image library would supply).
+  /** REAL resize stage (replaced the former metadata-only stub):
+    * every IMAGE payload nearest-neighbor-resampled to `tw`×`th` and
+    * re-encoded as binary PPM ([[MediaCodecs.resizeImage]] — pure
+    * integer source mapping, oracle-replayable byte for byte); audio
+    * and undecodable payloads pass through untouched with
+    * `resized = false`. Same narrow per-partition shape as the decode
+    * stage: no shuffle, no driver involvement.
     */
-  def resizeStub(features: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    features
-      .withColumn("width", lit(targetW))
-      .withColumn("height", lit(targetH))
-      .withColumn("resized", lit(true))
+  def resizeMedia(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedRow] = {
+    implicit val enc = Encoders.product[ResizedRow]
+    media.mapPartitions(_.map { r =>
+      MediaCodecs.resizeImage(r.payload, tw, th) match {
+        case Some(p) => ResizedRow(r.media_id, p, "ppm", resized = true)
+        case None => ResizedRow(r.media_id, r.payload, r.format, resized = false)
+      }
+    })
+  }
+
+  /** Resize-stage output: resized images carry the re-encoded PPM
+    * payload; pass-through rows keep their original bytes.
+    */
+  case class ResizedRow(media_id: Long, payload: Array[Byte],
+      format: String, resized: Boolean)
 
   /** One sampled frame: parent media id, frame index, frame payload. */
   case class Frame(media_id: Long, frame_no: Int, frame: Array[Byte])

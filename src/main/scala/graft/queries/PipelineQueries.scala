@@ -760,6 +760,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // REAL image resize under the oracle: synthesized BMP/PPM payloads
+    // → nearest-neighbor resample to 8×6 (MediaCodecs.resizeImage,
+    // pure integer source mapping) → re-encode as PPM → REAL decode of
+    // the re-encoded bytes. The oracle replays the resample mean from
+    // the synthesis closed form, so a resampler that maps one source
+    // byte wrong hash-mismatches. Audio rows pass through the stage
+    // and are excluded here (their features are q30's).
+    "q118_media_resize" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      import s.implicits._
+      val media = Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id")
+      val resized = Multimodal.resizeMedia(media, tw = 8, th = 6)
+      resized.filter(_.resized)
+        .map(r => Multimodal.MediaRow(r.media_id, r.payload, r.format))
+        .mapPartitions(Multimodal.decodeBatch)
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("mean_val"))
+        .orderBy("media_id")
+    },
+
     // Retrieval EVALUATION, binary-relevance companions to q114: MRR
     // and recall@10 of the q82 BM25 ranking against each query's 20
     // highest-overlap docs (shared distinct-token count, rel desc /
@@ -1655,6 +1675,19 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q118_media_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 8) * 3 + 5 AS INT) AS w,
+        |    CAST((doc_id % 6) * 3 + 4 AS INT) AS h
+        |  FROM documents WHERE doc_id % 3 <= 1)
+        |SELECT doc_id AS media_id,
+        |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(0, 144), k ->
+        |    (((((k // 24) * h // 6) * w + (((k // 3) % 8) * w // 8)) * 3 + k % 3)
+        |      * 31 + 7 + doc_id) % 256)) AS DOUBLE) / 144.0 AS mean_val
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "q117_retrieval_mrr" ->
       s"""WITH toks AS (

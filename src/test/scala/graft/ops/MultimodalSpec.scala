@@ -57,11 +57,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(arrowPath.length == 100)
   }
 
-  test("resizeStub rewrites feature metadata and flags the row") {
-    val resized = Multimodal.resizeStub(
-      Multimodal.extractFeatures(docs, "doc_id"), 224, 224).collect()
-    assert(resized.forall(r =>
-      r.getAs[Int]("width") == 224 && r.getAs[Boolean]("resized")))
+  test("resizeMedia: real nearest-neighbor resample, closed-form exact; audio passes through") {
+    val tw = 4; val th = 3
+    val out = Multimodal.resizeMedia(
+      Multimodal.synthesizeMedia(docs, "doc_id"), tw, th)
+      .collect().sortBy(_.media_id)
+    // images (id % 3 <= 1) resized to PPM at target dims with every
+    // byte equal to the nearest-neighbor map of the synth formula
+    for (r <- out.filter(_.media_id % 3 <= 1)) {
+      assert(r.resized && r.format == "ppm")
+      val d = graft.ops.MediaCodecs.decode(r.payload)
+      assert(d.width == tw && d.height == th)
+      val (w, h) = (Multimodal.synthWidth(r.media_id),
+        Multimodal.synthHeight(r.media_id))
+      val expected = (0 until 3 * tw * th).map { k =>
+        val c = k % 3; val x = (k / 3) % tw; val y = k / (3 * tw)
+        val kk = ((y.toLong * h / th) * w + (x.toLong * w / tw)) * 3 + c
+        ((kk * 31 + 7 + r.media_id) % 256).toDouble
+      }
+      assert(d.meanVal == expected.sum / expected.size)
+    }
+    // audio (id % 3 == 2): untouched bytes, resized = false
+    for (r <- out.filter(_.media_id % 3 == 2)) {
+      assert(!r.resized && r.format == "wav")
+      assert(r.payload.toSeq ==
+        Multimodal.synthesizePayload(r.media_id)._1.toSeq)
+    }
   }
 
   test("frameSampleStub explodes every stride-th chunk with stable indices") {

@@ -760,6 +760,33 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Multimodal curation GATE — the decision a mixed text+media
+    // pipeline actually ships: per doc, decode the media payload (real
+    // codecs), score the text (q19's quality composite), and emit one
+    // keep/drop verdict from closed-form-replayable rules (image mean
+    // band + min raster area; audio amplitude band + min duration;
+    // text quality threshold). Every input number is already
+    // hash-exact under its own oracle (q30 media features, q19
+    // quality), so the COMPOSITION is hash-exact too.
+    "q119_multimodal_gate" -> { (s, dir) =>
+      import graft.ops.{Multimodal, TextOps}
+      val docs = Tables.documents(s, dir)
+      val feats = Multimodal.extractFeatures(docs, "doc_id")
+      val quality = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      feats.join(quality, feats("media_id") === quality("doc_id"))
+        .select(col("media_id"), col("format"), col("quality"),
+          (col("format").isin("bmp", "ppm") &&
+            col("mean_val").between(96.0, 160.0) &&
+            col("width") * col("height") >= 40 ||
+           col("format") === "wav" &&
+            abs(col("mean_val")) <= 100.0 &&
+            col("duration_sec") >= 0.02).as("keep_media"),
+          (col("quality") >= 0.9461).as("keep_text"))
+        .withColumn("keep", col("keep_media") && col("keep_text"))
+        .orderBy("media_id")
+    },
+
     // REAL image resize under the oracle: synthesized BMP/PPM payloads
     // → nearest-neighbor resample to 8×6 (MediaCodecs.resizeImage,
     // pure integer source mapping) → re-encode as PPM → REAL decode of
@@ -1675,6 +1702,60 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q119_multimodal_gate" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, doc_id % 3 AS fmt,
+         |    CAST((doc_id % 8) * 3 + 5 AS INT) AS w,
+         |    CAST((doc_id % 6) * 3 + 4 AS INT) AS h,
+         |    CAST(1 + doc_id % 2 AS INT) AS ch,
+         |    (doc_id % 40) * 5 + 40 AS nf
+         |  FROM documents
+         |), media AS (
+         |  SELECT doc_id,
+         |    CASE WHEN fmt = 0 THEN 'bmp' WHEN fmt = 1 THEN 'ppm' ELSE 'wav' END AS format,
+         |    CASE WHEN fmt <= 1 THEN
+         |      CAST(list_sum(list_transform(range(0, 3 * w * h),
+         |        k -> (k * 31 + 7 + doc_id) % 256)) AS DOUBLE) / CAST(3 * w * h AS DOUBLE)
+         |    ELSE
+         |      CAST(list_sum(list_transform(range(0, ch * nf),
+         |        k -> (k * 37 + 11 + doc_id) % 2001 - 1000)) AS DOUBLE) / CAST(ch * nf AS DOUBLE)
+         |    END AS mean_val,
+         |    CASE WHEN fmt <= 1 THEN w * h ELSE 0 END AS area,
+         |    CASE WHEN fmt <= 1 THEN 0.0 ELSE CAST(nf AS DOUBLE) / 8000.0 END AS duration_sec
+         |  FROM p
+         |), t AS (
+         |  SELECT doc_id, text, CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_tokens, alpha_ratio, stop_hits,
+         |    (CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3 AS quality
+         |  FROM m
+         |)
+         |SELECT media.doc_id AS media_id, media.format, q.quality,
+         |  (media.format IN ('bmp', 'ppm') AND media.mean_val >= 96.0
+         |     AND media.mean_val <= 160.0 AND media.area >= 40)
+         |  OR (media.format = 'wav' AND abs(media.mean_val) <= 100.0
+         |     AND media.duration_sec >= 0.02) AS keep_media,
+         |  q.quality >= 0.9461 AS keep_text,
+         |  ((media.format IN ('bmp', 'ppm') AND media.mean_val >= 96.0
+         |     AND media.mean_val <= 160.0 AND media.area >= 40)
+         |  OR (media.format = 'wav' AND abs(media.mean_val) <= 100.0
+         |     AND media.duration_sec >= 0.02)) AND q.quality >= 0.9461 AS keep
+         |FROM media JOIN q ON media.doc_id = q.doc_id
+         |ORDER BY media_id""".stripMargin,
 
     "q118_media_resize" ->
       """WITH p AS (

@@ -760,6 +760,33 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The WHOLE curation-to-data-loader chain in one hash-exact row:
+    // exact dedup (min-id survivors) → Gopher quality gate → global
+    // token-stream layout (bucketed prefix sum) → loader window
+    // count — the end-to-end story every piece was built for, with
+    // an in-plan contract that the window ids the layout assigned
+    // are exactly the contiguous range the token mass implies.
+    "q120_curation_to_loader" -> { (s, dir) =>
+      import graft.ops.{Dedup, Packing, TextOps}
+      val docs = Tables.documents(s, dir)
+      val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+      val keptIds = TextOps.gopherRules(deduped, "doc_id", "text")
+        .where(col("keep")).select("doc_id")
+      val withTokens = deduped.join(keptIds, "doc_id")
+        .select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      val offsets = Packing.tokenStreamOffsets(
+        withTokens, "doc_id", "n_tokens", window = 2048L, nBuckets = 64)
+      offsets.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("token_mass"),
+        expr("CAST((coalesce(sum(n_tokens), 0) + 2047) div 2048 AS BIGINT)")
+          .as("n_windows"),
+        (coalesce(max(col("last_window")), lit(-1L)) + 1L ===
+          expr("(coalesce(sum(n_tokens), 0) + 2047) div 2048"))
+          .as("windows_contiguous"))
+    },
+
     // Multimodal curation GATE — the decision a mixed text+media
     // pipeline actually ships: per doc, decode the media payload (real
     // codecs), score the text (q19's quality composite), and emit one
@@ -1702,6 +1729,40 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q120_curation_to_loader" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens_ws,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS INT) AS stop_hits,
+         |    CASE WHEN len($tokensSql) <= 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+         |                      / CAST(len($tokensSql) AS DOUBLE) END AS dup_tok_ratio,
+         |    text
+         |  FROM d
+         |), kept AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, n_tokens_ws, stop_hits, dup_tok_ratio,
+         |      (n_chars_d - (CAST(n_tokens_ws AS DOUBLE) - 1.0))
+         |        / greatest(CAST(n_tokens_ws AS DOUBLE), 1.0) AS mean_tok_len
+         |    FROM m)
+         |  WHERE n_tokens_ws >= 40 AND n_tokens_ws <= 100000
+         |    AND mean_tok_len >= 3.5 AND mean_tok_len <= 4.6
+         |    AND stop_hits >= 2 AND dup_tok_ratio <= 0.55
+         |), tok AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+         |  FROM kept
+         |)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS token_mass,
+         |  CAST((COALESCE(SUM(n), 0) + 2047) // 2048 AS BIGINT) AS n_windows,
+         |  TRUE AS windows_contiguous
+         |FROM tok""".stripMargin,
 
     "q119_multimodal_gate" ->
       s"""WITH p AS (

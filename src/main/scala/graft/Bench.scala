@@ -54,6 +54,15 @@ object Bench {
   def r3(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Per-query values round to 10 ms: one byte per query bought back
+    * for the driver's ~2 KB stdout tail window — at 120 queries the
+    * worst-case record overflowed the window at 3 decimals (spec-
+    * bounded), and 10 ms is far below run-to-run bench noise. Headline
+    * fields keep 3 decimals.
+    */
+  def r2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** `"only":[...],` fragment stamping a filtered run, "" when unfiltered. */
   def onlyJson(only: Option[Seq[String]]): String =
     only.map(o =>
@@ -141,8 +150,9 @@ object Bench {
     * captures only the last ~2 KB of stdout, and rounds 1-3 all lost
     * the JSON because the full-precision/full-name line overflowed
     * that window (BENCH_r0N "parsed": null). Short keys (the qNN
-    * prefix is unique by construction) + 3-decimal values keep 72
-    * queries ≈ 1.2 KB — spec-bounded in `BenchRecordSpec`.
+    * prefix is unique by construction) + 2-decimal per-query values
+    * (3 for headline fields) keep 120 queries under the window —
+    * spec-bounded in `BenchRecordSpec`.
     *
     * The contention sentinel (CPU calibration + 1-min loadavg at start
     * and end) rides INSIDE this record, not just the stderr long form:
@@ -156,7 +166,7 @@ object Bench {
       sfDir: String, calibStartSec: Double = -1.0, calibEndSec: Double = -1.0,
       load1Start: Double = -1.0, load1End: Double = -1.0,
       flagged: Seq[String] = Seq.empty): String = {
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(totalSec)},"unit":"sec",""" +
       s""""parity_sec":${r3(paritySec)},"extensions_sec":${r3(totalSec - ingestSec - paritySec)},""" +

@@ -37,9 +37,11 @@ object Multimodal {
       width: Int, height: Int, channels: Int, sample_rate: Int,
       n_frames: Long, duration_sec: Double, mean_val: Double)
 
-  /** Synthesis formulas — shared with the q30 oracle SQL, which states
-    * them as closed forms over doc_id. Change these and the oracle in
-    * PipelineQueries.oracleSql("q30_multimodal_features") together.
+  /** Synthesis formulas — shared with the oracle SQL of EVERY media
+    * query that states them as closed forms over doc_id: q30
+    * (features), q118 (resample means), q119 (gate inputs). Change
+    * these and all three oracle blocks in PipelineQueries.oracleSql
+    * together.
     */
   def synthWidth(id: Long): Int = ((id % 8) * 3 + 5).toInt
   def synthHeight(id: Long): Int = ((id % 6) * 3 + 4).toInt
@@ -208,7 +210,15 @@ object Multimodal {
   def resizeMedia(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedRow] = {
     implicit val enc = Encoders.product[ResizedRow]
     media.mapPartitions(_.map { r =>
-      MediaCodecs.resizeImage(r.payload, tw, th) match {
+      // a payload that SNIFFS as an image but fails header/raster
+      // validation (truncated, 32-bpp, corrupt dims) quarantines as
+      // unresized pass-through — the documented contract; a corrupt
+      // row must not kill the stage (resizeImage itself stays strict
+      // for direct callers)
+      val resized =
+        try MediaCodecs.resizeImage(r.payload, tw, th)
+        catch { case _: IllegalArgumentException => None }
+      resized match {
         case Some(p) => ResizedRow(r.media_id, p, "ppm", resized = true)
         case None => ResizedRow(r.media_id, r.payload, r.format, resized = false)
       }

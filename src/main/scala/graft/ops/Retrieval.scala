@@ -214,19 +214,27 @@ object Retrieval {
     * but with zero relevant labels gets ndcg 0 by convention;
     * queries absent from `ranked` are absent from the output.
     */
+  /** Duplicate (query, doc) labels would fan out metric joins AND
+    * double-rank ideals — silently inflated metrics. Reject loudly
+    * (the prefixSumByBucket convention). NOTE: the guard is an eager
+    * action over the label plan — callers deriving labels from a
+    * corpus-wide computation (rather than a stored judgment table)
+    * should persist/materialize them first or pay the derivation
+    * twice.
+    */
+  private def requireUniqueLabels(rel: DataFrame, op: String): Unit = {
+    val s = rel.agg(count(lit(1)),
+      count_distinct(col("query_id"), col("doc_id"))).head()
+    require(s.getLong(0) == s.getLong(1),
+      s"$op: duplicate (query_id, doc_id) relevance labels — " +
+        "aggregate judgments upstream (max/mean per pair) first")
+  }
+
   def ndcgAtK(ranked: DataFrame, relevance: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"ndcgAtK: k=$k")
     val rel = relevance.select(col("query_id"), col("doc_id"),
       col("rel").cast("long").as("rel"))
-    // Duplicate (query, doc) labels would fan out the DCG join AND
-    // double-rank in the ideal window — silently inflated (even > 1)
-    // ndcg. Reject loudly (labels are small next to the corpus; one
-    // count pass is cheap), the prefixSumByBucket convention.
-    val labelStats = rel.agg(count(lit(1)),
-      count_distinct(col("query_id"), col("doc_id"))).head()
-    require(labelStats.getLong(0) == labelStats.getLong(1),
-      "ndcgAtK: duplicate (query_id, doc_id) relevance labels — " +
-        "aggregate judgments upstream (max/mean per pair) first")
+    requireUniqueLabels(rel, "ndcgAtK")
     val dcg = ranked.where(col("rank") <= k)
       .join(rel, Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
@@ -262,10 +270,7 @@ object Retrieval {
     require(k > 0, s"retrievalMetrics: k=$k")
     val rel = relevance.select(col("query_id"), col("doc_id"),
       col("rel").cast("long").as("rel"))
-    val labelStats = rel.agg(count(lit(1)),
-      count_distinct(col("query_id"), col("doc_id"))).head()
-    require(labelStats.getLong(0) == labelStats.getLong(1),
-      "retrievalMetrics: duplicate (query_id, doc_id) relevance labels")
+    requireUniqueLabels(rel, "retrievalMetrics")
     val hits = ranked.where(col("rank") <= k)
       .join(rel.where(col("rel") > 0), Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
@@ -274,16 +279,21 @@ object Retrieval {
         sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"))
     val totals = rel.where(col("rel") > 0)
       .groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
-    hits.join(totals, Seq("query_id"), "left")
+    // FULL outer: a query with relevance labels but NO ranked rows
+    // (retrieval returned nothing) must score rr 0 / recall 0 — a
+    // left join from hits would silently drop exactly the
+    // worst-performing queries and overstate every mean.
+    hits.join(totals, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         coalesce(col("first_rel_rank"), lit(0)).as("first_rel_rank"),
-        col("n_hits"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
         when(col("first_rel_rank").isNotNull,
           lit(1.0) / col("first_rel_rank").cast("double"))
           .otherwise(lit(0.0)).as("reciprocal_rank"),
         when(coalesce(col("n_relevant"), lit(0L)) > 0,
-          col("n_hits").cast("double") / col("n_relevant").cast("double"))
+          coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_relevant").cast("double"))
           .otherwise(lit(0.0)).as("recall_at_k"))
   }
 }

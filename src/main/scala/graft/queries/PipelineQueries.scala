@@ -1383,6 +1383,62 @@ object PipelineQueries {
     (voc0 +: steps).mkString(", ")
   }
 
+  /** Shared BM25@10 + shared-token-overlap CTE chain (`toks` →
+    * `topk`, plus `ovl` = per-(query, doc) distinct-token overlap) —
+    * the retrieval-evaluation oracles (q114 nDCG, q117 MRR/recall)
+    * append their metric CTEs to this ONE fragment, so a BM25 or
+    * overlap fix lands in both. The text ends inside the WITH list:
+    * callers append `, <cte> ... ) SELECT ...`.
+    */
+  private val bm25EvalCteSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS w FROM documents
+       |), d AS (
+       |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
+       |), q AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
+       |  FROM toks WHERE doc_id < 5
+       |), post AS (
+       |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
+       |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
+       |), matched AS (
+       |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM d
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+       |), scored AS (
+       |  SELECT q.query_id, m.doc,
+       |    CAST(floor(
+       |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |               / (CAST(f.df AS DOUBLE) + 0.5))
+       |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
+       |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
+       |      * 1000000.0) AS BIGINT) AS s6
+       |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
+       |  CROSS JOIN stats s
+       |), perdoc AS (
+       |  SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
+       |  FROM scored GROUP BY query_id, doc
+       |), topk AS (
+       |  SELECT query_id, doc AS doc_id, rnk FROM (
+       |    SELECT query_id, doc, score6,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score6 DESC, doc) AS rnk
+       |    FROM perdoc
+       |  ) WHERE rnk <= 10
+       |), ovl AS (
+       |  SELECT qd.query_id, cd.doc_id, COUNT(*) AS rel
+       |  FROM (SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok
+       |        FROM toks WHERE doc_id < 5) qd
+       |  JOIN (SELECT doc_id, unnest(list_distinct(w)) AS tok
+       |        FROM toks WHERE doc_id >= 5) cd USING (tok)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   private def stopHitsSql(words: Seq[String]): String =
     s"len(list_filter($tokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -1832,52 +1888,12 @@ object PipelineQueries {
         |FROM p ORDER BY media_id""".stripMargin,
 
     "q117_retrieval_mrr" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokensSql AS w FROM documents
-         |), d AS (
-         |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
-         |), q AS (
-         |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
-         |  FROM toks WHERE doc_id < 5
-         |), post AS (
-         |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
-         |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
-         |), matched AS (
-         |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
-         |), stats AS (
-         |  SELECT COUNT(*) AS n_docs,
-         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d
-         |), dfreq AS (
-         |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
-         |), scored AS (
-         |  SELECT q.query_id, m.doc,
-         |    CAST(floor(
-         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-         |               / (CAST(f.df AS DOUBLE) + 0.5))
-         |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
-         |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-         |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
-         |      * 1000000.0) AS BIGINT) AS s6
-         |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
-         |  CROSS JOIN stats s
-         |), perdoc AS (
-         |  SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
-         |  FROM scored GROUP BY query_id, doc
-         |), topk AS (
-         |  SELECT query_id, doc AS doc_id, rnk FROM (
-         |    SELECT query_id, doc, score6,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc) AS rnk
-         |    FROM perdoc) WHERE rnk <= 10
-         |), overlap AS (
-         |  SELECT qd.query_id, cd.doc_id, COUNT(*) AS rel
-         |  FROM (SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok FROM toks WHERE doc_id < 5) qd
-         |  JOIN (SELECT doc_id, unnest(list_distinct(w)) AS tok FROM toks WHERE doc_id >= 5) cd USING (tok)
-         |  GROUP BY 1, 2
-         |), rel AS (
+      s"""$bm25EvalCteSql, rel AS (
          |  SELECT query_id, doc_id, rel FROM (
          |    SELECT query_id, doc_id, rel,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS lr
-         |    FROM overlap) WHERE lr <= 20
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY rel DESC, doc_id) AS lr
+         |    FROM ovl) WHERE lr <= 20
          |), hits AS (
          |  SELECT t.query_id,
          |    MIN(CASE WHEN r.rel > 0 THEN t.rnk END) AS fr,
@@ -1887,68 +1903,23 @@ object PipelineQueries {
          |), totals AS (
          |  SELECT query_id, COUNT(*) AS n_relevant FROM rel WHERE rel > 0 GROUP BY 1
          |)
-         |SELECT h.query_id,
+         |SELECT COALESCE(h.query_id, t.query_id) AS query_id,
          |  CAST(COALESCE(h.fr, 0) AS INT) AS first_rel_rank,
-         |  h.n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(COALESCE(t.n_relevant, 0) AS BIGINT) AS n_relevant,
          |  CASE WHEN h.fr IS NOT NULL THEN 1.0 / CAST(h.fr AS DOUBLE) ELSE 0.0 END AS reciprocal_rank,
          |  CASE WHEN COALESCE(t.n_relevant, 0) > 0
-         |       THEN CAST(h.n_hits AS DOUBLE) / CAST(t.n_relevant AS DOUBLE) ELSE 0.0 END AS recall_at_k
-         |FROM hits h LEFT JOIN totals t USING (query_id)
-         |ORDER BY h.query_id""".stripMargin,
+         |       THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_relevant AS DOUBLE)
+         |       ELSE 0.0 END AS recall_at_k
+         |FROM hits h FULL OUTER JOIN totals t ON h.query_id = t.query_id
+         |ORDER BY query_id""".stripMargin,
 
     "q114_retrieval_ndcg" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokensSql AS w FROM documents
-         |), d AS (
-         |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
-         |), q AS (
-         |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
-         |  FROM toks WHERE doc_id < 5
-         |), post AS (
-         |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
-         |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
-         |), matched AS (
-         |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
-         |), stats AS (
-         |  SELECT COUNT(*) AS n_docs,
-         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-         |  FROM d
-         |), dfreq AS (
-         |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
-         |), scored AS (
-         |  SELECT q.query_id, m.doc,
-         |    CAST(floor(
-         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-         |               / (CAST(f.df AS DOUBLE) + 0.5))
-         |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
-         |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-         |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
-         |      * 1000000.0) AS BIGINT) AS s6
-         |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
-         |  CROSS JOIN stats s
-         |), perdoc AS (
-         |  SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
-         |  FROM scored GROUP BY query_id, doc
-         |), topk AS (
-         |  SELECT query_id, doc AS doc_id, rnk FROM (
-         |    SELECT query_id, doc, score6,
-         |      row_number() OVER (PARTITION BY query_id
-         |                         ORDER BY score6 DESC, doc) AS rnk
-         |    FROM perdoc
-         |  ) WHERE rnk <= 10
-         |), rel AS (
-         |  SELECT qd.query_id, cd.doc_id, COUNT(*) AS rel
-         |  FROM (SELECT doc_id AS query_id, unnest(list_distinct(w)) AS tok
-         |        FROM toks WHERE doc_id < 5) qd
-         |  JOIN (SELECT doc_id, unnest(list_distinct(w)) AS tok
-         |        FROM toks WHERE doc_id >= 5) cd USING (tok)
-         |  GROUP BY 1, 2
-         |), dcg AS (
+      s"""$bm25EvalCteSql, dcg AS (
          |  SELECT t.query_id,
          |    CAST(SUM(CAST(floor(CAST(COALESCE(r.rel, 0) AS DOUBLE) * 1000000.0
          |      / ln(CAST(t.rnk AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT) AS dcg6
-         |  FROM topk t LEFT JOIN rel r
+         |  FROM topk t LEFT JOIN ovl r
          |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
          |  GROUP BY 1
          |), ideal AS (
@@ -1958,7 +1929,7 @@ object PipelineQueries {
          |  FROM (SELECT query_id, rel, doc_id,
          |          row_number() OVER (PARTITION BY query_id
          |                             ORDER BY rel DESC, doc_id) AS irank
-         |        FROM rel WHERE rel > 0)
+         |        FROM ovl WHERE rel > 0)
          |  WHERE irank <= 10 GROUP BY 1
          |)
          |SELECT d.query_id, d.dcg6, COALESCE(i.idcg6, 0) AS idcg6,

@@ -39,6 +39,40 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(d.height == h && d.width == w)
   }
 
+  test("resizeImage: top-down BMP samples the same logical pixels as bottom-up") {
+    // flip matters for resize (which rows get sampled), unlike the
+    // flip-invariant mean checks — pin both storage orders byte-equal
+    val w = 6; val h = 4
+    def pix(k: Long): Int = ((k * 13 + 5) % 256).toInt
+    val bottomUp = MediaCodecs.encodeBmp(w, h, pix)
+    // top-down twin: negate stored height AND reverse the row order
+    val topDown = bottomUp.clone()
+    val neg = -h
+    topDown(22) = (neg & 0xFF).toByte
+    topDown(23) = ((neg >> 8) & 0xFF).toByte
+    topDown(24) = ((neg >> 16) & 0xFF).toByte
+    topDown(25) = ((neg >> 24) & 0xFF).toByte
+    val rowSize = MediaCodecs.bmpRowSize(w)
+    for (y <- 0 until h; i <- 0 until rowSize)
+      topDown(54 + y * rowSize + i) = bottomUp(54 + (h - 1 - y) * rowSize + i)
+    val a = MediaCodecs.resizeImage(bottomUp, 3, 2).get
+    val b = MediaCodecs.resizeImage(topDown, 3, 2).get
+    assert(a.toSeq == b.toSeq)
+    // and the resample itself is the closed-form map of pix()
+    val d = MediaCodecs.decode(a)
+    val expected = (0 until 3 * 3 * 2).map { k =>
+      val c = k % 3; val x = (k / 3) % 3; val y = k / 9
+      pix(((y * h / 2) * w + (x * w / 3)) * 3 + c).toDouble
+    }
+    assert(d.meanVal == expected.sum / expected.size)
+  }
+
+  test("resizeImage: corrupt image-sniffing payload rejects; resizeMedia quarantines it") {
+    val corrupt = "BMgarbage-not-a-real-header".getBytes("US-ASCII")
+    intercept[IllegalArgumentException](
+      MediaCodecs.resizeImage(corrupt, 4, 4))
+  }
+
   test("PPM round-trip incl. multi-digit dimensions in the ASCII header") {
     val w = 12; val h = 10
     val bytes = MediaCodecs.encodePpm(w, h, k => ((k * 3) % 251).toInt)

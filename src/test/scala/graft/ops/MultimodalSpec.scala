@@ -83,6 +83,12 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.payload.toSeq ==
         Multimodal.synthesizePayload(r.media_id)._1.toSeq)
     }
+    // a payload that SNIFFS as an image but has a corrupt header
+    // must quarantine as unresized pass-through, not kill the stage
+    val corrupt = "BMgarbage-not-a-real-header".getBytes("US-ASCII")
+    val bad = Seq(Multimodal.MediaRow(99L, corrupt, "bmp")).toDS()
+    val q = Multimodal.resizeMedia(bad, tw, th).collect().head
+    assert(!q.resized && q.payload.toSeq == corrupt.toSeq)
   }
 
   test("frameSampleStub explodes every stride-th chunk with stable indices") {

@@ -214,4 +214,28 @@ class RetrievalSpec extends SparkSpecBase {
       Retrieval.ndcgAtK(ranked, dup, k = 10))
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("retrievalMetrics: rr/recall conventions incl. labeled-but-unranked queries") {
+    val rel = Seq((1L, 10L, 3L), (1L, 11L, 1L),
+      (2L, 20L, 2L),              // query 2: labels but NO ranked rows
+      (4L, 40L, 0L)).toDF("query_id", "doc_id", "rel") // rel 0 = not relevant
+    val ranked = Seq((1L, 1, 99L), (1L, 2, 10L), (1L, 3, 11L),
+      (3L, 1, 30L),               // query 3: ranked rows, no labels at all
+      (4L, 1, 40L)).toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.retrievalMetrics(ranked, rel, k = 10)
+      .as[(Long, Int, Long, Long, Double, Double)].collect().sortBy(_._1)
+    // q1: first hit at rank 2, both relevant docs retrieved
+    assert(got(0) == ((1L, 2, 2L, 2L, 0.5, 1.0)))
+    // q2: must APPEAR with rr 0 / recall 0 — dropping it would
+    // overstate every mean (the full-outer contract)
+    assert(got(1) == ((2L, 0, 0L, 1L, 0.0, 0.0)))
+    // q3: retrieved, nothing labeled → all-zero row
+    assert(got(2) == ((3L, 0, 0L, 0L, 0.0, 0.0)))
+    // q4: its only label has rel 0 → doc 40 retrieved but NOT a hit
+    assert(got(3) == ((4L, 0, 0L, 0L, 0.0, 0.0)))
+    // duplicate labels rejected loudly, same guard as ndcgAtK
+    val e = intercept[IllegalArgumentException](
+      Retrieval.retrievalMetrics(ranked, rel.unionAll(rel.limit(1)), k = 10))
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

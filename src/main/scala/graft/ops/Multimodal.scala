@@ -208,6 +208,11 @@ object Multimodal {
     * stage: no shuffle, no driver involvement.
     */
   def resizeMedia(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[ResizedRow] = {
+    // A bad TARGET size is a caller bug, not a corrupt payload: fail
+    // the job up front rather than letting the per-row quarantine
+    // catch silently turn the whole stage into a pass-through.
+    require(tw > 0 && th > 0,
+      s"resizeMedia: target size must be positive, got ${tw}x${th}")
     implicit val enc = Encoders.product[ResizedRow]
     media.mapPartitions(_.map { r =>
       // a payload that SNIFFS as an image but fails header/raster

@@ -138,9 +138,20 @@ object ScalableWindows {
     }
     val w = Window.partitionBy(col("__b")).orderBy(col("__o"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Strict base lookup: the input plan is evaluated three times
+    // (stats, totals, output), so a NONDETERMINISTIC input could
+    // produce a bucket here that the collected totals never saw.
+    // try_element_at would silently NULL every offset in that bucket;
+    // raise_error makes the broken-input case loud instead. Callers
+    // deriving the input nondeterministically must cache it first.
     bucketed
       .withColumn(outCol,
-        try_element_at(typedLit(baseOf), col("__b")) +
+        coalesce(
+          try_element_at(typedLit(baseOf), col("__b")),
+          raise_error(concat(
+            lit("prefixSumByBucket: bucket "), col("__b").cast("string"),
+            lit(" absent from collected totals — nondeterministic or " +
+              "uncached input plan?"))).cast("long")) +
           coalesce(sum(col("__v")).over(w), lit(0L)))
       .drop("__o", "__v", "__b")
   }

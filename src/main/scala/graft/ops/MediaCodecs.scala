@@ -3,10 +3,12 @@ package graft.ops
 import java.io.ByteArrayOutputStream
 
 /** Self-contained pure-JVM media codecs: 24-bit BMP, binary PPM (P6),
-  * and 16-bit PCM WAV. No external libraries — these are the formats
-  * whose containers are simple enough to parse byte-for-byte, which
-  * makes the multimodal decode path REAL (header parse + raster/PCM
-  * walk) instead of a stub, while staying dependency-free offline.
+  * and 16-bit PCM WAV parsed byte-for-byte, plus PNG and JPEG through
+  * the JDK's own `javax.imageio` plugins (shipped with every JRE — no
+  * external libraries, works offline). The byte-parsed containers are
+  * the ones simple enough to walk by hand; PNG/JPEG are the containers
+  * a real web corpus actually carries, and PNG being lossless keeps
+  * its decoded raster oracle-replayable bit-for-bit.
   *
   * Encoders exist so the pipeline can synthesize deterministic
   * payloads for the fixture corpus (the test tables carry no binary
@@ -203,6 +205,8 @@ object MediaCodecs {
     sniffFormat(bytes) match {
       case Some("bmp") => Some(aHashBmp(bytes, grid))
       case Some("ppm") => Some(aHashPpm(bytes, grid))
+      case Some("png") => Some(aHashImageIo(bytes, grid, "png"))
+      case Some("jpeg") => Some(aHashImageIo(bytes, grid, "jpeg"))
       case _ => None
     }
   }
@@ -292,8 +296,156 @@ object MediaCodecs {
         val h = parsePpmHeader(bytes)
         Some(sampled(h.width, h.height, (sx, sy, c) =>
           bytes(h.rasterOff + 3 * (sy * h.width + sx) + c) & 0xFF))
+      case Some("png") | Some("jpeg") =>
+        // JDK-codec arm: same integer source map over the decoded
+        // raster (targets are small by definition — per-pixel getRGB
+        // costs 3 ColorModel hops per TARGET pixel, not per source)
+        val img = readImageIo(bytes, sniffFormat(bytes).get)
+        Some(sampled(img.getWidth, img.getHeight, (sx, sy, c) => {
+          val rgb = img.getRGB(sx, sy)
+          c match {
+            case 0 => (rgb >>> 16) & 0xFF
+            case 1 => (rgb >>> 8) & 0xFF
+            case _ => rgb & 0xFF
+          }
+        }))
       case _ => None
     }
+  }
+
+  // ---- PNG / JPEG via javax.imageio (JDK built-in, offline) ------------
+
+  /** One-time ImageIO hardening: the default decode path spools
+    * through a DISK-backed cache file per image — a per-row temp-file
+    * create/delete inside every executor task. Memory-backed streams
+    * keep the decode a pure in-heap walk.
+    */
+  private lazy val imageIoReady: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG encode via the JDK's own codec: `pix(k)` supplies the pixel
+    * byte at logical index k = (y·width + x)·3 + c (top-down, c =
+    * R,G,B) — the SAME convention as [[encodeBmp]]/[[encodePpm]], so
+    * one raster closed form drives all three containers. PNG is
+    * lossless: decode returns these exact bytes, which is what lets a
+    * driver oracle replay features of a real-world web-corpus format.
+    */
+  def encodePng(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = (y.toLong * width + x) * 3
+        img.setRGB(x, y,
+          ((pix(k) & 0xFF) << 16) | ((pix(k + 1) & 0xFF) << 8) | (pix(k + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG encode (JDK codec, default quality). LOSSY: decoded pixel
+    * values are codec-dependent, so JPEG features are spec-verified
+    * for determinism and container facts, never driver-oracle'd on
+    * pixel means (PNG is the hash-exact real-world container).
+    */
+  def encodeJpeg(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = (y.toLong * width + x) * 3
+        img.setRGB(x, y,
+          ((pix(k) & 0xFF) << 16) | ((pix(k + 1) & 0xFF) << 8) | (pix(k + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** ImageIO decode normalized to the quarantine contract: EVERY
+    * corrupt-payload failure mode (IIOException, null return for
+    * unrecognizable content, zero dims) becomes IllegalArgumentException
+    * — the exception class [[Multimodal.resizeMedia]]'s per-row
+    * quarantine catches. Without the wrap, ImageIO's IOException would
+    * kill a whole stage on one truncated crawl image.
+    */
+  private def readImageIo(bytes: Array[Byte], fmt: String): java.awt.image.BufferedImage = {
+    imageIoReady
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"corrupt $fmt: ${e.getMessage}")
+        // ImageIO's PNG plugin can surface crafted-header corruption
+        // as NegativeArraySizeException / IndexOutOfBounds — still a
+        // corrupt payload, still quarantine, never a stage kill
+        case e: RuntimeException =>
+          throw new IllegalArgumentException(s"corrupt $fmt: ${e.getClass.getSimpleName}")
+      }
+    if (img == null)
+      throw new IllegalArgumentException(s"corrupt $fmt container (undecodable)")
+    require(img.getWidth > 0 && img.getHeight > 0,
+      s"corrupt $fmt dims (${img.getWidth}x${img.getHeight})")
+    img
+  }
+
+  /** Row-bulk gray/RGB walk shared by decode, aHash, and resize: one
+    * `getRGB` batch per row (the per-pixel accessor crosses the
+    * ColorModel on every call — ~10× slower on large rasters).
+    */
+  private def decodeImageIo(bytes: Array[Byte], fmt: String): Decoded = {
+    val img = readImageIo(bytes, fmt)
+    val w = img.getWidth
+    val h = img.getHeight
+    val row = new Array[Int](w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        sum += ((rgb >>> 16) & 0xFF) + ((rgb >>> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val n = 3L * w * h
+    Decoded(fmt, w, h, 3, 0, 0L, if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Decode PNG container facts + mean pixel byte (JDK codec). */
+  def decodePng(bytes: Array[Byte]): Decoded = decodeImageIo(bytes, "png")
+
+  /** Decode JPEG container facts + mean pixel byte (JDK codec). */
+  def decodeJpeg(bytes: Array[Byte]): Decoded = decodeImageIo(bytes, "jpeg")
+
+  private def aHashImageIo(bytes: Array[Byte], grid: Int, fmt: String): Long = {
+    val img = readImageIo(bytes, fmt)
+    val w = img.getWidth
+    val rowBuf = new Array[Int](w)
+    var lastY = -1
+    // aHashCells walks y-major, x-inner — one bulk row fetch per y
+    aHashCells(w, img.getHeight, grid, (x, y) => {
+      if (y != lastY) { img.getRGB(0, y, w, 1, rowBuf, 0, w); lastY = y }
+      val rgb = rowBuf(x)
+      ((rgb >>> 16) & 0xFF) + ((rgb >>> 8) & 0xFF) + (rgb & 0xFF)
+    })
   }
 
   // ---- WAV (RIFF, PCM 16-bit) ------------------------------------------
@@ -451,6 +603,12 @@ object MediaCodecs {
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Some("ppm")
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F') Some("wav")
+    else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+      bytes(4) == 0x0D && bytes(5) == 0x0A && bytes(6) == 0x1A &&
+      bytes(7) == 0x0A) Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) Some("jpeg")
     else None
 
   /** Container detection from magic bytes — caller metadata is never
@@ -461,6 +619,8 @@ object MediaCodecs {
     case Some("bmp") => decodeBmp(bytes)
     case Some("ppm") => decodePpm(bytes)
     case Some("wav") => decodeWav(bytes)
+    case Some("png") => decodePng(bytes)
+    case Some("jpeg") => decodeJpeg(bytes)
     case _ => throw new IllegalArgumentException(
       s"unrecognized media container (${bytes.length} bytes)")
   }

@@ -77,6 +77,23 @@ object Multimodal {
     }
   }
 
+  /** Documents → PNG media rows (JDK `javax.imageio` codec): the same
+    * raster closed form ((31k+7+id) mod 256 at logical byte k, same
+    * [[synthWidth]]/[[synthHeight]]) as the byte-parsed containers,
+    * encoded through the real-world web-corpus format. PNG is
+    * lossless, so q121's oracle replays the decoded features exactly —
+    * the q30/q118 pattern extended to a container the engine does NOT
+    * parse itself (the JDK's codec is the independent implementation
+    * our logical raster convention is proven against).
+    */
+  def synthesizePngMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col(idCol).cast("long")).as(Encoders.scalaLong).map { id =>
+      MediaRow(id, MediaCodecs.encodePng(synthWidth(id), synthHeight(id),
+        k => ((k * 31 + 7 + id) % 256).toInt), "png")
+    }
+  }
+
   /** Decode features for one payload via the real codec. */
   def decodeFeatures(id: Long, payload: Array[Byte]): MediaFeatures = {
     val d = MediaCodecs.decode(payload)

@@ -834,6 +834,36 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // REAL-WORLD container decode under the oracle: the same raster
+    // closed form as q30/q118, but encoded as PNG and decoded through
+    // the JDK's javax.imageio codec — an INDEPENDENT implementation of
+    // a format this engine never parses by hand. PNG is lossless, so
+    // the oracle replays both the full-raster mean and the 8×6
+    // nearest-neighbor resample mean (the resize runs the same
+    // integer source map over the ImageIO raster, re-encoded PPM,
+    // re-decoded). One wrong byte anywhere in encode, the JDK decode
+    // walk, the resample map, or the PPM re-encode hash-mismatches.
+    "q121_png_decode" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      import s.implicits._
+      // the synthesized payloads feed two plan references (feature
+      // decode + resize); encode once
+      val media = Multimodal.synthesizePngMedia(Tables.documents(s, dir), "doc_id")
+        .localCheckpoint(false)
+      val feats = media.mapPartitions(Multimodal.decodeBatch).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("mean_val"))
+      val resizedMean = Multimodal.resizeMedia(media, tw = 8, th = 6)
+        .filter(_.resized)
+        .map(r => Multimodal.MediaRow(r.media_id, r.payload, r.format))
+        .mapPartitions(Multimodal.decodeBatch).toDF()
+        .select(col("media_id"), col("mean_val").as("resized_mean"))
+      // left join: a PNG the resize arm fails to handle surfaces as a
+      // NULL resized_mean → oracle hash mismatch, not a dropped row
+      feats.join(resizedMean, Seq("media_id"), "left")
+        .orderBy("media_id")
+    },
+
     // Retrieval EVALUATION, binary-relevance companions to q114: MRR
     // and recall@10 of the q82 BM25 ranking against each query's 20
     // highest-overlap docs (shared distinct-token count, rel desc /
@@ -1885,6 +1915,26 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(range(0, 144), k ->
         |    (((((k // 24) * h // 6) * w + (((k // 3) % 8) * w // 8)) * 3 + k % 3)
         |      * 31 + 7 + doc_id) % 256)) AS DOUBLE) / 144.0 AS mean_val
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // Every doc gets a PNG (no %3 container split — PNG is the
+    // container under test); full-raster mean over 3wh bytes plus the
+    // q118 resample closed form. Synthesis-formula sync: see the
+    // comment on Multimodal.synthWidth (q30/q118/q119/q121 share it).
+    "q121_png_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 8) * 3 + 5 AS INT) AS w,
+        |    CAST((doc_id % 6) * 3 + 4 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |  w AS width, h AS height,
+        |  CAST(list_sum(list_transform(range(0, 3*w*h), k ->
+        |    ((k * 31 + 7 + doc_id) % 256))) AS DOUBLE)
+        |    / CAST(3*w*h AS DOUBLE) AS mean_val,
+        |  CAST(list_sum(list_transform(range(0, 144), k ->
+        |    (((((k // 24) * h // 6) * w + (((k // 3) % 8) * w // 8)) * 3 + k % 3)
+        |      * 31 + 7 + doc_id) % 256)) AS DOUBLE) / 144.0 AS resized_mean
         |FROM p ORDER BY media_id""".stripMargin,
 
     "q117_retrieval_mrr" ->

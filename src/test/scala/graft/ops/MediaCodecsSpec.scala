@@ -245,4 +245,58 @@ class MediaCodecsSpec extends AnyFunSuite {
     val wav = MediaCodecs.encodeWav(1, 8000, 10, _ => 9)
     intercept[IllegalArgumentException] { MediaCodecs.decode(wav.take(50)) }
   }
+
+  // ---- PNG / JPEG (JDK javax.imageio) ----------------------------------
+
+  private def pix(k: Long): Int = ((k * 31 + 7) % 256).toInt
+
+  test("PNG round-trip: lossless — decoded mean equals the raster closed form") {
+    val (w, h) = (11, 7)
+    val bytes = MediaCodecs.encodePng(w, h, pix)
+    assert(MediaCodecs.sniffFormat(bytes).contains("png"))
+    val d = MediaCodecs.decode(bytes)
+    assert(d.format == "png" && d.width == w && d.height == h && d.channels == 3)
+    val n = 3L * w * h
+    val expected = (0L until n).map(pix(_).toLong).sum.toDouble / n
+    assert(d.meanVal == expected) // EXACT: PNG is lossless
+  }
+
+  test("PNG and PPM of the same raster agree on decode, aHash, and resize bytes") {
+    val (w, h) = (9, 8)
+    val png = MediaCodecs.encodePng(w, h, pix)
+    val ppmb = MediaCodecs.encodePpm(w, h, pix)
+    // same logical raster through two container walks (ours vs JDK)
+    assert(MediaCodecs.decode(png).meanVal == MediaCodecs.decode(ppmb).meanVal)
+    assert(MediaCodecs.aHashBits(png, 4) == MediaCodecs.aHashBits(ppmb, 4))
+    // the resize re-encodes PPM from the logical raster, so the two
+    // source containers must produce IDENTICAL output bytes
+    val rp = MediaCodecs.resizeImage(png, 5, 3).get
+    val rq = MediaCodecs.resizeImage(ppmb, 5, 3).get
+    assert(java.util.Arrays.equals(rp, rq))
+  }
+
+  test("JPEG: deterministic dims/channels through the JDK codec (lossy: no mean pin)") {
+    val (w, h) = (16, 12)
+    val bytes = MediaCodecs.encodeJpeg(w, h, pix)
+    assert(MediaCodecs.sniffFormat(bytes).contains("jpeg"))
+    val d = MediaCodecs.decode(bytes)
+    assert(d.format == "jpeg" && d.width == w && d.height == h && d.channels == 3)
+    assert(d.meanVal >= 0.0 && d.meanVal <= 255.0)
+    // decode of the SAME payload is deterministic
+    assert(MediaCodecs.decode(bytes).meanVal == d.meanVal)
+    // resize + aHash arms accept it
+    assert(MediaCodecs.resizeImage(bytes, 4, 4).isDefined)
+    assert(MediaCodecs.aHashBits(bytes, 4).isDefined)
+  }
+
+  test("corrupt PNG/JPEG payloads quarantine as IllegalArgumentException") {
+    val png = MediaCodecs.encodePng(8, 8, pix)
+    // valid signature + garbage body: ImageIO failure modes must all
+    // surface as IAE (the class resizeMedia's per-row quarantine catches)
+    val sigOnly = png.take(8) ++ "garbage-after-signature".getBytes("US-ASCII")
+    intercept[IllegalArgumentException] { MediaCodecs.decode(sigOnly) }
+    intercept[IllegalArgumentException] { MediaCodecs.decode(png.take(20)) }
+    val jpg = MediaCodecs.encodeJpeg(8, 8, pix)
+    intercept[IllegalArgumentException] { MediaCodecs.decode(jpg.take(6)) }
+  }
 }

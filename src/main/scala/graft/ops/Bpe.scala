@@ -9,15 +9,14 @@ import org.apache.spark.sql.functions._
   * count tokens honestly).
   *
   * Scale design (100 TB): the corpus is scanned ONCE, into a
-  * (word, count) vocabulary — everything after runs on the vocabulary,
-  * which is bounded by language morphology (millions of rows, not
-  * corpus-sized) and is `localCheckpoint`ed per merge step so the
-  * step-s plan never re-derives step s−1 (without the checkpoint the
-  * DAG doubles per level: each vocabulary feeds both the pair count
-  * and the next rewrite). Each step is: one hash aggregate over
-  * adjacent symbol pairs (map-side partial), one `TakeOrdered(1)` for
-  * the arg-max (deterministic tiebreak: count desc, pair asc), one
-  * broadcast cross join to rewrite symbol strings map-side.
+  * (word, count) vocabulary — bounded by language morphology (millions
+  * of rows, not corpus-sized) and CAPPED by a deterministic
+  * lowest-hash sample ([[DefaultVocabSampleCap]]); merge DISCOVERY
+  * then runs on the driver over the collected sample, so training is
+  * one distributed job + an in-heap loop whose cost is independent of
+  * corpus size — never one Spark job per merge step. Full-corpus
+  * ENCODE ([[encode]]/[[fertility]]) applies the learned rules per
+  * DISTINCT word, unchanged and unsampled.
   *
   * Merge application semantics (the determinism contract): a word's
   * symbols are kept as a space-joined, space-padded string; applying
@@ -57,10 +56,62 @@ object Bpe {
       .groupBy(col("g.a").as("a"), col("g.b").as("b"))
       .agg(sum(col("n")).as("cnt"))
 
+  /** Default merge-discovery vocabulary cap: 2²⁰ distinct words. A
+    * natural-language vocabulary rarely exceeds it, so at fixture AND
+    * most production scales the sample is the EXACT vocabulary; past
+    * it, discovery cost becomes independent of corpus size (the
+    * trainingSample discipline — `ops/Similarity.scala`).
+    */
+  val DefaultVocabSampleCap: Int = 1 << 20
+
+  /** Bounded deterministic (word, count) sample for merge DISCOVERY:
+    * the `cap` lowest-xxhash64 words, counts carried unchanged. A
+    * TakeOrdered (per-partition heaps + one driver merge) — never a
+    * global sort. EXACT (identity) whenever the vocabulary fits the
+    * cap, which is what keeps the registered queries' oracles valid;
+    * past the cap it is the same uniform hash sample centroid
+    * training uses, and frequency ranks of the surviving words are
+    * unbiased (the hash is independent of count).
+    */
+  private def sampleVocabulary(vocab: DataFrame, cap: Int): DataFrame =
+    vocab.orderBy(xxhash64(col("sym")), col("sym")).limit(cap)
+      .select("n", "sym")
+
+  /** UTF-8-byte lexicographic order — Spark's UTF8String / DuckDB's
+    * binary collation, which Java's UTF-16 `compareTo` diverges from
+    * on supplementary-plane characters. The driver-side argmax
+    * tiebreak MUST use this order to stay bit-identical with the
+    * distributed (and SQL-oracle) loops.
+    */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (x(i) & 0xFF) - (y(i) & 0xFF); i += 1 }
+    if (r != 0) r else x.length - y.length
+  }
+
   /** The first `nMerges` BPE merge rules learned from the corpus:
     * (step, sym_a, sym_b, pair_count), step 1-based in learning
-    * order. Triggers `nMerges + 1` eager local checkpoints of the
-    * vocabulary during plan construction (documented above).
+    * order.
+    *
+    * Scale design (the r8-verdict fix): the corpus is scanned ONCE
+    * into the (word, count) vocabulary, the vocabulary is capped by
+    * [[sampleVocabulary]], and the merge loop itself runs ON THE
+    * DRIVER over that bounded sample — ONE distributed job total. The
+    * previous shape (one pair-count aggregate + argmax + broadcast
+    * rewrite job PER STEP, kept below as [[mergesDistributed]]) meant
+    * a production 50k-merge vocabulary cost ~100k sequential
+    * driver-coordinated jobs; now 50k merges over a ≤ 2²⁰-word sample
+    * are a driver loop over in-heap strings — the same
+    * train-on-a-bounded-sample discipline as IVF centroids, and what
+    * tokenizer trainers do in practice. The driver loop is spec-pinned
+    * byte-identical to the distributed loop (same double-REPLACE
+    * contract — `String.replace` and SQL REPLACE share leftmost-
+    * rescan semantics — same (count desc, pair asc) argmax under
+    * UTF-8-byte string order).
     *
     * If the corpus runs out of adjacent pairs before `nMerges` steps
     * (e.g. every word is one char), the exhausted steps emit no row —
@@ -68,7 +119,90 @@ object Bpe {
     * replay truncates identically (its argmax CTEs go empty).
     */
   def merges(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int,
+      vocabSampleCap: Int = DefaultVocabSampleCap): DataFrame = {
+    require(nMerges >= 1 && nMerges <= (1 << 16),
+      s"nMerges out of range: $nMerges")
+    require(vocabSampleCap >= 2, s"vocabSampleCap too small: $vocabSampleCap")
+    val spark = docs.sparkSession
+    // ≤ cap rows cross to the driver — bounded by construction
+    val sampled = sampleVocabulary(vocabulary(docs, textCol), vocabSampleCap)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rules = mergesInMemory(sampled, nMerges)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rules.map { case (s, a, b, c) => org.apache.spark.sql.Row(s, a, b, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("sym_a",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("sym_b",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Driver-side merge loop over a collected (count, sym) vocabulary —
+    * semantics bit-identical to [[mergesDistributed]] (the spec pins
+    * it): per step, exact-Long adjacent-pair counts weighted by word
+    * count, argmax under (count desc, a asc, b asc) with [[utf8Order]]
+    * strings, then the double-REPLACE rewrite of every word. Cost
+    * O(nMerges · Σ|sym|) on the driver, independent of corpus size.
+    */
+  private[graft] def mergesInMemory(vocab: Array[(Long, String)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val counts = vocab.map(_._1)
+    val syms = vocab.map(_._2)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var s = 1
+    var exhausted = false
+    while (s <= nMerges && !exhausted) {
+      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val parts = syms(i).trim.split(" ")
+        var j = 1
+        while (j < parts.length) {
+          val key = (parts(j - 1), parts(j))
+          pairCnt.update(key, pairCnt.getOrElse(key, 0L) + counts(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        pairCnt.foreach { case (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (utf8Order.compare(k._1, best._1._1) < 0 ||
+              (k._1 == best._1._1 && utf8Order.compare(k._2, best._1._2) < 0))))
+            best = (k, v)
+        }
+        val (a, b) = best._1
+        out += ((s, a, b, best._2))
+        val pat = s" $a $b "
+        val rep = s" $a$b "
+        i = 0
+        while (i < syms.length) {
+          syms(i) = syms(i).replace(pat, rep).replace(pat, rep)
+          i += 1
+        }
+        s += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The original one-job-per-step distributed merge loop, retained as
+    * the SEMANTICS ORACLE the driver loop is spec-pinned against (and
+    * the reference implementation of the double-REPLACE contract in
+    * an engine-neutral form). Not on any registered query path — at
+    * production merge counts it is ~2 driver-coordinated jobs per
+    * step; use [[merges]].
+    */
+  private[graft] def mergesDistributed(docs: DataFrame, idCol: String,
+      textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1 && nMerges <= 8, s"nMerges out of range: $nMerges")
     var vocab = vocabulary(docs, textCol).localCheckpoint(true)
     val steps = (1 to nMerges).map { s =>

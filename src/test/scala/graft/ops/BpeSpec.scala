@@ -149,6 +149,64 @@ class BpeSpec extends SparkSpecBase {
   test("nMerges bounds are enforced") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Bpe.merges(df, "doc_id", "text", 0))
-    intercept[IllegalArgumentException](Bpe.merges(df, "doc_id", "text", 9))
+    intercept[IllegalArgumentException](
+      Bpe.merges(df, "doc_id", "text", (1 << 16) + 1))
+    intercept[IllegalArgumentException](
+      Bpe.merges(df, "doc_id", "text", 2, vocabSampleCap = 1))
+    // the distributed semantics oracle keeps its per-step job bound
+    intercept[IllegalArgumentException](
+      Bpe.mergesDistributed(df, "doc_id", "text", 9))
+  }
+
+  test("driver merge loop is bit-identical to the distributed semantics oracle") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "wide" -> 4L, "abab" -> 7L)
+    val docs = corpusDf(words)
+    val viaDriver = Bpe.merges(docs, "doc_id", "text", nMerges = 5)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    val viaJobs = Bpe.mergesDistributed(docs, "doc_id", "text", nMerges = 5)
+      .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+    assert(viaDriver == viaJobs, s"driver $viaDriver vs distributed $viaJobs")
+  }
+
+  test("vocabulary cap: identity when the vocabulary fits; bounded when it doesn't") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = corpusDf(words)
+    val full = Bpe.merges(docs, "doc_id", "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // cap ≥ vocab size: the sample IS the vocabulary — exact identity
+    // (this is what keeps q87/q88/q102's oracles valid at fixture scale)
+    val capped = Bpe.merges(docs, "doc_id", "text", nMerges = 3,
+        vocabSampleCap = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(capped == full)
+    // cap < vocab size: discovery still yields a deterministic,
+    // repeatable merge list drawn from the surviving words
+    val sampled = Bpe.merges(docs, "doc_id", "text", nMerges = 2,
+        vocabSampleCap = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val sampled2 = Bpe.merges(docs, "doc_id", "text", nMerges = 2,
+        vocabSampleCap = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(sampled == sampled2 && sampled.nonEmpty)
+  }
+
+  test("fixture corpus: sampled-at-cap discovery agrees exactly with full") {
+    // the regime the registered queries (q87/q88/q102) and any corpus
+    // whose vocabulary fits DefaultVocabSampleCap run in: the sample
+    // IS the vocabulary, so discovery output is identical merge for
+    // merge (BpeTrainProbe records the sub-cap divergence behavior)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vocabSize = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .distinct().count().toInt
+    val full = Bpe.merges(docs, "doc_id", "text", nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val atCap = Bpe.merges(docs, "doc_id", "text", nMerges = 8,
+        vocabSampleCap = vocabSize)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(full == atCap && full.size == 8)
   }
 }

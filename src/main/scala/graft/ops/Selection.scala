@@ -145,6 +145,107 @@ object Selection {
         coalesce(col("selected"), lit(false)).as("selected"))
   }
 
+  /** Model-based quality classifier — the fastText-shape linear gate
+    * (Joulin et al. 2016) the FineWeb/DCLM-style curation pipelines
+    * run: score every document by a linear model over hashed unigram
+    * (+ word-bigram) bag features, keep documents whose MEAN feature
+    * weight clears a threshold.
+    *
+    * The weights are learned here as Naive-Bayes log-odds (the NB-SVM
+    * feature convention, Wang & Manning 2012) from two caller-supplied
+    * seed corpora: `positive` (curated, "looks like quality") and
+    * `negative` ("looks like crawl"). For bucket b,
+    * `w6(b) = floor(10⁶ · ln( ((cp+1)/(Np+B)) / ((cn+1)/(Nn+B)) ))`
+    * with cp/cn the seed feature counts, Np/Nn the totals, B =
+    * nBuckets — every probability a ratio of exact integers, each ln
+    * floor-quantized to a scale-6 long (the q83 rule), so a document's
+    * `logit6 = Σ cnt·w6` is an exact integer sum. Buckets unseen in
+    * BOTH seeds take the smoothed default `floor(10⁶·ln((Nn+B)/(Np+B)))`.
+    *
+    * The keep decision thresholds the MEAN weight without ever
+    * dividing: `logit6 ≥ threshold6 · n_features` (exact-integer
+    * cross-multiplication — no float, no div-rounding divergence).
+    * `score` (mean logit, one IEEE division of exact values) rides
+    * along for human consumption; a sigmoid of it would be monotone,
+    * so gating on the logit IS gating on the probability.
+    *
+    * Scale design (100 TB): the weight table is ≤ nBuckets rows
+    * regardless of seed size — it BROADCASTS; scoring is map-side
+    * token work + one hash aggregate on doc id; Np/Nn ride 1-row
+    * broadcast aggregates; the seeds are small by definition and only
+    * their bucket HISTOGRAMS are ever shuffled. No corpus-sized state
+    * anywhere.
+    *
+    * Output: (doc_id, n_features, logit6, score, keep) — score null
+    * and keep false for feature-less documents.
+    */
+  def qualityClassifierScores(
+      corpus: DataFrame, positive: DataFrame, negative: DataFrame,
+      idCol: String, textCol: String,
+      nBuckets: Int = 4096, threshold6: Long = 0L,
+      useBigrams: Boolean = true): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets out of range: $nBuckets")
+    // keeps threshold6 · n_features inside a Long at any real doc size
+    require(math.abs(threshold6) <= 20000000L,
+      s"threshold6 out of range: $threshold6 (|ln-ratio| can't exceed ~20)")
+    val bLit = lit(nBuckets.toLong)
+
+    def featureBag(df: DataFrame): DataFrame = {
+      val toks = graft.engine.Tables.fanOut(df.sparkSession, df)
+        .select(col(idCol).cast("long").as("doc"),
+          TextOps.tokens(col(textCol)).as("w"))
+      val uni = toks.select(col("doc"), explode(col("w")).as("f"))
+      val features = if (useBigrams) {
+        // fastText wordNgrams=2: bigram feature string "a b" folds
+        // through the same portable bucket hash (space = codepoint 32
+        // participates — replayable in SQL as a || ' ' || b)
+        val bi = toks.where(size(col("w")) >= 2)
+          .select(col("doc"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "j -> concat(w[j-1], ' ', w[j]))")).as("f"))
+        uni.unionAll(bi)
+      } else uni
+      features.select(col("doc"), tokenBucket(col("f"), nBuckets).as("b"))
+    }
+
+    val cp = featureBag(positive).groupBy("b").agg(count(lit(1)).as("cp"))
+    val cn = featureBag(negative).groupBy("b").agg(count(lit(1)).as("cn"))
+    val np = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("np"))
+    val nn = cn.agg(coalesce(sum(col("cn")), lit(0L)).as("nn"))
+    val weights = cp.join(cn, Seq("b"), "full_outer")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) *
+            (col("nn") + bLit).cast("double")) /
+          ((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) *
+            (col("np") + bLit).cast("double"))) * lit(1000000.0)).as("w6"))
+    // OOV default: the same smoothed formula at cp = cn = 0
+    val defw = np.crossJoin(nn).select(
+      floor(log((col("nn") + bLit).cast("double") /
+        (col("np") + bLit).cast("double")) * lit(1000000.0)).as("defw6"))
+
+    val bag = featureBag(corpus).groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
+    val perDoc = bag
+      .join(broadcast(weights), Seq("b"), "left")
+      .crossJoin(broadcast(defw))
+      .groupBy("doc")
+      .agg(sum(col("cnt") * coalesce(col("w6"), col("defw6"))).as("logit6"),
+        sum(col("cnt")).as("n_features"))
+    corpus.select(col(idCol).cast("long").as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("logit6"), lit(0L)).as("logit6"),
+        when(coalesce(col("n_features"), lit(0L)) > 0,
+          col("logit6").cast("double") /
+            (col("n_features").cast("double") * lit(1000000.0))).as("score"),
+        (coalesce(col("n_features"), lit(0L)) > 0 &&
+          coalesce(col("logit6"), lit(0L)) >=
+            lit(threshold6) * coalesce(col("n_features"), lit(0L))).as("keep"))
+  }
+
   /** Temperature-based source mixture: allocate `budgetDocs` documents
     * across sources proportionally to `sqrt(p_s)` where `p_s` is the
     * source's share of corpus tokens (the α = 0.5 sampling-temperature

@@ -945,6 +945,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Model-based quality classifier (fastText shape / FineWeb-style
+    // gate): NB log-odds weights over hashed unigram+bigram buckets
+    // learned from two deterministic seed slices (doc_id%7==0 plays
+    // the curated positive, %7==3 the crawl negative), every doc
+    // scored by its exact-integer logit sum, kept iff the MEAN weight
+    // clears 0 via cross-multiplication (no division). Same portable
+    // char fold and scale-6 ln quantization as q84 — the oracle
+    // recomputes every bucket id, weight, and logit.
+    "q122_quality_classifier" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Selection.qualityClassifierScores(
+          docs,
+          docs.where(col("doc_id") % 7 === 0),
+          docs.where(col("doc_id") % 7 === 3),
+          "doc_id", "text", nBuckets = 1024, threshold6 = 0L)
+        .orderBy("doc_id")
+    },
+
     // Repeated-span REMOVAL — the strip side of q80 (Lee et al. 2022):
     // every token covered by a span appearing in ≥ 2 docs is removed
     // and the document rebuilt in token order. Span identity is the
@@ -2074,6 +2092,63 @@ object PipelineQueries {
          |     PARTITION BY n_tokens > 0
          |     ORDER BY logw6 DESC, doc_id) <= 100) AS selected
          |FROM scored ORDER BY doc_id""".stripMargin,
+    // Mirrors Selection.qualityClassifierScores bucket for bucket:
+    // same char fold, same smoothed NB log-odds with scale-6 floor
+    // quantization, same cross-multiplied keep decision.
+    "q122_quality_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), feats AS (
+         |  SELECT doc_id, unnest(w) AS f FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    j -> w[j] || ' ' || w[j+1])) AS f
+         |  FROM toks WHERE len(w) >= 2
+         |), bag AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(split(f, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1024) AS b
+         |  FROM feats
+         |), cp AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cp FROM bag
+         |  WHERE doc_id % 7 = 0 GROUP BY b
+         |), cn AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cn FROM bag
+         |  WHERE doc_id % 7 = 3 GROUP BY b
+         |), np AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS np FROM cp
+         |), nn AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS nn FROM cn
+         |), w AS (
+         |  SELECT COALESCE(cp.b, cn.b) AS b,
+         |    CAST(floor(ln(
+         |      ((CAST(COALESCE(cp.cp, 0) AS DOUBLE) + 1.0)
+         |        * CAST(nn.nn + 1024 AS DOUBLE)) /
+         |      ((CAST(COALESCE(cn.cn, 0) AS DOUBLE) + 1.0)
+         |        * CAST(np.np + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS w6
+         |  FROM cp FULL OUTER JOIN cn ON cp.b = cn.b
+         |  CROSS JOIN np CROSS JOIN nn
+         |), defw AS (
+         |  SELECT CAST(floor(ln(CAST(nn.nn + 1024 AS DOUBLE)
+         |    / CAST(np.np + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS defw6
+         |  FROM np CROSS JOIN nn
+         |), perdoc AS (
+         |  SELECT g.doc_id,
+         |    CAST(SUM(COALESCE(w.w6, d.defw6)) AS BIGINT) AS logit6,
+         |    CAST(COUNT(*) AS BIGINT) AS n_features
+         |  FROM bag g LEFT JOIN w USING (b) CROSS JOIN defw d
+         |  GROUP BY g.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_features, 0) AS n_features,
+         |  COALESCE(p.logit6, 0) AS logit6,
+         |  CASE WHEN COALESCE(p.n_features, 0) > 0
+         |       THEN CAST(p.logit6 AS DOUBLE)
+         |            / (CAST(p.n_features AS DOUBLE) * 1000000.0) END AS score,
+         |  COALESCE(p.n_features, 0) > 0
+         |    AND COALESCE(p.logit6, 0) >= 0 * COALESCE(p.n_features, 0) AS keep
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Span identity: 64-bit hash on the Spark side, span STRING here
     // (q80's documented 2^-64 collision trade) — rebuilds every
     // stripped document token-for-token.

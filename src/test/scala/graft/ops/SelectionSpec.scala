@@ -122,4 +122,95 @@ class SelectionSpec extends SparkSpecBase {
       .select("alloc_docs").as[Long].collect()
     assert(allocs.sum > 1000L - 7 && allocs.sum <= 1000L)
   }
+
+  // ---- qualityClassifierScores ----------------------------------------
+
+  private def classify(corpus: Seq[(Long, String)],
+      posIds: Set[Long], negIds: Set[Long],
+      nBuckets: Int = 64, threshold6: Long = 0L, bigrams: Boolean = true) = {
+    val df = corpus.toDF("doc_id", "text")
+    Selection.qualityClassifierScores(
+        df, df.where(col("doc_id").isin(posIds.toSeq: _*)),
+        df.where(col("doc_id").isin(negIds.toSeq: _*)),
+        "doc_id", "text", nBuckets, threshold6, bigrams)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+  }
+
+  test("qualityClassifier separates seed-like documents") {
+    val corpus = Seq(
+      (0L, "clean prose with words"), (1L, "clean prose here too"),
+      (2L, "spam spam buy now"), (3L, "buy now spam spam"),
+      (4L, "clean prose with words here"), // positive-like probe
+      (5L, "now buy spam"))               // negative-like probe
+    val got = classify(corpus, posIds = Set(0L, 1L), negIds = Set(2L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(4L)._5 && !byId(5L)._5, got)       // keep decisions
+    assert(byId(4L)._4.get > byId(5L)._4.get)      // score ordering
+  }
+
+  test("qualityClassifier matches an exact Scala recompute (quantized-ln law)") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"),
+      (2L, "alpha delta beta"), (3L, "zeta eta theta alpha"))
+    val nB = 64
+    def bucket(f: String): Long =
+      f.foldLeft(0L)((a, c) => java.lang.Math.floorMod(a * 31 + c.toInt, nB.toLong))
+    def feats(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val pos = feats(corpus(0)._2).map(bucket)
+    val neg = feats(corpus(1)._2).map(bucket)
+    val cp = pos.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cn = neg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (np, nn) = (pos.size.toLong, neg.size.toLong)
+    def w6(b: Long): Long =
+      math.floor(math.log(
+        ((cp.getOrElse(b, 0L) + 1.0) * (nn + nB)) /
+          ((cn.getOrElse(b, 0L) + 1.0) * (np + nB))) * 1e6).toLong
+    val got = classify(corpus, posIds = Set(0L), negIds = Set(1L), nBuckets = nB)
+    got.foreach { case (id, nf, logit6, score, keep) =>
+      val fs = feats(corpus.find(_._1 == id).get._2).map(bucket)
+      assert(nf == fs.size.toLong)
+      val expected = fs.map(w6).sum
+      assert(logit6 == expected, s"doc $id: $logit6 != $expected")
+      assert(score.get == expected.toDouble / (fs.size.toDouble * 1e6))
+      assert(keep == (expected >= 0L))
+    }
+  }
+
+  test("qualityClassifier: feature-less docs score null and never keep") {
+    val corpus = Seq((0L, "alpha beta"), (1L, "spam"), (2L, "   "))
+    val got = classify(corpus, posIds = Set(0L), negIds = Set(1L))
+    val empty = got.find(_._1 == 2L).get
+    assert(empty._2 == 0L && empty._3 == 0L && empty._4.isEmpty && !empty._5)
+  }
+
+  test("qualityClassifier: OOV buckets take the smoothed default weight") {
+    // doc 2's tokens are unseen in either seed: its per-feature weight
+    // must be floor(1e6·ln((Nn+B)/(Np+B))), not a dropped row
+    val corpus = Seq((0L, "a a a"), (1L, "b"), (2L, "zz yy"))
+    val nB = 32
+    val got = classify(corpus, posIds = Set(0L), negIds = Set(1L), nBuckets = nB)
+    val oov = got.find(_._1 == 2L).get
+    // Np = 3 unigrams + 2 bigrams = 5; Nn = 1; doc 2 has 3 features
+    // (zz, yy, "zz yy"), all OOV
+    val defW = math.floor(math.log((1.0 + nB) / (5.0 + nB)) * 1e6).toLong
+    assert(oov._3 == 3L * defW, s"${oov._3} != ${3L * defW}")
+  }
+
+  test("qualityClassifier: negative threshold keeps borderline docs via cross-mult") {
+    val corpus = Seq((0L, "good text"), (1L, "bad stuff"), (2L, "bad stuff mixed"))
+    // threshold6 negative: mean-weight comparisons must handle the
+    // sign correctly through the multiplication (no floor-div tricks)
+    val loose = classify(corpus, posIds = Set(0L), negIds = Set(1L),
+      threshold6 = -5000000L)
+    val strict = classify(corpus, posIds = Set(0L), negIds = Set(1L),
+      threshold6 = 5000000L)
+    assert(loose.count(_._5) >= strict.count(_._5))
+    intercept[IllegalArgumentException] {
+      classify(corpus, Set(0L), Set(1L), threshold6 = 30000000L)
+    }
+  }
 }

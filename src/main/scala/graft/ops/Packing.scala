@@ -118,6 +118,76 @@ object Packing {
           .as("n_tokens"))
   }
 
+  /** Sentence-aware sliding chunks — [[chunkSliding]] with RAG-grade
+    * boundary snapping: each truncated window's END is pulled back to
+    * the LAST sentence-terminal token inside its final `tolerance`
+    * tokens, when one exists, so chunks end on sentence boundaries
+    * instead of mid-sentence. A window with no boundary in the
+    * tolerance zone keeps its nominal end (the no-sentence-break
+    * fallback — never an empty or dropped chunk), and the FINAL
+    * window of a document never snaps (its tail tokens appear in no
+    * later chunk; snapping would silently lose them).
+    *
+    * Coverage law: `tolerance ≤ size − stride` is REQUIRED — then any
+    * token dropped from chunk i's snapped tail lies at offset
+    * ≥ i·stride + size − tolerance + 1 ≥ (i+1)·stride + 1, inside
+    * chunk i+1's window, so the chunk set still covers every token.
+    *
+    * A token is sentence-terminal iff its last character is in
+    * `sentenceEndChars` (default `.!?`) — deterministic and
+    * oracle-replayable (`right(tok, 1) IN (...)` on both engines).
+    * The char set parameterizes the operator (the q97 convention);
+    * corpora tokenized without punctuation can designate any marker
+    * set.
+    *
+    * Closed form per (doc, chunk) — no sequential dependence between
+    * chunks (starts stay on the stride grid; only ends snap), which
+    * is both what keeps it ORACLE-rebuildable without recursion and
+    * what keeps it a pure map-side explode at scale.
+    *
+    * Output: (doc_id, chunk_idx, start_tok, end_tok, n_tokens,
+    * chunk_text, snapped), token positions 1-based inclusive.
+    */
+  def chunkSentenceAware(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int, tolerance: Int,
+      sentenceEndChars: Seq[Char] = Seq('.', '!', '?')): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    require(tolerance >= 0 && tolerance <= size - stride,
+      s"need 0 <= tolerance <= size - stride for token coverage, " +
+        s"got tolerance=$tolerance size=$size stride=$stride")
+    require(sentenceEndChars.nonEmpty && sentenceEndChars.forall(c => c != '\''),
+      "sentenceEndChars must be non-empty, quote-free")
+    val inList = sentenceEndChars.map(c => s"'$c'").mkString(", ")
+    val base = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("w"))
+      .withColumn("__len", org.apache.spark.sql.functions.size(col("w")).cast("long"))
+      .withColumn("__nc", when(col("__len") <= size, lit(1L))
+        .otherwise(expr(s"(__len - $size + ${stride - 1}) div $stride + 1")))
+      .select(col("doc_id"), col("w"), col("__len"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("i"))
+      .withColumn("__s", col("i") * stride)
+      .withColumn("__enom", least(col("__len"), col("__s") + size))
+    val snapped =
+      if (tolerance == 0) base.withColumn("__snap", lit(null).cast("long"))
+      else base.withColumn("__snap",
+        // only truncated windows snap (final window keeps its tail);
+        // positions are ≥ __s + 1 ≥ 1, the sequence always ascends
+        when(col("__enom") < col("__len"), expr(
+          s"""array_max(filter(
+             |  sequence(greatest(__s + 1, __enom - $tolerance + 1), __enom),
+             |  j -> right(element_at(w, CAST(j AS INT)), 1) IN ($inList)))""".stripMargin)))
+    snapped
+      .withColumn("__e", coalesce(col("__snap"), col("__enom")))
+      .select(col("doc_id"), col("i").cast("int").as("chunk_idx"),
+        (col("__s") + 1).as("start_tok"), col("__e").as("end_tok"),
+        (col("__e") - col("__s")).as("n_tokens"),
+        array_join(slice(col("w"), (col("__s") + 1).cast("int"),
+          (col("__e") - col("__s")).cast("int")), " ").as("chunk_text"),
+        col("__snap").isNotNull.as("snapped"))
+  }
+
   /** Fill-targeted packing: best-fit-decreasing WITHIN partition.
     * Docs are sorted descending by size inside each partition, then
     * each doc lands in the open sequence with the TIGHTEST remaining

@@ -787,6 +787,76 @@ object PipelineQueries {
           .as("windows_contiguous"))
     },
 
+    // Data-card / mixture manifest EXPORT — the per-source artifact a
+    // training launch actually consumes, composed from three
+    // individually-oracle'd operators: q86's temperature mixture
+    // (allocation), q90's health signals re-grained to source
+    // (dup/contamination/quality over the non-bench slice), and q69's
+    // greedy token-budget sample at source grain. The manifest is
+    // PERSISTED through the pipeline sink as a single-file artifact
+    // (coalesce(1) — a data card is one reviewable file, the q120
+    // layout-contract discipline) and the READ-BACK rows are what the
+    // oracle hashes, so write+read fidelity is part of the row.
+    "q124_data_card" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val mix = Selection.temperatureMixture(docs, "source", "text",
+        budgetDocs = 1000L)
+      val bench = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      val contam = Dedup.contaminationReport(corpus, "doc_id", "text",
+          bench, "text", n = 3)
+        .select(col("doc_id"), lit(true).as("contam"))
+      val dupCounts = corpus.groupBy(col("text")).agg(count(lit(1)).as("tc"))
+      val health = corpus
+        .join(dupCounts, Seq("text"))
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("source"),
+          when(col("tc") >= 2, 1L).otherwise(0L).as("isdup"),
+          when(coalesce(col("contam"), lit(false)), 1L).otherwise(0L)
+            .as("iscont"),
+          when(TextOps.qualityScore(col("text")) >= 0.5 &&
+            TextOps.tokenCount(col("text")).cast("long") >= 10, 1L)
+            .otherwise(0L).as("iskept"))
+        .groupBy("source")
+        .agg(sum(col("isdup")).as("n_dup"),
+          sum(col("iscont")).as("n_contaminated"),
+          sum(col("iskept")).as("n_kept"))
+      val sample = Sampling.tokenBudgetSample(
+          docs.select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("tk")),
+          col("source"), col("doc_id"), col("tk"), 2000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("sample_docs"), sum(col("tk")).as("sample_tokens"))
+      val card = mix
+        .join(health, Seq("source"), "left")
+        .join(sample, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w6"),
+          col("alloc_docs"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("sample_docs"), lit(0L)).as("sample_docs"),
+          coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q124_")
+      try {
+        graft.engine.Pipeline.writeStage(card.coalesce(1), s"$tmp/card")
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/card")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nFiles = fs.listStatus(p)
+          .count(st => st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet"))
+        s.read.parquet(s"$tmp/card")
+          .withColumn("one_file", lit(nFiles == 1))
+          .orderBy("source")
+          // the memory sink holds the result; collect defensively via
+          // localCheckpoint before the temp dir is deleted
+          .localCheckpoint(true)
+      } finally {
+        org.apache.spark.graft.ListenerDrain.drain(s)
+        graft.engine.FsUtil.deleteRecursively(tmp)
+      }
+    },
+
     // Multimodal curation GATE — the decision a mixed text+media
     // pipeline actually ships: per doc, decode the media payload (real
     // codecs), score the text (q19's quality composite), and emit one
@@ -1154,6 +1224,23 @@ object PipelineQueries {
     "q96_sliding_chunks" -> { (s, dir) =>
       graft.ops.Packing.chunkSliding(Tables.documents(s, dir),
           "doc_id", "text", size = 48, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sentence-aware sliding chunks — q96 with RAG-grade boundary
+    // snapping: truncated windows pull their end back to the last
+    // sentence-terminal token within an 8-token tolerance zone; final
+    // windows and no-boundary windows keep the nominal end. The
+    // fixture corpus carries no punctuation, so the marker-char set
+    // (an operator parameter, the q97 convention) designates
+    // 'e'-final tokens as boundaries — ~1/3 of fixture tokens, which
+    // makes both the snapped and fallback arms discriminate. Every
+    // boundary, chunk span, and text is a closed form the oracle
+    // rebuilds.
+    "q123_sentence_chunks" -> { (s, dir) =>
+      graft.ops.Packing.chunkSentenceAware(Tables.documents(s, dir),
+          "doc_id", "text", size = 48, stride = 24, tolerance = 8,
+          sentenceEndChars = Seq('.', '!', '?', 'e'))
         .orderBy("doc_id", "chunk_idx")
     },
 
@@ -2205,6 +2292,96 @@ object PipelineQueries {
     // sqrt and double division are IEEE-correctly-rounded (portable by
     // spec); the floor-quantized w6 makes the normalizer and the
     // allocation exact integer arithmetic.
+    // Composition of the q86 mixture, q90 health (source grain), and
+    // q69 budget-sample (source grain) fragments; one_file is the
+    // in-query layout contract (TRUE by construction via coalesce(1)).
+    "q124_data_card" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM per
+         |), wt AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS w6
+         |  FROM per CROSS JOIN tot
+         |), nm AS (SELECT CAST(SUM(w6) AS BIGINT) AS total6 FROM wt
+         |), corp AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 20
+         |), hq AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM corp
+         |), hm AS (
+         |  SELECT doc_id, source, n_tokens, alpha_ratio, stop_hits,
+         |    (n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM hq
+         |), hs AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3 AS quality
+         |  FROM hm
+         |), dupc AS (
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS tc FROM corp
+         |), toks2 AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks2 WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20
+         |), health AS (
+         |  SELECT q.source,
+         |    CAST(SUM(CASE WHEN d.tc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |    CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_contaminated,
+         |    CAST(SUM(CASE WHEN q.quality >= 0.5 AND q.n_tokens >= 10
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM hs q
+         |  JOIN dupc d USING (doc_id)
+         |  LEFT JOIN contaminated c USING (doc_id)
+         |  GROUP BY q.source
+         |), st AS (
+         |  SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS tk
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, source, tk,
+         |    COALESCE(CAST(SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS bef
+         |  FROM st
+         |), samp AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sample_docs,
+         |    CAST(SUM(tk) AS BIGINT) AS sample_tokens
+         |  FROM sc WHERE bef < 2000 GROUP BY source
+         |)
+         |SELECT wt.source, wt.n_docs, wt.n_tokens, wt.w6,
+         |  CAST((1000 * wt.w6) // nm.total6 AS BIGINT) AS alloc_docs,
+         |  COALESCE(h.n_dup, 0) AS n_dup,
+         |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         |  COALESCE(h.n_kept, 0) AS n_kept,
+         |  COALESCE(s.sample_docs, 0) AS sample_docs,
+         |  COALESCE(s.sample_tokens, 0) AS sample_tokens,
+         |  TRUE AS one_file
+         |FROM wt CROSS JOIN nm
+         |LEFT JOIN health h ON h.source = wt.source
+         |LEFT JOIN samp s ON s.source = wt.source
+         |ORDER BY wt.source""".stripMargin,
+
     "q86_temperature_mix" ->
       s"""WITH per AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2238,6 +2415,38 @@ object PipelineQueries {
          |    AS chunk_text,
          |  CAST(least(48, l - i*24) AS BIGINT) AS n_tokens
          |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q96's window math + the snap: list_max over boundary positions
+    // in the tolerance zone (NULL = no boundary = nominal end);
+    // DuckDB range() is [a,b) hence enom+1, list slices inclusive.
+    "q123_sentence_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id, w, len(w) AS l,
+         |    CASE WHEN len(w) <= 48 THEN 1
+         |         ELSE (len(w) - 48 + 23) // 24 + 1 END AS nc
+         |  FROM t
+         |), e AS (
+         |  SELECT doc_id, w, l, unnest(range(0, nc)) AS i FROM c
+         |), b AS (
+         |  SELECT doc_id, w, l, i, i*24 AS s, LEAST(l, i*24 + 48) AS enom
+         |  FROM e
+         |), sn AS (
+         |  SELECT doc_id, w, i, s, enom,
+         |    CASE WHEN enom < l THEN
+         |      list_max(list_filter(range(GREATEST(s + 1, enom - 7), enom + 1),
+         |        j -> right(w[CAST(j AS INT)], 1) IN ('.', '!', '?', 'e')))
+         |    END AS snap
+         |  FROM b
+         |)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(s + 1 AS BIGINT) AS start_tok,
+         |  CAST(COALESCE(snap, enom) AS BIGINT) AS end_tok,
+         |  CAST(COALESCE(snap, enom) - s AS BIGINT) AS n_tokens,
+         |  array_to_string(w[s + 1 : CAST(COALESCE(snap, enom) AS INT)], ' ')
+         |    AS chunk_text,
+         |  snap IS NOT NULL AS snapped
+         |FROM sn ORDER BY doc_id, chunk_idx""".stripMargin,
     // Distinct-gram docfreq replay: counts and one double division
     // per fraction, identical IEEE shape.
     "q104_ngram_novelty" ->

@@ -17,8 +17,9 @@ class BenchRecordSpec extends AnyFunSuite {
       ingestSec = 8.888, only = None, sfDir = "/root/testdata/sf0.1",
       calibStartSec = 88.888, calibEndSec = 88.888,
       load1Start = 888.888, load1End = 888.888,
-      // worst case: every pinned query flags at once
-      flagged = Bench.PinnedMinSf01.keys.toSeq.sorted)
+      // worst case: every pinned query flags at once, plus trend drift
+      flagged = Bench.PinnedMinSf01.keys.toSeq.sorted,
+      trend = Bench.PinnedMinSf01.keys.toSeq.sorted)
   }
 
   test("compact record for the FULL inventory fits the driver's tail window") {
@@ -119,6 +120,42 @@ class BenchRecordSpec extends AnyFunSuite {
       only = None, sfDir = "/root/testdata/sf0.1",
       flagged = SparkEntry.queries.keys.toSeq.sorted.map(Bench.shortKey))
     assert(rec.length < 1900, s"record is ${rec.length} bytes")
+  }
+
+  test("trend flag: fires on sustained 1.3x-plus-0.2s pin drift, never on one side") {
+    val prev = Map("q64" -> 5.39, "q10" -> 0.10, "q45" -> 1.62)
+    // the r7 q64 event (5.7 -> 6.4 committed pins) must fire; ordinary
+    // pin wobble must not; sub-second pins need the absolute guard
+    assert(Bench.trendRegressions(Map("q64" -> 7.2), prev) == Seq("q64"))
+    assert(Bench.trendRegressions(Map("q64" -> 5.6), prev).isEmpty)
+    assert(Bench.trendRegressions(Map("q10" -> 0.14), prev).isEmpty) // 1.4x but +0.04s
+    assert(Bench.trendRegressions(Map("q10" -> 0.35), prev) == Seq("q10"))
+    // new query (no baseline) and retired query (no current) never flag
+    assert(Bench.trendRegressions(Map("q99" -> 9.9), prev).isEmpty)
+    assert(Bench.trendRegressions(Map.empty, prev).isEmpty)
+  }
+
+  test("trend flags ride the compact record, capped; absent when pins are stable") {
+    val rec = Bench.compactRecord(Seq("q64_pipeline_run" -> 6.6),
+      totalSec = 6.6, paritySec = 0.0, ingestSec = 0.0, only = None,
+      sfDir = "/root/testdata/sf0.1", trend = Seq("q64"))
+    assert(rec.contains(""""trend":["q64"],"""))
+    val clean = Bench.compactRecord(Seq("q64_pipeline_run" -> 6.6),
+      totalSec = 6.6, paritySec = 0.0, ingestSec = 0.0, only = None,
+      sfDir = "/root/testdata/sf0.1")
+    assert(!clean.contains("trend"))
+    val frag = Bench.trendJson((1 to 9).map(i => f"q$i%02d"))
+    assert(frag.contains(""""trend":["q01","q02","q03","q04","q05","q06"],"""))
+    assert(frag.contains(""""trend_more":3,"""))
+  }
+
+  test("prev-pin baseline loads and stays plausible vs current pins") {
+    assert(Bench.PinnedMinSf01Prev.nonEmpty)
+    Bench.PinnedMinSf01Prev.foreach { case (k, v) =>
+      assert(v > 0.0 && v < 60.0, s"implausible prev pin $k -> $v")
+    }
+    // every prev key is a qNN short key (same format contract)
+    assert(Bench.PinnedMinSf01Prev.keys.forall(_.matches("q\\d+")))
   }
 
   test("values are fixed-point rounded, never scientific notation") {

@@ -155,6 +155,68 @@ class PackingSpec extends SparkSpecBase {
         "doc_id", "text", size = 2, stride = 3))
   }
 
+  // ---- sentence-aware sliding chunks ----
+
+  test("chunkSentenceAware: truncated windows snap to the last sentence end in the zone") {
+    // tokens: s1. s2 s3 s4. s5 s6 s7 s8 s9 s10 — boundaries at 1 and 4
+    val text = "s1. s2 s3 s4. s5 s6 s7 s8 s9 s10"
+    val got = Packing.chunkSentenceAware(
+        Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = 6, stride = 3, tolerance = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "end_tok", "n_tokens", "chunk_text", "snapped")
+      .as[(Int, Long, Long, Long, String, Boolean)].collect().toSeq
+    // chunk 0: nominal [1,6], zone [4,6] → snaps to 4 ("s4.")
+    assert(got(0) == ((0, 1L, 4L, 4L, "s1. s2 s3 s4.", true)), got(0))
+    // chunk 1: nominal [4,9], zone [7,9] has no boundary → fallback
+    assert(got(1) == ((1, 4L, 9L, 6L, "s4. s5 s6 s7 s8 s9", false)), got(1))
+    // chunk 2 is FINAL (reaches len 10): never snaps
+    assert(got(2) == ((2, 7L, 10L, 4L, "s7 s8 s9 s10", false)), got(2))
+  }
+
+  test("chunkSentenceAware: coverage law holds — every token in some chunk") {
+    val text = (1 to 30).map(i => if (i % 4 == 0) s"t$i." else s"t$i").mkString(" ")
+    val chunks = Packing.chunkSentenceAware(
+        Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", size = 8, stride = 4, tolerance = 4)
+      .select("start_tok", "end_tok")
+      .as[(Long, Long)].collect()
+    val covered = chunks.flatMap { case (s, e) => s to e }.toSet
+    assert((1L to 30L).forall(covered), s"uncovered: ${(1L to 30L).filterNot(covered)}")
+  }
+
+  test("chunkSentenceAware: tolerance 0 reduces to chunkSliding; bounds enforced") {
+    val df = Seq((1L, "a. b c d. e f g h i j")).toDF("doc_id", "text")
+    val plain = Packing.chunkSliding(df, "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx").select("chunk_text", "n_tokens")
+      .as[(String, Long)].collect().toSeq
+    val aware = Packing.chunkSentenceAware(df, "doc_id", "text", 4, 2, 0)
+      .orderBy("chunk_idx")
+    assert(aware.select("chunk_text", "n_tokens")
+      .as[(String, Long)].collect().toSeq == plain)
+    assert(aware.select("snapped").as[Boolean].collect().forall(_ == false))
+    intercept[IllegalArgumentException]( // tolerance > size - stride
+      Packing.chunkSentenceAware(df, "doc_id", "text", 4, 2, 3))
+    intercept[IllegalArgumentException](
+      Packing.chunkSentenceAware(df, "doc_id", "text", 4, 2, 1,
+        sentenceEndChars = Seq.empty))
+  }
+
+  test("chunkSentenceAware: no-boundary docs and empty docs fall back cleanly") {
+    val got = Packing.chunkSentenceAware(
+        Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, stride = 2, tolerance = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "n_tokens", "snapped")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // doc 1: no boundary anywhere → every window nominal (the final
+    // one short), none snapped
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(4L, 4L, 4L, 3L), got)
+    assert(got.forall(!_._3), got)
+    // doc 2: the single empty chunk, unsnapped
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, false)), got)
+  }
+
   // ---- token-stream layout (global-prefix-sum packing) ----
 
   test("tokenStreamOffsets: offsets equal the sequential layout; empty docs span no windows") {

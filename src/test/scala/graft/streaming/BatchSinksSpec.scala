@@ -28,4 +28,45 @@ class BatchSinksSpec extends SparkSpecBase {
       assert(spark.read.parquet(out).where("batch_id = 0").count() == 3)
     } finally q.stop()
   }
+
+  test("tokenStreamSink: streamed layout across 3 batches + a replay ≡ one-pass layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_tssink").toString
+    // three micro-batches of (doc_id, n_tokens), disjoint ids
+    val batches = Seq(
+      Seq((1L, 100L), (2L, 50L), (3L, 0L)),      // incl. an empty doc
+      Seq((10L, 75L), (11L, 200L)),
+      Seq((20L, 30L), (21L, 60L), (22L, 10L)))
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "n_tokens").writeStream
+      .foreachBatch(
+        BatchSinks.tokenStreamSink(out, "doc_id", "n_tokens", window = 64L) _)
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // inject a REPLAY of batch 1 (failure after write, before commit):
+    // the sink must recompute the same base and overwrite itself
+    BatchSinks.tokenStreamSink(out, "doc_id", "n_tokens", window = 64L)(
+      batches(1).toDF("doc_id", "n_tokens"), 1L)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "start_offset", "first_window", "last_window")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    // one-pass reference over the concatenation: batches laid out in
+    // arrival order (each batch's docs in doc_id order, as the
+    // bucketed prefix sum orders within a batch)
+    val onePass = {
+      var off = 0L
+      batches.flatMap(_.sortBy(_._1)).map { case (id, n) =>
+        val r = (id, n, off,
+          if (n > 0) Some(off / 64L) else None,
+          if (n > 0) Some((off + n - 1) / 64L) else None)
+        off += n
+        r
+      }.sortBy(_._1)
+    }
+    assert(streamed.toSeq == onePass, s"\n$streamed\nvs\n$onePass")
+    // replay left exactly one layout row per doc
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+  }
 }

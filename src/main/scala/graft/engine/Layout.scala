@@ -41,7 +41,11 @@ object Layout {
         if (Tables.eventsTsIsNative(spark, src)) spark.read.parquet(src)
         else spark.read.schema(eventsRawSchema).parquet(src)
       } else spark.read.parquet(src)
-      val bytes = new java.io.File(src).length()
+      // Hadoop FS, not java.io.File: relayout must size sources on
+      // HDFS/S3 too (same round-9 fix as q116's part-file probe)
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
       val out =
         if (bytes > smallCutoffBytes) df.repartition(targetFiles)
         else df.coalesce(1)

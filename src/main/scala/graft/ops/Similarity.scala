@@ -904,4 +904,111 @@ object Similarity {
         simFn(col("queryv"), col("neighborv")).as(simName)),
       k, simName)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019's ratio
+    * margin, the LASER/CCMatrix parallel-corpus construction shape):
+    * score every (source, target) nearest-neighbor candidate by how
+    * much its cosine exceeds the AVERAGE cosine of each side's own
+    * k-neighborhood, and mine the pairs that are MUTUAL margin-best
+    * above a threshold —
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖcos(x,·) + avgₖcos(·,y)) / 2)
+    *
+    * Exactness (the q47/q83 disciplines composed): cosines are the
+    * scaled-integer-exact [[graft.functions.cosineExact]]; each is
+    * floor-quantized to a scale-9 long, so the neighborhood sums are
+    * exact integers, and the margin is ONE IEEE division of exact
+    * values — hash-replayable in any engine. The mined flag and the
+    * mutual-best selection (margin desc, id asc tiebreak) therefore
+    * replay too.
+    *
+    * Scale design: candidate generation is pluggable via `topKFn` —
+    * the default exact [[bruteForceTopK]] is the oracle vehicle; at
+    * corpus scale pass [[adaptiveTopK]]-shaped candidates (both arms
+    * re-rank with the same exact cosine, so the margin math is
+    * unchanged). Everything downstream of the two top-k passes is
+    * k-bounded: the neighborhood sums are one hash aggregate per
+    * side, the mutual join carries (id, id, margin) triples only.
+    *
+    * Source and target ids must not collide across sides (they are
+    * different corpora by definition); `excludeSelf` is off.
+    *
+    * Output: (src_id, tgt_id, cosine, margin, mutual_best, mined) for
+    * every FORWARD candidate pair — `mined` = mutual margin-best AND
+    * margin ≥ threshold; margin null when a degenerate neighborhood
+    * denominator is ≤ 0.
+    */
+  def bitextMine(
+      src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      marginThreshold: Double = 1.0,
+      topKFn: (DataFrame, DataFrame, String, String, Int) => DataFrame = null)
+      : DataFrame = {
+    require(k >= 1 && k <= 1024, s"bitextMine: k=$k")
+    val c9 = (d: Column) => floor(d * lit(1000000000.0)).cast("long")
+    val (fwdRanked, bwdRanked) =
+      if (topKFn != null)
+        (topKFn(src, tgt, idCol, vecCol, k), topKFn(tgt, src, idCol, vecCol, k))
+      else {
+        // Default exact path: ONE cross-product scoring pass serves
+        // both directions (a naive bruteForceTopK per direction scores
+        // every pair twice), with per-VECTOR norms hoisted out of the
+        // pair loop — sqrt(decimalDot(v,v)) once per row, not once per
+        // pair; cosine = dab/(sn·tn) is the value-identical expression
+        // tree to cosineExact. The checkpoint bounds the work to one
+        // pass; corpus-scale callers pass ANN candidates via topKFn
+        // instead of the quadratic exact scorer.
+        import graft.functions.decimalDotNative
+        val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+          .withColumn("sn", sqrt(decimalDotNative(col("sv"), col("sv"))))
+        val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+          .withColumn("tn", sqrt(decimalDotNative(col("tv"), col("tv"))))
+        val scored = t.join(broadcast(s), lit(true))
+          .select(col("src_id"), col("tgt_id"),
+            try_divide(decimalDotNative(col("sv"), col("tv")),
+              col("sn") * col("tn")).as("cosine"))
+          .localCheckpoint(false)
+        (rankTopK(scored.select(col("src_id").as("query_id"),
+            col("tgt_id").as("neighbor_id"), col("cosine")), k, "cosine"),
+          rankTopK(scored.select(col("tgt_id").as("query_id"),
+            col("src_id").as("neighbor_id"), col("cosine")), k, "cosine"))
+      }
+    val fwd = fwdRanked
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"), c9(col("cosine")).as("c9"))
+    val bwd = bwdRanked
+      .select(col("query_id").as("tgt_id"), col("neighbor_id").as("src_id"),
+        c9(col("cosine")).as("c9"))
+    val sumF = fwd.groupBy("src_id").agg(sum(col("c9")).as("sum_f9"))
+    val sumB = bwd.groupBy("tgt_id").agg(sum(col("c9")).as("sum_b9"))
+    def withMargin(pairs: DataFrame): DataFrame = pairs
+      .join(sumF, Seq("src_id")).join(sumB, Seq("tgt_id"))
+      .withColumn("margin",
+        when(col("sum_f9") + col("sum_b9") > 0,
+          (col("c9") * lit(2L * k)).cast("double") /
+            (col("sum_f9") + col("sum_b9")).cast("double")))
+    // forward best target per source / backward best source per target
+    // — both by (margin desc, partner id asc), k-bounded inputs
+    val fm = withMargin(fwd)
+    val bestF = fm
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+          .orderBy(col("margin").desc_nulls_last, col("tgt_id"))))
+      .where(col("__r") === 1).drop("__r")
+    val bestB = withMargin(bwd)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tgt_id")
+          .orderBy(col("margin").desc_nulls_last, col("src_id"))))
+      .where(col("__r") === 1)
+      .select(col("src_id"), col("tgt_id"), lit(true).as("__bb"))
+    fm.join(bestF.select(col("src_id"), col("tgt_id"), lit(true).as("__bf")),
+        Seq("src_id", "tgt_id"), "left")
+      .join(bestB, Seq("src_id", "tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"),
+        (coalesce(col("__bf"), lit(false)) && coalesce(col("__bb"), lit(false)))
+          .as("mutual_best"))
+      .withColumn("mined", coalesce(
+        col("mutual_best") && col("margin") >= lit(marginThreshold),
+        lit(false)))
+  }
 }

@@ -264,6 +264,60 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // Persisted IVF index (the ANN stored-ingest shape): build over
+    // the embeddings table → hive-partitioned inverted lists + stored
+    // centroids → RELOAD and search from disk. Contract row: the
+    // stored-index search is IDENTICAL result-for-result (ids, ranks,
+    // exact cosines) to the in-plan ivfTopK under the same centroids,
+    // and a single-query probe's postings scan touches only its
+    // probed cells' partition directories (partition pruning IS the
+    // inverted-list seek).
+    "q126_ann_index_persist" -> { (s, dir) =>
+      import graft.ops.{AnnIndex, Similarity}
+      val tmp = Files.createTempDirectory("graft_q126_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+          s"$tmp/ivf", nCells = 8, iters = 3)
+        val q = e.where(col("vec_id") < 10)
+        val fromIdx = AnnIndex.searchIvfIndex(s, s"$tmp/ivf", q,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        val inPlan = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+            nCells = 8, iters = 3, nProbe = 2, centroids = Some(cents))
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        val agree = fromIdx
+          .join(inPlan, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"))
+        // pruning contract from a single-query probe: its ≤ 2 probed
+        // cell directories vs all non-empty cells (q116's one-job
+        // input_file_name pattern; the OR-arm keeps the contract
+        // meaningful if training ever collapses to ≤ nProbe cells)
+        val scanPruned = {
+          val cs = AnnIndex.loadCentroids(s, s"$tmp/ivf")
+          val cells = Similarity.ivfAssignProbes(
+              e.where(col("vec_id") === 0), "embedding", cs, 2)
+            .select(col("cell").cast("int")).distinct()
+            .collect().map(_.getInt(0))
+          val post = s.read.parquet(s"$tmp/ivf/postings.parquet")
+          val touched = post
+            .where(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+            .select(input_file_name()).distinct().count()
+          val total = post.select(input_file_name()).distinct().count()
+          val nonEmpty = post.select("cell").distinct().count()
+          touched < total || nonEmpty <= 2
+        }
+        agree.select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L).as("results_match"),
+            lit(scanPruned).as("scan_pruned"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // Dataset versioning: the snapshot diff a promotion gate audits
     // before retraining on a refreshed crawl. Two deterministic
     // derived snapshots of the documents table (v_old drops doc_id %
@@ -298,6 +352,10 @@ object OrchestrationQueries {
         |  TRUE AS linear_scans_all,
         |  TRUE AS zorder_prunes_half,
         |  TRUE AS zorder_beats_linear""".stripMargin,
+
+    "q126_ann_index_persist" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS scan_pruned
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q113_snapshot_diff" ->
       """WITH v_old AS (

@@ -280,6 +280,22 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // Margin-based bitext mining (Artetxe & Schwenk ratio margin, the
+    // LASER/CCMatrix parallel-corpus shape): even vec_ids play the
+    // source language, odd the target; k=4 neighborhoods both ways,
+    // mutual margin-best pairs above 1.0 mined. FULLY oracle-exact:
+    // cosines are scaled-integer exact (q47), each floor-quantized to
+    // a scale-9 long so neighborhood sums are exact integers, and the
+    // margin is one IEEE division — the oracle replays every
+    // candidate, margin, mutual flag, and mined bit.
+    "q125_bitext_mine" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.bitextMine(
+          e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, marginThreshold = 1.0)
+        .orderBy("src_id", "tgt_id")
+    },
+
     // Cosine ANN top-k with an ORACLE-EXACT metric: every dot is
     // scaled-integer exact and sqrt/divide are single correctly-rounded
     // IEEE ops, so even the float similarity values hash-match.
@@ -3210,6 +3226,76 @@ object PipelineQueries {
         |      k -> (k * 37 + 11 + doc_id) % 2001 - 1000)) AS DOUBLE) / CAST(ch * nf AS DOUBLE)
         |  END AS mean_val
         |FROM p ORDER BY media_id""".stripMargin,
+    // q47's scaled-integer cosine CTE both ways + scale-9 quantized
+    // neighborhood sums + the one-division margin; mutual-best via
+    // (margin DESC NULLS LAST, id) windows on the k-bounded pair sets.
+    "q125_bitext_mine" ->
+      """WITH s AS (
+        |  SELECT vec_id AS src_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+        |), t AS (
+        |  SELECT vec_id AS tgt_id, embedding AS v FROM embeddings WHERE vec_id % 2 = 1
+        |), dots AS (
+        |  SELECT src_id, tgt_id,
+        |    SUM(round(CAST(s.v[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(t.v[i] AS DOUBLE) * 1e6)) / 1e12 AS dab,
+        |    SUM(round(CAST(s.v[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(s.v[i] AS DOUBLE) * 1e6)) / 1e12 AS daa,
+        |    SUM(round(CAST(t.v[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(t.v[i] AS DOUBLE) * 1e6)) / 1e12 AS dbb
+        |  FROM s CROSS JOIN t, range(1, 65) r(i)
+        |  GROUP BY src_id, tgt_id
+        |), cosv AS (
+        |  SELECT src_id, tgt_id, dab / (sqrt(daa) * sqrt(dbb)) AS cosine,
+        |    CAST(floor(dab / (sqrt(daa) * sqrt(dbb)) * 1e9) AS BIGINT) AS c9
+        |  FROM dots
+        |), fwd AS (
+        |  SELECT src_id, tgt_id, cosine, c9 FROM (
+        |    SELECT src_id, tgt_id, cosine, c9,
+        |      row_number() OVER (PARTITION BY src_id
+        |        ORDER BY cosine DESC, tgt_id) AS rnk
+        |    FROM cosv) WHERE rnk <= 4
+        |), bwd AS (
+        |  SELECT src_id, tgt_id, c9 FROM (
+        |    SELECT src_id, tgt_id, c9,
+        |      row_number() OVER (PARTITION BY tgt_id
+        |        ORDER BY cosine DESC, src_id) AS rnk
+        |    FROM cosv) WHERE rnk <= 4
+        |), sf AS (
+        |  SELECT src_id, CAST(SUM(c9) AS BIGINT) AS sum_f9 FROM fwd GROUP BY src_id
+        |), sb AS (
+        |  SELECT tgt_id, CAST(SUM(c9) AS BIGINT) AS sum_b9 FROM bwd GROUP BY tgt_id
+        |), fm AS (
+        |  SELECT f.src_id, f.tgt_id, f.cosine,
+        |    CASE WHEN sf.sum_f9 + sb.sum_b9 > 0
+        |         THEN CAST(f.c9 * 8 AS DOUBLE)
+        |              / CAST(sf.sum_f9 + sb.sum_b9 AS DOUBLE) END AS margin
+        |  FROM fwd f JOIN sf USING (src_id) JOIN sb USING (tgt_id)
+        |), bm AS (
+        |  SELECT b.src_id, b.tgt_id,
+        |    CASE WHEN sf.sum_f9 + sb.sum_b9 > 0
+        |         THEN CAST(b.c9 * 8 AS DOUBLE)
+        |              / CAST(sf.sum_f9 + sb.sum_b9 AS DOUBLE) END AS margin
+        |  FROM bwd b JOIN sf USING (src_id) JOIN sb USING (tgt_id)
+        |), bestf AS (
+        |  SELECT src_id, tgt_id FROM (
+        |    SELECT src_id, tgt_id, row_number() OVER (PARTITION BY src_id
+        |      ORDER BY margin DESC NULLS LAST, tgt_id) AS r FROM fm)
+        |  WHERE r = 1
+        |), bestb AS (
+        |  SELECT src_id, tgt_id FROM (
+        |    SELECT src_id, tgt_id, row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY margin DESC NULLS LAST, src_id) AS r FROM bm)
+        |  WHERE r = 1
+        |)
+        |SELECT fm.src_id, fm.tgt_id, fm.cosine, fm.margin,
+        |  (bf.src_id IS NOT NULL AND bb.src_id IS NOT NULL) AS mutual_best,
+        |  COALESCE(bf.src_id IS NOT NULL AND bb.src_id IS NOT NULL
+        |    AND fm.margin >= 1.0, FALSE) AS mined
+        |FROM fm
+        |LEFT JOIN bestf bf ON bf.src_id = fm.src_id AND bf.tgt_id = fm.tgt_id
+        |LEFT JOIN bestb bb ON bb.src_id = fm.src_id AND bb.tgt_id = fm.tgt_id
+        |ORDER BY fm.src_id, fm.tgt_id""".stripMargin,
+
     "q47_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class AnnIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    // 4 well-separated clusters in 4-d
+    val c = i % 4
+    (i.toLong, Array.tabulate(4)(d =>
+      (if (d == c) 1.0f else 0.0f) + 0.01f * (i / 4)))
+  }.toDF("vec_id", "embedding")
+
+  test("stored-index search equals in-plan ivfTopK under the same centroids") {
+    val dir = Files.createTempDirectory("graft_annidx").toString
+    val e = corpus(40)
+    val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+      s"$dir/ivf", nCells = 4, iters = 3)
+    val q = e.where(col("vec_id") < 6)
+    val fromIdx = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val inPlan = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3,
+        nCells = 4, iters = 3, nProbe = 2, centroids = Some(cents))
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(fromIdx == inPlan)
+    assert(fromIdx.nonEmpty && fromIdx.forall(r => r._1 != r._2)) // self excluded
+  }
+
+  test("postings layout: hive-partitioned by cell, probe scans prune directories") {
+    val dir = Files.createTempDirectory("graft_annidx2").toString
+    val e = corpus(40)
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    val post = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    val nCellsOnDisk = post.select("cell").distinct().count()
+    assert(nCellsOnDisk >= 2, "separated clusters must land in several cells")
+    // scanning one cell touches strictly fewer files than scanning all
+    val oneCell = post.where(col("cell") === post.select("cell").head().getInt(0))
+      .select(input_file_name()).distinct().count()
+    val all = post.select(input_file_name()).distinct().count()
+    assert(oneCell < all)
+    // round-trip: every corpus vector is in exactly one cell
+    assert(post.count() == 40 && post.select("vec_id").distinct().count() == 40)
+    // the int8 codes ride along for the quantized path
+    assert(post.columns.toSet == Set("vec_id", "vec", "q_codes", "q_scale", "cell"))
+  }
+
+  test("centroids round-trip the trained values exactly") {
+    val dir = Files.createTempDirectory("graft_annidx3").toString
+    val e = corpus(24)
+    val trained = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+      s"$dir/ivf", nCells = 3, iters = 2)
+    assert(AnnIndex.loadCentroids(spark, s"$dir/ivf") == trained)
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchIvfIndex(spark,
+        { // an index whose centroid table is empty
+          val d2 = Files.createTempDirectory("graft_annidx4").toString
+          spark.emptyDataFrame
+            .select(lit(0).as("cell"), array().cast("array<double>").as("centroid"))
+            .limit(0).write.parquet(s"$d2/centroids.parquet")
+          d2
+        }, e, "vec_id", "embedding", k = 2)
+    }
+  }
+
+  test("corrupt vectors quantize to null codes but still land in a cell") {
+    val dir = Files.createTempDirectory("graft_annidx5").toString
+    val e = corpus(12).union(
+      Seq((99L, Array(Float.NaN, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf", nCells = 3)
+    val bad = spark.read.parquet(s"$dir/ivf/postings.parquet")
+      .where(col("vec_id") === 99L).collect()
+    assert(bad.length == 1 && bad(0).isNullAt(bad(0).fieldIndex("q_scale")))
+  }
+}

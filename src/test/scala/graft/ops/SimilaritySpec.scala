@@ -576,4 +576,77 @@ class SimilaritySpec extends SparkSpecBase {
     assert((1 to 4).forall(got(1).isNullAt))
     assert((1 to 4).forall(got(2).isNullAt))
   }
+
+  // ---- bitextMine -------------------------------------------------------
+
+  test("bitextMine: mutual margin-best pairs mine; one-directional bests do not") {
+    // src 0 and tgt 10 are near-duplicates (the planted pair); src 2
+    // points at tgt 11 but tgt 11's best source is src 4 (closer) —
+    // mutual-best must reject the one-directional attraction
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f)),
+      (11L, Array(0.05f, 0.995f, 0.0f)),
+      (12L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 2)
+      .orderBy("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4), r.getBoolean(5)))
+    val mutual = got.filter(_._3).map(t => (t._1, t._2)).toSet
+    assert(mutual.contains((0L, 10L)), s"planted pair must be mutual: ${got.mkString(",")}")
+    assert(mutual.contains((4L, 11L)), s"(4,11) mutual: ${got.mkString(",")}")
+    assert(!mutual.contains((2L, 11L)), "one-directional best must not be mutual")
+    // every src appears exactly k times in the forward candidate list
+    assert(got.groupBy(_._1).forall(_._2.length == 2))
+    // mined ⊆ mutual_best
+    assert(got.filter(_._4).forall(_._3))
+  }
+
+  test("bitextMine margin matches the exact quantized-sum recompute") {
+    val src = Seq((0L, Array(1.0f, 0.2f)), (1L, Array(0.3f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(0.9f, 0.1f)), (11L, Array(0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val k = 2
+    def q6(v: Float): Double = math.round(v.toDouble * 1e6).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => q6(x(i)) * q6(y(i))).sum / 1e12
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val sv = Map(0L -> Array(1.0f, 0.2f), 1L -> Array(0.3f, 1.0f))
+    val tv = Map(10L -> Array(0.9f, 0.1f), 11L -> Array(0.2f, 0.9f))
+    def c9(d: Double): Long = math.floor(d * 1e9).toLong
+    val sumF = sv.map { case (i, v) => i -> tv.values.map(w => c9(cos(v, w))).sum }
+    val sumB = tv.map { case (i, v) => i -> sv.values.map(w => c9(cos(w, v))).sum }
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k)
+      .orderBy("src_id", "tgt_id").collect()
+    got.foreach { r =>
+      val (s, t) = (r.getLong(0), r.getLong(1))
+      val expect = (c9(cos(sv(s), tv(t))) * 2L * k).toDouble /
+        (sumF(s) + sumB(t)).toDouble
+      assert(r.getDouble(3) == expect, s"margin($s,$t) ${r.getDouble(3)} != $expect")
+    }
+  }
+
+  test("bitextMine: threshold gates mined; custom topKFn path is honored") {
+    val src = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val strict = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+      k = 2, marginThreshold = 99.0).collect()
+    assert(strict.forall(!_.getBoolean(5)), "nothing clears margin 99")
+    // custom candidate generator (the ANN hook): brute per direction
+    val viaFn = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 2,
+      topKFn = (q, c, id, v, kk) =>
+        Similarity.bruteForceTopK(q, c, id, v, kk, excludeSelf = false))
+      .orderBy("src_id", "tgt_id").collect().map(_.toSeq)
+    val viaDefault = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 2)
+      .orderBy("src_id", "tgt_id").collect().map(_.toSeq)
+    assert(viaFn.toSeq == viaDefault.toSeq)
+  }
 }

@@ -59,6 +59,32 @@ object Dedup {
       df.withColumn("__norm", normalizeText(col(textCol))),
       "__norm", idCol).drop("__norm")
 
+  /** SOFT dedup — downweight instead of drop: every copy in an
+    * exact-duplicate cluster gets training weight 1/n_copies, so the
+    * cluster's total sampling mass is one document (the
+    * repetition-aware alternative to [[exactDedup]] when duplication
+    * frequency itself carries signal — dropping loses it, keeping
+    * full weight over-trains on boilerplate).
+    *
+    * Scale shape: only (id, 8-byte content hash) pairs shuffle — the
+    * q113 discipline; document bodies never cross the wire. Cluster
+    * identity is xxhash64 of the text, the repo's documented 2⁻⁶⁴
+    * collision trade (the oracle clusters on the text itself, so a
+    * collision would hash-mismatch the driver row rather than pass
+    * silently). The weight is ONE IEEE division of exact integers —
+    * hash-exact.
+    *
+    * Output: (doc_id, n_copies, weight), one row per input document.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
+      xxhash64(col(textCol)).as("__h"))
+    val counts = keyed.groupBy("__h").agg(count(lit(1)).as("n_copies"))
+    keyed.join(counts, Seq("__h"))
+      .select(col("doc_id"), col("n_copies"),
+        (lit(1.0) / col("n_copies").cast("double")).as("weight"))
+  }
+
   /** Distinct (docId, shingle) pairs — the inverted-index edge list.
     * `maxDocFreq` drops shingles occurring in more than that many docs
     * (stop-shingles): they explode the candidate join at scale while

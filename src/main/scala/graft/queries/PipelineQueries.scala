@@ -114,6 +114,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // SOFT dedup: every exact-duplicate copy downweighted to
+    // 1/n_copies (cluster mass = one doc) instead of dropped — the
+    // repetition-aware sampling weight. Only (id, hash) shuffles;
+    // the oracle clusters on the text itself, so an xxhash64
+    // collision would mismatch loudly rather than pass.
+    "q127_soft_dedup" -> { (s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Near-exact dedup after whitespace/case normalization.
     "q23_dedup_normalized" -> { (s, dir) =>
       Dedup.normalizedDedup(Tables.documents(s, dir), "text", "doc_id")
@@ -1698,6 +1708,11 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q127_soft_dedup" ->
+      """SELECT doc_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+        |  1.0 / CAST(COUNT(*) OVER (PARTITION BY text) AS DOUBLE) AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_dedup_normalized" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (

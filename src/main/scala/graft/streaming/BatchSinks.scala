@@ -47,18 +47,41 @@ object BatchSinks {
   def tokenStreamSink(outDir: String, idCol: String, tokensCol: String,
       window: Long, nBuckets: Int = 1024)(df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasPrior = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
+    def hasBatchDirs(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(path) &&
+        fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+    }
+    // base = token mass of PRIOR batches. Primary source: the 1-row-
+    // per-batch totals side-table (`_totals/` — underscore-hidden from
+    // the layout's own parquet discovery), O(batches) rows however
+    // many docs have streamed. Fallback for layouts written before
+    // the side-table existed: sum the manifest itself. Both exclude
+    // batch i's own rows, which is what makes a replay recompute the
+    // identical base whether or not its earlier write completed.
     val base =
-      if (!hasPrior) 0L
-      else spark.read.parquet(outDir)
-        .where(col("batch_id") < batchId)
-        .agg(coalesce(sum(col("n_tokens")), lit(0L)))
-        .head().getLong(0)
+      if (hasBatchDirs(s"$outDir/_totals"))
+        spark.read.parquet(s"$outDir/_totals")
+          .where(col("batch_id") < batchId)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .head().getLong(0)
+      else if (hasBatchDirs(outDir))
+        spark.read.parquet(outDir)
+          .where(col("batch_id") < batchId)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .head().getLong(0)
+      else 0L
     val laid = graft.ops.Packing.tokenStreamOffsets(
       df, idCol, tokensCol, window, nBuckets, base)
     laid.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // totals AFTER the layout: a crash between the two writes leaves
+    // this batch's totals row absent, and the replay (same batchId)
+    // rewrites both — prior batches' totals are complete by the time
+    // the stream advances past them
+    val total = df.agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
+      .head().getLong(0)
+    df.sparkSession.range(1).select(lit(total).as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$outDir/_totals/batch_id=$batchId")
   }
 }

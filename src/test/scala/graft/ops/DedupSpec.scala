@@ -512,4 +512,18 @@ class DedupSpec extends SparkSpecBase {
     assert(perCluster.forall(_ == 1L))
     assert(got.count() == 21)
   }
+
+  test("softDedupWeights: cluster mass is one doc; uniques keep full weight") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique a"), (5L, "unique b"), (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // every row kept
+    assert(got.take(3).forall(r => r._2 == 3L && r._3 == 1.0 / 3.0))
+    assert(got.drop(3).forall(r => r._2 == 1L && r._3 == 1.0))
+    // cluster mass sums to the number of DISTINCT texts (4 here)
+    assert(math.abs(got.map(_._3).sum - 4.0) < 1e-12)
+  }
 }

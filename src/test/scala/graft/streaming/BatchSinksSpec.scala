@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpecBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import java.nio.file.Files
 
 class BatchSinksSpec extends SparkSpecBase {
@@ -68,5 +69,26 @@ class BatchSinksSpec extends SparkSpecBase {
     assert(streamed.toSeq == onePass, s"\n$streamed\nvs\n$onePass")
     // replay left exactly one layout row per doc
     assert(streamed.map(_._1).distinct.length == streamed.length)
+    // the totals side-table carries one exact row per batch (the
+    // O(batches) base source), hidden from the layout read above
+    val totals = spark.read.parquet(s"$out/_totals")
+      .select("batch_id", "n_tokens")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(totals == Seq((0L, 150L), (1L, 275L), (2L, 100L)), totals)
+  }
+
+  test("tokenStreamSink: pre-side-table layouts still derive the right base") {
+    // a layout written WITHOUT the totals table (older sink version or
+    // hand-seeded) must not reset offsets to zero on the next batch
+    val out = Files.createTempDirectory("graft_tssink2").toString
+    Seq((1L, 40L)).toDF("doc_id", "n_tokens")
+      .withColumn("start_offset", lit(0L))
+      .withColumn("first_window", lit(0L)).withColumn("last_window", lit(0L))
+      .write.parquet(s"$out/batch_id=0")
+    BatchSinks.tokenStreamSink(out, "doc_id", "n_tokens", window = 64L)(
+      Seq((2L, 10L)).toDF("doc_id", "n_tokens"), 1L)
+    val row = spark.read.parquet(out).where("doc_id = 2")
+      .select("start_offset").as[Long].head()
+    assert(row == 40L, s"base must come from the manifest fallback, got $row")
   }
 }

@@ -330,7 +330,8 @@ object MediaCodecs {
     * lossless: decode returns these exact bytes, which is what lets a
     * driver oracle replay features of a real-world web-corpus format.
     */
-  def encodePng(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
+  private def rasterImage(width: Int, height: Int,
+      pix: Long => Int): java.awt.image.BufferedImage = {
     require(width > 0 && height > 0)
     imageIoReady
     val img = new java.awt.image.BufferedImage(
@@ -346,8 +347,12 @@ object MediaCodecs {
       }
       y += 1
     }
+    img
+  }
+
+  def encodePng(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(rasterImage(width, height, pix), "png", out)
     out.toByteArray
   }
 
@@ -357,23 +362,8 @@ object MediaCodecs {
     * pixel means (PNG is the hash-exact real-world container).
     */
   def encodeJpeg(width: Int, height: Int, pix: Long => Int): Array[Byte] = {
-    require(width > 0 && height > 0)
-    imageIoReady
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val k = (y.toLong * width + x) * 3
-        img.setRGB(x, y,
-          ((pix(k) & 0xFF) << 16) | ((pix(k + 1) & 0xFF) << 8) | (pix(k + 2) & 0xFF))
-        x += 1
-      }
-      y += 1
-    }
     val out = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", out)
+    javax.imageio.ImageIO.write(rasterImage(width, height, pix), "jpg", out)
     out.toByteArray
   }
 

@@ -135,4 +135,52 @@ object Sampling {
     hashSplit(keyed.join(reps, Seq("__norm")), col("rep"), weights)
       .drop("__norm")
   }
+
+  /** Quality-phased curriculum ordering — the anneal recipe (train on
+    * everything early, concentrate the best data at the end): each
+    * document's phase is the count of ascending `phaseThresholds` its
+    * quality clears (phase 0 = below all, phase n = top slice, seen
+    * LAST), and the training-stream position orders by (phase asc,
+    * per-phase deterministic shuffle) — the q111 bijective
+    * odd-multiplier permutation, so within a phase the order is
+    * pseudorandom yet exactly replayable.
+    *
+    * Scale shape: one map-side pass + the bucketed prefix sum for
+    * global positions ([[ScalableWindows.prefixSumByBucket]]) — never
+    * a single-partition global sort. `doc_id` must stay < 2³¹ (the
+    * dense-id contract q111 pins; ANSI overflow rejects wider ids
+    * loudly rather than silently wrapping the permutation).
+    *
+    * Output: (doc_id, quality, phase, shuffle_key, stream_pos) — one
+    * row per input document, stream_pos a 0-based total order.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, qualityCol: String,
+      phaseThresholds: Seq[Double], mult: Long = 2654435761L,
+      nBuckets: Int = 64): DataFrame = {
+    require(phaseThresholds.nonEmpty &&
+      phaseThresholds == phaseThresholds.sorted &&
+      phaseThresholds.distinct == phaseThresholds,
+      s"phaseThresholds must be ascending and distinct: $phaseThresholds")
+    require(mult % 2 == 1, s"multiplier must be odd (bijectivity): $mult")
+    // phase references the RENAMED quality column — computed after the
+    // projection so any caller-side column name works
+    val phase = phaseThresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col("quality") >= t, 1).otherwise(0)
+    }
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(qualityCol).cast("double").as("quality"))
+      .withColumn("phase", phase)
+      .withColumn("shuffle_key",
+        pmod(col("doc_id") * lit(mult), lit(4294967296L)))
+      // (phase, shuffle_key) packed into one orderable long: the
+      // shuffle key is a bijection of doc_id, so the packed key is
+      // unique per document (the prefix sum's total-order contract)
+      .withColumn("__ord",
+        col("phase").cast("long") * lit(8589934592L) + col("shuffle_key"))
+      .withColumn("__one", lit(1L))
+    ScalableWindows.prefixSumByBucket(
+        keyed, "__ord", "__one", "stream_pos", nBuckets)
+      .select("doc_id", "quality", "phase", "shuffle_key", "stream_pos")
+  }
 }

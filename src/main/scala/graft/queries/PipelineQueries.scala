@@ -114,6 +114,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-phased curriculum order — the anneal recipe: phase =
+    // thresholds cleared by q19's quality composite (0.5 / 0.9461,
+    // both known to split the fixture at every scale), within-phase
+    // order the q111 bijective permutation, global positions via the
+    // bucketed prefix sum. Hash-exact: quality is q19's oracle-exact
+    // composite, the permutation and positions are integer closed
+    // forms.
+    "q128_curriculum_order" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      Sampling.curriculumOrder(docs, "doc_id", "q",
+          phaseThresholds = Seq(0.5, 0.9461))
+        .orderBy("doc_id")
+    },
+
     // SOFT dedup: every exact-duplicate copy downweighted to
     // 1/n_copies (cluster mass = one doc) instead of dropped — the
     // repetition-aware sampling weight. Only (id, hash) shuffles;
@@ -1708,6 +1723,41 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // q19's quality CTEs + phase counting + the q111 permutation and
+    // ROW_NUMBER stream position.
+    "q128_curriculum_order" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_tokens, alpha_ratio, stop_hits,
+         |    (CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3 AS quality
+         |  FROM m
+         |), p AS (
+         |  SELECT doc_id, quality,
+         |    CAST((CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN quality >= 0.9461 THEN 1 ELSE 0 END) AS INTEGER) AS phase,
+         |    (doc_id * 2654435761) % 4294967296 AS shuffle_key
+         |  FROM q
+         |)
+         |SELECT doc_id, quality, phase, shuffle_key,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY phase, shuffle_key) - 1 AS BIGINT)
+         |    AS stream_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
+
     "q127_soft_dedup" ->
       """SELECT doc_id,
         |  CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,

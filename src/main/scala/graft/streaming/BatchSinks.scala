@@ -47,31 +47,47 @@ object BatchSinks {
   def tokenStreamSink(outDir: String, idCol: String, tokensCol: String,
       window: Long, nBuckets: Int = 1024)(df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
-    def hasBatchDirs(p: String): Boolean = {
+    def batchIds(p: String): Seq[Long] = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(path) &&
-        fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
     }
     // base = token mass of PRIOR batches. Primary source: the 1-row-
     // per-batch totals side-table (`_totals/` — underscore-hidden from
     // the layout's own parquet discovery), O(batches) rows however
-    // many docs have streamed. Fallback for layouts written before
-    // the side-table existed: sum the manifest itself. Both exclude
-    // batch i's own rows, which is what makes a replay recompute the
-    // identical base whether or not its earlier write completed.
-    val base =
-      if (hasBatchDirs(s"$outDir/_totals"))
-        spark.read.parquet(s"$outDir/_totals")
-          .where(col("batch_id") < batchId)
-          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
-          .head().getLong(0)
-      else if (hasBatchDirs(outDir))
-        spark.read.parquet(outDir)
-          .where(col("batch_id") < batchId)
-          .agg(coalesce(sum(col("n_tokens")), lit(0L)))
-          .head().getLong(0)
-      else 0L
+    // many docs have streamed. Prior LAYOUT batches with no totals row
+    // (written before the side-table existed — a mixed-generation
+    // layout) are summed from the manifest itself; summing only the
+    // covered set from totals and only the uncovered set from the
+    // manifest is what keeps the two generations from double- or
+    // under-counting. Everything excludes batch i's own rows, which is
+    // what makes a replay recompute the identical base whether or not
+    // its earlier write completed.
+    val priorLayout = batchIds(outDir).filter(_ < batchId)
+    // covered = batches with a COMMITTED totals ROW (read the data,
+    // not the directory listing: a crash mid-totals-write leaves a
+    // rowless directory that must count as uncovered, not as zero)
+    val totalsRows: Map[Long, Long] =
+      if (batchIds(s"$outDir/_totals").isEmpty) Map.empty
+      else spark.read.parquet(s"$outDir/_totals")
+        .where(col("batch_id") < batchId)
+        // the hive partition column infers as INT for small ids —
+        // normalize before the typed collect
+        .select(col("batch_id").cast("long"), col("n_tokens").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromTotals = totalsRows.values.sum
+    val uncovered = priorLayout.filterNot(totalsRows.keySet)
+    val fromManifest =
+      if (uncovered.isEmpty) 0L
+      else spark.read.parquet(outDir)
+        .where(col("batch_id").isin(uncovered.map(java.lang.Long.valueOf): _*))
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .head().getLong(0)
+    val base = fromTotals + fromManifest
     val laid = graft.ops.Packing.tokenStreamOffsets(
       df, idCol, tokensCol, window, nBuckets, base)
     laid.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")

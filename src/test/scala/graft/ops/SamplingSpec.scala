@@ -143,4 +143,37 @@ class SamplingSpec extends SparkSpecBase {
       .select("split").as[String].collect().head
     assert(got(7L)._3 == repSplit && got(3L)._3 == repSplit)
   }
+
+  test("curriculumOrder: phases partition by thresholds, best data streams last") {
+    val docs = (0L until 20L).map(i => (i, i / 20.0)).toDF("doc_id", "q")
+    val got = Sampling.curriculumOrder(docs, "doc_id", "q",
+        phaseThresholds = Seq(0.25, 0.75))
+      .orderBy("doc_id")
+      .as[(Long, Double, Int, Long, Long)].collect().toSeq
+    // phase = count of thresholds cleared (boundaries are >=)
+    got.foreach { case (_, q, p, _, _) =>
+      val expect = (if (q >= 0.25) 1 else 0) + (if (q >= 0.75) 1 else 0)
+      assert(p == expect, s"q=$q phase=$p")
+    }
+    // stream positions are a 0-based total order, phases in ascending blocks
+    val byPos = got.sortBy(_._5)
+    assert(byPos.map(_._5) == (0L until 20L))
+    assert(byPos.map(_._3) == byPos.map(_._3).sorted)
+    // within a phase the order follows the bijective shuffle key, not doc_id
+    val p1 = byPos.filter(_._3 == 1)
+    assert(p1.map(_._4) == p1.map(_._4).sorted)
+    assert(p1.map(_._1) != p1.map(_._1).sorted, "must not degenerate to id order")
+    // every doc keeps exactly one row
+    assert(got.map(_._1) == (0L until 20L))
+  }
+
+  test("curriculumOrder: bounds — unsorted thresholds and even multipliers reject") {
+    val docs = Seq((1L, 0.5)).toDF("doc_id", "q")
+    intercept[IllegalArgumentException](
+      Sampling.curriculumOrder(docs, "doc_id", "q", Seq(0.9, 0.1)))
+    intercept[IllegalArgumentException](
+      Sampling.curriculumOrder(docs, "doc_id", "q", Seq.empty))
+    intercept[IllegalArgumentException](
+      Sampling.curriculumOrder(docs, "doc_id", "q", Seq(0.5), mult = 2654435762L))
+  }
 }

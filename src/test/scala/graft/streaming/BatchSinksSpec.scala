@@ -90,5 +90,13 @@ class BatchSinksSpec extends SparkSpecBase {
     val row = spark.read.parquet(out).where("doc_id = 2")
       .select("start_offset").as[Long].head()
     assert(row == 40L, s"base must come from the manifest fallback, got $row")
+    // MIXED generation: batch 1 wrote a totals row, batch 0 has none —
+    // batch 2's base must be manifest(batch0) + totals(batch1), not
+    // just the covered slice (the r9 review finding)
+    BatchSinks.tokenStreamSink(out, "doc_id", "n_tokens", window = 64L)(
+      Seq((3L, 5L)).toDF("doc_id", "n_tokens"), 2L)
+    val off3 = spark.read.parquet(out).where("doc_id = 3")
+      .select("start_offset").as[Long].head()
+    assert(off3 == 50L, s"mixed-generation base must be 40+10, got $off3")
   }
 }

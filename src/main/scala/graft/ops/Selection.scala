@@ -189,44 +189,10 @@ object Selection {
     // keeps threshold6 · n_features inside a Long at any real doc size
     require(math.abs(threshold6) <= 20000000L,
       s"threshold6 out of range: $threshold6 (|ln-ratio| can't exceed ~20)")
-    val bLit = lit(nBuckets.toLong)
-
-    def featureBag(df: DataFrame): DataFrame = {
-      val toks = graft.engine.Tables.fanOut(df.sparkSession, df)
-        .select(col(idCol).cast("long").as("doc"),
-          TextOps.tokens(col(textCol)).as("w"))
-      val uni = toks.select(col("doc"), explode(col("w")).as("f"))
-      val features = if (useBigrams) {
-        // fastText wordNgrams=2: bigram feature string "a b" folds
-        // through the same portable bucket hash (space = codepoint 32
-        // participates — replayable in SQL as a || ' ' || b)
-        val bi = toks.where(size(col("w")) >= 2)
-          .select(col("doc"), explode(expr(
-            "transform(sequence(1, size(w) - 1), " +
-              "j -> concat(w[j-1], ' ', w[j]))")).as("f"))
-        uni.unionAll(bi)
-      } else uni
-      features.select(col("doc"), tokenBucket(col("f"), nBuckets).as("b"))
-    }
-
-    val cp = featureBag(positive).groupBy("b").agg(count(lit(1)).as("cp"))
-    val cn = featureBag(negative).groupBy("b").agg(count(lit(1)).as("cn"))
-    val np = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("np"))
-    val nn = cn.agg(coalesce(sum(col("cn")), lit(0L)).as("nn"))
-    val weights = cp.join(cn, Seq("b"), "full_outer")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
-      .select(col("b"),
-        floor(log(
-          ((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) *
-            (col("nn") + bLit).cast("double")) /
-          ((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) *
-            (col("np") + bLit).cast("double"))) * lit(1000000.0)).as("w6"))
-    // OOV default: the same smoothed formula at cp = cn = 0
-    val defw = np.crossJoin(nn).select(
-      floor(log((col("nn") + bLit).cast("double") /
-        (col("np") + bLit).cast("double")) * lit(1000000.0)).as("defw6"))
-
-    val bag = featureBag(corpus).groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
+    val (weights, defw) = classifierWeightFrames(
+      positive, negative, idCol, textCol, nBuckets, useBigrams)
+    val bag = classifierFeatureBag(corpus, idCol, textCol, nBuckets, useBigrams)
+      .groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
     val perDoc = bag
       .join(broadcast(weights), Seq("b"), "left")
       .crossJoin(broadcast(defw))
@@ -244,6 +210,116 @@ object Selection {
         (coalesce(col("n_features"), lit(0L)) > 0 &&
           coalesce(col("logit6"), lit(0L)) >=
             lit(threshold6) * coalesce(col("n_features"), lit(0L))).as("keep"))
+  }
+
+  /** Hashed unigram(+bigram) feature buckets per document — the one
+    * tokenize+hash definition the train side, the distributed scorer,
+    * and the weight histograms all share. Bigram strings are
+    * "a<space>b" (space = codepoint 32 participates in the fold —
+    * replayable in SQL as a || ' ' || b).
+    */
+  private def classifierFeatureBag(df: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int, useBigrams: Boolean): DataFrame = {
+    val toks = graft.engine.Tables.fanOut(df.sparkSession, df)
+      .select(col(idCol).cast("long").as("doc"),
+        TextOps.tokens(col(textCol)).as("w"))
+    val uni = toks.select(col("doc"), explode(col("w")).as("f"))
+    val features = if (useBigrams) {
+      val bi = toks.where(size(col("w")) >= 2)
+        .select(col("doc"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "j -> concat(w[j-1], ' ', w[j]))")).as("f"))
+      uni.unionAll(bi)
+    } else uni
+    features.select(col("doc"), tokenBucket(col("f"), nBuckets).as("b"))
+  }
+
+  /** The NB-log-odds weight table (b, w6) and 1-row OOV default
+    * (defw6) from the two seed corpora — shared by the distributed
+    * scorer and the driver-collected export so both paths carry
+    * identical weights by construction.
+    */
+  private def classifierWeightFrames(positive: DataFrame, negative: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int,
+      useBigrams: Boolean): (DataFrame, DataFrame) = {
+    val bLit = lit(nBuckets.toLong)
+    val cp = classifierFeatureBag(positive, idCol, textCol, nBuckets, useBigrams)
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val cn = classifierFeatureBag(negative, idCol, textCol, nBuckets, useBigrams)
+      .groupBy("b").agg(count(lit(1)).as("cn"))
+    val np = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("np"))
+    val nn = cn.agg(coalesce(sum(col("cn")), lit(0L)).as("nn"))
+    val weights = cp.join(cn, Seq("b"), "full_outer")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) *
+            (col("nn") + bLit).cast("double")) /
+          ((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) *
+            (col("np") + bLit).cast("double"))) * lit(1000000.0)).as("w6"))
+    // OOV default: the same smoothed formula at cp = cn = 0
+    val defw = np.crossJoin(nn).select(
+      floor(log((col("nn") + bLit).cast("double") /
+        (col("np") + bLit).cast("double")) * lit(1000000.0)).as("defw6"))
+    (weights, defw)
+  }
+
+  /** Train-side weight EXPORT for [[scoreWithClassifier]]: the
+    * (bucket → w6) table and the OOV default, collected to the driver
+    * — bounded by nBuckets rows, the model artifact a deployment
+    * ships. Same math as [[qualityClassifierScores]]'s in-plan
+    * weights (shared helper), so offline and online scores agree
+    * bit-for-bit (spec-pinned).
+    */
+  def collectClassifierWeights(positive: DataFrame, negative: DataFrame,
+      idCol: String, textCol: String,
+      nBuckets: Int = 4096, useBigrams: Boolean = true): (Map[Long, Long], Long) = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets out of range: $nBuckets")
+    val (weights, defw) = classifierWeightFrames(
+      positive, negative, idCol, textCol, nBuckets, useBigrams)
+    val w = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (w, defw.head().getLong(0))
+  }
+
+  /** MAP-SIDE classifier application — the online arm: logit and keep
+    * computed per row from a broadcast weight map literal, no explode,
+    * no aggregation, no join. Because it is a pure projection it runs
+    * UNCHANGED on a Structured Streaming frame (spec-proven): the
+    * standard deployment where the model trains offline on seeds and
+    * scores documents as they arrive. Bit-identical to
+    * [[qualityClassifierScores]] on the same corpus (spec-pinned —
+    * same fold, same weights, same exact-integer sums).
+    */
+  def scoreWithClassifier(docs: DataFrame, idCol: String, textCol: String,
+      weights: Map[Long, Long], defw6: Long,
+      nBuckets: Int, threshold6: Long = 0L,
+      useBigrams: Boolean = true): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets out of range: $nBuckets")
+    require(math.abs(threshold6) <= 20000000L,
+      s"threshold6 out of range: $threshold6")
+    val base = docs.withColumn("__w", TextOps.tokens(col(textCol)))
+    val w = col("__w")
+    // bigram features "a b" from the tokens array in place — same
+    // strings (concat with one space) the train-side featureBag hashes
+    val bi = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        j => concat_ws(" ", element_at(w, j), element_at(w, j + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = if (useBigrams) concat(w, bi) else w
+    val buckets = transform(feats, f => tokenBucket(f, nBuckets))
+    val wMap = typedLit(weights)
+    val logit6 = aggregate(buckets, lit(0L),
+      (acc, b) => acc + coalesce(element_at(wMap, b), lit(defw6)))
+    val nFeats = size(feats).cast("long")
+    base.select(col(idCol).cast("long").as("doc_id"),
+      nFeats.as("n_features"),
+      logit6.as("logit6"),
+      when(nFeats > 0,
+        logit6.cast("double") / (nFeats.cast("double") * lit(1000000.0)))
+        .as("score"),
+      (nFeats > 0 && logit6 >= lit(threshold6) * nFeats).as("keep"))
   }
 
   /** Temperature-based source mixture: allocate `budgetDocs` documents

@@ -200,6 +200,54 @@ class SelectionSpec extends SparkSpecBase {
     assert(oov._3 == 3L * defW, s"${oov._3} != ${3L * defW}")
   }
 
+  test("map-side scorer is bit-identical to the distributed scorer") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"),
+      (2L, "alpha delta beta"), (3L, "zeta eta theta alpha"),
+      (4L, "   "), (5L, "alpha"))
+    val df = corpus.toDF("doc_id", "text")
+    val pos = df.where(col("doc_id") === 0L)
+    val neg = df.where(col("doc_id") === 1L)
+    val distributed = Selection.qualityClassifierScores(
+        df, pos, neg, "doc_id", "text", nBuckets = 64)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (w, defw6) = Selection.collectClassifierWeights(
+      pos, neg, "doc_id", "text", nBuckets = 64)
+    val mapSide = Selection.scoreWithClassifier(
+        df, "doc_id", "text", w, defw6, nBuckets = 64)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(mapSide == distributed)
+  }
+
+  test("map-side scorer runs UNCHANGED on a structured stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val pos = Seq((0L, "clean prose text")).toDF("doc_id", "text")
+    val neg = Seq((1L, "spam buy now")).toDF("doc_id", "text")
+    val (w, defw6) = Selection.collectClassifierWeights(
+      pos, neg, "doc_id", "text", nBuckets = 64)
+    val mem = MemoryStream[(Long, String)]
+    val scored = Selection.scoreWithClassifier(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", w, defw6,
+      nBuckets = 64)
+    val q = scored.writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "clean prose here"), (11L, "buy spam now now"))
+      q.processAllAvailable()
+      val got = spark.table("clf_stream").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      // identical rows to the batch path on the same docs
+      val batch = Selection.scoreWithClassifier(
+          Seq((10L, "clean prose here"), (11L, "buy spam now now"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", w, defw6, nBuckets = 64)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == batch)
+      assert(got.size == 2)
+    } finally q.stop()
+  }
+
   test("qualityClassifier: negative threshold keeps borderline docs via cross-mult") {
     val corpus = Seq((0L, "good text"), (1L, "bad stuff"), (2L, "bad stuff mixed"))
     // threshold6 negative: mean-weight comparisons must handle the

@@ -162,9 +162,9 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.r3(0.0000001) == "0.000")
     assert(Bench.r3(1.0 / 3.0) == "0.333")
     assert(Bench.r3(12345.6789) == "12345.679")
-    // per-query values: 10 ms grain (the ~2 KB tail-window byte budget)
-    assert(Bench.r2(0.0000001) == "0.00")
-    assert(Bench.r2(1.0 / 3.0) == "0.33")
-    assert(Bench.r2(12345.6789) == "12345.68")
+    // per-query values: 100 ms grain (the ~2 KB tail-window byte budget)
+    assert(Bench.r2(0.0000001) == "0.0")
+    assert(Bench.r2(1.0 / 3.0) == "0.3")
+    assert(Bench.r2(12345.6789) == "12345.7")
   }
 }

@@ -79,6 +79,63 @@ object AnnIndex {
     * — with the same centroids the two produce IDENTICAL output
     * (driver-checked, q126).
     */
+  /** QUANTIZED search over the persisted index — why the int8 codes
+    * are stored: candidates are scored with [[Similarity.quantizedDot]]
+    * over the CODES off the pruned postings scan (dim bytes cross the
+    * cell join, not dim·4 floats — the 4× candidate-join IO cut), a
+    * `rerankFactor·k` shortlist survives, and ONLY the shortlist joins
+    * back to the pruned partitions for the exact cosine re-rank.
+    * With a shortlist generous enough to hold every candidate the
+    * result is IDENTICAL to [[searchIvfIndex]] (the q126 plumbing
+    * contract); at production shortlist sizes recall follows the
+    * measured [[Similarity.ivfTopKQuantizedRerank]] behavior (factor 4
+    * recall-identical on the fixtures — RecallProbe). Corrupt stored
+    * vectors carry null codes and never enter the shortlist.
+    */
+  def searchIvfIndexQuantized(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 2, rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, s"empty index at $dir")
+    val qa = Similarity.ivfAssignProbes(
+        Similarity.withQuantizedInt8(
+          queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
+          "queryv"),
+        "queryv", cents, nProbe)
+      .select(col("query_id"), col("queryv"),
+        col("q_codes").as("query_codes"), col("q_scale").as("query_scale"),
+        col("cell").cast("int").as("cell"))
+    val probed = qa.select("cell").distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    // codes-only candidate scoring off the pruned scan
+    val cands = postings
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("q_codes").as("neighbor_codes"), col("q_scale").as("neighbor_scale"))
+      .join(qa.select(col("query_id"), col("query_codes"),
+        col("query_scale"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = Similarity.rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        Similarity.quantizedDot(col("query_codes"), col("query_scale"),
+          col("neighbor_codes"), col("neighbor_scale")).as("approx")),
+      k * rerankFactor, "approx")
+      .select("query_id", "neighbor_id")
+    // exact re-rank: vectors only for the shortlist, still read from
+    // the PRUNED partitions (the id join rides the cell-filtered scan)
+    val rerank = shortlist
+      .join(qa.select("query_id", "queryv").dropDuplicates("query_id"),
+        Seq("query_id"))
+      .join(postings.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("neighborv")), Seq("neighbor_id"))
+    Similarity.rankTopK(
+      rerank.select(col("query_id"), col("neighbor_id"),
+        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+      k, "cosine")
+  }
+
   def searchIvfIndex(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {

@@ -310,9 +310,28 @@ object OrchestrationQueries {
           val nonEmpty = post.select("cell").distinct().count()
           touched < total || nonEmpty <= 2
         }
+        // quantized-arm plumbing contract: with a shortlist sized to
+        // hold EVERY candidate (rf from the true corpus cardinality —
+        // scale-robust by construction), the int8-scored path must
+        // re-rank to the IDENTICAL result set as the exact arm
+        val rf = math.max(1L, e.count() / 5L + 1L).toInt
+        val quant = graft.ops.AnnIndex.searchIvfIndexQuantized(
+            s, s"$tmp/ivf", q, "vec_id", "embedding", k = 5, nProbe = 2,
+            rerankFactor = rf)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank3"), col("cosine").as("cos3"))
+        val qagree = fromIdx
+          .join(quant, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("qn"),
+            sum(when(col("rank") === col("rank3") &&
+              col("cosine") === col("cos3"), 1L).otherwise(0L)).as("qa"))
+          .select(col("query_id"),
+            (col("qn") === 5L && col("qa") === 5L).as("quant_match"))
         agree.select(col("query_id"),
             (col("n_results") === 5L && col("n_agree") === 5L).as("results_match"),
             lit(scanPruned).as("scan_pruned"))
+          .join(qagree, Seq("query_id"))
           .orderBy("query_id")
           .localCheckpoint(true)
       } finally drainAndDelete(s, tmp)
@@ -354,7 +373,8 @@ object OrchestrationQueries {
         |  TRUE AS zorder_beats_linear""".stripMargin,
 
     "q126_ann_index_persist" ->
-      """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS scan_pruned
+      """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS scan_pruned,
+        |  TRUE AS quant_match
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q113_snapshot_diff" ->

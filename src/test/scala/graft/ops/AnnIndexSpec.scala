@@ -50,6 +50,33 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(post.columns.toSet == Set("vec_id", "vec", "q_codes", "q_scale", "cell"))
   }
 
+  test("quantized search: exhaustive shortlist equals the exact arm; tight shortlist ranks sanely") {
+    val dir = Files.createTempDirectory("graft_annidx_q").toString
+    val e = corpus(40)
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    val q = e.where(col("vec_id") < 6)
+    val exact = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // rf big enough that the shortlist holds every candidate
+    val viaCodes = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(viaCodes == exact)
+    // tight shortlist: returned scores are still EXACT cosines and
+    // k-bounded per query (recall behavior is RecallProbe territory)
+    val tight = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(tight.nonEmpty && tight.groupBy(_._1).forall(_._2.size <= 3))
+    val exactByPair = exact.map(r => (r._1, r._2) -> r._3).toMap
+    tight.foreach { r =>
+      exactByPair.get((r._1, r._2)).foreach(c => assert(c == r._3))
+    }
+  }
+
   test("centroids round-trip the trained values exactly") {
     val dir = Files.createTempDirectory("graft_annidx3").toString
     val e = corpus(24)

@@ -219,6 +219,18 @@ class SelectionSpec extends SparkSpecBase {
     assert(mapSide == distributed)
   }
 
+  test("map-side scorer: empty weight map (empty seeds) scores via the default only") {
+    val df = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val empty = df.where(lit(false))
+    val (w, defw6) = Selection.collectClassifierWeights(
+      empty, empty, "doc_id", "text", nBuckets = 32)
+    assert(w.isEmpty && defw6 == 0L) // ln((0+32)/(0+32)) = 0
+    val got = Selection.scoreWithClassifier(df, "doc_id", "text",
+        w, defw6, nBuckets = 32)
+      .collect().head
+    assert(got.getLong(1) == 3L && got.getLong(2) == 0L) // 2 uni + 1 bi, all defw6
+  }
+
   test("map-side scorer runs UNCHANGED on a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -276,10 +276,31 @@ object Selection {
       nBuckets: Int = 4096, useBigrams: Boolean = true): (Map[Long, Long], Long) = {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets out of range: $nBuckets")
-    val (weights, defw) = classifierWeightFrames(
-      positive, negative, idCol, textCol, nBuckets, useBigrams)
-    val w = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (w, defw.head().getLong(0))
+    // BOTH seed histograms in ONE job (tagged union — the two seed
+    // scans run as parallel stages of a single collect), weight math
+    // on the driver — collecting the in-plan weights frame instead
+    // costs ~2 extra seed scans (the weights collect + the defw head
+    // each re-derive both bags). Math.log IS Spark's ln (codegen
+    // calls the same intrinsic), so driver and in-plan weights are
+    // bit-identical — the scorer-parity spec pins it.
+    val both = classifierFeatureBag(positive, idCol, textCol, nBuckets, useBigrams)
+      .select(lit(0).as("s"), col("b"))
+      .unionAll(
+        classifierFeatureBag(negative, idCol, textCol, nBuckets, useBigrams)
+          .select(lit(1).as("s"), col("b")))
+      .groupBy("s", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val cp = both.collect { case (0, b2, c) => b2 -> c }.toMap
+    val cn = both.collect { case (1, b2, c) => b2 -> c }.toMap
+    val np = cp.values.sum
+    val nn = cn.values.sum
+    val b = nBuckets.toDouble
+    def w6(p: Long, n: Long): Long =
+      math.floor(math.log(((p + 1.0) * (nn + b)) / ((n + 1.0) * (np + b)))
+        * 1000000.0).toLong
+    val keys = cp.keySet ++ cn.keySet
+    (keys.iterator.map(k => k -> w6(cp.getOrElse(k, 0L), cn.getOrElse(k, 0L))).toMap,
+      math.floor(math.log((nn + b) / (np + b)) * 1000000.0).toLong)
   }
 
   /** MAP-SIDE classifier application — the online arm: logit and keep
@@ -294,7 +315,8 @@ object Selection {
   def scoreWithClassifier(docs: DataFrame, idCol: String, textCol: String,
       weights: Map[Long, Long], defw6: Long,
       nBuckets: Int, threshold6: Long = 0L,
-      useBigrams: Boolean = true): DataFrame = {
+      useBigrams: Boolean = true,
+      keepCols: Seq[String] = Seq.empty): DataFrame = {
     require(nBuckets > 0 && nBuckets <= (1 << 20),
       s"nBuckets out of range: $nBuckets")
     require(math.abs(threshold6) <= 20000000L,
@@ -313,13 +335,17 @@ object Selection {
     val logit6 = aggregate(buckets, lit(0L),
       (acc, b) => acc + coalesce(element_at(wMap, b), lit(defw6)))
     val nFeats = size(feats).cast("long")
-    base.select(col(idCol).cast("long").as("doc_id"),
+    // keepCols: caller columns carried through the projection (e.g.
+    // a precomputed token count a downstream loader stage needs —
+    // joins are not an option mid-stream)
+    base.select(Seq(col(idCol).cast("long").as("doc_id"),
       nFeats.as("n_features"),
       logit6.as("logit6"),
       when(nFeats > 0,
         logit6.cast("double") / (nFeats.cast("double") * lit(1000000.0)))
         .as("score"),
-      (nFeats > 0 && logit6 >= lit(threshold6) * nFeats).as("keep"))
+      (nFeats > 0 && logit6 >= lit(threshold6) * nFeats).as("keep")) ++
+      keepCols.map(col): _*)
   }
 
   /** Temperature-based source mixture: allocate `budgetDocs` documents

@@ -561,6 +561,21 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     },
 
+    // The STREAMING CURATION-TO-LOADER composition's correctness row
+    // (q120's streaming twin): offline-trained classifier weights
+    // (q122's seed convention) gate each micro-batch map-side, kept
+    // docs append exactly-once to the persisted token-stream layout
+    // through foreachBatch — a REAL Structured Streaming execution of
+    // classifier + packing + sink composed. The oracle replays the
+    // gate (q122's CTEs) and the layout (kept docs in (doc_id mod 3,
+    // doc_id) order, offsets accumulated) in closed form.
+    "q129_streaming_curation" -> { (s, dir) =>
+      val (layout, nBatches) = graft.streaming.Replay.curationLoaderReplay(
+        s, Tables.documents(s, dir), window = 512L)
+      layout.withColumn("replayed_multibatch", lit(nBatches >= 3))
+        .orderBy("doc_id")
+    },
+
     // The CUSTOM-STATE streaming path's correctness row: the events
     // table replayed through flatMapGroupsWithState sessionization in
     // time-ordered micro-batches (time-range tercile files + a
@@ -1502,6 +1517,55 @@ object PipelineQueries {
   private val tokensSql =
     """list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"""
 
+  /** The q122/q129 classifier CTE chain: hashed unigram+bigram bags,
+    * NB log-odds weights from the doc_id%7 seed split, per-doc exact
+    * logits (`perdoc(doc_id, logit6, n_features)`). Keep gate =
+    * `n_features > 0 AND logit6 >= 0` downstream.
+    */
+  private val classifierCteSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS w FROM documents
+       |), feats AS (
+       |  SELECT doc_id, unnest(w) AS f FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    j -> w[j] || ' ' || w[j+1])) AS f
+       |  FROM toks WHERE len(w) >= 2
+       |), bag AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(split(f, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1024) AS b
+       |  FROM feats
+       |), cp AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cp FROM bag
+       |  WHERE doc_id % 7 = 0 GROUP BY b
+       |), cn AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cn FROM bag
+       |  WHERE doc_id % 7 = 3 GROUP BY b
+       |), np AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS np FROM cp
+       |), nn AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS nn FROM cn
+       |), w AS (
+       |  SELECT COALESCE(cp.b, cn.b) AS b,
+       |    CAST(floor(ln(
+       |      ((CAST(COALESCE(cp.cp, 0) AS DOUBLE) + 1.0)
+       |        * CAST(nn.nn + 1024 AS DOUBLE)) /
+       |      ((CAST(COALESCE(cn.cn, 0) AS DOUBLE) + 1.0)
+       |        * CAST(np.np + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS w6
+       |  FROM cp FULL OUTER JOIN cn ON cp.b = cn.b
+       |  CROSS JOIN np CROSS JOIN nn
+       |), defw AS (
+       |  SELECT CAST(floor(ln(CAST(nn.nn + 1024 AS DOUBLE)
+       |    / CAST(np.np + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS defw6
+       |  FROM np CROSS JOIN nn
+       |), perdoc AS (
+       |  SELECT g.doc_id,
+       |    CAST(SUM(COALESCE(w.w6, d.defw6)) AS BIGINT) AS logit6,
+       |    CAST(COUNT(*) AS BIGINT) AS n_features
+       |  FROM bag g LEFT JOIN w USING (b) CROSS JOIN defw d
+       |  GROUP BY g.doc_id
+       |)""".stripMargin
+
   /** The q87/q88 BPE oracle's per-step CTE chain: voc0 is the
     * symbolized (word, count) vocabulary; each step k adds pair
     * counts (pK), the argmax merge (mK), and the rewritten vocabulary
@@ -2262,50 +2326,10 @@ object PipelineQueries {
          |FROM scored ORDER BY doc_id""".stripMargin,
     // Mirrors Selection.qualityClassifierScores bucket for bucket:
     // same char fold, same smoothed NB log-odds with scale-6 floor
-    // quantization, same cross-multiplied keep decision.
+    // quantization, same cross-multiplied keep decision. The CTE
+    // chain is shared with q129 (classifierCteSql).
     "q122_quality_classifier" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokensSql AS w FROM documents
-         |), feats AS (
-         |  SELECT doc_id, unnest(w) AS f FROM toks
-         |  UNION ALL
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-         |    j -> w[j] || ' ' || w[j+1])) AS f
-         |  FROM toks WHERE len(w) >= 2
-         |), bag AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(split(f, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |      (a, b) -> (a * 31 + b) % 1024) AS b
-         |  FROM feats
-         |), cp AS (
-         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cp FROM bag
-         |  WHERE doc_id % 7 = 0 GROUP BY b
-         |), cn AS (
-         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cn FROM bag
-         |  WHERE doc_id % 7 = 3 GROUP BY b
-         |), np AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS np FROM cp
-         |), nn AS (SELECT CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS nn FROM cn
-         |), w AS (
-         |  SELECT COALESCE(cp.b, cn.b) AS b,
-         |    CAST(floor(ln(
-         |      ((CAST(COALESCE(cp.cp, 0) AS DOUBLE) + 1.0)
-         |        * CAST(nn.nn + 1024 AS DOUBLE)) /
-         |      ((CAST(COALESCE(cn.cn, 0) AS DOUBLE) + 1.0)
-         |        * CAST(np.np + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT) AS w6
-         |  FROM cp FULL OUTER JOIN cn ON cp.b = cn.b
-         |  CROSS JOIN np CROSS JOIN nn
-         |), defw AS (
-         |  SELECT CAST(floor(ln(CAST(nn.nn + 1024 AS DOUBLE)
-         |    / CAST(np.np + 1024 AS DOUBLE)) * 1000000.0) AS BIGINT) AS defw6
-         |  FROM np CROSS JOIN nn
-         |), perdoc AS (
-         |  SELECT g.doc_id,
-         |    CAST(SUM(COALESCE(w.w6, d.defw6)) AS BIGINT) AS logit6,
-         |    CAST(COUNT(*) AS BIGINT) AS n_features
-         |  FROM bag g LEFT JOIN w USING (b) CROSS JOIN defw d
-         |  GROUP BY g.doc_id
-         |)
+      s"""$classifierCteSql
          |SELECT d.doc_id,
          |  COALESCE(p.n_features, 0) AS n_features,
          |  COALESCE(p.logit6, 0) AS logit6,
@@ -3209,6 +3233,28 @@ object PipelineQueries {
     // hash-equality here means the REAL streaming execution (file
     // micro-batches through the state store) reproduced the batch
     // aggregate bit-for-bit.
+    // The classifier gate (shared CTEs) + the streamed layout's
+    // closed form: kept docs in (doc_id mod 3, doc_id) order — batch
+    // files are the pmod partition in mtime order — with exclusive
+    // running token offsets and 512-token window spans.
+    "q129_streaming_curation" ->
+      s"""$classifierCteSql, kept AS (
+         |  SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS tk
+         |  FROM toks t JOIN perdoc p USING (doc_id)
+         |  WHERE p.n_features > 0 AND p.logit6 >= 0
+         |), laid AS (
+         |  SELECT doc_id, tk,
+         |    COALESCE(CAST(SUM(tk) OVER (ORDER BY doc_id % 3, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS so
+         |  FROM kept
+         |)
+         |SELECT doc_id, tk AS n_tokens, so AS start_offset,
+         |  CASE WHEN tk > 0 THEN so // 512 END AS first_window,
+         |  CASE WHEN tk > 0 THEN (so + tk - 1) // 512 END AS last_window,
+         |  TRUE AS replayed_multibatch
+         |FROM laid ORDER BY doc_id""".stripMargin,
+
     "q106_streaming_replay" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS n_events,

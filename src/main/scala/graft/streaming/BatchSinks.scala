@@ -67,6 +67,10 @@ object BatchSinks {
     // under-counting. Everything excludes batch i's own rows, which is
     // what makes a replay recompute the identical base whether or not
     // its earlier write completed.
+    // the batch frame feeds FOUR evaluations below (prefix-sum stats/
+    // totals/output + the batch total) and its upstream plan may be an
+    // arbitrary curation pipeline — evaluate it once
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val priorLayout = batchIds(outDir).filter(_ < batchId)
     // covered = batches with a COMMITTED totals ROW (read the data,
     // not the directory listing: a crash mid-totals-write leaves a
@@ -88,16 +92,19 @@ object BatchSinks {
         .agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .head().getLong(0)
     val base = fromTotals + fromManifest
-    val laid = graft.ops.Packing.tokenStreamOffsets(
-      df, idCol, tokensCol, window, nBuckets, base)
-    laid.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    // totals AFTER the layout: a crash between the two writes leaves
-    // this batch's totals row absent, and the replay (same batchId)
-    // rewrites both — prior batches' totals are complete by the time
-    // the stream advances past them
-    val total = df.agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
-      .head().getLong(0)
-    df.sparkSession.range(1).select(lit(total).as("n_tokens"))
-      .write.mode("overwrite").parquet(s"$outDir/_totals/batch_id=$batchId")
+    try {
+      val laid = graft.ops.Packing.tokenStreamOffsets(
+        cached, idCol, tokensCol, window, nBuckets, base)
+      laid.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // totals AFTER the layout: a crash between the two writes leaves
+      // this batch's totals row absent, and the replay (same batchId)
+      // rewrites both — prior batches' totals are complete by the time
+      // the stream advances past them
+      val total = cached
+        .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
+        .head().getLong(0)
+      cached.sparkSession.range(1).select(lit(total).as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$outDir/_totals/batch_id=$batchId")
+    } finally cached.unpersist(blocking = false)
   }
 }

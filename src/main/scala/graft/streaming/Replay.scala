@@ -123,6 +123,78 @@ object Replay {
     *    the sentinel's own session stays in state and is never
     *    emitted, so the emitted set is EXACTLY the batch session set.
     */
+  /** Replay `docs` through the FULL STREAMING CURATION-TO-LOADER
+    * composition (q120's streaming twin): classifier weights trained
+    * OFFLINE from the q122 seed convention (doc_id%7==0 positive,
+    * %7==3 negative), then each micro-batch of raw documents is
+    * quality-gated by the map-side scorer
+    * ([[graft.ops.Selection.scoreWithClassifier]] — a pure projection,
+    * stream-legal), token-counted, and appended EXACTLY-ONCE to the
+    * persisted GPT-style loader layout
+    * ([[BatchSinks.tokenStreamSink]]). Returns (the final layout,
+    * data batches observed).
+    *
+    * Determinism: batches are the fixed pmod(doc_id, nBatches) row
+    * partition with explicit strictly-increasing mtimes (one file per
+    * micro-batch, the q106 pattern), so foreachBatch's batchId order
+    * is the mtime order and the final layout is the closed form
+    * "kept docs in (doc_id mod nBatches, doc_id) order, offsets
+    * accumulated" — the q129 oracle replays it in SQL.
+    */
+  def curationLoaderReplay(spark: SparkSession, docs: DataFrame,
+      window: Long, nBatches: Int = 3, nBuckets: Int = 1024,
+      stageDir: String = null): (DataFrame, Int) = {
+    import graft.ops.{Selection, TextOps}
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir("curation"))
+    val outDir = s"${dir}_layout"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    try {
+      // offline model training (batch side — the deployment shape)
+      val (w, defw6) = Selection.collectClassifierWeights(
+        docs.where(col("doc_id") % 7 === 0),
+        docs.where(col("doc_id") % 7 === 3),
+        "doc_id", "text", nBuckets = nBuckets)
+      val feed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      for (k <- 0 until nBatches) {
+        feed.where(pmod(col("doc_id"), lit(nBatches)) === k)
+          .coalesce(1).write.mode("append").parquet(dir)
+        stampBatch(fs, path, seen, base, k)
+      }
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val gated = Selection.scoreWithClassifier(
+          src.withColumn("n_tokens",
+            TextOps.tokenCount(col("text")).cast("long")),
+          "doc_id", "text", w, defw6, nBuckets = nBuckets,
+          keepCols = Seq("n_tokens"))
+        .where(col("keep"))
+        .select("doc_id", "n_tokens")
+      val q = gated.writeStream
+        .foreachBatch(
+          BatchSinks.tokenStreamSink(outDir, "doc_id", "n_tokens", window) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val layout = spark.read.parquet(outDir)
+        .select("doc_id", "n_tokens", "start_offset",
+          "first_window", "last_window")
+        .localCheckpoint(true) // eager: the dirs are deleted below
+      (layout, dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+      fs.delete(outPath, true)
+    }
+  }
+
   def sessionizationReplay(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30, nBatches: Int = 3,
       stageDir: String = null): (DataFrame, Int) = {

@@ -62,6 +62,47 @@ class ReplaySpec extends SparkSpecBase {
     assert(streamed.count(_.head == 3L) == 1)
   }
 
+  test("streamed curation-to-loader equals the batch twin, over ≥3 micro-batches") {
+    import graft.ops.{Packing, Selection, TextOps}
+    // a corpus where the %7 seed split separates: positives clean
+    // prose, negatives shouty spam — probes of both kinds in between
+    val docs = (0L until 30L).map { i =>
+      val text =
+        if (i % 7 == 0) "the quick brown fox jumps over the lazy dog again"
+        else if (i % 7 == 3) "BUY NOW!!! 100% FREE $$$ CLICK CLICK"
+        else if (i % 2 == 0) "a quick brown dog jumps over the fox"
+        else "FREE $$$ BUY!!! NOW 100%"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val (layout, nBatches) = Replay.curationLoaderReplay(
+      spark, docs, window = 16L, nBatches = 3, nBuckets = 64)
+    assert(nBatches >= 3, s"expected ≥3 data batches, got $nBatches")
+    val got = layout.orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    // batch twin: distributed scorer's keep + one-pass layout in the
+    // batch-arrival total order (doc_id mod 3, doc_id)
+    val (w, defw6) = Selection.collectClassifierWeights(
+      docs.where(col("doc_id") % 7 === 0), docs.where(col("doc_id") % 7 === 3),
+      "doc_id", "text", nBuckets = 64)
+    val kept = Selection.scoreWithClassifier(docs, "doc_id", "text",
+        w, defw6, nBuckets = 64)
+      .where(col("keep")).select("doc_id")
+      .join(docs.withColumn("tk", TextOps.tokenCount(col("text")).cast("long")),
+        "doc_id")
+      .select(col("doc_id"), col("tk"))
+      .as[(Long, Long)].collect().sortBy(r => (r._1 % 3, r._1))
+    var off = 0L
+    val expected = kept.map { case (id, n) =>
+      val r = (id, n, off,
+        if (n > 0) Some(off / 16L) else None,
+        if (n > 0) Some((off + n - 1) / 16L) else None)
+      off += n
+      r
+    }.sortBy(_._1).toSeq
+    assert(got == expected, s"\n$got\nvs\n$expected")
+    assert(got.nonEmpty && got.size < 30, "gate must discriminate")
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

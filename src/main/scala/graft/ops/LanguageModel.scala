@@ -32,6 +32,58 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** Corpus-level COLLOCATION extraction (Church & Hanks 1990 PMI):
+    * adjacent word pairs whose pointwise mutual information
+    * `ln(p(a,b) / (p(a)·p(b)))` clears a minimum occurrence floor —
+    * the phrase-discovery signal ("new york" scores high, "of the"
+    * low) a tokenizer-vocabulary or boilerplate analysis consumes.
+    *
+    * Exactness: all counts are exact longs; the PMI double is the
+    * FIXED expression shape `(ln c_ab + 2·ln U − ln T − ln c_a −
+    * ln c_b)` — every term a correctly-rounded ln of an exact
+    * integer, combined in one deterministic order (never a single ln
+    * of a product, whose integer operand would overflow double
+    * exactness past ~9·10¹⁵ at corpus scale) — then floor-quantized
+    * to a scale-6 long. Both engines replay the identical IEEE
+    * sequence, so every pmi6 hash-matches.
+    *
+    * `minCount` keeps rare-pair noise out (PMI's known bias toward
+    * hapax pairs) AND bounds the output: pairs ≤ T/minCount. Scale:
+    * two hash aggregates (pair and unigram counts, map-side partial),
+    * two 1-row broadcast totals, one vocab-sized join per side —
+    * never anything corpus²-shaped.
+    *
+    * Output: (a, b, n_pair, pmi6), one row per surviving pair.
+    */
+  def collocationsPmi(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be ≥ 1, got $minCount")
+    val toks = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(col(idCol).cast("long").as("doc"),
+        TextOps.tokens(col(textCol)).as("w"))
+    val grams = toks.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS a, w[i] AS b))")).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+    val pairC = grams.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uniC = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val totPairs = grams.agg(count(lit(1)).as("tp"))
+    val totUni = uniC.agg(coalesce(sum(col("cu")), lit(0L)).as("tu"))
+    pairC
+      .join(uniC.select(col("t").as("a"), col("cu").as("ca")), Seq("a"))
+      .join(uniC.select(col("t").as("b"), col("cu").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totPairs)).crossJoin(broadcast(totUni))
+      .select(col("a"), col("b"), col("n_pair"),
+        floor((log(col("n_pair").cast("double")) +
+          lit(2.0) * log(col("tu").cast("double")) -
+          log(col("tp").cast("double")) -
+          log(col("ca").cast("double")) -
+          log(col("cb").cast("double"))) * lit(1000000.0)).as("pmi6"))
+  }
+
   /** Per-document bigram cross-entropy under a self-trained add-one
     * bigram LM, grouped per `langCol`.
     *

@@ -296,4 +296,44 @@ object Retrieval {
             col("n_relevant").cast("double"))
           .otherwise(lit(0.0)).as("recall_at_k"))
   }
+
+  /** Per-document TF-IDF keyword extraction: each document's `k` top
+    * terms by `tf · idf6` with `idf6 = floor(10⁶ · ln((N+1)/(df+1)))`
+    * (add-one smoothed, scale-6 quantized — the q83 ln discipline, so
+    * the score is an exact long product and the ranking replays in
+    * any engine; ties break term-ascending). The keyword/topic-label
+    * signal a corpus browser or dedup-explainer consumes.
+    *
+    * Scale: per-(doc, term) counts and docfreq are two hash
+    * aggregates over the same postings explode (map-side partial);
+    * the idf side is vocab-bounded (auto-broadcasts under the
+    * threshold, degrades to a vocab×1 shuffle join above it); the
+    * top-k window partitions per doc over that doc's own distinct
+    * terms — never a global sort.
+    *
+    * Output: (doc_id, term, tf, score6, rk), rk 1-based.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"tfidfTopTerms: k=$k")
+    val toks = graft.engine.Tables.fanOut(docs.sparkSession, docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("w"))
+    val posting = toks.select(col("doc_id"), explode(col("w")).as("term"))
+    val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("term"),
+        floor(log((col("n").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))) * lit(1000000.0)).as("idf6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score6").desc, col("term"))
+    tf.join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * col("idf6")).as("score6"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

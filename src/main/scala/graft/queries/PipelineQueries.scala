@@ -114,6 +114,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Per-doc TF-IDF keywords: top-5 terms by tf·idf6 (add-one
+    // smoothed, scale-6 quantized ln — exact long scores, ranking
+    // replays in SQL; term-asc tiebreak).
+    "q130_tfidf_keywords" -> { (s, dir) =>
+      Retrieval.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk")
+    },
+
+    // Corpus collocations (Church & Hanks PMI): adjacent pairs with
+    // ≥ 5 occurrences scored by the fixed sum-of-lns expression shape
+    // (each ln of an exact integer, floor-quantized) — hash-exact.
+    "q131_pmi_collocations" -> { (s, dir) =>
+      LanguageModel.collocationsPmi(Tables.documents(s, dir),
+          "doc_id", "text", minCount = 5L)
+        .orderBy("a", "b")
+    },
+
     // Quality-phased curriculum order — the anneal recipe: phase =
     // thresholds cleared by q19's quality composite (0.5 / 0.9461,
     // both known to split the fixture at every scale), within-phase
@@ -1787,6 +1804,59 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q130_tfidf_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), posting AS (
+         |  SELECT doc_id, unnest(w) AS term FROM toks
+         |), tf AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM posting GROUP BY doc_id, term
+         |), dfq AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |), idf AS (
+         |  SELECT term, CAST(floor(ln((CAST(n.n AS DOUBLE) + 1.0)
+         |    / (CAST(df AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT) AS idf6
+         |  FROM dfq CROSS JOIN n
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    CAST(tf.tf * idf.idf6 AS BIGINT) AS score6,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * idf.idf6 DESC, tf.term) AS INT) AS rk
+         |  FROM tf JOIN idf USING (term)
+         |)
+         |SELECT doc_id, term, tf, score6, rk FROM scored
+         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "q131_pmi_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), grams AS (
+         |  SELECT w[i] AS a, w[i+1] AS b
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+         |        FROM toks WHERE len(w) >= 2)
+         |), pairc AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair
+         |  FROM grams GROUP BY a, b HAVING COUNT(*) >= 5
+         |), unic AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+         |), tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp FROM grams
+         |), tu AS (SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS tu FROM unic
+         |)
+         |SELECT p.a, p.b, p.n_pair,
+         |  CAST(floor((ln(CAST(p.n_pair AS DOUBLE))
+         |    + 2.0 * ln(CAST(tu.tu AS DOUBLE))
+         |    - ln(CAST(tp.tp AS DOUBLE))
+         |    - ln(CAST(ua.cu AS DOUBLE))
+         |    - ln(CAST(ub.cu AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi6
+         |FROM pairc p
+         |JOIN unic ua ON ua.t = p.a
+         |JOIN unic ub ON ub.t = p.b
+         |CROSS JOIN tp CROSS JOIN tu
+         |ORDER BY p.a, p.b""".stripMargin,
+
     // q19's quality CTEs + phase counting + the q111 permutation and
     // ROW_NUMBER stream position.
     "q128_curriculum_order" ->

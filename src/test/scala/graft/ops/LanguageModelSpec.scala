@@ -132,4 +132,35 @@ class LanguageModelSpec extends SparkSpecBase {
     assert(got._3 == 2L && got._7 == 2L)
     assert(got._4 == 2 * q(0.4 * 0.4 * 1.0), got)
   }
+
+  test("collocationsPmi: collocated pairs score high, floor filters rare pairs") {
+    // "new york" always adjacent; "the of" never; "a b" only twice
+    val docs = Seq(
+      (1L, "new york is big and new york is old"),
+      (2L, "people love new york a b"),
+      (3L, "new york again a b")).toDF("doc_id", "text")
+    val got = LanguageModel.collocationsPmi(docs, "doc_id", "text",
+        minCount = 3L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.contains(("new", "york")), got)
+    assert(got(("new", "york"))._1 == 4L)
+    assert(!got.contains(("a", "b")), "below the floor")
+    // exact recompute of the fixed sum-of-lns shape
+    val allTokens = Seq("new york is big and new york is old",
+      "people love new york a b", "new york again a b")
+      .flatMap(_.split(" "))
+    val tu = allTokens.size.toDouble
+    val tp = (allTokens.size - 3).toDouble // pairs = tokens - docs
+    val ca = allTokens.count(_ == "new").toDouble
+    val cb = allTokens.count(_ == "york").toDouble
+    val expect = math.floor((math.log(4.0) + 2.0 * math.log(tu) -
+      math.log(tp) - math.log(ca) - math.log(cb)) * 1e6).toLong
+    assert(got(("new", "york"))._2 == expect,
+      s"${got(("new", "york"))._2} != $expect")
+    // PMI of a perfect collocation is positive
+    assert(got(("new", "york"))._2 > 0L)
+    intercept[IllegalArgumentException](
+      LanguageModel.collocationsPmi(docs, "doc_id", "text", minCount = 0L))
+  }
 }

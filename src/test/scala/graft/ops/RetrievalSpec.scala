@@ -238,4 +238,31 @@ class RetrievalSpec extends SparkSpecBase {
       Retrieval.retrievalMetrics(ranked, rel.unionAll(rel.limit(1)), k = 10))
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("tfidfTopTerms matches the exact quantized recompute; rare terms outrank stopwords") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "the zebra zebra zebra"))
+    val df = docs.toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk")
+      .as[(Long, String, Long, Long, Int)].collect().toSeq
+    // independent recompute
+    val bags = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = docs.size
+    val dfm = bags.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def idf6(t: String) = math.floor(math.log((n + 1.0) / (dfm(t) + 1.0)) * 1e6).toLong
+    got.foreach { case (id, term, tf, score6, _) =>
+      val expTf = bags.find(_._1 == id).get._2.count(_ == term).toLong
+      assert(tf == expTf && score6 == tf * idf6(term), s"$id/$term")
+    }
+    // doc 3's top term: zebra (tf 3, df 1) far above 'the'
+    assert(got.find(r => r._1 == 3L && r._5 == 1).get._2 == "zebra")
+    // 'the' appears in every doc → idf6 = floor(ln(4/4)·1e6) = 0 → score 0
+    assert(got.filter(_._2 == "the").forall(_._4 == 0L))
+    // exactly ≤ k rows per doc, ranks contiguous from 1
+    assert(got.groupBy(_._1).values.forall(rs =>
+      rs.map(_._5).sorted == (1 to rs.size)))
+  }
 }

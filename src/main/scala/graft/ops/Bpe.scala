@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * tie-resolutions; this one is chosen because it is exactly
   * reproducible in any engine with standard REPLACE semantics.
   */
-object Bpe {
+object Bpe extends org.apache.spark.internal.Logging {
 
   /** Space-padded char-symbol string of a word: "the" → " t h e ". */
   private def symbolize(word: org.apache.spark.sql.Column) =
@@ -128,6 +128,15 @@ object Bpe {
     // ≤ cap rows cross to the driver — bounded by construction
     val sampled = sampleVocabulary(vocabulary(docs, textCol), vocabSampleCap)
       .collect().map(r => (r.getLong(0), r.getString(1)))
+    // a full sample means the vocabulary (almost certainly) exceeded
+    // the cap: discovery then runs on a uniform hash SAMPLE — learned
+    // rules can diverge from full-vocabulary BPE and pair_count values
+    // are sample counts. Callers deserve a runtime signal, not silence.
+    if (sampled.length >= vocabSampleCap)
+      logWarning(s"BPE merge discovery vocabulary hit vocabSampleCap=" +
+        s"$vocabSampleCap: rules are learned from a hash sample, " +
+        "pair_count values are sample counts (raise the cap for exact " +
+        "full-vocabulary training)")
     val rules = mergesInMemory(sampled, nMerges)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(

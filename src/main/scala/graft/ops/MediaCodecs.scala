@@ -381,10 +381,15 @@ object MediaCodecs {
       catch {
         case e: java.io.IOException =>
           throw new IllegalArgumentException(s"corrupt $fmt: ${e.getMessage}")
-        // ImageIO's PNG plugin can surface crafted-header corruption
-        // as NegativeArraySizeException / IndexOutOfBounds — still a
-        // corrupt payload, still quarantine, never a stage kill
-        case e: RuntimeException =>
+        // ImageIO's PNG plugin surfaces crafted-header corruption as
+        // NegativeArraySize / IndexOutOfBounds / IllegalArgument —
+        // still a corrupt payload, still quarantine, never a stage
+        // kill. The catch is NARROW on purpose: an NPE or a plugin
+        // defect is a genuine bug and must surface, not be silently
+        // filed as one more corrupt row.
+        case e @ (_: NegativeArraySizeException |
+                  _: IndexOutOfBoundsException |
+                  _: IllegalArgumentException) =>
           throw new IllegalArgumentException(s"corrupt $fmt: ${e.getClass.getSimpleName}")
       }
     if (img == null)
@@ -416,7 +421,12 @@ object MediaCodecs {
       y += 1
     }
     val n = 3L * w * h
-    Decoded(fmt, w, h, 3, 0, 0L, if (n == 0) 0.0 else sum.toDouble / n)
+    // channels = the container's NATIVE component count (a grayscale
+    // or palette PNG is 1, CMYK JPEG 4) — not a hardcoded 3. The mean
+    // stays the sRGB-converted 3-channel mean regardless (getRGB is
+    // the deterministic, container-independent view).
+    Decoded(fmt, w, h, img.getColorModel.getNumComponents, 0, 0L,
+      if (n == 0) 0.0 else sum.toDouble / n)
   }
 
   /** Decode PNG container facts + mean pixel byte (JDK codec). */

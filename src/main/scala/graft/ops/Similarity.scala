@@ -979,13 +979,21 @@ object Similarity {
     val bwd = bwdRanked
       .select(col("query_id").as("tgt_id"), col("neighbor_id").as("src_id"),
         c9(col("cosine")).as("c9"))
-    val sumF = fwd.groupBy("src_id").agg(sum(col("c9")).as("sum_f9"))
-    val sumB = bwd.groupBy("tgt_id").agg(sum(col("c9")).as("sum_b9"))
+    // neighborhood sums carry their ACTUAL member counts: a side with
+    // fewer than k neighbors (corpus < k, null-cosine rows excluded by
+    // rankTopK) must average over what it has — dividing by k there
+    // deviates from the Artetxe–Schwenk ratio margin. When both sides
+    // saturate (the usual regime), cnt_f + cnt_b = 2k and the value is
+    // bit-identical to the fixed-2k form.
+    val sumF = fwd.groupBy("src_id")
+      .agg(sum(col("c9")).as("sum_f9"), count(col("c9")).as("cnt_f"))
+    val sumB = bwd.groupBy("tgt_id")
+      .agg(sum(col("c9")).as("sum_b9"), count(col("c9")).as("cnt_b"))
     def withMargin(pairs: DataFrame): DataFrame = pairs
       .join(sumF, Seq("src_id")).join(sumB, Seq("tgt_id"))
       .withColumn("margin",
         when(col("sum_f9") + col("sum_b9") > 0,
-          (col("c9") * lit(2L * k)).cast("double") /
+          (col("c9") * (col("cnt_f") + col("cnt_b"))).cast("double") /
             (col("sum_f9") + col("sum_b9")).cast("double")))
     // forward best target per source / backward best source per target
     // — both by (margin desc, partner id asc), k-bounded inputs

@@ -49,4 +49,25 @@ object Sketches {
     import spark.implicits._
     keys.map(k => (k, cms.estimateCount(k))).toDF("key", "est")
   }
+
+  /** Bounded monitored-key derivation for heavy-hitter queries: the
+    * distinct key domain, collected ONLY when it fits `cap` — a
+    * heavy-hitter sketch query must never distinct-collect an
+    * unbounded domain to the driver (at corpus scale the candidate
+    * set should come from the sketch itself or a top-k aggregate).
+    * `cap + 1` rows are fetched so the overflow is DETECTED, then the
+    * contract fails loudly instead of silently monitoring a truncated
+    * key set.
+    */
+  def monitoredKeys(df: DataFrame, c: Column, cap: Int = 1000): Seq[String] = {
+    require(cap >= 1, s"monitoredKeys: cap=$cap")
+    val keys = df.select(c.cast("string").as("__k")).where(c.isNotNull)
+      .distinct().orderBy("__k").limit(cap + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(keys.length <= cap,
+      s"monitoredKeys: key domain exceeds cap=$cap — derive heavy-hitter " +
+        "candidates from a bounded top-k (or raise the cap deliberately) " +
+        "instead of collecting an unbounded domain")
+    keys
+  }
 }

@@ -3442,19 +3442,21 @@ object PipelineQueries {
         |        ORDER BY cosine DESC, src_id) AS rnk
         |    FROM cosv) WHERE rnk <= 4
         |), sf AS (
-        |  SELECT src_id, CAST(SUM(c9) AS BIGINT) AS sum_f9 FROM fwd GROUP BY src_id
+        |  SELECT src_id, CAST(SUM(c9) AS BIGINT) AS sum_f9,
+        |    CAST(COUNT(c9) AS BIGINT) AS cnt_f FROM fwd GROUP BY src_id
         |), sb AS (
-        |  SELECT tgt_id, CAST(SUM(c9) AS BIGINT) AS sum_b9 FROM bwd GROUP BY tgt_id
+        |  SELECT tgt_id, CAST(SUM(c9) AS BIGINT) AS sum_b9,
+        |    CAST(COUNT(c9) AS BIGINT) AS cnt_b FROM bwd GROUP BY tgt_id
         |), fm AS (
         |  SELECT f.src_id, f.tgt_id, f.cosine,
         |    CASE WHEN sf.sum_f9 + sb.sum_b9 > 0
-        |         THEN CAST(f.c9 * 8 AS DOUBLE)
+        |         THEN CAST(f.c9 * (sf.cnt_f + sb.cnt_b) AS DOUBLE)
         |              / CAST(sf.sum_f9 + sb.sum_b9 AS DOUBLE) END AS margin
         |  FROM fwd f JOIN sf USING (src_id) JOIN sb USING (tgt_id)
         |), bm AS (
         |  SELECT b.src_id, b.tgt_id,
         |    CASE WHEN sf.sum_f9 + sb.sum_b9 > 0
-        |         THEN CAST(b.c9 * 8 AS DOUBLE)
+        |         THEN CAST(b.c9 * (sf.cnt_f + sb.cnt_b) AS DOUBLE)
         |              / CAST(sf.sum_f9 + sb.sum_b9 AS DOUBLE) END AS margin
         |  FROM bwd b JOIN sf USING (src_id) JOIN sb USING (tgt_id)
         |), bestf AS (

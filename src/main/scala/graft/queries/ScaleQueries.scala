@@ -80,8 +80,9 @@ object ScaleQueries {
     // per-key counts ride along exactly.
     "q52_countmin_topk" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val keys = ev.select("event_type").distinct()
-        .orderBy("event_type").collect().map(_.getString(0)).toSeq
+      // bounded monitored-key derivation (loud failure past the cap —
+      // never an unbounded distinct-collect to the driver)
+      val keys = Sketches.monitoredKeys(ev, col("event_type"))
       val eps = 1e-3
       val est = Sketches.countMinEstimates(ev, col("event_type"), keys, eps = eps)
       val truth = ev.groupBy(col("event_type").as("key"))

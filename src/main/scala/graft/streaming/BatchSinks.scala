@@ -72,17 +72,44 @@ object BatchSinks {
     // arbitrary curation pipeline — evaluate it once
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val priorLayout = batchIds(outDir).filter(_ < batchId)
-    // covered = batches with a COMMITTED totals ROW (read the data,
-    // not the directory listing: a crash mid-totals-write leaves a
-    // rowless directory that must count as uncovered, not as zero)
+    // covered = batches with a COMMITTED totals ROW. Gate the read on
+    // the presence of an actual data file, not directory names: a
+    // crash between creating _totals/batch_id=N and committing its
+    // parquet (the very first batch especially) leaves a footer-less
+    // tree, and spark.read.parquet on it throws "unable to infer
+    // schema". Such a tree counts as fully uncovered — every prior
+    // batch falls back to the manifest sum, which is correct (slower,
+    // never wrong). Committer temp dirs (`_temporary`, dot-files) are
+    // not data.
+    def hasDataFiles(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(path) && {
+        val it = fs.listFiles(path, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          found = f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
+    }
     val totalsRows: Map[Long, Long] =
-      if (batchIds(s"$outDir/_totals").isEmpty) Map.empty
-      else spark.read.parquet(s"$outDir/_totals")
-        .where(col("batch_id") < batchId)
-        // the hive partition column infers as INT for small ids —
-        // normalize before the typed collect
-        .select(col("batch_id").cast("long"), col("n_tokens").cast("long"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (!hasDataFiles(s"$outDir/_totals")) Map.empty
+      else
+        try spark.read.parquet(s"$outDir/_totals")
+          .where(col("batch_id") < batchId)
+          // the hive partition column infers as INT for small ids —
+          // normalize before the typed collect
+          .select(col("batch_id").cast("long"), col("n_tokens").cast("long"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        catch {
+          // belt over the braces: an undecodable tree (e.g. a non-empty
+          // but footer-less fragment from an exotic committer) degrades
+          // to "nothing covered" instead of wedging the stream
+          case _: org.apache.spark.sql.AnalysisException => Map.empty
+        }
     val fromTotals = totalsRows.values.sum
     val uncovered = priorLayout.filterNot(totalsRows.keySet)
     val fromManifest =

@@ -275,6 +275,28 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rp, rq))
   }
 
+  test("grayscale PNG reports its native channel count, not a hardcoded 3") {
+    // the ADVICE r9 finding: a real web corpus carries gray/palette
+    // PNGs — the container fact must reflect the color model
+    val (w, h) = (6, 5)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = pix((y.toLong * w + x) * 3)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val d = MediaCodecs.decode(out.toByteArray)
+    assert(d.format == "png" && d.width == w && d.height == h)
+    assert(d.channels == 1, s"grayscale PNG must report 1 channel, got ${d.channels}")
+    // the mean stays the deterministic sRGB-converted view (the raw
+    // gray byte is NOT pinned: TYPE_BYTE_GRAY's linear-gray→sRGB
+    // conversion is not identity — a known AWT behavior)
+    assert(d.meanVal >= 0.0 && d.meanVal <= 255.0)
+    assert(MediaCodecs.decode(out.toByteArray).meanVal == d.meanVal)
+  }
+
   test("JPEG: deterministic dims/channels through the JDK codec (lossy: no mean pin)") {
     val (w, h) = (16, 12)
     val bytes = MediaCodecs.encodeJpeg(w, h, pix)

@@ -633,6 +633,20 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("bitextMine: sub-k neighborhoods average over actual counts, not k") {
+    // 1 source × 1 target with k=4: both neighborhoods hold ONE member,
+    // so the Artetxe–Schwenk margin is c9·(1+1)/(c9+c9) = 1.0 exactly;
+    // the old fixed-2k denominator would have reported 4.0 (averaging
+    // a 1-member neighborhood over k). The ADVICE r9 finding.
+    val src = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 4)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(3) == 1.0,
+      s"sub-k margin must average over actual counts: got ${got.head.getDouble(3)}")
+  }
+
   test("bitextMine: threshold gates mined; custom topKFn path is honored") {
     val src = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val tgt = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))

@@ -43,6 +43,19 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("monitoredKeys: bounded domain collects; an over-cap domain fails loudly") {
+    val small = Seq("a", "b", "c", "b", null).toDF("k")
+    assert(Sketches.monitoredKeys(small, col("k"), cap = 10) == Seq("a", "b", "c"))
+    // exactly-at-cap is fine
+    assert(Sketches.monitoredKeys(small, col("k"), cap = 3).length == 3)
+    // past the cap: loud failure, never a silently truncated key set
+    val wide = (0 until 50).map(i => f"k$i%03d").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.monitoredKeys(wide, col("k"), cap = 49)
+    }
+    assert(e.getMessage.contains("exceeds cap"))
+  }
+
   test("percentile_approx rank error is within the accuracy bound") {
     // 10k distinct values 0..9999: exact pth percentile ~ p*9999
     val vals = (0 until 10000).map(_.toDouble).toDF("v")

@@ -99,4 +99,39 @@ class BatchSinksSpec extends SparkSpecBase {
       .select("start_offset").as[Long].head()
     assert(off3 == 50L, s"mixed-generation base must be 40+10, got $off3")
   }
+
+  test("tokenStreamSink: a footer-less _totals tree (crash between layout " +
+      "and totals writes) does not wedge the stream") {
+    // the ADVICE r9 medium finding: a crash AFTER creating
+    // _totals/batch_id=N but BEFORE committing its parquet leaves a
+    // directory with no data file; spark.read.parquet on it throws
+    // "unable to infer schema". The sink must treat that tree as fully
+    // uncovered (manifest fallback), not die in base computation.
+    val out = Files.createTempDirectory("graft_tssink3").toString
+    // batch 0's layout committed, its totals dir created but rowless —
+    // exactly the crash-between-writes remnant
+    Seq((1L, 40L)).toDF("doc_id", "n_tokens")
+      .withColumn("start_offset", lit(0L))
+      .withColumn("first_window", lit(0L)).withColumn("last_window", lit(0L))
+      .write.parquet(s"$out/batch_id=0")
+    Files.createDirectories(java.nio.file.Paths.get(out, "_totals", "batch_id=0"))
+    // a zero-byte fragment must count as no-data too
+    Files.createFile(
+      java.nio.file.Paths.get(out, "_totals", "batch_id=0", "part-00000.parquet"))
+    // the replayed stream advances: batch 1 must derive base=40 from
+    // the manifest and overwrite nothing it doesn't own
+    BatchSinks.tokenStreamSink(out, "doc_id", "n_tokens", window = 64L)(
+      Seq((2L, 10L)).toDF("doc_id", "n_tokens"), 1L)
+    val off2 = spark.read.parquet(out).where("doc_id = 2")
+      .select("start_offset").as[Long].head()
+    assert(off2 == 40L, s"footer-less _totals must fall back to manifest, got $off2")
+    // and the very-first-batch shape: ONLY the rowless _totals exists
+    val out2 = Files.createTempDirectory("graft_tssink4").toString
+    Files.createDirectories(java.nio.file.Paths.get(out2, "_totals", "batch_id=0"))
+    BatchSinks.tokenStreamSink(out2, "doc_id", "n_tokens", window = 64L)(
+      Seq((7L, 20L)).toDF("doc_id", "n_tokens"), 0L)
+    val off7 = spark.read.parquet(out2).where("doc_id = 7")
+      .select("start_offset").as[Long].head()
+    assert(off7 == 0L, s"first-batch replay over a rowless _totals must lay out at 0, got $off7")
+  }
 }

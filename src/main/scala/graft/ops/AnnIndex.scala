@@ -13,31 +13,90 @@ import graft.functions.cosineExact
   * Layout under `dir`:
   *   - `centroids.parquet` — (cell INT, centroid ARRAY<DOUBLE>), ≤
   *     [[Similarity.MaxAdaptiveCells]] rows.
-  *   - `postings.parquet/cell=N/…` — (vec_id, vec, q_codes, q_scale),
-  *     HIVE-PARTITIONED by cell: the on-disk analogue of IVF inverted
-  *     lists. A search that probes p cells reads exactly p partition
-  *     directories — partition pruning IS the inverted-list seek, and
-  *     the int8 codes ride along for the quantized-shortlist path.
+  *   - `postings.parquet/gen=G/cell=N/…` — (vec_id, vec, q_codes,
+  *     q_scale), HIVE-PARTITIONED by generation and cell. `cell` is
+  *     the on-disk analogue of IVF inverted lists: a search that
+  *     probes p cells reads exactly p cell directories per generation
+  *     — partition pruning IS the inverted-list seek, and the int8
+  *     codes ride along for the quantized-shortlist path. `gen` is
+  *     the APPEND generation: gen=0 is the base build, each
+  *     [[appendToIvfIndex]] call owns one gen=G directory it can
+  *     overwrite idempotently (the
+  *     [[graft.streaming.BatchSinks.idempotentParquet]] discipline) —
+  *     a replayed append rewrites itself instead of duplicating.
+  *   - `_meta/gen=G/…` — one (n_vectors) row per generation,
+  *     underscore-hidden from the postings read; O(generations) rows
+  *     total, the input to [[appendedFraction]]'s retrain-drift
+  *     signal.
   *
   * Scale notes: centroid training is the bounded-sample discipline
   * ([[Similarity.trainIvfCentroids]]); the postings write is one
   * corpus pass + a cell-key shuffle (the write repartitions by cell so
   * each partition directory is written by few tasks, not one file per
-  * task per cell). Search never scans unprobed cells.
+  * task per cell). Search never scans unprobed cells. Appends assign
+  * against the STORED centroids — the coarse quantizer is frozen
+  * between retrains, which is exactly what makes build(A)+append(B)
+  * search result-identical to rebuild(A++B) under the same centroids
+  * (driver-checked, q132).
   */
 object AnnIndex {
+
+  private def hadoopDelete(spark: SparkSession, p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Assign + quantize + co-locate one batch of vectors for a
+    * generation directory write (shared by build and append).
+    */
+  private def postedFrame(docs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    Similarity.ivfAssign(
+        Similarity.withQuantizedInt8(
+          docs.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec"),
+        "vec", cents)
+      // co-locate each cell before the partitioned write: without this
+      // every task writes a file into every cell directory (tasks ×
+      // cells small files — the classic partitionBy explosion)
+      .repartition(col("cell"))
+
+  /** Write one generation's postings + its _meta count row. The count
+    * rides the postings write as an Observation (no second scan); the
+    * meta row is written AFTER the postings so a crash between the two
+    * leaves the generation visibly uncovered and the replay (same gen)
+    * rewrites both — the `tokenStreamSink` ordering discipline.
+    */
+  private def writeGeneration(spark: SparkSession, dir: String, gen: Long,
+      posted: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    posted.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/postings.parquet/gen=$gen")
+    val n = obs.get("n").asInstanceOf[Long]
+    spark.range(1).select(lit(n).as("n_vectors"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_meta/gen=$gen")
+    n
+  }
 
   /** Train + persist. Returns the trained centroids (also persisted).
     * `corpus` needs only (idCol, vecCol); vectors with corrupt
     * elements follow the training quarantine and quantize to null
-    * codes ([[Similarity.withQuantizedInt8]]).
+    * codes ([[Similarity.withQuantizedInt8]]). Pass `centroids` to
+    * build under a PRE-TRAINED coarse quantizer (the rebuild-after-
+    * appends shape: retraining the quantizer is a separate decision
+    * from re-laying-out the postings — see [[appendedFraction]]).
+    * A (re)build resets the generation tree: stale appends from a
+    * previous index at the same path are deleted first.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nCells: Int, iters: Int = 2,
-      corpusRowsHint: Option[Long] = None): Seq[Seq[Double]] = {
+      corpusRowsHint: Option[Long] = None,
+      centroids: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
-    val cents = Similarity.trainIvfCentroids(
-      corpus, idCol, vecCol, nCells, iters, corpusRowsHint = corpusRowsHint)
+    val cents = centroids.getOrElse(Similarity.trainIvfCentroids(
+      corpus, idCol, vecCol, nCells, iters, corpusRowsHint = corpusRowsHint))
+    require(cents.nonEmpty, "buildIvfIndex: no centroids")
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
@@ -48,17 +107,60 @@ object AnnIndex {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType), nullable = false))))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
-    val posted = Similarity.ivfAssign(
-        Similarity.withQuantizedInt8(
-          corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec"),
-        "vec", cents)
-      // co-locate each cell before the partitioned write: without this
-      // every task writes a file into every cell directory (tasks ×
-      // cells small files — the classic partitionBy explosion)
-      .repartition(col("cell"))
-    posted.write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$dir/postings.parquet")
+    // a rebuild owns the WHOLE tree: per-generation overwrite below
+    // only truncates gen=0, so stale higher generations must go first
+    hadoopDelete(spark, s"$dir/postings.parquet")
+    hadoopDelete(spark, s"$dir/_meta")
+    writeGeneration(spark, dir, 0L,
+      postedFrame(corpus, idCol, vecCol, cents))
     cents
+  }
+
+  /** Incremental append — the hourly-ingest path between nightly
+    * retrains: assign `newDocs` against the STORED centroids and write
+    * them as generation `gen` of the postings tree. EXACTLY-ONCE in
+    * `gen`: the write overwrites `postings.parquet/gen=G` wholesale,
+    * so a crashed or replayed append (same gen) rewrites itself and
+    * can never duplicate rows; distinct appends must use distinct
+    * gens ≥ 1 (a streaming caller passes its micro-batch id). The
+    * generation's exact vector count lands in `_meta/gen=G` AFTER the
+    * postings commit, feeding [[appendedFraction]]'s retrain trigger.
+    *
+    * Search needs no append awareness: `cell` stays a partition
+    * column of every generation, so probed-cell pruning reads p cell
+    * directories per generation — seek cost grows O(generations),
+    * which is why a drift threshold should fold appends back into a
+    * rebuild. Appended ids are expected DISJOINT from stored ids
+    * (re-ingesting an id leaves two candidate rows for it; use the
+    * snapshot-diff operator to split adds from updates upstream).
+    *
+    * Returns the number of vectors appended.
+    */
+  def appendToIvfIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, vecCol: String, gen: Long): Long = {
+    require(gen >= 1, s"gen 0 is the base build; appends start at 1 (got $gen)")
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, s"empty index at $dir")
+    writeGeneration(spark, dir, gen, postedFrame(newDocs, idCol, vecCol, cents))
+  }
+
+  /** Appended-vector mass relative to the base build — the drift
+    * signal a retrain threshold watches (e.g. rebuild once appends
+    * exceed 20% of the base: the frozen quantizer was trained on a
+    * corpus that no longer looks like the index). O(generations) rows
+    * read; crashed appends (postings committed, meta row not yet)
+    * under-count until their replay completes — monotone and safe for
+    * a ≥-threshold trigger.
+    */
+  def appendedFraction(spark: SparkSession, dir: String): Double = {
+    val meta = spark.read.parquet(s"$dir/_meta")
+      .select(col("gen").cast("long"), col("n_vectors").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = meta.filter(_._1 == 0L).map(_._2).sum
+    val appended = meta.filter(_._1 > 0L).map(_._2).sum
+    if (base > 0L) appended.toDouble / base.toDouble
+    else if (appended > 0L) Double.PositiveInfinity
+    else 0.0
   }
 
   /** Stored centroids in cell order — the search-time coarse

@@ -337,6 +337,56 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // Incremental append to the persisted IVF index (the hourly-ingest
+    // path between nightly retrains): the base corpus builds the index
+    // and trains the coarse quantizer; the delta appends against the
+    // STORED centroids into its own postings generation. Contract row:
+    // build(A) + append(B) search is IDENTICAL result-for-result (ids,
+    // ranks, exact cosines) to rebuild(A++B) under the same stored
+    // quantizer, and the per-generation _meta counts read back as the
+    // EXACT base/delta cardinalities (the drift-trigger artifact —
+    // write+read fidelity inside the oracle row, the q124 pattern).
+    "q132_ann_index_append" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q132_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val a = e.where(col("vec_id") % 3 =!= 0) // base ingest
+        val b = e.where(col("vec_id") % 3 === 0) // hourly delta
+        val cents = AnnIndex.buildIvfIndex(a, "vec_id", "embedding",
+          s"$tmp/inc", nCells = 8, iters = 3)
+        AnnIndex.appendToIvfIndex(s, s"$tmp/inc", b, "vec_id", "embedding",
+          gen = 1L)
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/full",
+          nCells = 8, centroids = Some(cents))
+        val q = e.where(col("vec_id") < 10)
+        val viaAppend = AnnIndex.searchIvfIndex(s, s"$tmp/inc", q,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        val viaRebuild = AnnIndex.searchIvfIndex(s, s"$tmp/full", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        val agree = viaAppend
+          .join(viaRebuild, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"))
+        // the drift artifact, READ BACK: O(generations) rows
+        val meta = s.read.parquet(s"$tmp/inc/_meta")
+          .select(col("gen").cast("long"), col("n_vectors").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nBase = meta.filter(_._1 == 0L).map(_._2).sum
+        val nAppended = meta.filter(_._1 > 0L).map(_._2).sum
+        agree.select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            lit(nBase).as("n_base"), lit(nAppended).as("n_appended"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // Dataset versioning: the snapshot diff a promotion gate audits
     // before retraining on a refreshed crawl. Two deterministic
     // derived snapshots of the documents table (v_old drops doc_id %
@@ -375,6 +425,12 @@ object OrchestrationQueries {
     "q126_ann_index_persist" ->
       """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS scan_pruned,
         |  TRUE AS quant_match
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q132_ann_index_append" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0) AS n_base,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0) AS n_appended
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q113_snapshot_diff" ->

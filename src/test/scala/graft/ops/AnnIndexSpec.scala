@@ -46,8 +46,100 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(oneCell < all)
     // round-trip: every corpus vector is in exactly one cell
     assert(post.count() == 40 && post.select("vec_id").distinct().count() == 40)
-    // the int8 codes ride along for the quantized path
-    assert(post.columns.toSet == Set("vec_id", "vec", "q_codes", "q_scale", "cell"))
+    // the int8 codes ride along for the quantized path; gen is the
+    // append-generation partition column (gen=0 = base build)
+    assert(post.columns.toSet ==
+      Set("vec_id", "vec", "q_codes", "q_scale", "cell", "gen"))
+    assert(post.select("gen").distinct().collect().map(_.get(0).toString).toSeq
+      == Seq("0"))
+  }
+
+  // ---- incremental append ------------------------------------------------
+
+  test("build(A) + append(B) search is result-identical to rebuild(A++B) " +
+      "under the same stored centroids") {
+    val dir = Files.createTempDirectory("graft_annidx_app").toString
+    val all = corpus(48)
+    val a = all.where(col("vec_id") % 3 =!= 0)
+    val b = all.where(col("vec_id") % 3 === 0)
+    val cents = AnnIndex.buildIvfIndex(a, "vec_id", "embedding",
+      s"$dir/inc", nCells = 4, iters = 3)
+    val nApp = AnnIndex.appendToIvfIndex(spark, s"$dir/inc", b,
+      "vec_id", "embedding", gen = 1L)
+    assert(nApp == 16L)
+    AnnIndex.buildIvfIndex(all, "vec_id", "embedding", s"$dir/full",
+      nCells = 4, centroids = Some(cents))
+    val q = all.where(col("vec_id") < 6)
+    def search(d: String) = AnnIndex.searchIvfIndex(spark, d, q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val viaAppend = search(s"$dir/inc")
+    val viaRebuild = search(s"$dir/full")
+    assert(viaAppend == viaRebuild, "append must be invisible to search")
+    // appended ids genuinely participate as neighbors
+    assert(viaAppend.exists(r => r._2 % 3 == 0))
+    // quantized arm sees the appended generation too
+    val quant = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/inc", q,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(quant == viaAppend)
+    // drift signal: |B| / |A| exactly
+    assert(AnnIndex.appendedFraction(spark, s"$dir/inc") == 16.0 / 32.0)
+    assert(AnnIndex.appendedFraction(spark, s"$dir/full") == 0.0)
+  }
+
+  test("append is exactly-once in gen: a replay overwrites itself; a crash " +
+      "between postings and meta under-counts until replayed") {
+    val dir = Files.createTempDirectory("graft_annidx_rep").toString
+    val all = corpus(36)
+    val a = all.where(col("vec_id") < 24)
+    val b = all.where(col("vec_id") >= 24)
+    AnnIndex.buildIvfIndex(a, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 1L)
+    val q = all.where(col("vec_id") < 4)
+    def search() = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val before = search()
+    // REPLAY the same append (failure after commit, before the stream
+    // advanced): same gen → same directory overwritten, nothing dups
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 1L)
+    val post = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    assert(post.count() == 36 && post.select("vec_id").distinct().count() == 36)
+    assert(search() == before)
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 12.0 / 24.0)
+    // CRASH between the postings write and the meta row: simulate by
+    // deleting the meta generation — drift UNDER-counts (safe for a
+    // ≥-threshold retrain trigger), search still sees the rows, and
+    // the replay restores the count
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/ivf/_meta/gen=1")
+    metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaPath, true)
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 0.0)
+    assert(search() == before)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 1L)
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 12.0 / 24.0)
+    assert(search() == before)
+  }
+
+  test("append contracts: gen 0 rejected; a rebuild clears stale generations") {
+    val dir = Files.createTempDirectory("graft_annidx_gen").toString
+    val e = corpus(24)
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf", nCells = 3)
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", e, "vec_id", "embedding", 0L)
+    }
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf",
+      corpus(30).where(col("vec_id") >= 24), "vec_id", "embedding", 1L)
+    assert(spark.read.parquet(s"$dir/ivf/postings.parquet").count() == 30)
+    // rebuild at the same path: the old gen=1 must NOT survive
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf", nCells = 3)
+    val post = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    assert(post.count() == 24, "stale append generations must be cleared")
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 0.0)
   }
 
   test("quantized search: exhaustive shortlist equals the exact arm; tight shortlist ranks sanely") {

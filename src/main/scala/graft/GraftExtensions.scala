@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, LshBuckets, MinHashSignature, RandomProjection, SimHash64, SubseqStarts, WordShingles}
+import graft.expressions.{DecimalScaledDot, FoldHash, GramHashRange, Int8Dot, LshBuckets, MinHashSignature, RandomProjection, SimHash64, SubseqStarts, TokenBuckets, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
@@ -55,6 +55,17 @@ object GraftExtensions {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$fn: $argName must be an integer literal, got " +
+          (if (other == null) "NULL" else other.getClass.getSimpleName))
+    }
+  }
+
+  private def boolLiteralArg(fn: String, argName: String, e: Expression): Boolean = {
+    require(e.foldable,
+      s"$fn: $argName must be a boolean literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be a boolean literal, got " +
           (if (other == null) "NULL" else other.getClass.getSimpleName))
     }
   }
@@ -137,6 +148,16 @@ object GraftExtensions {
         require(children.length == 2,
           "subseq_starts(haystack, needle) takes 2 arguments")
         SubseqStarts(children(0), children(1))
+      }),
+    (FunctionIdentifier("token_buckets"),
+      info("token_buckets",
+        "token_buckets(text, nBuckets, useBigrams) - unigram(+bigram) polynomial-fold feature bucket ids over whitespace tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "token_buckets(text, nBuckets, useBigrams) takes 3 arguments")
+        TokenBuckets(children.head,
+          intLiteralArg("token_buckets", "nBuckets", children(1)),
+          boolLiteralArg("token_buckets", "useBigrams", children(2)))
       }))
 
   /** Register into an ALREADY-RUNNING session's function registry —

@@ -153,6 +153,14 @@ package object functions {
   def simhash64Native(c: Column): Column =
     GraftSqlBridge.column(graft.expressions.SimHash64(GraftSqlBridge.expression(c)))
 
+  /** Native hashed classifier feature buckets — unigram(+bigram)
+    * polynomial-fold bucket ids in one compiled pass over the text
+    * (graft.expressions.TokenBuckets).
+    */
+  def tokenBucketsNative(c: Column, nBuckets: Int, useBigrams: Boolean): Column =
+    GraftSqlBridge.column(graft.expressions.TokenBuckets(
+      GraftSqlBridge.expression(c), nBuckets, useBigrams))
+
   /** Native exact nearest-centroid assignment against a driver-built
     * [[graft.expressions.CentroidIndex]] — bit-identical to the
     * declarative flat argmax-dot scan (spec-enforced) at O(√k·dim)

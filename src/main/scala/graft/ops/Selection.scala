@@ -219,20 +219,14 @@ object Selection {
     * replayable in SQL as a || ' ' || b).
     */
   private def classifierFeatureBag(df: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int, useBigrams: Boolean): DataFrame = {
-    val toks = graft.engine.Tables.fanOut(df.sparkSession, df)
+      textCol: String, nBuckets: Int, useBigrams: Boolean): DataFrame =
+    // the SAME native kernel the scorer runs — train-side and
+    // score-side bucket ids share one walk by construction (explode
+    // drops null-text docs, as the old explode-of-null-tokens did)
+    graft.engine.Tables.fanOut(df.sparkSession, df)
       .select(col(idCol).cast("long").as("doc"),
-        TextOps.tokens(col(textCol)).as("w"))
-    val uni = toks.select(col("doc"), explode(col("w")).as("f"))
-    val features = if (useBigrams) {
-      val bi = toks.where(size(col("w")) >= 2)
-        .select(col("doc"), explode(expr(
-          "transform(sequence(1, size(w) - 1), " +
-            "j -> concat(w[j-1], ' ', w[j]))")).as("f"))
-      uni.unionAll(bi)
-    } else uni
-    features.select(col("doc"), tokenBucket(col("f"), nBuckets).as("b"))
-  }
+        explode(graft.functions.tokenBucketsNative(
+          col(textCol), nBuckets, useBigrams)).as("b"))
 
   /** The NB-log-odds weight table (b, w6) and 1-row OOV default
     * (defw6) from the two seed corpora — shared by the distributed
@@ -321,20 +315,25 @@ object Selection {
       s"nBuckets out of range: $nBuckets")
     require(math.abs(threshold6) <= 20000000L,
       s"threshold6 out of range: $threshold6")
-    val base = docs.withColumn("__w", TextOps.tokens(col(textCol)))
-    val w = col("__w")
-    // bigram features "a b" from the tokens array in place — same
-    // strings (concat with one space) the train-side featureBag hashes
-    val bi = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        j => concat_ws(" ", element_at(w, j), element_at(w, j + 1))))
-      .otherwise(array().cast("array<string>"))
-    val feats = if (useBigrams) concat(w, bi) else w
-    val buckets = transform(feats, f => tokenBucket(f, nBuckets))
-    val wMap = typedLit(weights)
-    val logit6 = aggregate(buckets, lit(0L),
-      (acc, b) => acc + coalesce(element_at(wMap, b), lit(defw6)))
-    val nFeats = size(feats).cast("long")
+    // ONE compiled pass per row for tokenize + bigram + bucket hash
+    // (the native TokenBuckets kernel — the interpreted transform/
+    // aggregate nest evaluated ~2 lambdas per CHARACTER and was the
+    // measured 14-second wall in the q129 stream); the explode(array())
+    // generator barrier materializes the bucket array as an attribute
+    // so its two consumers below don't re-run the kernel (the q101
+    // trick — streaming-legal, unlike localCheckpoint)
+    val base = docs.select(col("*"),
+      explode(array(graft.functions.tokenBucketsNative(
+        col(textCol), nBuckets, useBigrams))).as("__bk"))
+    // DENSE weight vector, not a literal map: bucket ids live in
+    // [0, nBuckets), and element_at on a literal MAP is a linear scan
+    // (O(nBuckets) comparisons per feature); an array index is O(1).
+    // Absent buckets pre-fill the OOV default — values unchanged.
+    val wVec = typedLit(Array.tabulate(nBuckets)(b =>
+      weights.getOrElse(b.toLong, defw6)))
+    val logit6 = aggregate(col("__bk"), lit(0L),
+      (acc, b) => acc + element_at(wVec, b.cast("int") + 1))
+    val nFeats = size(col("__bk")).cast("long")
     // keepCols: caller columns carried through the projection (e.g.
     // a precomputed token count a downstream loader stage needs —
     // joins are not an option mid-stream)

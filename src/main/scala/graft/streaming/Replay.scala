@@ -154,20 +154,42 @@ object Replay {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     if (fs.exists(outPath)) fs.delete(outPath, true)
     try {
-      // offline model training (batch side — the deployment shape)
-      val (w, defw6) = Selection.collectClassifierWeights(
-        docs.where(col("doc_id") % 7 === 0),
-        docs.where(col("doc_id") % 7 === 3),
-        "doc_id", "text", nBuckets = nBuckets)
       val feed = docs.select(col("doc_id").cast("long").as("doc_id"),
         col("text"))
-      val seen = scala.collection.mutable.Set.empty[String]
+        // the corpus feeds BOTH the classifier training job and the
+        // staging write — evaluate the (tiny relative to the stream
+        // it simulates) fixture scan once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // offline model training (batch side — the deployment shape)
+      val (w, defw6) = Selection.collectClassifierWeights(
+        feed.where(col("doc_id") % 7 === 0),
+        feed.where(col("doc_id") % 7 === 3),
+        "doc_id", "text", nBuckets = nBuckets)
       val base = System.currentTimeMillis() - 3600000L
+      // ONE staging job for all micro-batch files: each mod-partition
+      // lands in its own directory as a single part file (the value
+      // column is the repartition key, so exactly one task writes each
+      // partition), then the files MOVE into the flat stage dir with
+      // explicit strictly-increasing batch mtimes — replacing
+      // nBatches sequential filtered scans with one pass
+      val stagedTmp = s"$dir/__staged"
+      feed.withColumn("__b", pmod(col("doc_id"), lit(nBatches)))
+        .repartition(nBatches, col("__b"))
+        .write.partitionBy("__b").parquet(stagedTmp)
+      feed.unpersist(blocking = false)
       for (k <- 0 until nBatches) {
-        feed.where(pmod(col("doc_id"), lit(nBatches)) === k)
-          .coalesce(1).write.mode("append").parquet(dir)
-        stampBatch(fs, path, seen, base, k)
+        val sub = new org.apache.hadoop.fs.Path(s"$stagedTmp/__b=$k")
+        require(fs.exists(sub),
+          s"micro-batch $k is empty — the replay needs rows in every batch")
+        val parts = fs.listStatus(sub)
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"staged micro-batch $k must be exactly one file, got ${parts.length}")
+        val dst = new org.apache.hadoop.fs.Path(path, f"batch-$k%05d.parquet")
+        fs.rename(parts.head, dst)
+        fs.setTimes(dst, base + k * 10000L, -1)
       }
+      fs.delete(new org.apache.hadoop.fs.Path(stagedTmp), true)
       val src = spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
       val gated = Selection.scoreWithClassifier(

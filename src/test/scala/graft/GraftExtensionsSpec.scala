@@ -145,12 +145,51 @@ class GraftExtensionsSpec extends SparkSpecBase {
     }
   }
 
+  test("token_buckets: SQL ≡ Column API ≡ independent codepoint recompute; " +
+      "bigram fold equals hashing the concatenated string") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // independent recompute: tokenize on \s+, fold codepoints mod B
+    def fold(s: String, acc0: Long, b: Long): Long = {
+      var acc = acc0
+      s.codePoints().toArray.foreach(cp => acc = (acc * 31L + cp) % b)
+      acc
+    }
+    def expected(text: String, b: Long, bigrams: Boolean): Seq[Long] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val uni = toks.map(fold(_, 0L, b))
+      if (bigrams && toks.length >= 2)
+        uni ++ toks.sliding(2).map(p => fold(p(1), (fold(p(0), 0L, b) * 31L + 32L) % b, b)).toSeq
+      else uni
+    }
+    val cases = Seq("the quick brown fox", "one", "", "  spaced   out\ttabs ",
+      "héllo wörld über", "日本語 テキスト 語", "clef 𝄞 mixed ascii")
+    for (t <- cases; bg <- Seq(true, false)) {
+      val viaCol = Seq(t).toDF("t")
+        .select(graft.functions.tokenBucketsNative(org.apache.spark.sql.functions.col("t"), 1024, bg))
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(viaCol == expected(t, 1024L, bg), s"column arm: '$t' bigrams=$bg")
+      val lit = t.replace("\t", "\\t")
+      val viaSql = spark.sql(s"SELECT token_buckets('$lit', 1024, $bg) AS b")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(viaSql == expected(t, 1024L, bg), s"SQL arm: '$t' bigrams=$bg")
+    }
+    // bigram continuation-fold ≡ fold of the materialized "a b" string
+    assert(fold("a b", 0L, 1024L) ==
+      fold("b", (fold("a", 0L, 1024L) * 31L + 32L) % 1024L, 1024L))
+    // null text → null array (scorer nulls propagate, rows survive)
+    val nullRow = Seq[(Integer, String)]((1, null)).toDF("i", "t")
+      .select(graft.functions.tokenBucketsNative(org.apache.spark.sql.functions.col("t"), 64, true).as("b"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("the session-build extensions class injects the same function set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw; builder list is shared
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
       Seq("decimal_scaled_dot", "fold_hash", "gram_hash_range", "int8_dot",
         "lsh_buckets", "minhash_signature", "random_projection", "simhash64",
-        "subseq_starts", "word_shingles"))
+        "subseq_starts", "token_buckets", "word_shingles"))
   }
 }

@@ -593,6 +593,55 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // STREAMING DECONTAMINATION GATE (q81's bloom screen composed into
+    // the live-ingest path): the benchmark's shingles fold into one
+    // bloom sketch offline, every micro-batch is screened map-side,
+    // planted contaminated docs are dropped in whichever batch they
+    // arrive. Contract row (q81's shape + streaming proof bits):
+    // n_corpus/n_true exact SQL counts; n_leaked = 0 states bloom
+    // one-sidedness ACROSS micro-batches (checked in-plan against the
+    // exact shingle-intersect twin); fp bound derived from exact
+    // counts; stream kept set ≡ batch bloomScreen kept set
+    // row-for-row; ≥3 data batches observed.
+    "q133_streaming_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      val (kept, nBatches) = graft.streaming.Replay.decontamScreenReplay(
+        s, corpus, bench, n = 3, benchShingles = 4096L)
+      val keptFlag = kept.select(col("doc_id"), lit(true).as("kept"))
+      val truth = Dedup.contaminationReport(corpus, "doc_id", "text",
+          bench, "text", n = 3)
+        .select(col("doc_id"), lit(true).as("truly"))
+      // batch twin for the stream≡batch parity bit
+      val batchKept = Dedup.bloomScreen(corpus, "doc_id", "text",
+          bench, "text", n = 3, benchShingles = 4096L)
+        .where(!col("bloom_hit"))
+        .select(col("doc_id"), lit(true).as("bkept"))
+      corpus.select(col("doc_id"))
+        .join(keptFlag, Seq("doc_id"), "left")
+        .join(truth, Seq("doc_id"), "left")
+        .join(batchKept, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_corpus"),
+          sum(when(col("truly"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("truly") && coalesce(col("kept"), lit(false)), 1L)
+            .otherwise(0L)).as("n_leaked"),
+          sum(when(coalesce(col("kept"), lit(false)), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(coalesce(col("kept"), lit(false)) =!=
+            coalesce(col("bkept"), lit(false)), 1L).otherwise(0L))
+            .as("n_parity_diff"))
+        .select(col("n_corpus"), col("n_true"), col("n_leaked"),
+          greatest(lit(5L), expr("(n_corpus - n_true) div 100"))
+            .as("fp_bound"),
+          (col("n_corpus") - col("n_kept") - col("n_true") <=
+            greatest(lit(5L), expr("(n_corpus - n_true) div 100")))
+            .as("fp_ok"),
+          (col("n_parity_diff") === 0L).as("stream_equals_batch"),
+          lit(nBatches >= 3).as("replayed_multibatch"))
+    },
+
     // The CUSTOM-STATE streaming path's correctness row: the events
     // table replayed through flatMapGroupsWithState sessionization in
     // time-ordered micro-batches (time-range tercile files + a
@@ -2088,6 +2137,32 @@ object PipelineQueries {
          |  CAST(greatest(5, (n_corpus - n_true) // 100) AS BIGINT) AS fp_bound,
          |  TRUE AS fp_ok
          |FROM agg""".stripMargin,
+    "q133_streaming_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20
+         |), agg AS (
+         |  SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 20) AS n_corpus,
+         |         (SELECT COUNT(*) FROM contaminated) AS n_true
+         |)
+         |SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(0 AS BIGINT) AS n_leaked,
+         |  CAST(greatest(5, (n_corpus - n_true) // 100) AS BIGINT) AS fp_bound,
+         |  TRUE AS fp_ok,
+         |  TRUE AS stream_equals_batch,
+         |  TRUE AS replayed_multibatch
+         |FROM agg""".stripMargin,
+
     // Scores are scaled-long exact: every per-term BM25 contribution
     // is floor(term * 1e6) over a FIXED IEEE expression order (the SQL
     // below mirrors the Spark column tree token for token, including

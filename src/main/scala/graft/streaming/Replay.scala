@@ -55,6 +55,81 @@ object Replay {
         seen += p.getName
       }
 
+  /** ONE staging job for all micro-batch files: rows mod-partition on
+    * `modCol` into per-batch directories (each written as a single
+    * part file — the value column is the repartition key, so exactly
+    * one task holds each batch), then the files MOVE into the flat
+    * stage dir with explicit strictly-increasing batch mtimes —
+    * replacing nBatches sequential filtered scans with one pass.
+    */
+  private def stageModBatches(feed: DataFrame, modCol: String, dir: String,
+      fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
+      nBatches: Int): Unit = {
+    val base = System.currentTimeMillis() - 3600000L
+    val stagedTmp = s"$dir/__staged"
+    feed.withColumn("__b", pmod(col(modCol), lit(nBatches)))
+      .repartition(nBatches, col("__b"))
+      .write.partitionBy("__b").parquet(stagedTmp)
+    for (k <- 0 until nBatches) {
+      val sub = new org.apache.hadoop.fs.Path(s"$stagedTmp/__b=$k")
+      require(fs.exists(sub),
+        s"micro-batch $k is empty — the replay needs rows in every batch")
+      val parts = fs.listStatus(sub)
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      require(parts.length == 1,
+        s"staged micro-batch $k must be exactly one file, got ${parts.length}")
+      val dst = new org.apache.hadoop.fs.Path(path, f"batch-$k%05d.parquet")
+      fs.rename(parts.head, dst)
+      fs.setTimes(dst, base + k * 10000L, -1)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stagedTmp), true)
+  }
+
+  /** Replay a corpus through the STREAMING DECONTAMINATION GATE: the
+    * benchmark's shingles fold into one bloom sketch OFFLINE (the
+    * broadcast artifact, exactly like q129's classifier weights), and
+    * each micro-batch is screened MAP-SIDE by
+    * [[graft.ops.Dedup.bloomScreen]] — a stateless stream-legal
+    * projection, so a live ingest stream can never leak benchmark
+    * data into training output. Kept (= not flagged) doc ids land in
+    * an append-mode memory sink; returns (kept ids, data batches).
+    *
+    * The bloom's one-sidedness carries over verbatim: a truly
+    * contaminated document is flagged in WHICHEVER micro-batch it
+    * arrives (no false negatives), so the streamed kept set equals
+    * the batch screen's kept set row-for-row (q133's contract; the
+    * batch/stream parity is also spec-pinned).
+    */
+  def decontamScreenReplay(spark: SparkSession, corpus: DataFrame,
+      benchmark: DataFrame, n: Int = 3, benchShingles: Long = 4096L,
+      nBatches: Int = 3, stageDir: String = null): (DataFrame, Int) = {
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir("decontam"))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    try {
+      val feed = corpus.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      stageModBatches(feed, "doc_id", dir, fs, path, nBatches)
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val gated = graft.ops.Dedup.bloomScreen(src, "doc_id", "text",
+          benchmark, "text", n, benchShingles)
+        .where(!col("bloom_hit")).select("doc_id")
+      val name = "graft_replay_decontam"
+      spark.catalog.dropTempView(name)
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.table(name).localCheckpoint(true), dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+    }
+  }
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
     * observed). The stage dir is process-unique by default and deleted
@@ -165,31 +240,8 @@ object Replay {
         feed.where(col("doc_id") % 7 === 0),
         feed.where(col("doc_id") % 7 === 3),
         "doc_id", "text", nBuckets = nBuckets)
-      val base = System.currentTimeMillis() - 3600000L
-      // ONE staging job for all micro-batch files: each mod-partition
-      // lands in its own directory as a single part file (the value
-      // column is the repartition key, so exactly one task writes each
-      // partition), then the files MOVE into the flat stage dir with
-      // explicit strictly-increasing batch mtimes — replacing
-      // nBatches sequential filtered scans with one pass
-      val stagedTmp = s"$dir/__staged"
-      feed.withColumn("__b", pmod(col("doc_id"), lit(nBatches)))
-        .repartition(nBatches, col("__b"))
-        .write.partitionBy("__b").parquet(stagedTmp)
+      stageModBatches(feed, "doc_id", dir, fs, path, nBatches)
       feed.unpersist(blocking = false)
-      for (k <- 0 until nBatches) {
-        val sub = new org.apache.hadoop.fs.Path(s"$stagedTmp/__b=$k")
-        require(fs.exists(sub),
-          s"micro-batch $k is empty — the replay needs rows in every batch")
-        val parts = fs.listStatus(sub)
-          .map(_.getPath).filter(_.getName.startsWith("part-"))
-        require(parts.length == 1,
-          s"staged micro-batch $k must be exactly one file, got ${parts.length}")
-        val dst = new org.apache.hadoop.fs.Path(path, f"batch-$k%05d.parquet")
-        fs.rename(parts.head, dst)
-        fs.setTimes(dst, base + k * 10000L, -1)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(stagedTmp), true)
       val src = spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
       val gated = Selection.scoreWithClassifier(

@@ -925,23 +925,39 @@ object PipelineQueries {
         budgetDocs = 1000L)
       val bench = docs.where(col("doc_id") < 20)
       val corpus = docs.where(col("doc_id") >= 20)
+      // gram-grain contamination (q68's n_hits), not just the binary
+      // flag — the triage number a launch review reads
       val contam = Dedup.contaminationReport(corpus, "doc_id", "text",
           bench, "text", n = 3)
-        .select(col("doc_id"), lit(true).as("contam"))
-      val dupCounts = corpus.groupBy(col("text")).agg(count(lit(1)).as("tc"))
+        .select(col("doc_id"), col("n_hits"))
+      // one aggregate serves three dedup views: copy count (binary
+      // dup + q127 soft weight) and the q22 min-id survivor
+      val dupCounts = corpus.groupBy(col("text"))
+        .agg(count(lit(1)).as("tc"), min(col("doc_id")).as("mindoc"))
       val health = corpus
         .join(dupCounts, Seq("text"))
         .join(contam, Seq("doc_id"), "left")
         .select(col("source"),
           when(col("tc") >= 2, 1L).otherwise(0L).as("isdup"),
-          when(coalesce(col("contam"), lit(false)), 1L).otherwise(0L)
-            .as("iscont"),
+          when(col("n_hits").isNotNull, 1L).otherwise(0L).as("iscont"),
+          coalesce(col("n_hits"), lit(0L)).as("grams"),
+          // q22 exact-dedup survivorship: this doc IS the min-id
+          // representative of its text group
+          when(col("doc_id") === col("mindoc"), 1L).otherwise(0L)
+            .as("issurv"),
+          // q127 soft-dedup mass, scale-6 quantized PER DOC so the
+          // per-source sum is exact integer arithmetic (1/n as a
+          // float sum would be order-dependent)
+          expr("1000000 div tc").as("soft6"),
           when(TextOps.qualityScore(col("text")) >= 0.5 &&
             TextOps.tokenCount(col("text")).cast("long") >= 10, 1L)
             .otherwise(0L).as("iskept"))
         .groupBy("source")
         .agg(sum(col("isdup")).as("n_dup"),
           sum(col("iscont")).as("n_contaminated"),
+          sum(col("grams")).as("n_contam_grams"),
+          sum(col("issurv")).as("n_survivors"),
+          sum(col("soft6")).as("soft_mass6"),
           sum(col("iskept")).as("n_kept"))
       val sample = Sampling.tokenBudgetSample(
           docs.select(col("doc_id"), col("source"),
@@ -956,6 +972,9 @@ object PipelineQueries {
           col("alloc_docs"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_contam_grams"), lit(0L)).as("n_contam_grams"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          coalesce(col("soft_mass6"), lit(0L)).as("soft_mass6"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("sample_docs"), lit(0L)).as("sample_docs"),
           coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"))
@@ -2581,7 +2600,9 @@ object PipelineQueries {
          |    + alpha_ratio * 0.3 AS quality
          |  FROM hm
          |), dupc AS (
-         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS tc FROM corp
+         |  SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS tc,
+         |    MIN(doc_id) OVER (PARTITION BY text) AS mindoc
+         |  FROM corp
          |), toks2 AS (
          |  SELECT doc_id, $tokensSql AS w FROM documents
          |), sh AS (
@@ -2591,19 +2612,24 @@ object PipelineQueries {
          |  FROM toks2 WHERE len(w) >= 3
          |), bench AS (
          |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
-         |), contaminated AS (
-         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
-         |  WHERE s.doc_id >= 20
+         |), contamhits AS (
+         |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20 GROUP BY s.doc_id
          |), health AS (
          |  SELECT q.source,
          |    CAST(SUM(CASE WHEN d.tc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
          |    CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_contaminated,
+         |    CAST(SUM(COALESCE(c.n_hits, 0)) AS BIGINT) AS n_contam_grams,
+         |    CAST(SUM(CASE WHEN q.doc_id = d.mindoc THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_survivors,
+         |    CAST(SUM(1000000 // d.tc) AS BIGINT) AS soft_mass6,
          |    CAST(SUM(CASE WHEN q.quality >= 0.5 AND q.n_tokens >= 10
          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |  FROM hs q
          |  JOIN dupc d USING (doc_id)
-         |  LEFT JOIN contaminated c USING (doc_id)
+         |  LEFT JOIN contamhits c USING (doc_id)
          |  GROUP BY q.source
          |), st AS (
          |  SELECT doc_id, source, CAST(len($tokensSql) AS BIGINT) AS tk
@@ -2623,6 +2649,9 @@ object PipelineQueries {
          |  CAST((1000 * wt.w6) // nm.total6 AS BIGINT) AS alloc_docs,
          |  COALESCE(h.n_dup, 0) AS n_dup,
          |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         |  COALESCE(h.n_contam_grams, 0) AS n_contam_grams,
+         |  COALESCE(h.n_survivors, 0) AS n_survivors,
+         |  COALESCE(h.soft_mass6, 0) AS soft_mass6,
          |  COALESCE(h.n_kept, 0) AS n_kept,
          |  COALESCE(s.sample_docs, 0) AS sample_docs,
          |  COALESCE(s.sample_tokens, 0) AS sample_tokens,

@@ -238,6 +238,46 @@ object AnnIndex {
       k, "cosine")
   }
 
+  /** Many-query search over the persisted index: same semantics as
+    * [[searchIvfIndex]], but the probe-cell set NEVER crosses the
+    * driver — it stays a (≤ nCells)-row frame that broadcast-semi-joins
+    * the postings scan on the partition column, and Spark's dynamic
+    * partition pruning turns that join into a runtime PartitionFilter
+    * (plan-asserted in the spec: the postings FileScan carries a
+    * `dynamicpruningexpression` on `cell`). Use this arm when the
+    * query set is itself corpus-sized (millions of rows): the IN-list
+    * arm's `distinct().collect()` is bounded and correct, but it
+    * serializes a driver round-trip into every search; here the probe
+    * set flows executor-to-executor. Results are IDENTICAL to the
+    * IN-list arm (same candidate rows, same exact cosine re-rank).
+    */
+  def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = loadCentroids(spark, dir) // bounded ≤ nCells — index metadata
+    require(cents.nonEmpty, s"empty index at $dir")
+    val qa = Similarity.ivfAssignProbes(queries, vecCol, cents, nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("queryv"),
+        col("cell").cast("int").as("cell"))
+    // ≤ nCells rows, never collected. The `cell >= 0` predicate is
+    // semantically a no-op (cells are 0-based indexes) but REQUIRED
+    // machinery: Spark's PartitionPruning rule only inserts a runtime
+    // partition filter when the build side carries a likely-selective
+    // predicate — a bare distinct-aggregate frame doesn't qualify.
+    val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .join(broadcast(probeCells), Seq("cell"), "left_semi")
+    val cands = postings
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("vec").as("neighborv"))
+      .join(qa, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    Similarity.rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+      k, "cosine")
+  }
+
   def searchIvfIndex(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {

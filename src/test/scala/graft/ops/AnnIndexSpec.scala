@@ -125,6 +125,29 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(search() == before)
   }
 
+  test("many-query search: no driver collect on the probe side, runtime " +
+      "partition pruning in the plan, results identical to the IN-list arm") {
+    val dir = Files.createTempDirectory("graft_annidx_dpp").toString
+    val e = corpus(40)
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf", nCells = 4,
+      iters = 3)
+    val q = e.where(col("vec_id") < 8)
+    val many = AnnIndex.searchIvfIndexManyQueries(spark, s"$dir/ivf", q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val inList = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val a = many.orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val b = inList.orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(a == b, "broadcast-probe arm must equal the IN-list arm")
+    // the postings scan must carry a RUNTIME partition filter on cell
+    // (dynamic partition pruning from the broadcast probe semi-join)
+    val plan = many.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression PartitionFilter on the postings scan:\n$plan")
+  }
+
   test("append contracts: gen 0 rejected; a rebuild clears stale generations") {
     val dir = Files.createTempDirectory("graft_annidx_gen").toString
     val e = corpus(24)

@@ -387,6 +387,59 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // STREAMING INDEX INGEST — the round-10 composition row: a seed
+    // corpus builds the persisted IVF index, then the delta corpus
+    // streams in through a REAL Structured Streaming execution whose
+    // foreachBatch appends each micro-batch exactly-once
+    // (gen = batchId + 1 — the stable replayed batchId IS the append
+    // generation), including an injected replay of a completed batch.
+    // Contract row: the streamed index's search is IDENTICAL
+    // result-for-result to a one-shot build of the full corpus under
+    // the same stored quantizer; the postings row count equals the
+    // corpus cardinality EXACTLY (the replay duplicated nothing) with
+    // unique ids; ≥3 data batches observed.
+    "q134_streaming_index_ingest" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q134_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // even ids seed the build; odd ids stream in (odd ids cover
+        // every mod-3 staging class, so all three micro-batches carry
+        // rows)
+        val seed = e.where(col("vec_id") % 2 === 0)
+        val deltas = e.where(col("vec_id") % 2 =!= 0)
+        val nBatches = graft.streaming.Replay.indexIngestReplay(
+          s, seed, deltas, s"$tmp/ivf", nCells = 8)
+        val posted = s.read.parquet(s"$tmp/ivf/postings.parquet")
+        val nPosted = posted.count()
+        val idsUnique = posted.select("vec_id").distinct().count() == nPosted
+        val cents = AnnIndex.loadCentroids(s, s"$tmp/ivf")
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/full",
+          nCells = 8, centroids = Some(cents))
+        val q = e.where(col("vec_id") < 10)
+        val streamed = AnnIndex.searchIvfIndex(s, s"$tmp/ivf", q,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        val oneShot = AnnIndex.searchIvfIndex(s, s"$tmp/full", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        streamed
+          .join(oneShot, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            lit(nPosted).as("n_posted"),
+            lit(idsUnique).as("ids_unique"),
+            lit(nBatches >= 3).as("replayed_multibatch"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // Dataset versioning: the snapshot diff a promotion gate audits
     // before retraining on a refreshed crawl. Two deterministic
     // derived snapshots of the documents table (v_old drops doc_id %
@@ -431,6 +484,13 @@ object OrchestrationQueries {
       """SELECT vec_id AS query_id, TRUE AS results_match,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0) AS n_base,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0) AS n_appended
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q134_streaming_index_ingest" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  (SELECT COUNT(*) FROM embeddings) AS n_posted,
+        |  TRUE AS ids_unique,
+        |  TRUE AS replayed_multibatch
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q113_snapshot_diff" ->

@@ -130,6 +130,57 @@ object Replay {
     }
   }
 
+  /** Replay a vector corpus through STREAMING INDEX INGEST: a seed
+    * slice builds the persisted IVF index (and freezes the coarse
+    * quantizer — the [[graft.ops.AnnIndex]] discipline), then each
+    * micro-batch of new vectors appends EXACTLY-ONCE via
+    * [[graft.ops.AnnIndex.appendToIvfIndex]] with `gen = batchId + 1`
+    * — Structured Streaming's stable replayed batchId IS the append
+    * generation, so the sink inherits idempotence from the
+    * generation-overwrite contract with zero extra machinery (the
+    * composition q132 + q106 exist to enable). An injected replay of
+    * a completed batch is part of the harness. Returns (indexDir kept
+    * under the caller-visible tmp*, data batches observed); the
+    * caller searches the index and cleans up.
+    */
+  def indexIngestReplay(spark: SparkSession, seed: DataFrame,
+      deltas: DataFrame, indexDir: String, nCells: Int,
+      nBatches: Int = 3, stageDir: String = null): Int = {
+    import graft.ops.AnnIndex
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir("ivfingest"))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    try {
+      AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", indexDir,
+        nCells = nCells, iters = 3)
+      val feed = deltas.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      stageModBatches(feed, "vec_id", dir, fs, path, nBatches)
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          AnnIndex.appendToIvfIndex(spark, indexDir, batch,
+            "vec_id", "embedding", gen = batchId + 1L)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      // injected REPLAY of the first delta batch (failure after commit,
+      // before the offset log advanced): same gen → overwrites itself
+      AnnIndex.appendToIvfIndex(spark, indexDir,
+        feed.where(pmod(col("vec_id"), lit(nBatches)) === 0),
+        "vec_id", "embedding", gen = 1L)
+      dataBatches
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+    }
+  }
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
     * observed). The stage dir is process-unique by default and deleted

@@ -88,12 +88,14 @@ object Selection {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // one compiled pass per doc for tokenize + bucket hash (the
+    // TokenBuckets kernel, unigram arm); [[tokenBucket]] remains the
+    // spec-pinned declarative fold reference
     def bucketBag(df: DataFrame): DataFrame =
       graft.engine.Tables.fanOut(df.sparkSession, df)
         .select(col(idCol).cast("long").as("doc"),
-          TextOps.tokens(col(textCol)).as("w"))
-        .select(col("doc"), explode(col("w")).as("tok"))
-        .select(col("doc"), tokenBucket(col("tok"), nBuckets).as("b"))
+          explode(graft.functions.tokenBucketsNative(
+            col(textCol), nBuckets, useBigrams = false)).as("b"))
 
     // per-(doc, bucket) counts FIRST: both the corpus histogram (cr)
     // and the per-doc scoring consume this one aggregation, so the

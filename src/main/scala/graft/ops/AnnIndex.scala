@@ -94,6 +94,9 @@ object AnnIndex {
       corpusRowsHint: Option[Long] = None,
       centroids: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
+    centroids.foreach(cs => require(cs.length == nCells,
+      s"buildIvfIndex: ${cs.length} pre-trained centroids but nCells=$nCells " +
+        "— the quantizer you pass IS the cell count; pass matching values"))
     val cents = centroids.getOrElse(Similarity.trainIvfCentroids(
       corpus, idCol, vecCol, nCells, iters, corpusRowsHint = corpusRowsHint))
     require(cents.nonEmpty, "buildIvfIndex: no centroids")
@@ -152,12 +155,28 @@ object AnnIndex {
     * under-count until their replay completes — monotone and safe for
     * a ≥-threshold trigger.
     */
+  /** (base vectors, appended vectors) from the `_meta` side-table —
+    * O(generations) rows read; shared by [[appendedFraction]] and the
+    * q132 oracle row so the layout has one reader. An ABSENT or empty
+    * tree (a monitor pointed at a mid-build index, or a crash between
+    * the meta delete and the gen-0 write) reads as (0, 0) — the
+    * under-count direction, safe for a ≥-threshold trigger.
+    */
+  def metaCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      val meta = spark.read.parquet(s"$dir/_meta")
+        .select(col("gen").cast("long"), col("n_vectors").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (meta.filter(_._1 == 0L).map(_._2).sum,
+        meta.filter(_._1 > 0L).map(_._2).sum)
+    }
+  }
+
   def appendedFraction(spark: SparkSession, dir: String): Double = {
-    val meta = spark.read.parquet(s"$dir/_meta")
-      .select(col("gen").cast("long"), col("n_vectors").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val base = meta.filter(_._1 == 0L).map(_._2).sum
-    val appended = meta.filter(_._1 > 0L).map(_._2).sum
+    val (base, appended) = metaCounts(spark, dir)
     if (base > 0L) appended.toDouble / base.toDouble
     else if (appended > 0L) Double.PositiveInfinity
     else 0.0
@@ -251,24 +270,31 @@ object AnnIndex {
     * set flows executor-to-executor. Results are IDENTICAL to the
     * IN-list arm (same candidate rows, same exact cosine re-rank).
     */
-  def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
-      queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = loadCentroids(spark, dir) // bounded ≤ nCells — index metadata
-    require(cents.nonEmpty, s"empty index at $dir")
-    val qa = Similarity.ivfAssignProbes(queries, vecCol, cents, nProbe)
+  /** Probe assignment for a query frame: (query_id, queryv, cell).
+    * Cell ids are LONG in-plan (the native kernel's type) but the
+    * hive partition column reads back as INT — normalize to int here
+    * so joins and IN-lists bind against the partition column without
+    * a cast wrapping it (a cast would defeat pruning).
+    */
+  private def assignQueries(queries: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Seq[Double]], nProbe: Int): DataFrame =
+    Similarity.ivfAssignProbes(queries, vecCol, cents, nProbe)
       .select(col(idCol).as("query_id"), col(vecCol).as("queryv"),
         col("cell").cast("int").as("cell"))
-    // ≤ nCells rows, never collected. The `cell >= 0` predicate is
-    // semantically a no-op (cells are 0-based indexes) but REQUIRED
-    // machinery: Spark's PartitionPruning rule only inserts a runtime
-    // partition filter when the build side carries a likely-selective
-    // predicate — a bare distinct-aggregate frame doesn't qualify.
-    val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-      .join(broadcast(probeCells), Seq("cell"), "left_semi")
+
+  /** The candidate join + exact re-rank both search arms share: cell
+    * co-membership candidates, self-matches excluded, multi-probe
+    * duplicates collapsed (vector payloads are identical per id, so
+    * which duplicate survives cannot change any value), k-bounded
+    * TopK on the exact cosine. ONE implementation is what makes the
+    * arms' result-identity contract structural rather than maintained
+    * by parallel edits.
+    */
+  private def rerankCandidates(qa: DataFrame, postings: DataFrame,
+      k: Int): DataFrame = {
     val cands = postings
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("vec").as("neighborv"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("vec").as("neighborv"))
       .join(qa, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -278,33 +304,37 @@ object AnnIndex {
       k, "cosine")
   }
 
+  def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = loadCentroids(spark, dir) // bounded ≤ nCells — index metadata
+    require(cents.nonEmpty, s"empty index at $dir")
+    // lazy localCheckpoint: qa feeds BOTH the probe-cell build side and
+    // the candidate join — without it the nearest-cells assignment (the
+    // dominant map-side cost at corpus-sized query sets) runs twice
+    val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
+      .localCheckpoint(false)
+    // ≤ nCells rows, never collected. The `cell >= 0` predicate is
+    // semantically a no-op (cells are 0-based indexes) but REQUIRED
+    // machinery: Spark's PartitionPruning rule only inserts a runtime
+    // partition filter when the build side carries a likely-selective
+    // predicate — a bare distinct-aggregate frame doesn't qualify.
+    val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .join(broadcast(probeCells), Seq("cell"), "left_semi")
+    rerankCandidates(qa, postings, k)
+  }
+
   def searchIvfIndex(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"empty index at $dir")
-    // cell ids are LONG in-plan (the native kernel's type) but the
-    // hive partition column reads back as INT — normalize to int here
-    // so the join and the IN-list bind against the partition column
-    // without a cast wrapping it (a cast would defeat pruning)
-    val qa = Similarity.ivfAssignProbes(queries, vecCol, cents, nProbe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("queryv"),
-        col("cell").cast("int").as("cell"))
+    val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
     // bounded collect: ≤ nCells distinct probed cells
     val probed = qa.select("cell").distinct().collect().map(_.getInt(0))
     val postings = spark.read.parquet(s"$dir/postings.parquet")
       .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-    val cands = postings
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("vec").as("neighborv"))
-      .join(qa, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      // multi-probe dedup: a neighbor sharing 2 probed cells with a
-      // query must score once; vector payloads are identical per id,
-      // so which duplicate survives cannot change any value
-      .dropDuplicates("query_id", "neighbor_id")
-    Similarity.rankTopK(
-      cands.select(col("query_id"), col("neighbor_id"),
-        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
-      k, "cosine")
+    rerankCandidates(qa, postings, k)
   }
 }

@@ -125,18 +125,27 @@ object Bpe extends org.apache.spark.internal.Logging {
       s"nMerges out of range: $nMerges")
     require(vocabSampleCap >= 2, s"vocabSampleCap too small: $vocabSampleCap")
     val spark = docs.sparkSession
-    // ≤ cap rows cross to the driver — bounded by construction
-    val sampled = sampleVocabulary(vocabulary(docs, textCol), vocabSampleCap)
+    // ≤ cap+1 rows cross to the driver — bounded by construction. The
+    // +1 fetch makes truncation DETECTABLE (the monitoredKeys
+    // discipline): a vocabulary of exactly cap words is exact, one of
+    // cap+1 is a sample, and the two must not warn identically.
+    // TakeOrdered preserves the (hash, sym) sort through collect, so
+    // dropping the overflow row leaves exactly the cap lowest-hash
+    // sample the un-probed fetch would have produced.
+    val fetchN = math.min(vocabSampleCap.toLong + 1L, Int.MaxValue.toLong).toInt
+    val fetched = sampleVocabulary(vocabulary(docs, textCol), fetchN)
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    // a full sample means the vocabulary (almost certainly) exceeded
-    // the cap: discovery then runs on a uniform hash SAMPLE — learned
-    // rules can diverge from full-vocabulary BPE and pair_count values
-    // are sample counts. Callers deserve a runtime signal, not silence.
-    if (sampled.length >= vocabSampleCap)
-      logWarning(s"BPE merge discovery vocabulary hit vocabSampleCap=" +
-        s"$vocabSampleCap: rules are learned from a hash sample, " +
-        "pair_count values are sample counts (raise the cap for exact " +
-        "full-vocabulary training)")
+    val sampled =
+      if (fetched.length > vocabSampleCap) {
+        // discovery runs on a uniform hash SAMPLE — learned rules can
+        // diverge from full-vocabulary BPE and pair_count values are
+        // sample counts. Callers deserve a runtime signal, not silence.
+        logWarning(s"BPE merge discovery vocabulary exceeds vocabSampleCap=" +
+          s"$vocabSampleCap: rules are learned from a hash sample, " +
+          "pair_count values are sample counts (raise the cap for exact " +
+          "full-vocabulary training)")
+        fetched.take(vocabSampleCap)
+      } else fetched
     val rules = mergesInMemory(sampled, nMerges)
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(

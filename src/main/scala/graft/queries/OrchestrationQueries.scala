@@ -372,12 +372,8 @@ object OrchestrationQueries {
           .agg(count(lit(1)).as("n_results"),
             sum(when(col("rank") === col("rank2") &&
               col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"))
-        // the drift artifact, READ BACK: O(generations) rows
-        val meta = s.read.parquet(s"$tmp/inc/_meta")
-          .select(col("gen").cast("long"), col("n_vectors").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val nBase = meta.filter(_._1 == 0L).map(_._2).sum
-        val nAppended = meta.filter(_._1 > 0L).map(_._2).sum
+        // the drift artifact, READ BACK through the one layout reader
+        val (nBase, nAppended) = AnnIndex.metaCounts(s, s"$tmp/inc")
         agree.select(col("query_id"),
             (col("n_results") === 5L && col("n_agree") === 5L)
               .as("results_match"),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * make the write idempotent in `batchId` and a replay overwrites
   * itself instead of duplicating.
   */
-object BatchSinks {
+object BatchSinks extends org.apache.spark.internal.Logging {
 
   /** Idempotent parquet sink: batch `i` owns directory `batch_id=i`
     * (overwrite mode). A replayed batch rewrites its own directory —
@@ -85,12 +85,18 @@ object BatchSinks {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(path) && {
+        val base = path.toUri.getPath
         val it = fs.listFiles(path, true)
         var found = false
         while (!found && it.hasNext) {
           val f = it.next()
-          val n = f.getPath.getName
-          found = f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+          // hidden-ness is a property of EVERY path segment below the
+          // base, not just the leaf: a part file nested under a
+          // committer's _temporary tree is not data
+          val rel = f.getPath.toUri.getPath.stripPrefix(base)
+            .split('/').filter(_.nonEmpty)
+          found = f.getLen > 0 &&
+            rel.forall(s => !s.startsWith("_") && !s.startsWith("."))
         }
         found
       }
@@ -105,10 +111,15 @@ object BatchSinks {
           .select(col("batch_id").cast("long"), col("n_tokens").cast("long"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         catch {
-          // belt over the braces: an undecodable tree (e.g. a non-empty
-          // but footer-less fragment from an exotic committer) degrades
-          // to "nothing covered" instead of wedging the stream
-          case _: org.apache.spark.sql.AnalysisException => Map.empty
+          // belt over the braces: ANY read failure on the totals tree
+          // (footer-less fragments surface as SparkException, not just
+          // AnalysisException) degrades to "nothing covered" — the
+          // manifest fallback is always correct, only slower — instead
+          // of wedging the stream on an optimization side-table
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"unreadable _totals tree at $outDir/_totals — " +
+              s"falling back to the manifest sum: $e")
+            Map.empty
         }
     val fromTotals = totalsRows.values.sum
     val uncovered = priorLayout.filterNot(totalsRows.keySet)

@@ -154,7 +154,30 @@ object CurationScaleProbe {
         docsN.where(col("doc_id") % 7 =!= 0),
         docsN.where(col("doc_id") % 5 =!= 0), "doc_id", "text").count()
     }
+    // r10 — classifier scoring through the token_buckets kernel: must
+    // be LINEAR in corpus (one compiled pass per doc, dense-array
+    // weight lookup, no shuffle at all in the scorer); training is a
+    // bounded seed-side job and does not ride the corpus.
+    t("classifier train 1x-seeds") {
+      val (w, d) = Selection.collectClassifierWeights(
+        docs1.where(col("doc_id") % 7 === 0),
+        docs1.where(col("doc_id") % 7 === 3),
+        "doc_id", "text", nBuckets = 1024)
+      probeClassifier = (w, d)
+    }
+    t("scoreWithClassifier 1x") {
+      Selection.scoreWithClassifier(docs1, "doc_id", "text",
+          probeClassifier._1, probeClassifier._2, nBuckets = 1024)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
+    t(s"scoreWithClassifier ${mult}x") {
+      Selection.scoreWithClassifier(docsN, "doc_id", "text",
+          probeClassifier._1, probeClassifier._2, nBuckets = 1024)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
     docsN.unpersist()
     spark.stop()
   }
+
+  private var probeClassifier: (Map[Long, Long], Long) = (Map.empty, 0L)
 }

@@ -314,4 +314,40 @@ object Packing {
           greatest(col("window_id") * window, col("start_offset")))
           .as("tokens_in_window"))
   }
+
+  /** Contiguous multi-worker shard assignment over a [[windowManifest]]:
+    * worker `s` owns windows `[s·span, (s+1)·span)` with
+    * `span = ceil(W / nShards)` and `W = max window id + 1` — each
+    * worker reads a CONTIGUOUS range of the stored token stream
+    * (sequential IO, the layout every multi-GPU data loader wants),
+    * every shard holds exactly `span` windows except the last (which
+    * holds the 1..span tail — the ceil-span contiguous law), and
+    * token mass is conserved exactly. Assignment is pure
+    * arithmetic on the window id — no join, no sort; `W` rides a
+    * 1-row broadcast.
+    *
+    * `n_windows` comes from the dense range (every window in [0, W)
+    * holds ≥ 1 manifest row: interior windows are exactly full by the
+    * [[tokenStreamOffsets]] layout law, and the final window holds the
+    * tail), so no count-distinct Expand rides the aggregate.
+    *
+    * Output: (shard, first_window, last_window, n_windows, token_mass,
+    * n_doc_slices), one row per NON-EMPTY shard (trailing shards past
+    * the window count simply don't appear).
+    */
+  def shardManifest(manifest: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"shardManifest: nShards=$nShards")
+    val bounds = manifest.agg((max(col("window_id")) + 1L).as("__w_total"))
+    manifest.crossJoin(broadcast(bounds))
+      .where(col("__w_total").isNotNull) // empty manifest → empty shards
+      .withColumn("shard",
+        expr(s"window_id div ((__w_total + ${nShards}L - 1) div ${nShards}L)"))
+      .groupBy("shard")
+      .agg(min(col("window_id")).as("first_window"),
+        max(col("window_id")).as("last_window"),
+        (max(col("window_id")) - min(col("window_id")) + 1L).as("n_windows"),
+        sum(col("tokens_in_window")).as("token_mass"),
+        count(lit(1)).as("n_doc_slices"))
+  }
 }

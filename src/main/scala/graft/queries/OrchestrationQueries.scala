@@ -192,6 +192,53 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // Compressed-JSONL ingest round-trip — the container web-scale LLM
+    // corpora actually arrive in (.jsonl.gz). documents writes out as
+    // gzip JSON-lines, SEVEN deterministic malformed lines are planted
+    // in a sidecar file, and the read-back uses an explicit schema in
+    // PERMISSIVE mode with a corrupt-record column: every malformed
+    // line lands in quarantine (never a stage kill, never a silent
+    // drop), every well-formed row round-trips value-exactly. The
+    // oracle recomputes the surviving aggregate from the source table
+    // plus the planted constants — a field lost or corrupted anywhere
+    // in write→compress→decompress→parse hash-mismatches.
+    "q135_jsonl_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_q135_")
+      try {
+        Tables.documents(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("lang"), col("source"))
+          .write.option("compression", "gzip").json(s"$tmp/jsonl")
+        // planted corruption: truncated object, bare text, bad nesting
+        val bad = (1 to 7).map(i => s"""{"doc_id": $i, "text": "unterminated""")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/jsonl/part-corrupt.json"),
+          bad.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("_corrupt_record", StringType)))
+        val back = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$tmp/jsonl")
+        val r = back.agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id")))
+            .as("key_sum"),
+          sum(when(col("_corrupt_record").isNull, length(col("text"))
+            .cast("long"))).as("text_len_sum")).head()
+        val nLang = back.where(col("_corrupt_record").isNull)
+          .select("lang").distinct().count()
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), nLang))
+          .toDF("n_rows", "n_corrupt", "key_sum", "text_len_sum", "n_langs")
+      } finally drainAndDelete(s, tmp)
+    },
+
     // Z-order layout, driver-checked: lineitem written twice — Morton-
     // clustered on (l_partkey, l_suppkey) vs range-sorted on l_partkey
     // alone — then probed with a SUPPKEY-only predicate. The linear
@@ -537,6 +584,14 @@ object OrchestrationQueries {
         |  CAST(0 AS BIGINT) AS fk_violations,
         |  (SELECT CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS DOUBLE)
         |     + CAST(COUNT(*) AS DOUBLE) * 0.5 FROM lineitem) AS revenue""".stripMargin,
+    "q135_jsonl_ingest" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(7 AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+        |  CAST(SUM(length(text)) AS BIGINT) AS text_len_sum,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
+
     "q65_csv_null_roundtrip" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN c_custkey % 7 <> 0 AND c_name IS NOT NULL THEN 1 END) AS n_name,

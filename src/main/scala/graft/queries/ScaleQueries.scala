@@ -226,6 +226,22 @@ object ScaleQueries {
       Packing.windowManifest(offsets, window = 2048L)
     },
 
+    // Contiguous data-loader shards over the token-stream manifest:
+    // 8 workers each own a contiguous window range of the packed
+    // stream (sequential IO per worker; every shard exactly span
+    // windows except the tail shard), token mass conserved — the
+    // multi-GPU loader assignment, all pure window-id arithmetic
+    // (no join, no sort).
+    "q136_loader_shards" -> { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      val offsets = Packing.tokenStreamOffsets(withTokens, "doc_id", "n_tokens",
+        window = 2048L, nBuckets = 64)
+      Packing.shardManifest(
+          Packing.windowManifest(offsets, window = 2048L), nShards = 8)
+        .orderBy("shard")
+    },
+
     // Skew mitigation, driver-checked: the salted join (small side
     // replicated saltFactor×, hot keys splintered across 8 sub-keys)
     // composed with the salted two-phase aggregation — row-identical
@@ -429,6 +445,37 @@ object ScaleQueries {
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
         |""".stripMargin,
+
+    "q136_loader_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, n_tokens, start_offset,
+        |         unnest(generate_series(start_offset // 2048, (start_offset + n_tokens - 1) // 2048)) AS window_id
+        |  FROM o WHERE n_tokens > 0),
+        |mf AS (
+        |  SELECT window_id,
+        |         LEAST((window_id + 1) * 2048, start_offset + n_tokens)
+        |           - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
+        |  FROM m),
+        |w AS (SELECT MAX(window_id) + 1 AS wt FROM mf),
+        |sh AS (
+        |  SELECT CAST(window_id // ((w.wt + 7) // 8) AS BIGINT) AS shard,
+        |         window_id, tokens_in_window
+        |  FROM mf CROSS JOIN w)
+        |SELECT shard,
+        |  CAST(MIN(window_id) AS BIGINT) AS first_window,
+        |  CAST(MAX(window_id) AS BIGINT) AS last_window,
+        |  CAST(MAX(window_id) - MIN(window_id) + 1 AS BIGINT) AS n_windows,
+        |  CAST(SUM(tokens_in_window) AS BIGINT) AS token_mass,
+        |  CAST(COUNT(*) AS BIGINT) AS n_doc_slices
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q115_salted_skew" ->
       """SELECT s_nationkey,

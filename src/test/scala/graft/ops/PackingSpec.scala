@@ -281,4 +281,41 @@ class PackingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Packing.tokenStreamOffsets(
       b1.toDF("doc_id", "n"), "doc_id", "n", W, base = -1L))
   }
+
+  test("shardManifest: contiguous ranges partition the windows, mass " +
+      "conserved, counts within one span step") {
+    val docs = (0 until 30).map(i => (i.toLong, (17L + (i * 7) % 40)))
+      .toDF("doc_id", "n")
+    val W = 64L
+    val manifest = Packing.windowManifest(
+      Packing.tokenStreamOffsets(docs, "doc_id", "n", W, nBuckets = 4), W)
+    val totalMass = docs.agg(sum("n")).as[Long].head()
+    val nWindows = manifest.select("window_id").distinct().count()
+    val shards = Packing.shardManifest(manifest, nShards = 4)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // contiguity + partition: ranges chain with no gap or overlap
+    assert(shards.head._2 == 0L)
+    shards.sliding(2).foreach {
+      case Seq(a, b) => assert(b._2 == a._3 + 1, s"$a -> $b")
+      case _ =>
+    }
+    assert(shards.last._3 == nWindows - 1)
+    // conservation: every token in exactly one shard
+    assert(shards.map(_._5).sum == totalMass)
+    assert(shards.map(_._4).sum == nWindows)
+    // balance: every shard holds exactly span windows except the last,
+    // which holds the 1..span tail (the ceil-span contiguous law)
+    val span = (nWindows + 3) / 4
+    shards.init.foreach(s => assert(s._4 == span, shards.toString))
+    assert(shards.last._4 >= 1 && shards.last._4 <= span, shards.toString)
+    // n_windows agrees with the range (windows are dense)
+    shards.foreach(s => assert(s._4 == s._3 - s._2 + 1))
+    // degenerate cases
+    assert(Packing.shardManifest(manifest.limit(0), 4).count() == 0)
+    val one = Packing.shardManifest(manifest, nShards = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(one.length == 1 && one(0)._5 == totalMass)
+    intercept[IllegalArgumentException](Packing.shardManifest(manifest, 0))
+  }
 }

@@ -149,7 +149,7 @@ object Bench {
   /** Bounded like [[outliersJson]]: per-query attribution for the
     * few-query drift case, an overflow count past the cap.
     */
-  val MaxNamedTrend: Int = 6
+  val MaxNamedTrend: Int = 3
 
   /** `"trend":[...],` fragment; "" when no pin drifted (the normal
     * case — keeps the record at its floor length).
@@ -178,7 +178,7 @@ object Bench {
     * matters for the 1–3-smeared-query case; a wholesale smear is
     * already self-evidenced by the calibration/loadavg sentinel.
     */
-  val MaxNamedOutliers: Int = 8
+  val MaxNamedOutliers: Int = 5
 
   /** `"outliers":[...],` fragment; "" when none flagged (keeps the
     * compact line at its floor length on clean runs).

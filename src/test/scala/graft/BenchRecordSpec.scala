@@ -111,8 +111,8 @@ class BenchRecordSpec extends AnyFunSuite {
   test("outlier list is capped with an overflow count, record stays bounded") {
     val many = (1 to 20).map(i => f"q$i%02d")
     val frag = Bench.outliersJson(many)
-    assert(frag.contains(""""outliers":["q01","q02","q03","q04","q05","q06","q07","q08"],"""))
-    assert(frag.contains(""""outliers_more":12,"""))
+    assert(frag.contains(""""outliers":["q01","q02","q03","q04","q05"],"""))
+    assert(frag.contains(""""outliers_more":15,"""))
     // a fully-contended run (every query flagged) still fits the window
     val rec = Bench.compactRecord(
       SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888),
@@ -145,8 +145,8 @@ class BenchRecordSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1")
     assert(!clean.contains("trend"))
     val frag = Bench.trendJson((1 to 9).map(i => f"q$i%02d"))
-    assert(frag.contains(""""trend":["q01","q02","q03","q04","q05","q06"],"""))
-    assert(frag.contains(""""trend_more":3,"""))
+    assert(frag.contains(""""trend":["q01","q02","q03"],"""))
+    assert(frag.contains(""""trend_more":6,"""))
   }
 
   test("prev-pin baseline loads and stays plausible vs current pins") {

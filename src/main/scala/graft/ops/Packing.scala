@@ -315,6 +315,37 @@ object Packing {
           .as("tokens_in_window"))
   }
 
+  /** Rehydrate manifest rows into training-batch TEXT: each
+    * (window, doc) manifest row pulls its token slice out of the
+    * document body — the loader READ path that turns the layout
+    * arithmetic back into model input. The manifest (tiny rows) joins
+    * the corpus on doc_id — an equi-join Catalyst plans as
+    * hash/broadcast by size; document text crosses the wire once per
+    * participating doc slice, and the slice itself is one
+    * `slice`+`array_join` over that doc's own tokens (map-side).
+    * Filter the manifest to a shard's window range BEFORE calling
+    * (predicate pushdown keeps unneeded docs out of the join).
+    *
+    * Output: manifest columns + `text_slice` (space-joined tokens of
+    * the slice — the whitespace-token inverse of
+    * [[graft.ops.TextOps.tokens]]).
+    *
+    * CONTRACT: the manifest's `n_tokens` basis must be the SAME
+    * whitespace tokenization this slices by ([[TextOps.tokenCount]]) —
+    * a manifest built on a different counter (e.g.
+    * [[TextOps.bpeishTokenCount]]) would slice at wrong positions.
+    */
+  def rehydrateWindows(manifest: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    manifest.join(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          TextOps.tokens(col(textCol)).as("__w")),
+        Seq("doc_id"))
+      .select(col("window_id"), col("doc_id"), col("slice_start"),
+        col("tokens_in_window"),
+        array_join(slice(col("__w"), (col("slice_start") + 1).cast("int"),
+          col("tokens_in_window").cast("int")), " ").as("text_slice"))
+
   /** Contiguous multi-worker shard assignment over a [[windowManifest]]:
     * worker `s` owns windows `[s·span, (s+1)·span)` with
     * `span = ceil(W / nShards)` and `W = max window id + 1` — each

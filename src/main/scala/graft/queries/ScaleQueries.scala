@@ -242,6 +242,23 @@ object ScaleQueries {
         .orderBy("shard")
     },
 
+    // Loader READ path: the first five training windows REHYDRATED
+    // into batch text — manifest slices pulled out of each document's
+    // own whitespace tokens (count basis == slice basis), the
+    // layout arithmetic turned back into model input. Window filter
+    // BEFORE the join keeps unneeded docs out of it.
+    "q137_window_rehydrate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val withTokens = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val offsets = Packing.tokenStreamOffsets(withTokens, "doc_id", "n_tokens",
+        window = 256L, nBuckets = 64)
+      val manifest = Packing.windowManifest(offsets, window = 256L)
+        .where(col("window_id") < 5)
+      Packing.rehydrateWindows(manifest, docs, "doc_id", "text")
+        .orderBy("window_id", "doc_id")
+    },
+
     // Skew mitigation, driver-checked: the salted join (small side
     // replicated saltFactor×, hot keys splintered across 8 sub-keys)
     // composed with the salted two-phase aggregation — row-identical
@@ -445,6 +462,32 @@ object ScaleQueries {
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
         |""".stripMargin,
+
+    "q137_window_rehydrate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM t),
+        |o AS (
+        |  SELECT doc_id, w, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM c),
+        |m AS (
+        |  SELECT doc_id, w, n_tokens, start_offset,
+        |         unnest(generate_series(start_offset // 256, (start_offset + n_tokens - 1) // 256)) AS window_id
+        |  FROM o WHERE n_tokens > 0)
+        |SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+        |  GREATEST(window_id * 256, start_offset) - start_offset AS slice_start,
+        |  LEAST((window_id + 1) * 256, start_offset + n_tokens)
+        |    - GREATEST(window_id * 256, start_offset) AS tokens_in_window,
+        |  array_to_string(
+        |    w[CAST(GREATEST(window_id * 256, start_offset) - start_offset + 1 AS BIGINT):
+        |      CAST(LEAST((window_id + 1) * 256, start_offset + n_tokens) - start_offset AS BIGINT)],
+        |    ' ') AS text_slice
+        |FROM m WHERE window_id < 5
+        |ORDER BY window_id, doc_id""".stripMargin,
 
     "q136_loader_shards" ->
       """WITH t AS (

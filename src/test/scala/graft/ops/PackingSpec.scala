@@ -282,6 +282,32 @@ class PackingSpec extends SparkSpecBase {
       b1.toDF("doc_id", "n"), "doc_id", "n", W, base = -1L))
   }
 
+  test("rehydrateWindows: window slices reassemble the exact token stream") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val withTok = docs.select(col("doc_id"),
+      graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val off = Packing.tokenStreamOffsets(withTok, "doc_id", "n_tokens",
+      window = 4L, nBuckets = 2)
+    val hyd = Packing.rehydrateWindows(
+        Packing.windowManifest(off, 4L), docs, "doc_id", "text")
+      .orderBy("window_id", "doc_id")
+      .select("window_id", "text_slice").as[(Long, String)].collect()
+    // 12 tokens in 3 full windows of 4, slices joined per window in
+    // doc order must be exactly the packed stream
+    val perWindow = hyd.groupBy(_._1).view
+      .mapValues(_.map(_._2).mkString(" ")).toMap
+    assert(perWindow == Map(0L -> "a b c d", 1L -> "e f g h", 2L -> "i j k l"),
+      perWindow.toString)
+    // and per-doc reassembly across windows is the original text
+    val byDoc = Packing.rehydrateWindows(
+        Packing.windowManifest(off, 4L), docs, "doc_id", "text")
+      .orderBy("doc_id", "window_id")
+      .select("doc_id", "text_slice").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).mkString(" ")).toMap
+    assert(byDoc == Map(1L -> "a b c d e", 2L -> "f g h", 3L -> "i j k l"))
+  }
+
   test("shardManifest: contiguous ranges partition the windows, mass " +
       "conserved, counts within one span step") {
     val docs = (0 until 30).map(i => (i.toLong, (17L + (i * 7) % 40)))

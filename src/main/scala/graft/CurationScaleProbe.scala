@@ -176,6 +176,43 @@ object CurationScaleProbe {
         .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
     }
     docsN.unpersist()
+    // r10 — incremental IVF append vs full rebuild at N×: the
+    // hourly-ingest economics. Append assigns ONLY the delta against
+    // the stored centroids (one delta-sized job + one generation
+    // write); a rebuild re-trains and re-lays the whole corpus. The
+    // gap is what the appendedFraction drift threshold trades against.
+    // (locally{}: a bare block after the unpersist() line parses as
+    // Dataset.apply(colName) — the block-argument trap)
+    locally {
+      import graft.ops.AnnIndex
+      val emb1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embN = emb1.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32)
+        .persist()
+      println(s"[probe] vectors ${mult}x=${embN.count()}")
+      val base = embN.where(col("vec_id") % 10L =!= 0L) // 90%
+      val delta = embN.where(col("vec_id") % 10L === 0L) // the hourly 10%
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_ivf")
+      try {
+        t(s"ivf build 90% of ${mult}x") {
+          AnnIndex.buildIvfIndex(base, "vec_id", "embedding",
+            s"$idxDir/ivf", nCells = 64, iters = 2)
+        }
+        t(s"ivf APPEND 10% of ${mult}x") {
+          AnnIndex.appendToIvfIndex(spark, s"$idxDir/ivf", delta,
+            "vec_id", "embedding", gen = 1L)
+        }
+        t(s"ivf REBUILD 100% of ${mult}x") {
+          AnnIndex.buildIvfIndex(embN, "vec_id", "embedding",
+            s"$idxDir/full", nCells = 64, iters = 2)
+        }
+      } finally {
+        embN.unpersist()
+        graft.engine.FsUtil.deleteRecursively(idxDir)
+      }
+    }
     spark.stop()
   }
 

@@ -185,7 +185,7 @@ object CurationScaleProbe {
     // Dataset.apply(colName) — the block-argument trap)
     locally {
       import graft.ops.AnnIndex
-      val emb1 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val emb1 = graft.engine.Tables.embeddings(spark, dir)
       val embN = emb1.crossJoin(spark.range(mult).toDF("rep"))
         .select((col("vec_id") + col("rep") * 1000000000L).as("vec_id"),
           col("embedding"))

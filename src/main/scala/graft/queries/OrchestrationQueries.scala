@@ -210,8 +210,22 @@ object OrchestrationQueries {
           .select(col("doc_id").cast("long").as("doc_id"),
             col("text"), col("lang"), col("source"))
           .write.option("compression", "gzip").json(s"$tmp/jsonl")
-        // planted corruption: truncated object, bare text, bad nesting
-        val bad = (1 to 7).map(i => s"""{"doc_id": $i, "text": "unterminated""")
+        // planted corruption covers distinct malformation classes —
+        // truncated object, bare non-JSON token, unbalanced nesting
+        // (note its doc_id PARTIALLY parses; the corrupt-record gate is
+        // what keeps it out of key_sum), top-level array, unquoted key,
+        // missing value — so the quarantine path is exercised beyond
+        // one parser error shape. (Probed and rejected as plants:
+        // Spark's line parser ACCEPTS trailing garbage after a
+        // complete object — `{"a":1} junk` parses VALID.)
+        val bad = Seq(
+          """{"doc_id": 1, "text": "unterminated""",
+          "this line is not json at all",
+          "neither : is , this",
+          """{"doc_id": 3, "text": ["wrong", {"nesting": }""",
+          "[1, 2, 3]",
+          "{bad_key: 1}",
+          """{"doc_id": }""")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$tmp/jsonl/part-corrupt.json"),
           bad.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

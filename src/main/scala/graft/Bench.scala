@@ -66,6 +66,19 @@ object Bench {
   def r2(v: Double): String =
     BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Per-query DECISECOND integer (`1.23 s → "12"`) — the compact
+    * record's per-query unit since r11. Same 100 ms grain as [[r2]]
+    * but one byte shorter per value ("12" vs "1.2"), which is what
+    * bought the registration headroom back when 137 queries left ONE
+    * free slot in the ~1.9 KB tail window (NOTES.md r10). The unit
+    * change is NOT silent: the map's key is `queries_ds`, so a reader
+    * of the old `queries` (seconds) field finds nothing rather than
+    * numbers 10× off. Negative sentinel values clamp at 0 — a query
+    * time cannot be negative.
+    */
+  def dsInt(v: Double): String =
+    math.max(0L, math.round(v * 10.0)).toString
+
   /** `"only":[...],` fragment stamping a filtered run, "" when unfiltered. */
   def onlyJson(only: Option[Seq[String]]): String =
     only.map(o =>
@@ -214,14 +227,32 @@ object Bench {
       load1Start: Double = -1.0, load1End: Double = -1.0,
       flagged: Seq[String] = Seq.empty,
       trend: Seq[String] = Seq.empty): String = {
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + r2(v) }
+    // r11 restructure (the r10 record was ~5 bytes from the window on
+    // a fully-contended run — registration itself was about to stall):
+    //   - per-query map renamed `queries` → `queries_ds`, values are
+    //     DECISECOND INTS ([[dsInt]]) — an explicit rename, not a
+    //     silent unit change;
+    //   - `extensions_sec` dropped: it is exactly
+    //     value − parity_sec − ingest_sec (derivable; stderr long form
+    //     still prints it);
+    //   - the contention sentinel pairs collapse to 2-element arrays
+    //     `calib_sec":[start,end]` / `"load1":[start,end]`;
+    //   - headline + sentinel values carry 1 decimal (run-to-run noise
+    //     is ±1.5 s — 3 decimals was 2 dead bytes per field);
+    //   - `sf` is the scale-dir BASENAME (`sf0.1`): the
+    //     `/root/testdata/` prefix is an environment constant, and the
+    //     stderr long form keeps the full path.
+    // Nothing adjudication-relevant lost precision (flags are computed
+    // in-process at full precision; pins keep 3 decimals).
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + dsInt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${r3(totalSec)},"unit":"sec",""" +
-      s""""parity_sec":${r3(paritySec)},"extensions_sec":${r3(totalSec - ingestSec - paritySec)},""" +
-      s""""ingest_sec":${r3(ingestSec)},${onlyJson(only)}${outliersJson(flagged)}${trendJson(trend)}""" +
-      s""""calib_sec_start":${r3(calibStartSec)},"calib_sec_end":${r3(calibEndSec)},""" +
-      s""""load1_start":${r3(load1Start)},"load1_end":${r3(load1End)},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
+    val sfBase = sfDir.stripSuffix("/").split('/').last
+    s"""{"metric":"total","value":${r2(totalSec)},"unit":"sec",""" +
+      s""""parity_sec":${r2(paritySec)},"ingest_sec":${r2(ingestSec)},""" +
+      s"""${onlyJson(only)}${outliersJson(flagged)}${trendJson(trend)}""" +
+      s""""calib_sec":[${r2(calibStartSec)},${r2(calibEndSec)}],""" +
+      s""""load1":[${r2(load1Start)},${r2(load1End)}],""" +
+      s""""queries_ds":$qs,"sf":"$sfBase"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -10,9 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchRecordSpec extends AnyFunSuite {
 
-  private def fullInventoryRecord: String = {
-    // every registered query, worst-case ≥10s values (6 chars each)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888)
+  private def recordFor(names: Seq[String]): String = {
+    // worst-case ≥10s values (3-digit decisecond ints)
+    val results = names.sorted.map(_ -> 88.888)
     Bench.compactRecord(results, totalSec = 888.888, paritySec = 88.888,
       ingestSec = 8.888, only = None, sfDir = "/root/testdata/sf0.1",
       calibStartSec = 88.888, calibEndSec = 88.888,
@@ -22,6 +22,9 @@ class BenchRecordSpec extends AnyFunSuite {
       trend = Bench.PinnedMinSf01.keys.toSeq.sorted)
   }
 
+  private def fullInventoryRecord: String =
+    recordFor(SparkEntry.queries.keys.toSeq)
+
   test("compact record for the FULL inventory fits the driver's tail window") {
     val rec = fullInventoryRecord
     // window is ~2 KB and sbt's trailing [success] line costs ~80 bytes
@@ -29,28 +32,55 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!rec.contains("\n"))
   }
 
+  test("window keeps >=20 registered-query slots of headroom (r10 stall lesson)") {
+    // r10 ended with ONE free slot: registration of new operators was
+    // about to become impossible without a record restructure. The
+    // r11 deciseconds/queries_ds layout must keep at least 20 future
+    // registrations (worst-case 3-digit values, 4-char keys) inside
+    // the same worst-case bound, so growth never stalls mid-round.
+    val inv = SparkEntry.queries.keys.toSeq
+    val maxQ = inv.map(n => Bench.shortKey(n).drop(1).toInt).max
+    val future = (maxQ + 1 to maxQ + 20).map(i => s"q${i}_future_op")
+    val rec = recordFor(inv ++ future)
+    assert(rec.length < 1900, s"+20-query record is ${rec.length} bytes:\n$rec")
+  }
+
   test("contention sentinel rides the DRIVER-PARSED record, not just stderr") {
     // BENCH_r05 lesson: a 1.8x regression on byte-identical code could
     // not defend itself because calibration lived only on stderr.
     val rec = fullInventoryRecord
-    assert(rec.contains(""""calib_sec_start":88.888"""))
-    assert(rec.contains(""""calib_sec_end":88.888"""))
-    assert(rec.contains(""""load1_start":888.888"""))
-    assert(rec.contains(""""load1_end":888.888"""))
+    assert(rec.contains(""""calib_sec":[88.9,88.9]"""))
+    assert(rec.contains(""""load1":[888.9,888.9]"""))
   }
 
   test("compact record is valid JSON with the driver's contract fields") {
     val rec = fullInventoryRecord
     // no JSON lib on the offline classpath: check the structural frame
     assert(rec.startsWith("""{"metric":"total","value":"""))
-    assert(rec.endsWith(""","sf":"/root/testdata/sf0.1"}"""))
+    assert(rec.endsWith(""","sf":"sf0.1"}"""))
     assert(rec.contains(""""unit":"sec""""))
     assert(rec.count(_ == '{') == 2 && rec.count(_ == '}') == 2)
+    assert(rec.count(_ == '[') == rec.count(_ == ']'))
     assert(rec.count(_ == '"') % 2 == 0)
     // one short key per query, all unique (qNN prefix is the contract)
     val keys = """"(q\d+)":""".r.findAllMatchIn(rec).map(_.group(1)).toSeq
     assert(keys.length == SparkEntry.queries.size)
     assert(keys.distinct.length == keys.length, "short query keys must stay unique")
+  }
+
+  test("per-query unit change is LOUD: queries_ds present, old seconds key absent") {
+    // the judge reads seconds; a silent 10x unit change inside a key
+    // still named `queries` would be misread as a catastrophic
+    // regression (or improvement). The rename makes old readers fail
+    // to find the field instead of finding wrong numbers.
+    val rec = Bench.compactRecord(Seq("q64_pipeline_run" -> 5.591),
+      totalSec = 5.591, paritySec = 0.0, ingestSec = 0.0,
+      only = None, sfDir = "/tmp/x")
+    assert(rec.contains(""""queries_ds":{"q64":56}"""))
+    assert(!rec.contains(""""queries":"""), "old seconds-unit key must not reappear")
+    // extensions_sec is derivable (value - parity_sec - ingest_sec);
+    // dropping it paid for sentinel bytes — it must stay dropped
+    assert(!rec.contains("extensions_sec"))
   }
 
   test("filtered runs are stamped with the only field") {
@@ -166,5 +196,11 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.r2(0.0000001) == "0.0")
     assert(Bench.r2(1.0 / 3.0) == "0.3")
     assert(Bench.r2(12345.6789) == "12345.7")
+    // decisecond ints: same grain, one byte shorter, clamped at zero
+    assert(Bench.dsInt(0.0000001) == "0")
+    assert(Bench.dsInt(1.0 / 3.0) == "3")
+    assert(Bench.dsInt(5.591) == "56")
+    assert(Bench.dsInt(88.888) == "889")
+    assert(Bench.dsInt(-1.0) == "0")
   }
 }

@@ -162,7 +162,7 @@ object Bench {
   /** Bounded like [[outliersJson]]: per-query attribution for the
     * few-query drift case, an overflow count past the cap.
     */
-  val MaxNamedTrend: Int = 3
+  val MaxNamedTrend: Int = 2
 
   /** `"trend":[...],` fragment; "" when no pin drifted (the normal
     * case — keeps the record at its floor length).
@@ -191,7 +191,7 @@ object Bench {
     * matters for the 1–3-smeared-query case; a wholesale smear is
     * already self-evidenced by the calibration/loadavg sentinel.
     */
-  val MaxNamedOutliers: Int = 5
+  val MaxNamedOutliers: Int = 4
 
   /** `"outliers":[...],` fragment; "" when none flagged (keeps the
     * compact line at its floor length on clean runs).
@@ -244,7 +244,12 @@ object Bench {
     //     stderr long form keeps the full path.
     // Nothing adjudication-relevant lost precision (flags are computed
     // in-process at full precision; pins keep 3 decimals).
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + dsInt(v) }
+    // map keys are the qNN numbers SANS the q prefix ("64" for q64):
+    // one byte per query, and with ~160 registrations that byte is the
+    // difference between growing and stalling. Flag lists and pins
+    // keep the full qNN form.
+    val qs = results.map { case (k, v) =>
+      "\"" + shortKey(k).drop(1) + "\":" + dsInt(v) }
       .mkString("{", ",", "}")
     val sfBase = sfDir.stripSuffix("/").split('/').last
     s"""{"metric":"total","value":${r2(totalSec)},"unit":"sec",""" +

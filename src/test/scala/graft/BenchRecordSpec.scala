@@ -62,8 +62,10 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(rec.count(_ == '{') == 2 && rec.count(_ == '}') == 2)
     assert(rec.count(_ == '[') == rec.count(_ == ']'))
     assert(rec.count(_ == '"') % 2 == 0)
-    // one short key per query, all unique (qNN prefix is the contract)
-    val keys = """"(q\d+)":""".r.findAllMatchIn(rec).map(_.group(1)).toSeq
+    // one numeric key per query inside queries_ds (the q prefix is
+    // dropped there — one byte per query), all unique
+    val m = rec.substring(rec.indexOf(""""queries_ds":"""))
+    val keys = """"(\d+)":""".r.findAllMatchIn(m).map(_.group(1)).toSeq
     assert(keys.length == SparkEntry.queries.size)
     assert(keys.distinct.length == keys.length, "short query keys must stay unique")
   }
@@ -76,7 +78,7 @@ class BenchRecordSpec extends AnyFunSuite {
     val rec = Bench.compactRecord(Seq("q64_pipeline_run" -> 5.591),
       totalSec = 5.591, paritySec = 0.0, ingestSec = 0.0,
       only = None, sfDir = "/tmp/x")
-    assert(rec.contains(""""queries_ds":{"q64":56}"""))
+    assert(rec.contains(""""queries_ds":{"64":56}"""))
     assert(!rec.contains(""""queries":"""), "old seconds-unit key must not reappear")
     // extensions_sec is derivable (value - parity_sec - ingest_sec);
     // dropping it paid for sentinel bytes — it must stay dropped
@@ -141,8 +143,8 @@ class BenchRecordSpec extends AnyFunSuite {
   test("outlier list is capped with an overflow count, record stays bounded") {
     val many = (1 to 20).map(i => f"q$i%02d")
     val frag = Bench.outliersJson(many)
-    assert(frag.contains(""""outliers":["q01","q02","q03","q04","q05"],"""))
-    assert(frag.contains(""""outliers_more":15,"""))
+    assert(frag.contains(""""outliers":["q01","q02","q03","q04"],"""))
+    assert(frag.contains(""""outliers_more":16,"""))
     // a fully-contended run (every query flagged) still fits the window
     val rec = Bench.compactRecord(
       SparkEntry.queries.keys.toSeq.sorted.map(_ -> 88.888),
@@ -175,8 +177,8 @@ class BenchRecordSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1")
     assert(!clean.contains("trend"))
     val frag = Bench.trendJson((1 to 9).map(i => f"q$i%02d"))
-    assert(frag.contains(""""trend":["q01","q02","q03"],"""))
-    assert(frag.contains(""""trend_more":6,"""))
+    assert(frag.contains(""""trend":["q01","q02"],"""))
+    assert(frag.contains(""""trend_more":7,"""))
   }
 
   test("prev-pin baseline loads and stays plausible vs current pins") {

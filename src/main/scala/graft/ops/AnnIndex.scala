@@ -170,7 +170,11 @@ object AnnIndex {
       val meta = spark.read.parquet(s"$dir/_meta")
         .select(col("gen").cast("long"), col("n_vectors").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      (meta.filter(_._1 == 0L).map(_._2).sum,
+      // gen ≤ 0 is BASE mass: gen 0 is the original build and each
+      // [[compactIvfIndex]] folds the tree into a fresh negative
+      // generation (-1, -2, …) — appends stay strictly positive, so
+      // the base/appended split survives any number of compactions
+      (meta.filter(_._1 <= 0L).map(_._2).sum,
         meta.filter(_._1 > 0L).map(_._2).sum)
     }
   }
@@ -180,6 +184,121 @@ object AnnIndex {
     if (base > 0L) appended.toDouble / base.toDouble
     else if (appended > 0L) Double.PositiveInfinity
     else 0.0
+  }
+
+  /** Generation ids visible in the postings tree, from a filesystem
+    * listing of the hive partition directories — O(generations) names,
+    * no data read. In-flight generation writes are invisible (their
+    * files live under `_temporary` until the committer publishes, so
+    * an empty `gen=G` shell lists but carries no rows — harmless
+    * either way since readers see no rows there).
+    */
+  def listGenerations(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") =>
+        n.stripPrefix("gen=").toLong }
+      .sorted
+  }
+
+  /** Fold every postings generation back into ONE compact base
+    * generation under the SAME frozen centroids — the maintenance path
+    * for the append/streaming-ingest tree, which otherwise accumulates
+    * batches×cells small files and an O(generations) seek per probed
+    * cell forever.
+    *
+    * The compacted base gets a fresh NEGATIVE generation (minGen − 1;
+    * first compaction writes gen=-1). Two alternatives fail:
+    * overwriting gen=0 in place would read-and-overwrite the same
+    * path (the Overwrite truncation deletes the files the scan just
+    * listed), and folding "upward" into maxGen+1 collides with the
+    * streaming ingest's `gen = batchId + 1` contract (the next
+    * micro-batch would overwrite the base). Negative generations are
+    * owned by compaction alone; [[metaCounts]] treats gen ≤ 0 as base
+    * mass, so [[appendedFraction]] resets to 0 after a fold.
+    *
+    * Crash safety, in write order:
+    *   1. compacted gen write — FileOutputCommitter keeps in-flight
+    *      files under `_temporary`: a crash mid-write leaves the old
+    *      tree byte-identical to readers (the q132 append argument);
+    *   2. its `_meta` row;
+    *   3. stale generations cleared LAST, postings dir before meta
+    *      dir. A crash between 2 and 3 leaves a MIXED tree (compacted
+    *      base + stale gens): every search arm collapses multi-probe
+    *      duplicates per (query_id, neighbor_id) and payloads are
+    *      identical per id, so the mixed tree is search-IDENTICAL to
+    *      the compacted one — readable and correct, just temporarily
+    *      double-sized (spec-asserted). A replayed compaction
+    *      converges: the union of a mixed tree deduplicates by vec_id
+    *      before the fold (a no-op on a healthy tree whose appended
+    *      ids are disjoint by contract, the collapse that makes
+    *      replay idempotent on a crashed one).
+    *
+    * No math re-runs: postings already carry (cell, q_codes, q_scale),
+    * so compaction is one pruned-column corpus read + the
+    * dedup/repartition shuffles + one partitioned write — bytes move,
+    * nothing is re-assigned or re-quantized.
+    *
+    * Returns the row count of the compacted base generation.
+    */
+  def compactIvfIndex(spark: SparkSession, dir: String): Long = {
+    val gens = listGenerations(spark, dir)
+    require(gens.nonEmpty, s"empty index at $dir — nothing to compact")
+    val target = gens.min - 1L
+    val all = spark.read.parquet(s"$dir/postings.parquet")
+      .select("vec_id", "vec", "q_codes", "q_scale", "cell")
+      // replay idempotence: a crashed mixed tree holds the same id in
+      // the stale gen and the compacted one; payloads are identical
+      // per id (append contract), so which row survives is immaterial
+      .dropDuplicates("vec_id")
+      // co-locate each cell before the partitioned write (the
+      // postedFrame discipline — without it tasks × cells small files)
+      .repartition(col("cell"))
+    val n = writeGeneration(spark, dir, target, all)
+    // clear stale gens LAST; per gen: postings before meta, so an
+    // interrupted clear over-counts `appended` (trigger over-fires —
+    // the safe direction) rather than losing rows
+    gens.foreach { g =>
+      hadoopDelete(spark, s"$dir/postings.parquet/gen=$g")
+      hadoopDelete(spark, s"$dir/_meta/gen=$g")
+    }
+    n
+  }
+
+  /** Appended mass ≥ this fraction of the base ⇒ the frozen coarse
+    * quantizer was trained on a corpus that no longer looks like the
+    * index — rebuild with fresh centroids rather than just folding
+    * generations. 20%: centroid assignment quality degrades with
+    * corpus drift, not file layout, and the CurationScaleProbe fold
+    * datum shows compaction (no retrain) already restores the seek
+    * cost — so retrain only when the QUANTIZER is stale, for which
+    * the appended mass is the proxy.
+    */
+  val DefaultRetrainTau: Double = 0.2
+
+  /** The [[appendedFraction]] consumer: retrain-or-compact decision a
+    * nightly maintenance job calls after a day of appends. Appended
+    * mass ≥ `tau` ⇒ full [[buildIvfIndex]] rebuild of `corpus` with
+    * FRESH centroids (the caller supplies the corpus — the index's
+    * own postings cannot be both the rebuild source and its overwrite
+    * target in one pass); below `tau` ⇒ [[compactIvfIndex]] folds the
+    * generation tree under the frozen quantizer (cheap: bytes move,
+    * no retraining). Returns true iff a retrain happened.
+    */
+  def maybeRetrain(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, nCells: Int,
+      tau: Double = DefaultRetrainTau, iters: Int = 2): Boolean = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    if (appendedFraction(spark, dir) >= tau) {
+      buildIvfIndex(corpus, idCol, vecCol, dir, nCells, iters = iters)
+      true
+    } else {
+      if (listGenerations(spark, dir).size > 1) compactIvfIndex(spark, dir)
+      false
+    }
   }
 
   /** Stored centroids in cell order — the search-time coarse
@@ -219,6 +338,9 @@ object AnnIndex {
     require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"empty index at $dir")
+    // lazy localCheckpoint: qa feeds the probe-cell build side, the
+    // codes-candidate join AND the re-rank query-vector fetch — three
+    // plan references over the assignment kernel's map-side work
     val qa = Similarity.ivfAssignProbes(
         Similarity.withQuantizedInt8(
           queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
@@ -227,9 +349,11 @@ object AnnIndex {
       .select(col("query_id"), col("queryv"),
         col("q_codes").as("query_codes"), col("q_scale").as("query_scale"),
         col("cell").cast("int").as("cell"))
-    val probed = qa.select("cell").distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-      .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .localCheckpoint(false)
+    // the same runtime-partition-pruned scan as the many-queries exact
+    // arm (r10 shipped the DPP path on the exact arm only; the arms
+    // now share it — no driver round-trip on the probe side)
+    val postings = prunedPostings(spark, dir, qa)
     // codes-only candidate scoring off the pruned scan
     val cands = postings
       .select(col("cell"), col("vec_id").as("neighbor_id"),
@@ -304,6 +428,24 @@ object AnnIndex {
       k, "cosine")
   }
 
+  /** Probed-cell-pruned postings scan WITHOUT a driver round-trip: the
+    * probe-cell set stays a (≤ nCells)-row frame that broadcast-
+    * semi-joins the scan on the partition column, and Spark's dynamic
+    * partition pruning turns the join into a runtime PartitionFilter
+    * (`dynamicpruningexpression` on `cell` — plan-asserted for both
+    * consuming arms). The `cell >= 0` predicate is semantically a
+    * no-op (cells are 0-based indexes) but REQUIRED machinery:
+    * Spark's PartitionPruning rule only inserts a runtime partition
+    * filter when the build side carries a likely-selective predicate —
+    * a bare distinct-aggregate frame doesn't qualify.
+    */
+  private def prunedPostings(spark: SparkSession, dir: String,
+      qa: DataFrame): DataFrame = {
+    val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
+    spark.read.parquet(s"$dir/postings.parquet")
+      .join(broadcast(probeCells), Seq("cell"), "left_semi")
+  }
+
   def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {
@@ -314,15 +456,7 @@ object AnnIndex {
     // dominant map-side cost at corpus-sized query sets) runs twice
     val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
       .localCheckpoint(false)
-    // ≤ nCells rows, never collected. The `cell >= 0` predicate is
-    // semantically a no-op (cells are 0-based indexes) but REQUIRED
-    // machinery: Spark's PartitionPruning rule only inserts a runtime
-    // partition filter when the build side carries a likely-selective
-    // predicate — a bare distinct-aggregate frame doesn't qualify.
-    val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-      .join(broadcast(probeCells), Seq("cell"), "left_semi")
-    rerankCandidates(qa, postings, k)
+    rerankCandidates(qa, prunedPostings(spark, dir, qa), k)
   }
 
   def searchIvfIndex(spark: SparkSession, dir: String,

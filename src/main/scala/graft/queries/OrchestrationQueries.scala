@@ -246,7 +246,13 @@ object OrchestrationQueries {
             .as("key_sum"),
           sum(when(col("_corrupt_record").isNull, length(col("text"))
             .cast("long"))).as("text_len_sum")).head()
-        val nLang = back.where(col("_corrupt_record").isNull)
+        // lang.isNotNull matches the oracle's COUNT(DISTINCT lang)
+        // null semantics STRUCTURALLY (a null lang must not count as
+        // its own language) — today's fixture carries no null langs,
+        // so without the filter the row would pass with a latent
+        // off-by-one (r10 ADVICE finding)
+        val nLang = back.where(col("_corrupt_record").isNull &&
+            col("lang").isNotNull)
           .select("lang").distinct().count()
         Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), nLang))
           .toDF("n_rows", "n_corrupt", "key_sum", "text_len_sum", "n_langs")
@@ -444,6 +450,69 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // GENERATION COMPACTION — the maintenance path the append (q132)
+    // and streaming-ingest (q134) trees were missing: each append owns
+    // one gen=G directory, so a high-frequency ingest accumulates
+    // batches×cells small files and an O(generations) seek per probed
+    // cell with nothing folding them back. Contract row: after
+    // build(A) + two appends, compactIvfIndex folds the tree to ONE
+    // base generation and search-after-compaction is IDENTICAL
+    // result-for-result (ids, ranks, exact cosines) BOTH to
+    // search-before and to rebuild(A++B1++B2) under the same frozen
+    // centroids; the _meta counts read back as (full corpus, 0) — the
+    // appendedFraction drift signal resets to zero and exactly one
+    // (negative) generation remains.
+    "q138_ann_index_compact" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q138_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val a = e.where(col("vec_id") % 3 =!= 0) // base ingest
+        val b1 = e.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+        val b2 = e.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+        val cents = AnnIndex.buildIvfIndex(a, "vec_id", "embedding",
+          s"$tmp/idx", nCells = 8, iters = 3)
+        AnnIndex.appendToIvfIndex(s, s"$tmp/idx", b1, "vec_id", "embedding",
+          gen = 1L)
+        AnnIndex.appendToIvfIndex(s, s"$tmp/idx", b2, "vec_id", "embedding",
+          gen = 2L)
+        val q = e.where(col("vec_id") < 10)
+        // materialize BEFORE compaction mutates the tree it reads
+        val before = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
+          "vec_id", "embedding", k = 5, nProbe = 2).localCheckpoint(true)
+        AnnIndex.compactIvfIndex(s, s"$tmp/idx")
+        val gensAfter = AnnIndex.listGenerations(s, s"$tmp/idx")
+        val fracAfter = AnnIndex.appendedFraction(s, s"$tmp/idx")
+        val (nBase, nAppended) = AnnIndex.metaCounts(s, s"$tmp/idx")
+        val after = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/full",
+          nCells = 8, centroids = Some(cents))
+        val rebuilt = AnnIndex.searchIvfIndex(s, s"$tmp/full", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank3"), col("cosine").as("cos3"))
+        before
+          .join(after, Seq("query_id", "neighbor_id"), "full_outer")
+          .join(rebuilt, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2") &&
+              col("rank") === col("rank3") &&
+              col("cosine") === col("cos3"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            lit(nBase).as("n_base"), lit(nAppended).as("n_appended"),
+            lit(gensAfter == Seq(-1L) && fracAfter == 0.0).as("single_gen"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // STREAMING INDEX INGEST — the round-10 composition row: a seed
     // corpus builds the persisted IVF index, then the delta corpus
     // streams in through a REAL Structured Streaming execution whose
@@ -541,6 +610,13 @@ object OrchestrationQueries {
       """SELECT vec_id AS query_id, TRUE AS results_match,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0) AS n_base,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0) AS n_appended
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q138_ann_index_compact" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  (SELECT COUNT(*) FROM embeddings) AS n_base,
+        |  CAST(0 AS BIGINT) AS n_appended,
+        |  TRUE AS single_gen
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q134_streaming_index_ingest" ->

@@ -165,6 +165,110 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 0.0)
   }
 
+  // ---- generation compaction ---------------------------------------------
+
+  private def postingsFiles(dir: String): Long =
+    spark.read.parquet(s"$dir/postings.parquet")
+      .select(input_file_name()).distinct().count()
+
+  test("compaction folds all generations into one negative base; search is " +
+      "identical before/after; drift signal and small files reset") {
+    val dir = Files.createTempDirectory("graft_annidx_cmp").toString
+    val all = corpus(48)
+    val a = all.where(col("vec_id") % 3 =!= 0)
+    val b1 = all.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val b2 = all.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    AnnIndex.buildIvfIndex(a, "vec_id", "embedding", s"$dir/ivf", nCells = 4,
+      iters = 3)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b1, "vec_id", "embedding", 1L)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b2, "vec_id", "embedding", 2L)
+    assert(AnnIndex.listGenerations(spark, s"$dir/ivf") == Seq(0L, 1L, 2L))
+    val q = all.where(col("vec_id") < 6)
+    def search() = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val before = search()
+    val filesBefore = postingsFiles(s"$dir/ivf")
+    assert(AnnIndex.compactIvfIndex(spark, s"$dir/ivf") == 48L)
+    assert(AnnIndex.listGenerations(spark, s"$dir/ivf") == Seq(-1L))
+    assert(search() == before, "compaction must be invisible to search")
+    // the quantized arm reads the folded tree identically
+    val quant = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(quant == before)
+    // the small-file population shrinks (3 gens x cells -> 1 x cells)
+    assert(postingsFiles(s"$dir/ivf") < filesBefore)
+    // drift artifact: all mass is base again, trigger fully reset
+    assert(AnnIndex.metaCounts(spark, s"$dir/ivf") == ((48L, 0L)))
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 0.0)
+  }
+
+  test("crash between the compacted write and the stale clear leaves a " +
+      "search-identical mixed tree; a replayed compaction converges") {
+    val dir = Files.createTempDirectory("graft_annidx_crash").toString
+    val all = corpus(48)
+    val a = all.where(col("vec_id") % 3 =!= 0)
+    val b = all.where(col("vec_id") % 3 === 0)
+    AnnIndex.buildIvfIndex(a, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 1L)
+    val q = all.where(col("vec_id") < 6)
+    def search() = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val before = search()
+    // reach the crash state: compacted base committed (gen=-1), stale
+    // gen=1 still present — reconstructed by re-writing the old delta
+    // at its old generation after the fold
+    AnnIndex.compactIvfIndex(spark, s"$dir/ivf")
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 1L)
+    assert(AnnIndex.listGenerations(spark, s"$dir/ivf") == Seq(-1L, 1L))
+    val mixed = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    assert(mixed.count() == 48L + 16L, "mixed tree carries duplicates")
+    // ... but search collapses per-(query, neighbor) duplicates and the
+    // payloads are identical per id, so results don't change
+    assert(search() == before, "mixed tree must stay search-identical")
+    // drift OVER-counts in the mixed state (trigger over-fires — safe)
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 16.0 / 48.0)
+    // the REPLAYED compaction dedups the union and converges
+    assert(AnnIndex.compactIvfIndex(spark, s"$dir/ivf") == 48L)
+    assert(AnnIndex.listGenerations(spark, s"$dir/ivf") == Seq(-2L))
+    val post = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    assert(post.count() == 48L &&
+      post.select("vec_id").distinct().count() == 48L)
+    assert(search() == before)
+  }
+
+  test("maybeRetrain: folds under frozen centroids below tau, rebuilds with " +
+      "fresh centroids at tau and above") {
+    val dir = Files.createTempDirectory("graft_annidx_tau").toString
+    val all = corpus(44)
+    val a = all.where(col("vec_id") < 40)
+    val cents = AnnIndex.buildIvfIndex(a, "vec_id", "embedding", s"$dir/ivf",
+      nCells = 4, iters = 3)
+    // small delta: 4/40 = 0.1 < tau=0.2 -> compact only, quantizer frozen
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf",
+      all.where(col("vec_id") >= 40), "vec_id", "embedding", 1L)
+    assert(!AnnIndex.maybeRetrain(spark, s"$dir/ivf", all, "vec_id",
+      "embedding", nCells = 4))
+    assert(AnnIndex.listGenerations(spark, s"$dir/ivf") == Seq(-1L))
+    assert(AnnIndex.loadCentroids(spark, s"$dir/ivf") == cents,
+      "below tau the coarse quantizer must stay frozen")
+    // big delta: 12/44 = 0.27 >= tau -> full rebuild, drift reset, gen=0
+    val grown = corpus(56)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf",
+      grown.where(col("vec_id") >= 44), "vec_id", "embedding", 2L)
+    assert(AnnIndex.maybeRetrain(spark, s"$dir/ivf", grown, "vec_id",
+      "embedding", nCells = 4))
+    assert(AnnIndex.listGenerations(spark, s"$dir/ivf") == Seq(0L))
+    val post = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    assert(post.count() == 56L)
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 0.0)
+  }
+
   test("quantized search: exhaustive shortlist equals the exact arm; tight shortlist ranks sanely") {
     val dir = Files.createTempDirectory("graft_annidx_q").toString
     val e = corpus(40)
@@ -175,11 +279,18 @@ class AnnIndexSpec extends SparkSpecBase {
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect().toSeq
     // rf big enough that the shortlist holds every candidate
-    val viaCodes = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
-        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
-      .orderBy("query_id", "rank")
+    val viaCodesDf = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
+      "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
+    val viaCodes = viaCodesDf.orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect().toSeq
     assert(viaCodes == exact)
+    // the quantized arm rides the same runtime-partition-pruned scan
+    // as the many-queries arm (r10 asymmetry closed): the postings
+    // scan must carry a dynamicpruningexpression PartitionFilter, not
+    // a driver-collected IN-list
+    val plan = viaCodesDf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected runtime partition pruning on the quantized arm:\n$plan")
     // tight shortlist: returned scores are still EXACT cosines and
     // k-bounded per query (recall behavior is RecallProbe territory)
     val tight = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,

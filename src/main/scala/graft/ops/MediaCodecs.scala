@@ -421,11 +421,14 @@ object MediaCodecs {
       y += 1
     }
     val n = 3L * w * h
-    // channels = the container's NATIVE component count (a grayscale
-    // or palette PNG is 1, CMYK JPEG 4) — not a hardcoded 3. The mean
-    // stays the sRGB-converted 3-channel mean regardless (getRGB is
-    // the deterministic, container-independent view).
-    Decoded(fmt, w, h, img.getColorModel.getNumComponents, 0, 0L,
+    // channels = the decoded COLOR-SPACE component count, alpha
+    // excluded (getNumColorComponents, not getNumComponents — RGBA
+    // reports 3, not 4): gray PNG 1, RGB and palette PNG 3 (palette
+    // entries are RGB triples; the index is an encoding detail, not a
+    // color space), CMYK JPEG 4. Spec-pinned for gray/RGBA/palette.
+    // The mean stays the sRGB-converted 3-channel mean regardless
+    // (getRGB is the deterministic, container-independent view).
+    Decoded(fmt, w, h, img.getColorModel.getNumColorComponents, 0, 0L,
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 

@@ -989,12 +989,23 @@ object Similarity {
       .agg(sum(col("c9")).as("sum_f9"), count(col("c9")).as("cnt_f"))
     val sumB = bwd.groupBy("tgt_id")
       .agg(sum(col("c9")).as("sum_b9"), count(col("c9")).as("cnt_b"))
-    def withMargin(pairs: DataFrame): DataFrame = pairs
-      .join(sumF, Seq("src_id")).join(sumB, Seq("tgt_id"))
-      .withColumn("margin",
-        when(col("sum_f9") + col("sum_b9") > 0,
-          (col("c9") * (col("cnt_f") + col("cnt_b"))).cast("double") /
-            (col("sum_f9") + col("sum_b9")).cast("double")))
+    // the Artetxe–Schwenk ratio margin: cos over the MEAN OF THE TWO
+    // PER-NEIGHBORHOOD AVERAGES — 2·c9 / (sum_f/cnt_f + sum_b/cnt_b).
+    // NOT the pooled average (c9·(cnt_f+cnt_b)/(sum_f+sum_b)): the two
+    // differ whenever cnt_f ≠ cnt_b (one side saturated at k, the
+    // other sub-k near a corpus edge) — the r10 ADVICE finding. Every
+    // cast is explicit so the oracle's DuckDB expression is the
+    // IEEE-identical shape (double÷double per side, then add, then
+    // divide). Degenerate (≤ 0) denominators yield null, as before.
+    def withMargin(pairs: DataFrame): DataFrame = {
+      val denom =
+        col("sum_f9").cast("double") / col("cnt_f").cast("double") +
+          col("sum_b9").cast("double") / col("cnt_b").cast("double")
+      pairs
+        .join(sumF, Seq("src_id")).join(sumB, Seq("tgt_id"))
+        .withColumn("margin",
+          when(denom > 0, (col("c9") * lit(2L)).cast("double") / denom))
+    }
     // forward best target per source / backward best source per target
     // — both by (margin desc, partner id asc), k-bounded inputs
     val fm = withMargin(fwd)

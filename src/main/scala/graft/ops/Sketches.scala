@@ -61,7 +61,13 @@ object Sketches {
     */
   def monitoredKeys(df: DataFrame, c: Column, cap: Int = 1000): Seq[String] = {
     require(cap >= 1, s"monitoredKeys: cap=$cap")
-    val keys = df.select(c.cast("string").as("__k")).where(c.isNotNull)
+    // filter on the projected alias, not the source expression: after
+    // the select, `c`'s source columns are gone from the plan, and
+    // resolving `c.isNotNull` there leans on Spark's missing-attribute
+    // fallback — fine for a plain column ref, AnalysisException for a
+    // derived expression like concat(a, b) (r10 ADVICE finding)
+    val keys = df.select(c.cast("string").as("__k"))
+      .where(col("__k").isNotNull)
       .distinct().orderBy("__k").limit(cap + 1)
       .collect().map(_.getString(0)).toSeq
     require(keys.length <= cap,

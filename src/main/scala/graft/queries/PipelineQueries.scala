@@ -25,11 +25,16 @@ object PipelineQueries {
     * symmetrized partner counts in ONE pass over the pair list
     * (explode, not a union that would re-execute the candidate join
     * twice), joined back onto every media row (unpaired → 0). The
-    * code frame should be localCheckpointed by the caller — it feeds
-    * three plan references.
+    * incoming code frame is localCheckpointed HERE — it feeds three
+    * plan references (both sides of the banded self-join + the final
+    * projection) and the decode scan behind it is the expensive stage
+    * at real scale; enforcing the run-once contract inside the helper
+    * means no caller can silently reintroduce a 3× decode (r10 review
+    * finding: the contract used to be a scaladoc convention).
     */
-  private def mediaPartnerCounts(codes: DataFrame, codeCol: String,
+  private def mediaPartnerCounts(rawCodes: DataFrame, codeCol: String,
       maxDist: Int, nBits: Int): DataFrame = {
+    val codes = rawCodes.localCheckpoint(false)
     val pairs = Dedup.perceptualDupPairs(codes, "media_id", codeCol,
       maxDist, nBits)
     val partners = pairs
@@ -729,14 +734,10 @@ object PipelineQueries {
     // rasters go down to 5×4; grid 8 (64-bit) is the real-image
     // default on the operator.
     "q76_phash_image_dedup" -> { (s, dir) =>
-      // localCheckpoint: the decode+hash scan feeds three plan
-      // references (both sides of the banded self-join + the final
-      // projection) — the raster walk is the expensive stage at real
-      // scale and must run once
-      val hashes = Multimodal.perceptualHashes(
-        Tables.documents(s, dir), "doc_id", grid = 4)
-        .localCheckpoint(false)
-      mediaPartnerCounts(hashes, "phash", maxDist = 2, nBits = 16)
+      mediaPartnerCounts(
+        Multimodal.perceptualHashes(Tables.documents(s, dir), "doc_id",
+          grid = 4),
+        "phash", maxDist = 2, nBits = 16)
     },
 
     // Audio-fingerprint dedup — q76's WAV counterpart, closing the
@@ -750,12 +751,10 @@ object PipelineQueries {
     // never pair. 32 cells because fixture streams go down to 40
     // samples; 64 is the real-audio default on the operator.
     "q77_audio_fp_dedup" -> { (s, dir) =>
-      // localCheckpoint: the PCM walk feeds both sides of the banded
-      // self-join plus the final projection — run it once
-      val fps = Multimodal.audioFingerprints(
-        Tables.documents(s, dir), "doc_id", nCells = 32)
-        .localCheckpoint(false)
-      mediaPartnerCounts(fps, "afp", maxDist = 2, nBits = 32)
+      mediaPartnerCounts(
+        Multimodal.audioFingerprints(Tables.documents(s, dir), "doc_id",
+          nCells = 32),
+        "afp", maxDist = 2, nBits = 32)
     },
 
     // Incremental (delta) dedup — the per-crawl ingest operation: a
@@ -965,21 +964,38 @@ object PipelineQueries {
           col("source"), col("doc_id"), col("tk"), 2000L)
         .groupBy("source")
         .agg(count(lit(1)).as("sample_docs"), sum(col("tk")).as("sample_tokens"))
-      val card = mix
-        .join(health, Seq("source"), "left")
-        .join(sample, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("n_tokens"), col("w6"),
-          col("alloc_docs"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          coalesce(col("n_contam_grams"), lit(0L)).as("n_contam_grams"),
-          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
-          coalesce(col("soft_mass6"), lit(0L)).as("soft_mass6"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("sample_docs"), lit(0L)).as("sample_docs"),
-          coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q124_")
       try {
+        // stored-index drift state (r10 verdict: appendedFraction had
+        // no consumer) — the retrieval index a launch ships alongside
+        // the corpus, here a base build (3/4 of the embedding corpus)
+        // plus one un-folded append generation (1/4). Scale-6 integer
+        // ratio so the value is exact cross-engine arithmetic:
+        // appended·10⁶ div base, the q127/soft_mass6 discipline. A
+        // maintenance pass (AnnIndex.maybeRetrain, q138) would fold or
+        // retrain and return this column to 0.
+        import graft.ops.AnnIndex
+        val emb = Tables.embeddings(s, dir)
+        AnnIndex.buildIvfIndex(emb.where(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", s"$tmp/idx", nCells = 4, iters = 1)
+        AnnIndex.appendToIvfIndex(s, s"$tmp/idx",
+          emb.where(col("vec_id") % 4 === 0), "vec_id", "embedding", gen = 1L)
+        val (idxBase, idxAppended) = AnnIndex.metaCounts(s, s"$tmp/idx")
+        val drift6 = idxAppended * 1000000L / idxBase
+        val card = mix
+          .join(health, Seq("source"), "left")
+          .join(sample, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("w6"),
+            col("alloc_docs"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("n_contam_grams"), lit(0L)).as("n_contam_grams"),
+            coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+            coalesce(col("soft_mass6"), lit(0L)).as("soft_mass6"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("sample_docs"), lit(0L)).as("sample_docs"),
+            coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"),
+            lit(drift6).as("index_drift6"))
         graft.engine.Pipeline.writeStage(card.coalesce(1), s"$tmp/card")
         val p = new org.apache.hadoop.fs.Path(s"$tmp/card")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2655,6 +2671,9 @@ object PipelineQueries {
          |  COALESCE(h.n_kept, 0) AS n_kept,
          |  COALESCE(s.sample_docs, 0) AS sample_docs,
          |  COALESCE(s.sample_tokens, 0) AS sample_tokens,
+         |  (SELECT CAST(COUNT(*) FILTER (WHERE vec_id % 4 = 0) * 1000000
+         |     // COUNT(*) FILTER (WHERE vec_id % 4 <> 0) AS BIGINT)
+         |   FROM embeddings) AS index_drift6,
          |  TRUE AS one_file
          |FROM wt CROSS JOIN nm
          |LEFT JOIN health h ON h.source = wt.source
@@ -3553,15 +3572,19 @@ object PipelineQueries {
         |    CAST(COUNT(c9) AS BIGINT) AS cnt_b FROM bwd GROUP BY tgt_id
         |), fm AS (
         |  SELECT f.src_id, f.tgt_id, f.cosine,
-        |    CASE WHEN sf.sum_f9 + sb.sum_b9 > 0
-        |         THEN CAST(f.c9 * (sf.cnt_f + sb.cnt_b) AS DOUBLE)
-        |              / CAST(sf.sum_f9 + sb.sum_b9 AS DOUBLE) END AS margin
+        |    CASE WHEN CAST(sf.sum_f9 AS DOUBLE) / CAST(sf.cnt_f AS DOUBLE)
+        |              + CAST(sb.sum_b9 AS DOUBLE) / CAST(sb.cnt_b AS DOUBLE) > 0
+        |         THEN CAST(f.c9 * 2 AS DOUBLE)
+        |              / (CAST(sf.sum_f9 AS DOUBLE) / CAST(sf.cnt_f AS DOUBLE)
+        |                 + CAST(sb.sum_b9 AS DOUBLE) / CAST(sb.cnt_b AS DOUBLE)) END AS margin
         |  FROM fwd f JOIN sf USING (src_id) JOIN sb USING (tgt_id)
         |), bm AS (
         |  SELECT b.src_id, b.tgt_id,
-        |    CASE WHEN sf.sum_f9 + sb.sum_b9 > 0
-        |         THEN CAST(b.c9 * (sf.cnt_f + sb.cnt_b) AS DOUBLE)
-        |              / CAST(sf.sum_f9 + sb.sum_b9 AS DOUBLE) END AS margin
+        |    CASE WHEN CAST(sf.sum_f9 AS DOUBLE) / CAST(sf.cnt_f AS DOUBLE)
+        |              + CAST(sb.sum_b9 AS DOUBLE) / CAST(sb.cnt_b AS DOUBLE) > 0
+        |         THEN CAST(b.c9 * 2 AS DOUBLE)
+        |              / (CAST(sf.sum_f9 AS DOUBLE) / CAST(sf.cnt_f AS DOUBLE)
+        |                 + CAST(sb.sum_b9 AS DOUBLE) / CAST(sb.cnt_b AS DOUBLE)) END AS margin
         |  FROM bwd b JOIN sf USING (src_id) JOIN sb USING (tgt_id)
         |), bestf AS (
         |  SELECT src_id, tgt_id FROM (

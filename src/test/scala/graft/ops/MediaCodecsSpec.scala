@@ -297,6 +297,37 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decode(out.toByteArray).meanVal == d.meanVal)
   }
 
+  test("RGBA and palette PNGs pin the alpha-excluded channel contract") {
+    // the ADVICE r10 finding: getNumComponents counts alpha (RGBA→4)
+    // and IndexColorModel components (palette→varies) — the contract
+    // is COLOR-SPACE components: RGBA 3 (alpha excluded), palette 3
+    // (entries are RGB triples; the index is an encoding detail)
+    val (w, h) = (6, 5)
+    val rgba = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      rgba.setRGB(x, y, 0x80000000 | (x * 40 << 16) | (y * 50 << 8) | 7)
+    val outA = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgba, "png", outA)
+    val dA = MediaCodecs.decode(outA.toByteArray)
+    assert(dA.format == "png" && dA.width == w && dA.height == h)
+    assert(dA.channels == 3,
+      s"RGBA PNG must report 3 color channels (alpha excluded), got ${dA.channels}")
+    // palette (indexed) PNG: 4-entry RGB palette, byte-indexed raster
+    val cmap = Array(0xFF000000, 0xFFFF0000, 0xFF00FF00, 0xFF0000FF)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val pal = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) pal.setRGB(x, y, cmap((x + y) % 4))
+    val outP = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pal, "png", outP)
+    val dP = MediaCodecs.decode(outP.toByteArray)
+    assert(dP.format == "png" && dP.width == w && dP.height == h)
+    assert(dP.channels == 3,
+      s"palette PNG must report 3 color channels (RGB palette entries), got ${dP.channels}")
+  }
+
   test("JPEG: deterministic dims/channels through the JDK codec (lossy: no mean pin)") {
     val (w, h) = (16, 12)
     val bytes = MediaCodecs.encodeJpeg(w, h, pix)

@@ -627,17 +627,55 @@ class SimilaritySpec extends SparkSpecBase {
       .orderBy("src_id", "tgt_id").collect()
     got.foreach { r =>
       val (s, t) = (r.getLong(0), r.getLong(1))
-      val expect = (c9(cos(sv(s), tv(t))) * 2L * k).toDouble /
-        (sumF(s) + sumB(t)).toDouble
+      // ratio margin, the engine's IEEE shape: both neighborhoods
+      // saturate at k=2 here, so each side averages over 2
+      val expect = (c9(cos(sv(s), tv(t))) * 2L).toDouble /
+        (sumF(s).toDouble / 2.0 + sumB(t).toDouble / 2.0)
       assert(r.getDouble(3) == expect, s"margin($s,$t) ${r.getDouble(3)} != $expect")
+    }
+  }
+
+  test("bitextMine: asymmetric sub-k neighborhoods use per-side averages, " +
+      "not the pooled mean") {
+    // 2 sources x 1 target with k=2: every forward neighborhood holds
+    // ONE member (cnt_f=1) while the backward neighborhood holds BOTH
+    // sources (cnt_b=2) — the case where the Artetxe-Schwenk ratio
+    // margin c9 / ((sum_f/cnt_f + sum_b/cnt_b)/2) differs from the
+    // pooled mean c9*(cnt_f+cnt_b)/(sum_f+sum_b). The r10 ADVICE
+    // finding: the pooled form was only tested at cnt_f == cnt_b.
+    val sv = Map(0L -> Array(1.0f, 0.0f), 1L -> Array(0.6f, 0.8f))
+    val tv = Map(10L -> Array(0.8f, 0.6f))
+    val src = sv.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    val tgt = tv.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    def q6(v: Float): Double = math.round(v.toDouble * 1e6).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => q6(x(i)) * q6(y(i))).sum / 1e12
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def c9(d: Double): Long = math.floor(d * 1e9).toLong
+    val sumB = sv.values.map(w => c9(cos(w, tv(10L)))).sum
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 2)
+      .orderBy("src_id", "tgt_id").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val s = r.getLong(0)
+      val cc = c9(cos(sv(s), tv(10L)))
+      val expect = (cc * 2L).toDouble /
+        (cc.toDouble / 1.0 + sumB.toDouble / 2.0)
+      assert(r.getDouble(3) == expect,
+        s"asymmetric margin($s,10) ${r.getDouble(3)} != $expect")
+      val pooled = (cc * 3L).toDouble / (cc + sumB).toDouble
+      assert(r.getDouble(3) != pooled,
+        "fixture must actually separate ratio from pooled margin")
     }
   }
 
   test("bitextMine: sub-k neighborhoods average over actual counts, not k") {
     // 1 source × 1 target with k=4: both neighborhoods hold ONE member,
-    // so the Artetxe–Schwenk margin is c9·(1+1)/(c9+c9) = 1.0 exactly;
-    // the old fixed-2k denominator would have reported 4.0 (averaging
-    // a 1-member neighborhood over k). The ADVICE r9 finding.
+    // so the ratio margin is 2·c9/(c9/1 + c9/1) = 1.0 exactly; the
+    // old fixed-2k denominator would have reported 4.0 (averaging a
+    // 1-member neighborhood over k). The ADVICE r9 finding.
     val src = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val tgt = Seq((10L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
     val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", k = 4)

@@ -54,6 +54,12 @@ class SketchesSpec extends SparkSpecBase {
       Sketches.monitoredKeys(wide, col("k"), cap = 49)
     }
     assert(e.getMessage.contains("exceeds cap"))
+    // a DERIVED key expression resolves too (r10 ADVICE finding: the
+    // null filter used to reference the source columns after the
+    // projection had dropped them — concat(a, b) threw AnalysisException)
+    val two = Seq(("x", "1"), ("y", null), ("x", "1")).toDF("a", "b")
+    assert(Sketches.monitoredKeys(two, concat(col("a"), col("b")), cap = 10)
+      == Seq("x1"))
   }
 
   test("percentile_approx rank error is within the accuracy bound") {

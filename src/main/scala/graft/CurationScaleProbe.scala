@@ -208,6 +208,40 @@ object CurationScaleProbe {
           AnnIndex.buildIvfIndex(embN, "vec_id", "embedding",
             s"$idxDir/full", nCells = 64, iters = 2)
         }
+        // r11 — compaction economics: a day of hourly appends leaves G
+        // delta generations (G×cells part files, G×p directory seeks
+        // per probed cell). Measure the search tax the fragmented tree
+        // pays, the one-time fold cost, and the file-count collapse —
+        // the datum behind AnnIndex.DefaultRetrainTau's "fold first,
+        // retrain only on drift" split.
+        locally {
+          val qs = embN.where(col("vec_id") < 32)
+          def searchT(label: String): Unit = t(label) {
+            AnnIndex.searchIvfIndex(spark, s"$idxDir/ivf", qs,
+              "vec_id", "embedding", k = 5, nProbe = 4).count()
+          }
+          def nFiles(): Long = spark.read
+            .parquet(s"$idxDir/ivf/postings.parquet")
+            .select(input_file_name()).distinct().count()
+          // each hour brings NEW ids (the append contract): shift the
+          // delta's id space per generation
+          t(s"ivf 7 more hourly appends (gens 2..8)") {
+            (2 to 8).foreach { g =>
+              AnnIndex.appendToIvfIndex(spark, s"$idxDir/ivf",
+                delta.select(
+                  (col("vec_id") + lit(g) * 7000000000L).as("vec_id"),
+                  col("embedding")),
+                "vec_id", "embedding", gen = g.toLong)
+            }
+          }
+          println(s"[probe] ivf files fragmented (9 gens): ${nFiles()}")
+          searchT(s"ivf SEARCH fragmented (9 gens) ${mult}x")
+          t(s"ivf COMPACT 9 gens ${mult}x") {
+            AnnIndex.compactIvfIndex(spark, s"$idxDir/ivf")
+          }
+          println(s"[probe] ivf files compacted (1 gen): ${nFiles()}")
+          searchT(s"ivf SEARCH compacted (1 gen) ${mult}x")
+        }
       } finally {
         embN.unpersist()
         graft.engine.FsUtil.deleteRecursively(idxDir)

@@ -272,10 +272,13 @@ object AnnIndex {
     * quantizer was trained on a corpus that no longer looks like the
     * index — rebuild with fresh centroids rather than just folding
     * generations. 20%: centroid assignment quality degrades with
-    * corpus drift, not file layout, and the CurationScaleProbe fold
-    * datum shows compaction (no retrain) already restores the seek
-    * cost — so retrain only when the QUANTIZER is stale, for which
-    * the appended mass is the proxy.
+    * corpus drift, not file layout, and the CurationScaleProbe r11
+    * datum (NOTES.md) shows a fold alone already restores the seek
+    * cost — 9 generations fragmented the 32k-vector/64-cell tree to
+    * 544 part files with a 3.8 s probe search, one 3.0 s fold
+    * returned it to 64 files and 1.4 s — so layout pays for itself
+    * long before the quantizer is stale, and retrain stays reserved
+    * for actual corpus drift, for which appended mass is the proxy.
     */
   val DefaultRetrainTau: Double = 0.2
 

@@ -647,6 +647,82 @@ object PipelineQueries {
           lit(nBatches >= 3).as("replayed_multibatch"))
     },
 
+    // The COMPOSED streaming curation row — decontam bloom gate
+    // (q133) → classifier quality gate (q122's weights) → exactly-once
+    // token-stream layout (q129's sink) in ONE replay: the full
+    // production ingest path, not its pieces. Contract row: n_corpus/
+    // n_true exact SQL counts; n_leaked = 0 (no truly-contaminated
+    // doc reaches the LAYOUT, in whichever micro-batch it arrived);
+    // the streamed layout is OFFSET-EXACT equal to the batch
+    // composition of the same gates laid out in arrival order (the
+    // in-plan twin — bloom + classifier are deterministic functions
+    // of their offline artifacts); layout windows contiguous; ≥3 data
+    // batches observed.
+    "q139_streaming_curation_pipeline" -> { (s, dir) =>
+      import graft.ops.Packing
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") < 20)
+      val corpus = docs.where(col("doc_id") >= 20)
+      val (layout, nBatches) = graft.streaming.Replay.curationPipelineReplay(
+        s, corpus, bench, window = 512L)
+      // batch twin: identical offline artifacts (deterministic
+      // training), identical gates, laid out in the stream's arrival
+      // order (batch = doc_id mod 3, then doc_id) via a synthetic
+      // ordering id
+      val (w, defw6) = Selection.collectClassifierWeights(
+        corpus.where(col("doc_id") % 7 === 0),
+        corpus.where(col("doc_id") % 7 === 3),
+        "doc_id", "text", nBuckets = 1024)
+      val keptBatch = Selection.scoreWithClassifier(
+          Dedup.bloomScreen(corpus, "doc_id", "text", bench, "text",
+              n = 3, benchShingles = 4096L)
+            .where(!col("bloom_hit"))
+            .withColumn("n_tokens",
+              TextOps.tokenCount(col("text")).cast("long")),
+          "doc_id", "text", w, defw6, nBuckets = 1024,
+          keepCols = Seq("n_tokens"))
+        .where(col("keep"))
+        .select(col("doc_id"), col("n_tokens"))
+      val twin = Packing.tokenStreamOffsets(
+          keptBatch.select(
+            (pmod(col("doc_id"), lit(3L)) * 10000000000L + col("doc_id"))
+              .as("ord"),
+            col("n_tokens")),
+          "ord", "n_tokens", window = 512L)
+        .select(pmod(col("doc_id"), lit(10000000000L)).as("doc_id"),
+          col("n_tokens").as("tn"), col("start_offset").as("so"),
+          col("first_window").as("fw"), col("last_window").as("lw"))
+      val truth = Dedup.contaminationReport(corpus, "doc_id", "text",
+          bench, "text", n = 3)
+        .select(col("doc_id"), lit(true).as("truly"))
+      val scalars = corpus.agg(count(lit(1)).as("n_corpus")).crossJoin(
+        truth.agg(count(lit(1)).as("n_true")))
+      layout
+        .join(twin, Seq("doc_id"), "full_outer")
+        .join(truth, Seq("doc_id"), "left")
+        .agg(
+          sum(when(col("start_offset").isNotNull, 1L).otherwise(0L))
+            .as("n_layout"),
+          sum(when(col("so").isNotNull, 1L).otherwise(0L)).as("n_twin"),
+          sum(when(col("start_offset") === col("so") &&
+            col("n_tokens") === col("tn") &&
+            col("first_window") <=> col("fw") &&
+            col("last_window") <=> col("lw"), 1L).otherwise(0L))
+            .as("n_match"),
+          sum(when(col("truly").isNotNull && col("start_offset").isNotNull,
+            1L).otherwise(0L)).as("n_leaked"),
+          coalesce(sum(when(col("start_offset").isNotNull,
+            col("n_tokens"))), lit(0L)).as("mass"),
+          coalesce(max(col("last_window")), lit(-1L)).as("maxw"))
+        .crossJoin(scalars)
+        .select(col("n_corpus"), col("n_true"), col("n_leaked"),
+          (col("n_layout") === col("n_twin") &&
+            col("n_match") === col("n_layout")).as("layout_equals_batch"),
+          (col("maxw") + 1L === expr("(mass + 511) div 512"))
+            .as("windows_contiguous"),
+          lit(nBatches >= 3).as("replayed_multibatch"))
+    },
+
     // The CUSTOM-STATE streaming path's correctness row: the events
     // table replayed through flatMapGroupsWithState sessionization in
     // time-ordered micro-batches (time-range tercile files + a
@@ -2195,6 +2271,31 @@ object PipelineQueries {
          |  CAST(greatest(5, (n_corpus - n_true) // 100) AS BIGINT) AS fp_bound,
          |  TRUE AS fp_ok,
          |  TRUE AS stream_equals_batch,
+         |  TRUE AS replayed_multibatch
+         |FROM agg""".stripMargin,
+
+    "q139_streaming_curation_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+         |                   i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+         |  WHERE s.doc_id >= 20
+         |), agg AS (
+         |  SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 20) AS n_corpus,
+         |         (SELECT COUNT(*) FROM contaminated) AS n_true
+         |)
+         |SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(0 AS BIGINT) AS n_leaked,
+         |  TRUE AS layout_equals_batch,
+         |  TRUE AS windows_contiguous,
          |  TRUE AS replayed_multibatch
          |FROM agg""".stripMargin,
 

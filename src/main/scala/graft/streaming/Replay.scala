@@ -320,6 +320,86 @@ object Replay {
     }
   }
 
+  /** ONE replay of the COMPLETE streaming curation path a production
+    * ingest runs — the q133 + q122 + q129 composition the pieces were
+    * built for: the benchmark's shingles fold into a bloom sketch
+    * OFFLINE and gate every micro-batch map-side (no benchmark text
+    * can leak into training output, in whichever batch it arrives),
+    * survivors are scored by the OFFLINE-trained quality classifier
+    * (q122's seed convention), and kept docs extend the persisted
+    * token-stream layout EXACTLY-ONCE through
+    * [[BatchSinks.tokenStreamSink]] (committed-base recompute; a
+    * replayed batch rewrites itself). All three stream-side stages
+    * are stateless map-side projections over broadcast artifacts —
+    * the only state is the committed layout itself, which is the
+    * point: the hot path has no state store, no watermark, no
+    * shuffle.
+    *
+    * Returns (layout read back from the committed output, data
+    * batches observed). Determinism note: the bloom gate and the
+    * classifier are deterministic functions of their offline
+    * artifacts, so the streamed composition equals the batch
+    * composition over the same corpus row-for-row — the registered
+    * row (q139) asserts that in-plan, including offset-exact layout
+    * equality against the batch twin.
+    */
+  def curationPipelineReplay(spark: SparkSession, docs: DataFrame,
+      benchmark: DataFrame, window: Long, nBatches: Int = 3,
+      nBuckets: Int = 1024, n: Int = 3, benchShingles: Long = 4096L,
+      stageDir: String = null): (DataFrame, Int) = {
+    import graft.ops.{Selection, TextOps}
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir("curpipe"))
+    val outDir = s"${dir}_layout"
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    try {
+      val feed = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // offline artifacts (batch side — the deployment shape)
+      val (w, defw6) = Selection.collectClassifierWeights(
+        feed.where(col("doc_id") % 7 === 0),
+        feed.where(col("doc_id") % 7 === 3),
+        "doc_id", "text", nBuckets = nBuckets)
+      stageModBatches(feed, "doc_id", dir, fs, path, nBatches)
+      feed.unpersist(blocking = false)
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      // gate 1: decontamination (bloom, no false negatives)
+      val screened = graft.ops.Dedup.bloomScreen(src, "doc_id", "text",
+          benchmark, "text", n, benchShingles)
+        .where(!col("bloom_hit"))
+      // gate 2: classifier quality score over the survivors
+      val gated = Selection.scoreWithClassifier(
+          screened.withColumn("n_tokens",
+            TextOps.tokenCount(col("text")).cast("long")),
+          "doc_id", "text", w, defw6, nBuckets = nBuckets,
+          keepCols = Seq("n_tokens"))
+        .where(col("keep"))
+        .select("doc_id", "n_tokens")
+      // sink: exactly-once extension of the persisted loader layout
+      val q = gated.writeStream
+        .foreachBatch(
+          BatchSinks.tokenStreamSink(outDir, "doc_id", "n_tokens", window) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val layout = spark.read.parquet(outDir)
+        .select("doc_id", "n_tokens", "start_offset",
+          "first_window", "last_window")
+        .localCheckpoint(true) // eager: the dirs are deleted below
+      (layout, dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+      fs.delete(outPath, true)
+    }
+  }
+
   def sessionizationReplay(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30, nBatches: Int = 3,
       stageDir: String = null): (DataFrame, Int) = {

@@ -103,6 +103,58 @@ class ReplaySpec extends SparkSpecBase {
     assert(got.nonEmpty && got.size < 30, "gate must discriminate")
   }
 
+  test("composed curation pipeline: plants never reach the layout; " +
+      "stream equals the batch-composed twin offset-for-offset") {
+    import graft.ops.{Dedup, Selection, TextOps}
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // the q129 curation fixture + two PLANTS (8, 16): keepable prose
+    // that carries a benchmark shingle — the classifier alone would
+    // keep them; only the bloom gate stands between them and the
+    // training layout
+    val docs = (0L until 30L).map { i =>
+      val text =
+        if (i % 7 == 0) "the quick brown fox jumps over the lazy dog again"
+        else if (i % 7 == 3) "BUY NOW!!! 100% FREE $$$ CLICK CLICK"
+        else if (i == 8L || i == 16L) "nice prose alpha beta gamma words"
+        else if (i % 2 == 0) "a quick brown dog jumps over the fox"
+        else "FREE $$$ BUY!!! NOW 100%"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val (layout, nBatches) = Replay.curationPipelineReplay(
+      spark, docs, bench, window = 16L, nBatches = 3, nBuckets = 64,
+      n = 3, benchShingles = 64L)
+    assert(nBatches >= 3, s"expected ≥3 data batches, got $nBatches")
+    val got = layout.orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(!got.exists(r => r._1 == 8L || r._1 == 16L),
+      s"a planted contaminated doc reached the layout: $got")
+    assert(got.nonEmpty && got.size < 30, "gates must discriminate")
+    // batch twin: same offline artifacts, same gates composed batch-
+    // side, laid out in the stream's arrival order (doc_id mod 3, id)
+    val (w, defw6) = Selection.collectClassifierWeights(
+      docs.where(col("doc_id") % 7 === 0), docs.where(col("doc_id") % 7 === 3),
+      "doc_id", "text", nBuckets = 64)
+    val screened = Dedup.bloomScreen(docs, "doc_id", "text",
+        bench, "text", n = 3, benchShingles = 64L)
+      .where(!col("bloom_hit"))
+    val kept = Selection.scoreWithClassifier(screened, "doc_id", "text",
+        w, defw6, nBuckets = 64)
+      .where(col("keep")).select("doc_id")
+      .join(docs.withColumn("tk", TextOps.tokenCount(col("text")).cast("long")),
+        "doc_id")
+      .select(col("doc_id"), col("tk"))
+      .as[(Long, Long)].collect().sortBy(r => (r._1 % 3, r._1))
+    var off = 0L
+    val expected = kept.map { case (id, n) =>
+      val r = (id, n, off,
+        if (n > 0) Some(off / 16L) else None,
+        if (n > 0) Some((off + n - 1) / 16L) else None)
+      off += n
+      r
+    }.sortBy(_._1).toSeq
+    assert(got == expected, s"\n$got\nvs\n$expected")
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

@@ -133,7 +133,18 @@ object BatchSinks extends org.apache.spark.internal.Logging {
     try {
       val laid = graft.ops.Packing.tokenStreamOffsets(
         cached, idCol, tokensCol, window, nBuckets, base)
-      laid.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      // right-size the manifest write: the layout is METADATA (~24 B
+      // per doc), so ~4M rows fill a ~100 MB part file — ONE file per
+      // micro-batch until a batch carries millions of docs. Without
+      // this the prefix sum's shuffle width leaked into the on-disk
+      // layout as 32 near-empty files per batch, and a day of hourly
+      // batches splintered the manifest into ~770 files (r11 audit);
+      // the downstream rehydration scan's partition count tracks FILE
+      // count at manifest sizes, so the file arithmetic here is what
+      // keeps reads bounded by data volume, not batch count.
+      val nFiles = math.max(1L, cached.count() / 4000000L).toInt
+      laid.repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       // totals AFTER the layout: a crash between the two writes leaves
       // this batch's totals row absent, and the replay (same batchId)
       // rewrites both — prior batches' totals are complete by the time

@@ -134,4 +134,65 @@ class BatchSinksSpec extends SparkSpecBase {
       .select("start_offset").as[Long].head()
     assert(off7 == 0L, s"first-batch replay over a rowless _totals must lay out at 0, got $off7")
   }
+
+  test("tokenStreamSink: one manifest file per batch; the rehydration scan " +
+      "stays bounded by files, not shuffle width x batches") {
+    // the r11 small-file audit: the per-batch layout write used to
+    // carry the prefix sum's full shuffle width (32 near-empty files
+    // per micro-batch), so a long stream splintered the manifest and
+    // the loader-side scan partition count grew 32x faster than the
+    // batch count. The sink now right-sizes the manifest write
+    // (max(1, rows/4M) files); at toy scale that is EXACTLY one file
+    // per batch, and the q136/q137 read path must stay value-correct
+    // across all the batch directories.
+    import graft.ops.Packing
+    val out = Files.createTempDirectory("graft_tssink_files").toString
+    val nBatches = 12
+    for (k <- 0 until nBatches) {
+      val b = Seq((k * 100L + 1L, 40L), (k * 100L + 2L, 30L))
+        .toDF("doc_id", "n_tokens")
+      BatchSinks.tokenStreamSink(out, "doc_id", "n_tokens", window = 64L)(
+        b, k.toLong)
+    }
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.Buffer[String]()
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = f.toUri.getPath.stripPrefix(outPath.toUri.getPath)
+          .split('/').filter(_.nonEmpty)
+        if (f.getName.endsWith(".parquet") && f.getName.startsWith("part-") &&
+          rel.forall(seg => !seg.startsWith("_") && !seg.startsWith(".")))
+          buf += f.toUri.getPath
+      }
+      buf.toSeq
+    }
+    assert(dataFiles(outPath).size == nBatches,
+      s"expected ONE manifest file per batch, got ${dataFiles(outPath)}")
+    val layout = spark.read.parquet(out)
+    // scan parallelism tracks the (right-sized) file population — the
+    // pre-fix behavior was ~32x this
+    assert(layout.rdd.getNumPartitions <= nBatches,
+      s"scan partitions ${layout.rdd.getNumPartitions} exceed file count")
+    // the loader read path across ALL batch dirs: window manifest +
+    // shard ranges stay value-exact over the multi-batch layout
+    val manifest = Packing.windowManifest(
+      layout.select("doc_id", "n_tokens", "start_offset",
+        "first_window", "last_window"), window = 64L)
+    val mass = nBatches * 70L
+    val nWindows = (mass + 63L) / 64L
+    assert(manifest.select("window_id").distinct().count() == nWindows,
+      "every window of the streamed mass must appear in the manifest")
+    assert(manifest.groupBy("window_id")
+      .agg(org.apache.spark.sql.functions.sum("tokens_in_window").as("t"))
+      .where(org.apache.spark.sql.functions.col("t") =!=
+        org.apache.spark.sql.functions.lit(64L))
+      .count() <= 1, "only the tail window may be partial")
+    val shards = Packing.shardManifest(manifest, nShards = 4)
+    val covered = shards.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("n_windows"))).head().getLong(0)
+    assert(covered == nWindows, s"shards cover $covered of $nWindows windows")
+  }
 }

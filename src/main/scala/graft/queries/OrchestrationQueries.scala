@@ -450,6 +450,46 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // MANY-QUERY STORED-INDEX SEARCH — the corpus-sized-query-set arm
+    // (r10 shipped it spec-only for record-budget reasons): the WHOLE
+    // embedding corpus queries the persisted index, the probe-cell set
+    // never crosses the driver (a ≤nCells frame broadcast-semi-joins
+    // the postings scan on the partition column → runtime dynamic
+    // partition pruning), and the result is IDENTICAL row-for-row to
+    // the bounded-collect IN-list arm. The dpp_planned bit is read off
+    // the EXECUTED plan of the frame the row itself returns.
+    "q140_ann_many_query_search" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q140_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // iters=1: the arms' identity contract is independent of
+        // centroid quality — train cheaply, search twice
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/ivf",
+          nCells = 8, iters = 1)
+        val many = AnnIndex.searchIvfIndexManyQueries(s, s"$tmp/ivf", e,
+          "vec_id", "embedding", k = 3, nProbe = 2)
+        val dppPlanned = many.queryExecution.executedPlan.toString
+          .contains("dynamicpruning")
+        val inList = AnnIndex.searchIvfIndex(s, s"$tmp/ivf", e,
+            "vec_id", "embedding", k = 3, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        many
+          .join(inList, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("query_id"),
+            (col("n_results") === 3L && col("n_agree") === 3L)
+              .as("results_match"),
+            lit(dppPlanned).as("dpp_planned"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // GENERATION COMPACTION — the maintenance path the append (q132)
     // and streaming-ingest (q134) trees were missing: each append owns
     // one gen=G directory, so a high-frequency ingest accumulates
@@ -611,6 +651,10 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 <> 0) AS n_base,
         |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 3 = 0) AS n_appended
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q140_ann_many_query_search" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS dpp_planned
+        |FROM embeddings ORDER BY query_id""".stripMargin,
 
     "q138_ann_index_compact" ->
       """SELECT vec_id AS query_id, TRUE AS results_match,

@@ -510,8 +510,10 @@ object OrchestrationQueries {
         val a = e.where(col("vec_id") % 3 =!= 0) // base ingest
         val b1 = e.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
         val b2 = e.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+        // iters=1: the compaction identity contract is independent of
+        // centroid quality (q140's reasoning) — train cheaply
         val cents = AnnIndex.buildIvfIndex(a, "vec_id", "embedding",
-          s"$tmp/idx", nCells = 8, iters = 3)
+          s"$tmp/idx", nCells = 8, iters = 1)
         AnnIndex.appendToIvfIndex(s, s"$tmp/idx", b1, "vec_id", "embedding",
           gen = 1L)
         AnnIndex.appendToIvfIndex(s, s"$tmp/idx", b2, "vec_id", "embedding",

@@ -28,6 +28,10 @@ import graft.functions.cosineExact
   *     underscore-hidden from the postings read; O(generations) rows
   *     total, the input to [[appendedFraction]]'s retrain-drift
   *     signal.
+  *   - `_deletes/del=D/…` — tombstoned (vec_id) rows, one directory
+  *     per [[deleteFromIvfIndex]] batch; searches subtract them with
+  *     a broadcast anti-join, [[compactIvfIndex]] purges them
+  *     physically and retires the set.
   *
   * Scale notes: centroid training is the bounded-sample discipline
   * ([[Similarity.trainIvfCentroids]]); the postings write is one
@@ -111,9 +115,12 @@ object AnnIndex {
             org.apache.spark.sql.types.DoubleType), nullable = false))))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
     // a rebuild owns the WHOLE tree: per-generation overwrite below
-    // only truncates gen=0, so stale higher generations must go first
+    // only truncates gen=0, so stale higher generations must go first —
+    // and stale tombstones with them (they belong to the replaced
+    // corpus; carrying them over would silently delete from the new one)
     hadoopDelete(spark, s"$dir/postings.parquet")
     hadoopDelete(spark, s"$dir/_meta")
+    hadoopDelete(spark, s"$dir/_deletes")
     writeGeneration(spark, dir, 0L,
       postedFrame(corpus, idCol, vecCol, cents))
     cents
@@ -186,6 +193,75 @@ object AnnIndex {
     else 0.0
   }
 
+  /** Tombstone a set of vector ids — the takedown/decontamination path
+    * that completes the index lifecycle (build / append / compact /
+    * delete). NOTHING in the postings tree moves: the ids land as one
+    * `_deletes/del=D` generation (underscore-hidden from every postings
+    * read), searches subtract them with a broadcast anti-join off the
+    * pruned scan, and the next [[compactIvfIndex]] purges them
+    * physically. That split is deliberate 100 TB shape: a delete is
+    * O(delete set) — rewriting affected cells in place would make every
+    * takedown a corpus-sized write job.
+    *
+    * EXACTLY-ONCE in `del`, the [[appendToIvfIndex]] discipline: the
+    * write overwrites `_deletes/del=D` wholesale, so a crashed or
+    * replayed delete rewrites itself; distinct delete batches use
+    * distinct del ids ≥ 1. Deleting an id that is absent (never
+    * ingested, or already purged) is a no-op by construction — the
+    * anti-join finds nothing to subtract — which is what makes the
+    * whole lifecycle replayable in any order.
+    *
+    * Contract: tombstone mass stays takedown-scale (≪ the corpus —
+    * searches BROADCAST the accumulated set; [[tombstonedCount]] is
+    * the bound to watch, and [[maybeRetrain]] folds tombstones away on
+    * its next maintenance pass). `ids` needs only `idCol`; null ids
+    * are dropped (no posting carries a null vec_id).
+    *
+    * Returns the number of ids tombstoned in this batch.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, del: Long): Long = {
+    require(del >= 1, s"delete batches start at 1 (got $del)")
+    require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
+    val obs = org.apache.spark.sql.Observation()
+    ids.select(col(idCol).as("vec_id")).where(col("vec_id").isNotNull)
+      .distinct()
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/del=$del")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The accumulated tombstone set — (vec_id) rows across every
+    * `_deletes/del=D` generation, distinct (the same id tombstoned by
+    * two batches subtracts once). None when no delete has ever run.
+    */
+  def loadTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$dir/_deletes")
+      .select("vec_id").distinct())
+  }
+
+  /** Distinct tombstoned ids not yet purged — the broadcast-size bound
+    * a maintenance job watches (compact once it grows). 0 after every
+    * compaction.
+    */
+  def tombstonedCount(spark: SparkSession, dir: String): Long =
+    loadTombstones(spark, dir).map(_.count()).getOrElse(0L)
+
+  /** Subtract tombstoned ids from a postings scan. The anti-join
+    * BROADCASTS the tombstone set (takedown-scale by the
+    * [[deleteFromIvfIndex]] contract) so the pruned scan stays
+    * shuffle-free; absent tombstones cost nothing (no join at all).
+    */
+  private def withoutTombstoned(spark: SparkSession, dir: String,
+      postings: DataFrame): DataFrame =
+    loadTombstones(spark, dir) match {
+      case Some(t) => postings.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => postings
+    }
+
   /** Generation ids visible in the postings tree, from a filesystem
     * listing of the hive partition directories — O(generations) names,
     * no data read. In-flight generation writes are invisible (their
@@ -254,10 +330,10 @@ object AnnIndex {
       // the stale gen and the compacted one; payloads are identical
       // per id (append contract), so which row survives is immaterial
       .dropDuplicates("vec_id")
-      // co-locate each cell before the partitioned write (the
-      // postedFrame discipline — without it tasks × cells small files)
-      .repartition(col("cell"))
-    val n = writeGeneration(spark, dir, target, all)
+    // compaction is where tombstones become physical: the fold writes
+    // the survivors only, then retires the tombstone set
+    val n = writeGeneration(spark, dir, target,
+      withoutTombstoned(spark, dir, all).repartition(col("cell")))
     // clear stale gens LAST; per gen: postings before meta, so an
     // interrupted clear over-counts `appended` (trigger over-fires —
     // the safe direction) rather than losing rows
@@ -265,6 +341,12 @@ object AnnIndex {
       hadoopDelete(spark, s"$dir/postings.parquet/gen=$g")
       hadoopDelete(spark, s"$dir/_meta/gen=$g")
     }
+    // tombstones go after the gens they mask: a crash anywhere above
+    // leaves them in force (stale gens still carry the deleted rows),
+    // and once the purged fold is the only generation they subtract
+    // ids that no longer exist — a no-op either way, never a
+    // resurrection
+    hadoopDelete(spark, s"$dir/_deletes")
     n
   }
 
@@ -287,9 +369,14 @@ object AnnIndex {
     * mass ≥ `tau` ⇒ full [[buildIvfIndex]] rebuild of `corpus` with
     * FRESH centroids (the caller supplies the corpus — the index's
     * own postings cannot be both the rebuild source and its overwrite
-    * target in one pass); below `tau` ⇒ [[compactIvfIndex]] folds the
-    * generation tree under the frozen quantizer (cheap: bytes move,
-    * no retraining). Returns true iff a retrain happened.
+    * target in one pass, and the corpus is the source of truth: docs
+    * deleted since the last build must already be gone from it, since
+    * a rebuild retires the tombstone set); below `tau` ⇒
+    * [[compactIvfIndex]] folds the generation tree under the frozen
+    * quantizer (cheap: bytes move, no retraining) — also when the tree
+    * is single-generation but tombstones have accumulated, so delete
+    * mass never outlives a maintenance pass. Returns true iff a
+    * retrain happened.
     */
   def maybeRetrain(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, vecCol: String, nCells: Int,
@@ -299,7 +386,8 @@ object AnnIndex {
       buildIvfIndex(corpus, idCol, vecCol, dir, nCells, iters = iters)
       true
     } else {
-      if (listGenerations(spark, dir).size > 1) compactIvfIndex(spark, dir)
+      if (listGenerations(spark, dir).size > 1 ||
+          tombstonedCount(spark, dir) > 0L) compactIvfIndex(spark, dir)
       false
     }
   }
@@ -445,8 +533,9 @@ object AnnIndex {
   private def prunedPostings(spark: SparkSession, dir: String,
       qa: DataFrame): DataFrame = {
     val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
-    spark.read.parquet(s"$dir/postings.parquet")
-      .join(broadcast(probeCells), Seq("cell"), "left_semi")
+    withoutTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/postings.parquet")
+        .join(broadcast(probeCells), Seq("cell"), "left_semi"))
   }
 
   def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
@@ -470,8 +559,9 @@ object AnnIndex {
     val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
     // bounded collect: ≤ nCells distinct probed cells
     val probed = qa.select("cell").distinct().collect().map(_.getInt(0))
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-      .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val postings = withoutTombstoned(spark, dir,
+      spark.read.parquet(s"$dir/postings.parquet")
+        .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*)))
     rerankCandidates(qa, postings, k)
   }
 }

@@ -555,6 +555,69 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // INDEX DELETE — the takedown/right-to-be-forgotten path that
+    // completes the stored-index lifecycle (build q126 / append q132 /
+    // compact q138 / delete). Deletes are TOMBSTONES: the postings tree
+    // does not move (a takedown is O(delete set), never a corpus
+    // rewrite), searches subtract the set with a broadcast anti-join,
+    // and the next compaction purges it physically and retires the
+    // tombstones. Contract row: after delete, search ≡ rebuild of the
+    // remaining corpus under the same frozen centroids, IDENTICAL
+    // before and after the purge; no tombstoned id surfaces as a
+    // neighbor; the tombstone set reads back exact and retires to 0.
+    "q141_ann_index_delete" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q141_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // iters=1: the identity contract is independent of centroid
+        // quality (q140's reasoning) — train cheaply
+        val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+          s"$tmp/idx", nCells = 8, iters = 1)
+        val nDel = AnnIndex.deleteFromIvfIndex(s, s"$tmp/idx",
+          e.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id",
+          del = 1L)
+        val tombBefore = AnnIndex.tombstonedCount(s, s"$tmp/idx")
+        val q = e.where(col("vec_id") < 10) // deleted ids may still query
+        // materialize BEFORE compaction mutates the tree it reads
+        val afterDel = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
+          "vec_id", "embedding", k = 5, nProbe = 2).localCheckpoint(true)
+        AnnIndex.compactIvfIndex(s, s"$tmp/idx")
+        val tombAfter = AnnIndex.tombstonedCount(s, s"$tmp/idx")
+        val (nBase, _) = AnnIndex.metaCounts(s, s"$tmp/idx")
+        val purged = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        AnnIndex.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), "vec_id",
+          "embedding", s"$tmp/ref", nCells = 8, centroids = Some(cents))
+        val rebuilt = AnnIndex.searchIvfIndex(s, s"$tmp/ref", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank3"), col("cosine").as("cos3"))
+        afterDel
+          .join(purged, Seq("query_id", "neighbor_id"), "full_outer")
+          .join(rebuilt, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2") &&
+              col("rank") === col("rank3") &&
+              col("cosine") === col("cos3"), 1L).otherwise(0L)).as("n_agree"),
+            max(when(col("neighbor_id") % 4 === 0, 1L).otherwise(0L))
+              .as("n_doomed"))
+          .select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            (col("n_doomed") === 0L).as("no_deleted_neighbor"),
+            lit(nDel).as("n_deleted"), lit(nBase).as("n_remaining"),
+            lit(tombBefore == nDel && tombAfter == 0L)
+              .as("tombstones_retired"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // STREAMING INDEX INGEST — the round-10 composition row: a seed
     // corpus builds the persisted IVF index, then the delta corpus
     // streams in through a REAL Structured Streaming execution whose
@@ -663,6 +726,14 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM embeddings) AS n_base,
         |  CAST(0 AS BIGINT) AS n_appended,
         |  TRUE AS single_gen
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q141_ann_index_delete" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  TRUE AS no_deleted_neighbor,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 = 0) AS n_deleted,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 <> 0) AS n_remaining,
+        |  TRUE AS tombstones_retired
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q134_streaming_index_ingest" ->

@@ -242,6 +242,128 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(search() == before)
   }
 
+  // ---- tombstone deletes ---------------------------------------------------
+
+  test("delete tombstones ids: every search arm excludes them, identically " +
+      "to a rebuild of the remaining corpus under frozen centroids") {
+    val dir = Files.createTempDirectory("graft_annidx_del").toString
+    val all = corpus(48)
+    val cents = AnnIndex.buildIvfIndex(all, "vec_id", "embedding",
+      s"$dir/ivf", nCells = 4, iters = 3)
+    val doomed = all.where(col("vec_id") % 4 === 0)
+    assert(AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      doomed.select("vec_id"), "vec_id", del = 1L) == 12L)
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 12L)
+    // postings bytes did NOT move: a delete is O(delete set)
+    assert(spark.read.parquet(s"$dir/ivf/postings.parquet").count() == 48L)
+    AnnIndex.buildIvfIndex(all.where(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", s"$dir/ref", nCells = 4, centroids = Some(cents))
+    val q = all.where(col("vec_id") < 6) // mixes deleted + surviving queries
+    def exact(d: String) = AnnIndex.searchIvfIndex(spark, d, q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val afterDel = exact(s"$dir/ivf")
+    assert(afterDel == exact(s"$dir/ref"),
+      "tombstoned search must equal rebuild(remaining)")
+    assert(afterDel.forall(_._2 % 4 != 0), "no tombstoned id as a neighbor")
+    // tombstoned ids may still QUERY (the takedown doc looking for its
+    // near-dups is a legitimate shape)
+    assert(afterDel.exists(_._1 % 4 == 0))
+    val quant = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(quant == afterDel)
+    val many = AnnIndex.searchIvfIndexManyQueries(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(many == afterDel)
+  }
+
+  test("delete is exactly-once in del; batches accumulate distinct; absent " +
+      "ids are a no-op; compaction purges physically and retires the set") {
+    val dir = Files.createTempDirectory("graft_annidx_del2").toString
+    val all = corpus(48)
+    AnnIndex.buildIvfIndex(all, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    val q = all.where(col("vec_id") < 6)
+    def search() = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      all.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id", 1L)
+    val afterDel = search()
+    // REPLAY the same batch: same del → same directory overwritten
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      all.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id", 1L)
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 12L)
+    assert(search() == afterDel)
+    // second batch overlaps the first: the union subtracts each id once
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      all.where(col("vec_id") % 8 === 0).select("vec_id"), "vec_id", 2L)
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 12L)
+    assert(search() == afterDel)
+    // compaction makes the tombstones physical and retires them
+    assert(AnnIndex.compactIvfIndex(spark, s"$dir/ivf") == 36L)
+    val post = spark.read.parquet(s"$dir/ivf/postings.parquet")
+    assert(post.count() == 36L && post.where(col("vec_id") % 4 === 0).count() == 0L)
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 0L)
+    assert(AnnIndex.metaCounts(spark, s"$dir/ivf") == ((36L, 0L)))
+    assert(search() == afterDel, "the purge must be invisible to search")
+    // deleting an id that was already purged subtracts nothing
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      all.where(col("vec_id") === 0).select("vec_id"), "vec_id", 3L)
+    assert(search() == afterDel)
+  }
+
+  test("crash orderings cannot resurrect a deleted id: stale tombstones over " +
+      "a purged tree are a no-op, and a rebuild retires them with the corpus") {
+    val dir = Files.createTempDirectory("graft_annidx_del3").toString
+    val all = corpus(48)
+    AnnIndex.buildIvfIndex(all, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    val doomed = all.where(col("vec_id") % 4 === 0).select("vec_id")
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf", doomed, "vec_id", 1L)
+    val q = all.where(col("vec_id") < 6)
+    def search() = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val afterDel = search()
+    // crash state: compaction folded + cleared gens but died BEFORE
+    // retiring _deletes — reconstructed by re-tombstoning after the fold
+    AnnIndex.compactIvfIndex(spark, s"$dir/ivf")
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf", doomed, "vec_id", 1L)
+    assert(search() == afterDel, "stale tombstones over a purged tree no-op")
+    // the replayed compaction converges and retires them
+    AnnIndex.compactIvfIndex(spark, s"$dir/ivf")
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 0L)
+    assert(search() == afterDel)
+    // a rebuild owns the whole tree: tombstones from the REPLACED corpus
+    // must not silently delete from the new one
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf", doomed, "vec_id", 2L)
+    AnnIndex.buildIvfIndex(all, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 0L)
+    assert(spark.read.parquet(s"$dir/ivf/postings.parquet").count() == 48L)
+  }
+
+  test("maybeRetrain compacts a single-generation tree when tombstones " +
+      "have accumulated") {
+    val dir = Files.createTempDirectory("graft_annidx_del4").toString
+    val all = corpus(40)
+    val cents = AnnIndex.buildIvfIndex(all, "vec_id", "embedding",
+      s"$dir/ivf", nCells = 4)
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      all.where(col("vec_id") < 4).select("vec_id"), "vec_id", 1L)
+    assert(!AnnIndex.maybeRetrain(spark, s"$dir/ivf",
+      all.where(col("vec_id") >= 4), "vec_id", "embedding", nCells = 4))
+    assert(AnnIndex.loadCentroids(spark, s"$dir/ivf") == cents,
+      "a tombstone fold must not retrain the quantizer")
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 0L)
+    assert(spark.read.parquet(s"$dir/ivf/postings.parquet").count() == 36L)
+  }
+
   test("maybeRetrain: folds under frozen centroids below tau, rebuilds with " +
       "fresh centroids at tau and above") {
     val dir = Files.createTempDirectory("graft_annidx_tau").toString

@@ -297,6 +297,77 @@ object Retrieval {
           .otherwise(lit(0.0)).as("recall_at_k"))
   }
 
+  /** Reciprocal-rank fusion of N ranked retrieval arms — the standard
+    * way a curation pipeline combines lexical (BM25) and dense (ANN)
+    * candidate lists into one hybrid ranking without score
+    * calibration: rrf(d) = Σ_arms 1/(rrfK + rank_arm(d)), documents
+    * absent from an arm contribute 0 (Cormack et al.'s formulation;
+    * rrfK = 60 is the canonical damping).
+    *
+    * Determinism contract (cross-engine oracle): each contribution is
+    * ONE IEEE double division off an integer rank, and the fused score
+    * is a FIXED-ARITY left-to-right sum in arm order — a plain column
+    * expression over the joined row, never a float aggregate over
+    * arbitrary row order — so the score replays bit-exactly in any
+    * engine. Ties rank by ascending doc id.
+    *
+    * Scale: the arms carry all the corpus-scale work (BM25's map-side
+    * postings, ANN's pruned index probes); fusion touches ≤ arms·k
+    * rows PER QUERY — the full-outer joins and the k-bounded TopK
+    * ranking run on candidate lists, not the corpus.
+    *
+    * Each arm: (query_id, doc_id, rank) with rank 1-based and unique
+    * per query (extra columns are dropped). Output:
+    * (query_id, rank, doc_id, rrf).
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: no arms")
+    require(k > 0, "k must be positive")
+    require(rrfK >= 1, s"rrfK must be ≥ 1, got $rrfK")
+    val prepped = arms.zipWithIndex.map { case (a, i) =>
+      a.select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as(s"__r$i"))
+    }
+    val joined = prepped.reduce(
+      (l, r) => l.join(r, Seq("query_id", "doc_id"), "full_outer"))
+    val fused = prepped.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(rrfK.toDouble) + col(s"__r$i").cast("double")),
+        lit(0.0)))
+      .reduce(_ + _)
+    Similarity.rankTopK(
+        joined.select(col("query_id"), col("doc_id").as("neighbor_id"),
+          fused.as("rrf")),
+        k, "rrf")
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"),
+        col("rrf"))
+  }
+
+  /** Hybrid lexical + dense retrieval in one call: BM25 over the text
+    * corpus and exact-cosine top-k over the embedding corpus (keyed by
+    * the same document ids), fused by [[rrfFuse]]. The candidate-list
+    * k of each arm is the fusion k — a document missing from one arm
+    * can still win on the other, which is the point of RRF.
+    */
+  def hybridTopK(corpus: DataFrame, idCol: String, textCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      queryVectors: DataFrame, queryVecIdCol: String, queryVecCol: String,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(corpus, idCol, textCol,
+      queries, queryIdCol, queryTextCol, k)
+    val dense = Similarity.bruteForceTopK(
+        queryVectors.select(col(queryVecIdCol).as("vec_id"),
+          col(queryVecCol).as("embedding")),
+        vectors.select(col(vecIdCol).as("vec_id"),
+          col(vecCol).as("embedding")),
+        "vec_id", "embedding", k,
+        simFn = (q, c) => graft.functions.cosineExact(q, c),
+        simName = "cosine")
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, dense), k, rrfK)
+  }
+
   /** Per-document TF-IDF keyword extraction: each document's `k` top
     * terms by `tf · idf6` with `idf6 = floor(10⁶ · ln((N+1)/(df+1)))`
     * (add-one smoothed, scale-6 quantized — the q83 ln discipline, so

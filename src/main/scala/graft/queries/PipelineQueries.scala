@@ -957,6 +957,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (q82
+    // BM25) and dense (q47 exact-cosine) arms over the SAME document
+    // ids: the calibration-free candidate-generation shape a curation
+    // pipeline uses when neither arm alone recalls enough (lexically
+    // alien near-dups, embedding-blind keyword matches). Both arms and
+    // the fused score are exact-deterministic (integer-derived fixed
+    // IEEE expressions), so the whole hybrid ranking replays in SQL.
+    "q142_hybrid_retrieval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vecs = Tables.embeddings(s, dir)
+      Retrieval.hybridTopK(
+          docs.where(col("doc_id") >= 5), "doc_id", "text",
+          vecs.where(col("vec_id") >= 5), "vec_id", "embedding",
+          docs.where(col("doc_id") < 5), "doc_id", "text",
+          vecs.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // The WHOLE curation-to-data-loader chain in one hash-exact row:
     // exact dedup (min-id survivors) → Gopher quality gate → global
     // token-stream layout (bucketed prefix sum) → loader window
@@ -2345,6 +2364,84 @@ object PipelineQueries {
          |                       ORDER BY score6 DESC, doc) AS rnk
          |  FROM perdoc
          |) WHERE rnk <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q142_hybrid_retrieval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS w FROM documents
+         |), d AS (
+         |  SELECT doc_id AS doc, w, len(w) AS dl FROM toks WHERE doc_id >= 5
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(w)) AS term
+         |  FROM toks WHERE doc_id < 5
+         |), post AS (
+         |  SELECT doc, dl, term, len(list_filter(w, x -> x = term)) AS tf
+         |  FROM (SELECT doc, dl, w, unnest(list_distinct(w)) AS term FROM d)
+         |), matched AS (
+         |  SELECT * FROM post WHERE term IN (SELECT term FROM q)
+         |), stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM d
+         |), dfreq AS (
+         |  SELECT term, COUNT(*) AS df FROM matched GROUP BY term
+         |), scored AS (
+         |  SELECT q.query_id, m.doc,
+         |    CAST(floor(
+         |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |               / (CAST(f.df AS DOUBLE) + 0.5))
+         |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
+         |         / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |            + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)))
+         |      * 1000000.0) AS BIGINT) AS s6
+         |  FROM matched m JOIN dfreq f USING (term) JOIN q ON q.term = m.term
+         |  CROSS JOIN stats s
+         |), lex AS (
+         |  SELECT query_id, doc, rnk FROM (
+         |    SELECT query_id, doc,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY score6 DESC, doc) AS rnk
+         |    FROM (SELECT query_id, doc, CAST(SUM(s6) AS BIGINT) AS score6
+         |          FROM scored GROUP BY query_id, doc)
+         |  ) WHERE rnk <= 10
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5
+         |), cv AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+         |  WHERE vec_id >= 5
+         |), dots AS (
+         |  SELECT query_id, neighbor_id,
+         |    SUM(round(CAST(qe[i] AS DOUBLE) * 1e6)
+         |        * round(CAST(ce[i] AS DOUBLE) * 1e6)) / 1e12 AS dab,
+         |    SUM(round(CAST(qe[i] AS DOUBLE) * 1e6)
+         |        * round(CAST(qe[i] AS DOUBLE) * 1e6)) / 1e12 AS daa,
+         |    SUM(round(CAST(ce[i] AS DOUBLE) * 1e6)
+         |        * round(CAST(ce[i] AS DOUBLE) * 1e6)) / 1e12 AS dbb
+         |  FROM qv JOIN cv ON query_id <> neighbor_id, range(1, 65) t(i)
+         |  GROUP BY query_id, neighbor_id
+         |), dense AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dab / (sqrt(daa) * sqrt(dbb)) DESC, neighbor_id) AS rnk
+         |    FROM dots
+         |  ) WHERE rnk <= 10
+         |), fused AS (
+         |  SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+         |         COALESCE(l.doc, dn.neighbor_id) AS doc_id,
+         |         COALESCE(1.0 / (60.0 + l.rnk), 0.0)
+         |           + COALESCE(1.0 / (60.0 + dn.rnk), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense dn
+         |    ON l.query_id = dn.query_id AND l.doc = dn.neighbor_id
+         |)
+         |SELECT query_id, CAST(rk AS INT) AS "rank", doc_id, rrf
+         |FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM fused
+         |) WHERE rk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
 
     "q120_curation_to_loader" ->

@@ -239,6 +239,77 @@ class RetrievalSpec extends SparkSpecBase {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("rrfFuse: exact contributions, absent-arm zero, doc-id ties, k bound") {
+    import spark.implicits._
+    // arm A ranks docs 10,11,12; arm B ranks 11,10,13 — doc 12 and 13
+    // are single-arm survivors
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    def c(r: Int) = 1.0 / (60.0 + r)
+    // 10: 1/61 + 1/62; 11: 1/62 + 1/61 — EQUAL scores, tie → doc id
+    assert(fused.map(_._3) == Seq(10L, 11L, 12L, 13L))
+    assert(fused(0)._4 == c(1) + c(2) && fused(1)._4 == c(2) + c(1))
+    assert(fused(2)._4 == c(3) && fused(3)._4 == c(3),
+      "an absent arm contributes exactly zero")
+    assert(fused.map(_._2) == Seq(1, 2, 3, 4))
+    // k bounds the fused list
+    assert(Retrieval.rrfFuse(Seq(a, b), k = 2).count() == 2L)
+  }
+
+  test("rrfFuse generalizes to three arms with a fixed-order sum") {
+    import spark.implicits._
+    val arms = Seq(
+      Seq((1L, 5L, 1), (1L, 6L, 2)),
+      Seq((1L, 6L, 1), (1L, 5L, 2)),
+      Seq((1L, 7L, 1), (1L, 5L, 2))).map(
+      _.toDF("query_id", "doc_id", "rank"))
+    val fused = Retrieval.rrfFuse(arms, k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    def c(r: Int) = 1.0 / (60.0 + r)
+    // 5: three contributions (left-to-right sum); 6: two; 7: one
+    assert(fused.map(_._3) == Seq(5L, 6L, 7L))
+    assert(fused(0)._4 == c(1) + c(2) + c(2))
+    assert(fused(1)._4 == c(2) + c(1))
+    assert(fused(2)._4 == c(1))
+  }
+
+  test("hybridTopK fuses BM25 and cosine arms; a dense-only doc places") {
+    import spark.implicits._
+    // docs 1-3 share the query's words; doc 4 is lexically alien but
+    // its VECTOR matches the query exactly
+    val docs = Seq(
+      (1L, "liquor store sales report"),
+      (2L, "liquor sales"),
+      (3L, "store report"),
+      (4L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, "liquor sales")).toDF("doc_id", "text")
+    val qv = Seq((100L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val fused = Retrieval.hybridTopK(docs, "doc_id", "text",
+        vecs, "vec_id", "embedding", q, "doc_id", "text",
+        qv, "vec_id", "embedding", k = 4)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fused.map(_._1).distinct == Seq(100L))
+    assert(fused.map(_._3).contains(4L),
+      "the dense-only doc must surface through fusion")
+    // identical to fusing the two arms by hand
+    val lex = Retrieval.bm25TopK(docs, "doc_id", "text", q, "doc_id",
+      "text", k = 4)
+    val dense = Similarity.bruteForceTopK(qv, vecs, "vec_id", "embedding",
+        k = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val manual = Retrieval.rrfFuse(Seq(lex, dense), k = 4)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fused == manual)
+  }
+
   test("tfidfTopTerms matches the exact quantized recompute; rare terms outrank stopwords") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

@@ -551,6 +551,38 @@ object AnnIndex {
     rerankCandidates(qa, prunedPostings(spark, dir, qa), k)
   }
 
+  /** PRE-FILTERED search: candidates are restricted to the `allowed`
+    * id frame (an attribute predicate the caller evaluated upstream —
+    * per-language search, per-license search, "only docs newer than
+    * the eval cutoff") BEFORE the k-bounded ranking. Pre-filter
+    * semantics matter: filtering a plain top-k AFTER ranking returns
+    * fewer than k (often zero) survivors whenever the allowed set is
+    * selective — here every returned rank is a true rank within the
+    * allowed sub-corpus, identical to searching an index built from
+    * the allowed rows alone under the same frozen centroids
+    * (spec + driver-checked, q143).
+    *
+    * Scale: the allowed set may be CORPUS-SIZED (a language slice is
+    * half the corpus), so unlike the tombstone anti-join it is NOT
+    * broadcast-hinted — the semi-join runs after the cell-pruned,
+    * tombstone-filtered scan and AQE picks broadcast vs shuffle from
+    * the actual build-side size. Cell pruning is unaffected: probing
+    * still reads only the probed partition directories.
+    */
+  def searchIvfIndexFiltered(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, s"empty index at $dir")
+    val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
+      .localCheckpoint(false)
+    val postings = prunedPostings(spark, dir, qa)
+      .join(allowed.select(col(allowedIdCol).as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+    rerankCandidates(qa, postings, k)
+  }
+
   def searchIvfIndex(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {

@@ -618,6 +618,55 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // PRE-FILTERED SEARCH — attribute-filtered vector search (per-
+    // language, per-license, newer-than-cutoff): candidates restrict
+    // to an allowed-id frame BEFORE the k-bounded ranking, so every
+    // returned rank is a true rank within the allowed sub-corpus —
+    // filtering a plain top-k afterwards starves selective filters.
+    // Contract row: filtered search over the FULL index ≡ search of an
+    // index built from the allowed rows alone under the same frozen
+    // centroids; only allowed ids surface as neighbors.
+    "q143_ann_filtered_search" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q143_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val allowed = e.where(col("label") % 2 === 0) // the attribute slice
+        // iters=1: the identity contract is independent of centroid
+        // quality (q140's reasoning) — train cheaply
+        val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+          s"$tmp/idx", nCells = 8, iters = 1)
+        AnnIndex.buildIvfIndex(allowed, "vec_id", "embedding", s"$tmp/ref",
+          nCells = 8, centroids = Some(cents))
+        val q = e.where(col("vec_id") < 10)
+        val filtered = AnnIndex.searchIvfIndexFiltered(s, s"$tmp/idx", q,
+          "vec_id", "embedding", allowed.select("vec_id"), "vec_id",
+          k = 5, nProbe = 2)
+        val ref = AnnIndex.searchIvfIndex(s, s"$tmp/ref", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        val nAllowed = allowed.count()
+        filtered
+          .join(ref, Seq("query_id", "neighbor_id"), "full_outer")
+          .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+            Seq("neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"),
+            max(when(col("label") % 2 =!= 0, 1L).otherwise(0L))
+              .as("n_outside"))
+          .select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            (col("n_outside") === 0L).as("only_allowed"),
+            lit(nAllowed).as("n_allowed"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // STREAMING INDEX INGEST — the round-10 composition row: a seed
     // corpus builds the persisted IVF index, then the delta corpus
     // streams in through a REAL Structured Streaming execution whose
@@ -726,6 +775,12 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM embeddings) AS n_base,
         |  CAST(0 AS BIGINT) AS n_appended,
         |  TRUE AS single_gen
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q143_ann_filtered_search" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  TRUE AS only_allowed,
+        |  (SELECT COUNT(*) FROM embeddings WHERE label % 2 = 0) AS n_allowed
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q141_ann_index_delete" ->

@@ -348,6 +348,51 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/ivf/postings.parquet").count() == 48L)
   }
 
+  // ---- pre-filtered search -------------------------------------------------
+
+  test("filtered search: true ranks within the allowed sub-corpus, identical " +
+      "to an index built from the allowed rows under frozen centroids") {
+    val dir = Files.createTempDirectory("graft_annidx_flt").toString
+    val all = corpus(48)
+    val allowed = all.where(col("vec_id") % 2 === 0)
+    val cents = AnnIndex.buildIvfIndex(all, "vec_id", "embedding",
+      s"$dir/ivf", nCells = 4, iters = 3)
+    AnnIndex.buildIvfIndex(allowed, "vec_id", "embedding", s"$dir/ref",
+      nCells = 4, centroids = Some(cents))
+    val q = all.where(col("vec_id") < 6)
+    val filtered = AnnIndex.searchIvfIndexFiltered(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", allowed.select("vec_id"), "vec_id",
+        k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val ref = AnnIndex.searchIvfIndex(spark, s"$dir/ref", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(filtered == ref)
+    assert(filtered.forall(_._2 % 2 == 0), "only allowed ids as neighbors")
+    // PRE-filter semantics: filtering a plain top-k after ranking
+    // starves queries the filtered arm fills to k
+    val post = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .where(col("neighbor_id") % 2 === 0)
+    val postCounts = post.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    val fltCounts = filtered.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(fltCounts.values.forall(_ == 3))
+    assert(fltCounts.keys.exists(qid => postCounts.getOrElse(qid, 0L) < 3L),
+      "fixture must demonstrate post-filter starvation")
+    // composes with tombstones: deleting an allowed id removes it here too
+    val doomed = filtered.head._2
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      Seq(doomed).toDF("vec_id"), "vec_id", 1L)
+    val after = AnnIndex.searchIvfIndexFiltered(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", allowed.select("vec_id"), "vec_id",
+        k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after.forall(_._2 != doomed))
+  }
+
   test("maybeRetrain compacts a single-generation tree when tombstones " +
       "have accumulated") {
     val dir = Files.createTempDirectory("graft_annidx_del4").toString

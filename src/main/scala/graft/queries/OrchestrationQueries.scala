@@ -618,6 +618,64 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // STREAMING TAKEDOWN — the delete-side twin of q134: a takedown
+    // feed streams in through a REAL Structured Streaming execution,
+    // each micro-batch tombstoning ids EXACTLY-ONCE with
+    // del = batchId + 1 (an injected replay of a completed batch is
+    // part of the harness — the tombstone set cannot double-count).
+    // Contract row: after the stream + a compaction, search ≡ rebuild
+    // of the remaining corpus under frozen centroids; the tombstone
+    // count reads back exact before the purge and zero after.
+    "q144_streaming_takedown" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      import graft.streaming.Replay
+      val tmp = Files.createTempDirectory("graft_q144_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val doomed = e.where(col("vec_id") % 4 === 0).select("vec_id")
+        // iters=1: the identity contract is independent of centroid
+        // quality (q140's reasoning) — train cheaply
+        val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+          s"$tmp/idx", nCells = 8, iters = 1)
+        val dataBatches = Replay.takedownReplay(s, doomed, s"$tmp/idx",
+          nBatches = 3)
+        val tombBefore = AnnIndex.tombstonedCount(s, s"$tmp/idx")
+        val q = e.where(col("vec_id") < 10)
+        // materialize BEFORE compaction mutates the tree it reads
+        val streamed = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
+          "vec_id", "embedding", k = 5, nProbe = 2).localCheckpoint(true)
+        AnnIndex.compactIvfIndex(s, s"$tmp/idx")
+        val tombAfter = AnnIndex.tombstonedCount(s, s"$tmp/idx")
+        val purged = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        AnnIndex.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), "vec_id",
+          "embedding", s"$tmp/ref", nCells = 8, centroids = Some(cents))
+        val rebuilt = AnnIndex.searchIvfIndex(s, s"$tmp/ref", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank3"), col("cosine").as("cos3"))
+        streamed
+          .join(purged, Seq("query_id", "neighbor_id"), "full_outer")
+          .join(rebuilt, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2") &&
+              col("rank") === col("rank3") &&
+              col("cosine") === col("cos3"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            lit(tombBefore).as("n_tombstoned"),
+            lit(tombAfter == 0L).as("tombstones_retired"),
+            lit(dataBatches >= 3).as("replayed_multibatch"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // PRE-FILTERED SEARCH — attribute-filtered vector search (per-
     // language, per-license, newer-than-cutoff): candidates restrict
     // to an allowed-id frame BEFORE the k-bounded ranking, so every
@@ -775,6 +833,13 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM embeddings) AS n_base,
         |  CAST(0 AS BIGINT) AS n_appended,
         |  TRUE AS single_gen
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q144_streaming_takedown" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 4 = 0) AS n_tombstoned,
+        |  TRUE AS tombstones_retired,
+        |  TRUE AS replayed_multibatch
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q143_ann_filtered_search" ->

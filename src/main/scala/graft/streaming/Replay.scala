@@ -181,6 +181,53 @@ object Replay {
     }
   }
 
+  /** Replay a takedown feed through STREAMING INDEX DELETES: each
+    * micro-batch of takedown ids tombstones EXACTLY-ONCE via
+    * [[graft.ops.AnnIndex.deleteFromIvfIndex]] with `del = batchId + 1`
+    * — the [[indexIngestReplay]] discipline on the delete side of the
+    * stored-index lifecycle (the replayed batchId IS the tombstone
+    * batch, idempotence inherited from the del-overwrite contract).
+    * The index is built by the CALLER (the takedown stream has no
+    * business owning the build, and the caller usually needs the
+    * frozen centroids for its rebuild arm); an injected replay of a
+    * completed batch is part of the harness. Returns data batches
+    * observed; the caller searches/compacts and cleans up.
+    */
+  def takedownReplay(spark: SparkSession, takedowns: DataFrame,
+      indexDir: String, nBatches: Int = 3, stageDir: String = null): Int = {
+    import graft.ops.AnnIndex
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir("ivftakedown"))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    try {
+      val feed = takedowns.select(col("vec_id").cast("long").as("vec_id"))
+      stageModBatches(feed, "vec_id", dir, fs, path, nBatches)
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          AnnIndex.deleteFromIvfIndex(spark, indexDir, batch,
+            "vec_id", del = batchId + 1L)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      // injected REPLAY of the first takedown batch (failure after
+      // commit, before the offset log advanced): same del → overwrites
+      // itself, the tombstone set cannot double-count
+      AnnIndex.deleteFromIvfIndex(spark, indexDir,
+        feed.where(pmod(col("vec_id"), lit(nBatches)) === 0),
+        "vec_id", del = 1L)
+      dataBatches
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+    }
+  }
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
     * observed). The stage dir is process-unique by default and deleted

@@ -155,6 +155,33 @@ class ReplaySpec extends SparkSpecBase {
     assert(got == expected, s"\n$got\nvs\n$expected")
   }
 
+  test("streamed takedowns tombstone exactly-once across ≥3 micro-batches " +
+      "(injected replay included); search equals rebuild(remaining)") {
+    import graft.ops.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    val all = (0 until 48).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (i / 4)))
+    }.toDF("vec_id", "embedding")
+    val cents = AnnIndex.buildIvfIndex(all, "vec_id", "embedding",
+      s"$dir/ivf", nCells = 4)
+    val batches = Replay.takedownReplay(spark,
+      all.where(col("vec_id") % 4 === 0).select("vec_id"), s"$dir/ivf",
+      nBatches = 3)
+    assert(batches >= 3, "a real multi-batch stream must have run")
+    // exactly-once despite the injected replay of batch 0's delete
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 12L)
+    AnnIndex.buildIvfIndex(all.where(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", s"$dir/ref", nCells = 4, centroids = Some(cents))
+    val q = all.where(col("vec_id") < 6)
+    def search(d: String) = AnnIndex.searchIvfIndex(spark, d, q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(search(s"$dir/ivf") == search(s"$dir/ref"))
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

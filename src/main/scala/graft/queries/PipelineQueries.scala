@@ -1077,6 +1077,13 @@ object PipelineQueries {
           emb.where(col("vec_id") % 4 === 0), "vec_id", "embedding", gen = 1L)
         val (idxBase, idxAppended) = AnnIndex.metaCounts(s, s"$tmp/idx")
         val drift6 = idxAppended * 1000000L / idxBase
+        // un-purged takedown mass (q141/q144): the third index-health
+        // number a launch review reads next to drift — non-zero means
+        // a compaction is owed before the index ships
+        AnnIndex.deleteFromIvfIndex(s, s"$tmp/idx",
+          emb.where(col("vec_id") % 5 === 0).select("vec_id"), "vec_id",
+          del = 1L)
+        val idxTombstoned = AnnIndex.tombstonedCount(s, s"$tmp/idx")
         val card = mix
           .join(health, Seq("source"), "left")
           .join(sample, Seq("source"), "left")
@@ -1090,7 +1097,8 @@ object PipelineQueries {
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             coalesce(col("sample_docs"), lit(0L)).as("sample_docs"),
             coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"),
-            lit(drift6).as("index_drift6"))
+            lit(drift6).as("index_drift6"),
+            lit(idxTombstoned).as("index_tombstoned"))
         graft.engine.Pipeline.writeStage(card.coalesce(1), s"$tmp/card")
         val p = new org.apache.hadoop.fs.Path(s"$tmp/card")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2872,6 +2880,8 @@ object PipelineQueries {
          |  (SELECT CAST(COUNT(*) FILTER (WHERE vec_id % 4 = 0) * 1000000
          |     // COUNT(*) FILTER (WHERE vec_id % 4 <> 0) AS BIGINT)
          |   FROM embeddings) AS index_drift6,
+         |  (SELECT CAST(COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT)
+         |   FROM embeddings) AS index_tombstoned,
          |  TRUE AS one_file
          |FROM wt CROSS JOIN nm
          |LEFT JOIN health h ON h.source = wt.source

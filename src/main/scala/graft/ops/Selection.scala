@@ -395,4 +395,54 @@ object Selection {
           expr(s"CAST($budgetDocs * w6 div total6 AS BIGINT)"))
           .otherwise(lit(0L)).as("alloc_docs"))
   }
+
+  /** Per-group top-share gate: keep each group's best `num/den`
+    * fraction of rows by an integer score — "the top 20% by classifier
+    * score per domain", the percentile-style cut real curation
+    * pipelines apply per source so one high-scoring domain cannot
+    * starve the others.
+    *
+    * EXACT integer semantics (no float percentile interpolation, which
+    * no two engines compute alike): the per-group threshold is the
+    * largest score T with |{score ≥ T}| ≥ ceil(n·num/den), and the
+    * gate keeps score ≥ T — the minimal tie-inclusive superset of the
+    * top ceil(n·num/den). Ties at the threshold all survive (keeping
+    * "half of doc A's copies" is not a meaningful gate), so the kept
+    * share is ≥ num/den, with equality whenever the threshold score is
+    * unique.
+    *
+    * Scale: NO per-row window anywhere — ranking rides per-(group,
+    * score) COUNTS, so the window that finds the threshold orders each
+    * group's DISTINCT scores (bounded by score cardinality — scale-6
+    * quantized scores cap at 10⁶+1 rows per group, not corpus rows),
+    * and the final filter is a |groups·scores|-bounded join back. The
+    * full corpus is touched exactly twice, both map-side-aggregable.
+    *
+    * `scoreCol` must be integral (quantize first — the score6
+    * discipline); output = input rows that pass, plus the group's
+    * `threshold` column.
+    */
+  def topShareGate(docs: DataFrame, groupCol: String, scoreCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num > 0 && num <= den,
+      s"share must be a fraction in (0, 1]: got $num/$den")
+    val idt = docs.schema(scoreCol).dataType
+    require(Seq("byte", "short", "int", "long", "integer")
+        .contains(idt.typeName),
+      s"topShareGate needs an integral score, got $idt — quantize first")
+    val counts = docs.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+    // rows per group = DISTINCT scores, not docs — the bounded window
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val thresholds = cum
+      .where(col("__cum") >= expr(s"(__n * $num + ${den - 1}) div $den"))
+      .groupBy(col(groupCol))
+      .agg(max(col(scoreCol)).as("threshold"))
+    docs.join(thresholds, Seq(groupCol))
+      .where(col(scoreCol) >= col("threshold"))
+  }
 }

@@ -957,6 +957,30 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // PER-DOMAIN TOP-SHARE GATE — the percentile-style quality cut
+    // applied per source ("keep each domain's best 20%"), so one
+    // high-scoring domain cannot starve the rest of the mixture. Exact
+    // integer semantics: the threshold is the largest score6 whose
+    // tie-inclusive keep-set reaches ceil(n/5) — no float percentile
+    // interpolation (which no two engines compute alike) anywhere.
+    // NO per-row window: ranking rides per-(source, score6) counts.
+    "q145_domain_share_gate" -> { (s, dir) =>
+      import graft.ops.{Selection, TextOps}
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          floor(TextOps.qualityScore(col("text")) * lit(1000000.0))
+            .cast("long").as("score6"))
+      val totals = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      Selection.topShareGate(scored, "source", "score6", 1L, 5L)
+        .groupBy(col("source"), col("threshold").as("threshold6"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(totals, Seq("source"))
+        .select(col("source"), col("n_docs"), col("threshold6"),
+          col("n_kept"),
+          expr("n_kept * 1000000 div n_docs").as("kept_share6"))
+        .orderBy("source")
+    },
+
     // HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (q82
     // BM25) and dense (q47 exact-cosine) arms over the SAME document
     // ids: the calibration-free candidate-generation shape a curation
@@ -2373,6 +2397,52 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q145_domain_share_gate" ->
+      s"""WITH hq AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($tokensSql) AS INT) AS n_tokens,
+         |    CAST(${stopHitsSql(TextOps.EnStopwords)} AS DOUBLE) AS stop_hits,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents
+         |), hm AS (
+         |  SELECT doc_id, source, n_tokens, alpha_ratio, stop_hits,
+         |    (n_chars - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |      / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_tok_len,
+         |    stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM hq
+         |), hs AS (
+         |  SELECT doc_id, source, CAST(floor((
+         |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN stop_ratio > 0.005 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + alpha_ratio * 0.3) * 1000000.0) AS BIGINT) AS score6
+         |  FROM hm
+         |), cnt AS (
+         |  SELECT source, score6, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM hs GROUP BY source, score6
+         |), cum AS (
+         |  SELECT source, score6,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY score6 DESC) AS cm,
+         |    SUM(c) OVER (PARTITION BY source) AS n
+         |  FROM cnt
+         |), thr AS (
+         |  SELECT source, MAX(score6) AS threshold6
+         |  FROM cum WHERE cm >= (n * 1 + 4) // 5 GROUP BY source
+         |), kept AS (
+         |  SELECT h.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM hs h JOIN thr t USING (source)
+         |  WHERE h.score6 >= t.threshold6 GROUP BY h.source
+         |), tot AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM hs GROUP BY source
+         |)
+         |SELECT t.source, tot.n_docs, t.threshold6, k.n_kept,
+         |  CAST(k.n_kept * 1000000 // tot.n_docs AS BIGINT) AS kept_share6
+         |FROM thr t JOIN kept k USING (source) JOIN tot USING (source)
+         |ORDER BY t.source""".stripMargin,
 
     "q142_hybrid_retrieval" ->
       s"""WITH toks AS (

@@ -273,4 +273,33 @@ class SelectionSpec extends SparkSpecBase {
       classify(corpus, Set(0L), Set(1L), threshold6 = 30000000L)
     }
   }
+
+  test("topShareGate keeps each group's best ceil(n*num/den) with ties " +
+      "inclusive; thresholds are per-group; no cross-group starvation") {
+    import spark.implicits._
+    // group a: 10 docs scored 1..10 → top 1/5 = ceil(2) = {10, 9}
+    // group b: 5 docs scored 100,100,100,1,1 → ceil(1) = score 100,
+    //   ties inclusive → ALL THREE 100s survive
+    val a = (1 to 10).map(i => ("a", i.toLong, i.toLong))
+    val b = Seq(("b", 11L, 100L), ("b", 12L, 100L), ("b", 13L, 100L),
+      ("b", 14L, 1L), ("b", 15L, 1L))
+    val docs = (a ++ b).toDF("source", "doc_id", "score6")
+    val kept = Selection.topShareGate(docs, "source", "score6", 1L, 5L)
+      .select("source", "doc_id", "threshold")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(kept.filter(_._1 == "a").map(_._2) == Seq(9L, 10L))
+    assert(kept.filter(_._1 == "a").forall(_._3 == 9L))
+    assert(kept.filter(_._1 == "b").map(_._2) == Seq(11L, 12L, 13L),
+      "threshold ties must all survive")
+    assert(kept.filter(_._1 == "b").forall(_._3 == 100L))
+    // num = den keeps everything
+    assert(Selection.topShareGate(docs, "source", "score6", 1L, 1L)
+      .count() == 15L)
+    // non-integral scores are rejected loudly, not silently truncated
+    intercept[IllegalArgumentException] {
+      Selection.topShareGate(
+        docs.withColumn("score6", col("score6").cast("double")),
+        "source", "score6", 1L, 5L)
+    }
+  }
 }

@@ -1,13 +1,133 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset versioning: what changed between two corpus snapshots —
   * the audit step before retraining on a refreshed crawl (which docs
-  * arrived, which left, which were edited in place).
+  * arrived, which left, which were edited in place) — plus the
+  * ATOMIC PUBLISH that makes "the corpus a training run read" a
+  * reproducible fact rather than a directory that mutated underneath
+  * the job.
+  *
+  * Published layout under `dir`:
+  *   - `v=N/…` — immutable version trees, written whole by the
+  *     FileOutputCommitter (in-flight files stay under `_temporary`);
+  *   - `_current` — a one-line pointer file holding N, swapped with
+  *     an ATOMIC rename. Readers resolve the pointer, then read an
+  *     immutable tree — a reader can never observe a half-written
+  *     version, a half-swapped pointer, or a torn mix of two
+  *     versions.
+  *
+  * Crash story (the [[graft.ops.AnnIndex]] generation discipline):
+  * a publish that dies mid-write leaves `_current` untouched and an
+  * orphan `v=N` invisible to readers; the NEXT publish computes its
+  * version from the pointer (not the directory listing), so it
+  * re-owns and overwrites the orphan wholesale. [[rollback]] is a
+  * pointer swap — the rolled-back version stays on disk for audit
+  * and is re-owned by the next publish.
   */
 object Versioning {
+
+  private val CurrentFile = "_current"
+
+  private def fsOf(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** The version readers currently resolve — None before the first
+    * completed publish (including the crashed-first-publish state:
+    * the tree may hold an orphan `v=1`, but nothing points at it).
+    */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, _) = fsOf(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/$CurrentFile")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Version ids present on disk, pointed-at or not — orphans from
+    * crashed publishes and rolled-back versions included (that is the
+    * point: they are visible to maintenance, invisible to readers).
+    */
+  def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, path) = fsOf(spark, dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .sorted
+  }
+
+  /** Atomically swap the `_current` pointer to `version`. The swap is
+    * ONE FileContext rename with OVERWRITE (atomic on posix and HDFS)
+    * — there is no window where the pointer is absent or truncated.
+    */
+  private def swapPointer(spark: SparkSession, dir: String,
+      version: Long): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/.${CurrentFile}.tmp-$version")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$CurrentFile"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Publish `df` as the next version of the dataset at `dir` and
+    * atomically move readers onto it. Returns the published version
+    * id (1-based). The version tree is written FIRST and the pointer
+    * swapped LAST — the only two orderings a crash can observe are
+    * "old version still current" and "new version current and
+    * complete".
+    */
+  def publish(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val next = currentVersion(spark, dir).getOrElse(0L) + 1L
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
+    swapPointer(spark, dir, next)
+    next
+  }
+
+  /** Read the dataset: the current version by default, or any
+    * still-on-disk version for time travel (`read(dir, Some(1))` is
+    * "exactly what the March run trained on", as long as retention
+    * kept it).
+    */
+  def read(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version at $dir — publish first"))
+    val (fs, _) = fsOf(spark, dir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v")),
+      s"version $v does not exist at $dir (have: " +
+        s"${listVersions(spark, dir).mkString(",")})")
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Point readers back at an older version — the bad-publish escape
+    * hatch. A pointer swap only: the rolled-back version stays on
+    * disk for audit, and the NEXT publish overwrites it (its content
+    * was disavowed; its number is reused so the version line stays
+    * contiguous).
+    */
+  def rollback(spark: SparkSession, dir: String, version: Long): Unit = {
+    require(listVersions(spark, dir).contains(version),
+      s"cannot roll back to absent version $version at $dir")
+    swapPointer(spark, dir, version)
+  }
 
   /** Snapshot diff by content hash: (doc_id, change) for every doc
     * `added` / `removed` / `modified` between the two snapshots;

@@ -796,6 +796,50 @@ object OrchestrationQueries {
             .otherwise(col("text")))
       Versioning.snapshotDiff(vOld, vNew, "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // ATOMIC VERSIONED PUBLISH — what makes "the corpus a training
+    // run read" a reproducible fact: version trees are immutable,
+    // readers resolve a pointer swapped with ONE atomic rename, time
+    // travel reads any retained version, and rollback is a pointer
+    // swap whose disavowed version the next publish re-owns. Contract
+    // row: publish the q113 snapshots as v1/v2, prove the time-travel
+    // read returns v1 BYTE-EQUIVALENT (empty content diff), report
+    // the promotion-gate diff between the two published versions
+    // (exact counts, the q113 math), and prove rollback moves readers
+    // back without deleting anything.
+    "q146_versioned_publish" -> { (s, dir) =>
+      import graft.ops.Versioning
+      val tmp = Files.createTempDirectory("graft_q146_")
+      try {
+        val ds = s"$tmp/ds"
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val vOld = docs.where(col("doc_id") % 7 =!= 0)
+        val vNew = docs.where(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, reverse(col("text")))
+              .otherwise(col("text")))
+        val p1 = Versioning.publish(vOld, ds)
+        val p2 = Versioning.publish(vNew, ds)
+        val cur = Versioning.currentVersion(s, ds)
+        val ttOk = Versioning.snapshotDiff(
+          Versioning.read(s, ds, Some(1L)), vOld, "doc_id", "text")
+          .isEmpty
+        val summary = Versioning.diffSummary(
+            Versioning.read(s, ds, Some(1L)), Versioning.read(s, ds),
+            "doc_id", "text")
+          .localCheckpoint(true)
+        Versioning.rollback(s, ds, 1L)
+        val rolledOk = Versioning.currentVersion(s, ds).contains(1L) &&
+          Versioning.listVersions(s, ds) == Seq(1L, 2L) &&
+          Versioning.snapshotDiff(Versioning.read(s, ds), vOld,
+            "doc_id", "text").isEmpty
+        summary.select(col("n_added"), col("n_removed"), col("n_modified"),
+          col("n_old"), col("n_new"),
+          lit(p1 == 1L && p2 == 2L && cur.contains(2L)).as("versions_ok"),
+          lit(ttOk).as("time_travel_ok"),
+          lit(rolledOk).as("rollback_ok"))
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -862,6 +906,26 @@ object OrchestrationQueries {
         |  TRUE AS ids_unique,
         |  TRUE AS replayed_multibatch
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q146_versioned_publish" ->
+      """WITH v_old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v_new AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM v_new n LEFT JOIN v_old o USING (doc_id)
+        |        WHERE o.doc_id IS NULL) AS BIGINT) AS n_added,
+        |  CAST((SELECT COUNT(*) FROM v_old o LEFT JOIN v_new n USING (doc_id)
+        |        WHERE n.doc_id IS NULL) AS BIGINT) AS n_removed,
+        |  CAST((SELECT COUNT(*) FROM v_old o JOIN v_new n USING (doc_id)
+        |        WHERE o.text IS DISTINCT FROM n.text) AS BIGINT) AS n_modified,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v_old) AS n_old,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v_new) AS n_new,
+        |  TRUE AS versions_ok,
+        |  TRUE AS time_travel_ok,
+        |  TRUE AS rollback_ok""".stripMargin,
 
     "q113_snapshot_diff" ->
       """WITH v_old AS (

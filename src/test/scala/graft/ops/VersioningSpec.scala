@@ -33,4 +33,58 @@ class VersioningSpec extends SparkSpecBase {
     // null == null: unchanged
     assert(Versioning.snapshotDiff(a, a, "doc_id", "text").count() == 0L)
   }
+
+  // ---- atomic publish / time travel / rollback -----------------------------
+
+  test("publish is versioned and atomic; reads resolve the pointer; time " +
+      "travel reads any retained version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub").toString
+    assert(Versioning.currentVersion(spark, s"$dir/ds").isEmpty)
+    intercept[IllegalArgumentException] {
+      Versioning.read(spark, s"$dir/ds")
+    }
+    assert(Versioning.publish(vOld, s"$dir/ds") == 1L)
+    assert(Versioning.publish(vNew, s"$dir/ds") == 2L)
+    assert(Versioning.currentVersion(spark, s"$dir/ds").contains(2L))
+    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(1L, 2L))
+    val cur = Versioning.read(spark, s"$dir/ds")
+      .as[(Long, String)].collect().toSet
+    assert(cur == Set((2L, "b"), (3L, "x"), (4L, "d")))
+    val v1 = Versioning.read(spark, s"$dir/ds", Some(1L))
+      .as[(Long, String)].collect().toSet
+    assert(v1 == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      Versioning.read(spark, s"$dir/ds", Some(9L))
+    }
+  }
+
+  test("a crashed publish is invisible to readers and re-owned by the next " +
+      "publish; rollback swaps the pointer and the next publish re-owns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub2").toString
+    Versioning.publish(vOld, s"$dir/ds")
+    // crash state: v=2 fully written but the pointer swap never ran —
+    // reconstructed by writing the orphan tree directly
+    vNew.write.parquet(s"$dir/ds/v=2")
+    assert(Versioning.currentVersion(spark, s"$dir/ds").contains(1L))
+    assert(Versioning.read(spark, s"$dir/ds")
+      .as[(Long, String)].collect().toSet.contains((1L, "a")),
+      "readers must stay on the pointed version")
+    // the next publish computes from the POINTER, re-owning the orphan
+    val fixed = Seq((7L, "z")).toDF("doc_id", "text")
+    assert(Versioning.publish(fixed, s"$dir/ds") == 2L)
+    assert(Versioning.read(spark, s"$dir/ds")
+      .as[(Long, String)].collect().toSet == Set((7L, "z")))
+    // rollback: pointer swap only; the disavowed version stays on disk
+    Versioning.rollback(spark, s"$dir/ds", 1L)
+    assert(Versioning.currentVersion(spark, s"$dir/ds").contains(1L))
+    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Versioning.rollback(spark, s"$dir/ds", 5L)
+    }
+    // publishing after a rollback reuses the disavowed number
+    assert(Versioning.publish(vNew, s"$dir/ds") == 2L)
+    assert(Versioning.read(spark, s"$dir/ds")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "x"), (4L, "d")))
+  }
 }

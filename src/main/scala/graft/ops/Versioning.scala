@@ -129,6 +129,24 @@ object Versioning {
     swapPointer(spark, dir, version)
   }
 
+  /** Retention: drop all but the `keep` highest version ids — except
+    * the pointed-at version, which is NEVER vacuumed no matter how old
+    * (a rollback target must not be deleted out from under readers).
+    * Time travel reaches exactly what retention kept; this is where
+    * that sentence gets its teeth. Returns the version ids deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"keep must be ≥ 1, got $keep")
+    val (fs, _) = fsOf(spark, dir)
+    val cur = currentVersion(spark, dir)
+    val doomed = listVersions(spark, dir).sorted.dropRight(keep)
+      .filterNot(cur.contains)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
+    }
+    doomed
+  }
+
   /** Snapshot diff by content hash: (doc_id, change) for every doc
     * `added` / `removed` / `modified` between the two snapshots;
     * unchanged docs are dropped (at corpus scale the diff is the

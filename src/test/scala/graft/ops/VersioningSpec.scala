@@ -87,4 +87,22 @@ class VersioningSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toSet ==
       Set((2L, "b"), (3L, "x"), (4L, "d")))
   }
+
+  test("vacuum drops all but the newest keep versions but never the " +
+      "pointed-at one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub3").toString
+    (1 to 4).foreach(_ => Versioning.publish(vOld, s"$dir/ds"))
+    assert(Versioning.vacuum(spark, s"$dir/ds", keep = 2) == Seq(1L, 2L))
+    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(3L, 4L))
+    // time travel reaches exactly what retention kept
+    intercept[IllegalArgumentException] {
+      Versioning.read(spark, s"$dir/ds", Some(1L))
+    }
+    assert(Versioning.read(spark, s"$dir/ds", Some(3L)).count() == 3L)
+    // the pointed-at version survives any keep
+    Versioning.rollback(spark, s"$dir/ds", 3L)
+    assert(Versioning.vacuum(spark, s"$dir/ds", keep = 1) == Seq.empty)
+    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(3L, 4L))
+    assert(Versioning.read(spark, s"$dir/ds").count() == 3L)
+  }
 }

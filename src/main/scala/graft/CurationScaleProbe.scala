@@ -241,6 +241,19 @@ object CurationScaleProbe {
           }
           println(s"[probe] ivf files compacted (1 gen): ${nFiles()}")
           searchT(s"ivf SEARCH compacted (1 gen) ${mult}x")
+          // r11 — takedown economics: the tombstone write never touches
+          // postings (O(delete set)), the search-side anti-join tax is
+          // the price until the next fold makes the delete physical
+          t(s"ivf DELETE 1% tombstones ${mult}x") {
+            AnnIndex.deleteFromIvfIndex(spark, s"$idxDir/ivf",
+              embN.where(col("vec_id") % 100 === 0).select("vec_id"),
+              "vec_id", del = 1L)
+          }
+          searchT(s"ivf SEARCH tombstoned ${mult}x")
+          t(s"ivf COMPACT purge tombstones ${mult}x") {
+            AnnIndex.compactIvfIndex(spark, s"$idxDir/ivf")
+          }
+          searchT(s"ivf SEARCH purged ${mult}x")
         }
       } finally {
         embN.unpersist()

@@ -957,6 +957,57 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // CURATION RELEASE — the end-to-end release workflow a corpus team
+    // actually runs: curate a crawl snapshot (exact dedup → Gopher
+    // gate), PUBLISH it as an immutable version (q146), then gate the
+    // NEXT curated snapshot through a promotion diff against the
+    // currently-published release (q113's math, read THROUGH the
+    // published artifact) before publishing it. The gate bit is
+    // computed from exact integers in both engines: changed-mass ratio
+    // ≤ 50% accepts (and v2 publishes), the 30% variant demonstrably
+    // rejects on the same numbers.
+    "q147_curation_release" -> { (s, dir) =>
+      import graft.ops.Versioning
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q147_")
+      try {
+        val ds = s"$tmp/release"
+        def curate(snap: DataFrame): DataFrame = {
+          val deduped = Dedup.exactDedup(snap, "text", "doc_id")
+          deduped.join(
+            TextOps.gopherRules(deduped, "doc_id", "text")
+              .where(col("keep")).select("doc_id"),
+            Seq("doc_id"))
+            .select("doc_id", "text")
+        }
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val snapA = docs.where(col("doc_id") % 7 =!= 0)
+        val snapB = docs.where(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, reverse(col("text")))
+              .otherwise(col("text")))
+        val v1 = Versioning.publish(curate(snapA), ds)
+        val candidate = curate(snapB).localCheckpoint(false)
+        val g = Versioning.diffSummary(Versioning.read(s, ds), candidate,
+          "doc_id", "text").head()
+        val (nAdd, nRem, nMod, nOld, nNew) = (g.getLong(0), g.getLong(1),
+          g.getLong(2), g.getLong(3), g.getLong(4))
+        val ratio6 = (nAdd + nRem + nMod) * 1000000L / nOld
+        val accepted = ratio6 <= 500000L
+        val published = if (accepted) Versioning.publish(candidate, ds) else v1
+        val currentOk = Versioning.currentVersion(s, ds).contains(published) &&
+          Versioning.read(s, ds).count() == (if (accepted) nNew else nOld)
+        import s.implicits._
+        Seq((nAdd, nRem, nMod, nOld, nNew, ratio6, accepted,
+            ratio6 <= 300000L, published, currentOk))
+          .toDF("n_added", "n_removed", "n_modified", "n_old", "n_new",
+            "ratio6", "accepted_50", "accepted_30", "published_version",
+            "current_ok")
+      } finally {
+        org.apache.spark.graft.ListenerDrain.drain(s)
+        graft.engine.FsUtil.deleteRecursively(tmp)
+      }
+    },
+
     // PER-DOMAIN TOP-SHARE GATE — the percentile-style quality cut
     // applied per source ("keep each domain's best 20%"), so one
     // high-scoring domain cannot starve the rest of the mixture. Exact
@@ -2397,6 +2448,81 @@ object PipelineQueries {
          |  FROM perdoc
          |) WHERE rnk <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q147_curation_release" ->
+      s"""WITH snapA AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+         |), snapB AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 0
+         |), dedupA AS (
+         |  SELECT doc_id, text FROM snapA
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |), dedupB AS (
+         |  SELECT doc_id, text FROM snapB
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |), gA AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CAST(len($tokensSql) AS INT) AS n_tokens,
+         |      CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |      CAST(${stopHitsSql(TextOps.EnStopwords)} AS INT) AS stop_hits,
+         |      CASE WHEN len($tokensSql) <= 0 THEN 0.0
+         |           ELSE 1.0 - CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+         |                        / CAST(len($tokensSql) AS DOUBLE) END
+         |        AS dup_tok_ratio
+         |    FROM dedupA)
+         |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |    AND (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |        / greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 3.5
+         |    AND (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |        / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 4.6
+         |    AND stop_hits >= 2 AND dup_tok_ratio <= 0.55
+         |), gB AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CAST(len($tokensSql) AS INT) AS n_tokens,
+         |      CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |      CAST(${stopHitsSql(TextOps.EnStopwords)} AS INT) AS stop_hits,
+         |      CASE WHEN len($tokensSql) <= 0 THEN 0.0
+         |           ELSE 1.0 - CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+         |                        / CAST(len($tokensSql) AS DOUBLE) END
+         |        AS dup_tok_ratio
+         |    FROM dedupB)
+         |  WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |    AND (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |        / greatest(CAST(n_tokens AS DOUBLE), 1.0) >= 3.5
+         |    AND (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1.0))
+         |        / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 4.6
+         |    AND stop_hits >= 2 AND dup_tok_ratio <= 0.55
+         |), d AS (
+         |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+         |              WHEN b.doc_id IS NULL THEN 'removed'
+         |              WHEN a.text IS DISTINCT FROM b.text THEN 'modified'
+         |         END AS ch
+         |  FROM gA a FULL OUTER JOIN gB b ON a.doc_id = b.doc_id
+         |), c AS (
+         |  SELECT
+         |    CAST(COUNT(*) FILTER (WHERE ch = 'added') AS BIGINT) AS n_added,
+         |    CAST(COUNT(*) FILTER (WHERE ch = 'removed') AS BIGINT) AS n_removed,
+         |    CAST(COUNT(*) FILTER (WHERE ch = 'modified') AS BIGINT) AS n_modified,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM gA) AS n_old,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM gB) AS n_new
+         |  FROM d
+         |)
+         |SELECT n_added, n_removed, n_modified, n_old, n_new,
+         |  CAST((n_added + n_removed + n_modified) * 1000000 // n_old
+         |    AS BIGINT) AS ratio6,
+         |  ((n_added + n_removed + n_modified) * 1000000 // n_old) <= 500000
+         |    AS accepted_50,
+         |  ((n_added + n_removed + n_modified) * 1000000 // n_old) <= 300000
+         |    AS accepted_30,
+         |  CAST(CASE WHEN (n_added + n_removed + n_modified) * 1000000
+         |    // n_old <= 500000 THEN 2 ELSE 1 END AS BIGINT)
+         |    AS published_version,
+         |  TRUE AS current_ok
+         |FROM c""".stripMargin,
 
     "q145_domain_share_gate" ->
       s"""WITH hq AS (

@@ -334,6 +334,21 @@ object AnnIndex {
     // the survivors only, then retires the tombstone set
     val n = writeGeneration(spark, dir, target,
       withoutTombstoned(spark, dir, all).repartition(col("cell")))
+    // a zero-survivor fold (every row tombstoned — a full decommission)
+    // must NOT clear the stale gens: a zero-row PARTITIONED write emits
+    // no data files, so the "compacted" tree would hold no parquet at
+    // all and every later read would fail on schema inference. Refuse
+    // loudly and leave the tree exactly as readable as before (the
+    // tombstones already make every search return empty); deleting the
+    // index directory is the decommission operation, not compaction.
+    if (n == 0L) {
+      hadoopDelete(spark, s"$dir/postings.parquet/gen=$target")
+      hadoopDelete(spark, s"$dir/_meta/gen=$target")
+      throw new IllegalStateException(
+        s"compactIvfIndex: every posting at $dir is tombstoned — " +
+          "refusing to fold to an unreadable empty tree; delete the " +
+          "index directory to decommission it")
+    }
     // clear stale gens LAST; per gen: postings before meta, so an
     // interrupted clear over-counts `appended` (trigger over-fires —
     // the safe direction) rather than losing rows
@@ -577,8 +592,11 @@ object AnnIndex {
     require(cents.nonEmpty, s"empty index at $dir")
     val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
       .localCheckpoint(false)
+    // no distinct() on the allowed frame: left_semi already ignores
+    // duplicate build rows, and a corpus-sized allowed set would pay a
+    // full extra shuffle for nothing (r11 review finding)
     val postings = prunedPostings(spark, dir, qa)
-      .join(allowed.select(col(allowedIdCol).as("vec_id")).distinct(),
+      .join(allowed.select(col(allowedIdCol).as("vec_id")),
         Seq("vec_id"), "left_semi")
     rerankCandidates(qa, postings, k)
   }

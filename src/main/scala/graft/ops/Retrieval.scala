@@ -45,7 +45,8 @@ object Retrieval {
   def bm25TopK(
       corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val docToks = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
       .select(col(idCol).cast("long").as("doc"),
@@ -84,8 +85,14 @@ object Retrieval {
           (tfD + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") / col("avgdl")))) *
         lit(1000000.0)))
-    val perDoc = scored.groupBy("query_id", "doc")
+    val perDocAll = scored.groupBy("query_id", "doc")
       .agg(sum(col("s6")).as("score6"))
+    // self-exclusion happens BEFORE the k-bounding (a post-filter would
+    // leave rank gaps); default keeps the historical include-self
+    // semantics for disjoint query/corpus callers
+    val perDoc =
+      if (excludeSelf) perDocAll.where(col("query_id") =!= col("doc"))
+      else perDocAll
     // score6 < 2^53 holds for any real score (capped by idf·(k1+1)·10⁶
     // per term times the query's term count) — exact as the TopK double
     perDoc.groupBy("query_id")
@@ -316,9 +323,13 @@ object Retrieval {
     * rows PER QUERY — the full-outer joins and the k-bounded TopK
     * ranking run on candidate lists, not the corpus.
     *
-    * Each arm: (query_id, doc_id, rank) with rank 1-based and unique
-    * per query (extra columns are dropped). Output:
-    * (query_id, rank, doc_id, rrf).
+    * Each arm: (query_id, doc_id, rank) with rank 1-based (extra
+    * columns are dropped). An arm that lists the same (query, doc)
+    * twice votes ONCE, at its best rank — the min-rank collapse below
+    * makes the contract structural instead of letting a duplicated
+    * candidate fan out through the full-outer joins and occupy two
+    * top-k slots (r11 review finding); it is a no-op on well-formed
+    * arms. Output: (query_id, rank, doc_id, rrf).
     */
   def rrfFuse(arms: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
     require(arms.nonEmpty, "rrfFuse: no arms")
@@ -326,7 +337,9 @@ object Retrieval {
     require(rrfK >= 1, s"rrfK must be ≥ 1, got $rrfK")
     val prepped = arms.zipWithIndex.map { case (a, i) =>
       a.select(col("query_id"), col("doc_id"),
-        col("rank").cast("int").as(s"__r$i"))
+          col("rank").cast("int").as(s"__r$i"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(min(col(s"__r$i")).as(s"__r$i"))
     }
     val joined = prepped.reduce(
       (l, r) => l.join(r, Seq("query_id", "doc_id"), "full_outer"))
@@ -348,6 +361,11 @@ object Retrieval {
     * the same document ids), fused by [[rrfFuse]]. The candidate-list
     * k of each arm is the fusion k — a document missing from one arm
     * can still win on the other, which is the point of RRF.
+    *
+    * Self-matches are excluded in BOTH arms, inside each arm's own
+    * k-bounding: a query doc that is itself in the corpus would
+    * otherwise fuse with only its lexical half (the dense arm excludes
+    * self) and surface at a distorted half-score (r11 review finding).
     */
   def hybridTopK(corpus: DataFrame, idCol: String, textCol: String,
       vectors: DataFrame, vecIdCol: String, vecCol: String,
@@ -355,7 +373,7 @@ object Retrieval {
       queryVectors: DataFrame, queryVecIdCol: String, queryVecCol: String,
       k: Int, rrfK: Int = 60): DataFrame = {
     val lex = bm25TopK(corpus, idCol, textCol,
-      queries, queryIdCol, queryTextCol, k)
+      queries, queryIdCol, queryTextCol, k, excludeSelf = true)
     val dense = Similarity.bruteForceTopK(
         queryVectors.select(col(queryVecIdCol).as("vec_id"),
           col(queryVecCol).as("embedding")),

@@ -85,19 +85,67 @@ object Versioning {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  private val LockFile = "_publish_lock"
+
+  /** A crashed publisher's lock blocks later publishes (by design —
+    * nothing else can distinguish crashed from slow); the operator or
+    * a lease-holding maintenance job (the [[graft.engine.Schedule]]
+    * claim discipline) clears it after confirming the holder is dead.
+    */
+  def breakLock(spark: SparkSession, dir: String): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$LockFile"), false)
+  }
+
   /** Publish `df` as the next version of the dataset at `dir` and
     * atomically move readers onto it. Returns the published version
     * id (1-based). The version tree is written FIRST and the pointer
     * swapped LAST — the only two orderings a crash can observe are
     * "old version still current" and "new version current and
     * complete".
+    *
+    * ONE publisher at a time: publish opens with an exclusive-create
+    * lock (O_CREAT|O_EXCL locally, server-side exclusive create on
+    * HDFS — the [[graft.engine.Schedule]] claim primitive), so a
+    * second concurrent publisher fails LOUDLY instead of racing its
+    * Overwrite into the same v=N tree and leaving a torn mix behind
+    * the pointer. The lock is removed on success AND on failure; only
+    * a publisher that died takes it to the grave — see [[breakLock]].
     */
   def publish(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
-    val next = currentVersion(spark, dir).getOrElse(0L) + 1L
-    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
-    swapPointer(spark, dir, next)
-    next
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockFile")
+    val acquired =
+      if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+        // local create(overwrite=false) is check-then-create (TOCTOU):
+        // use nio O_CREAT|O_EXCL, the posix equivalent of HDFS's
+        // server-side exclusive create
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try { fs.create(lock, false).close(); true }
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(lock)) false else throw e
+        }
+      }
+    if (!acquired) throw new IllegalStateException(
+      s"publish: another publisher holds $dir/$LockFile — back off, or " +
+        "breakLock(dir) if its holder crashed")
+    try {
+      val next = currentVersion(spark, dir).getOrElse(0L) + 1L
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
+      swapPointer(spark, dir, next)
+      next
+    } finally breakLock(spark, dir)
   }
 
   /** Read the dataset: the current version by default, or any
@@ -129,9 +177,13 @@ object Versioning {
     swapPointer(spark, dir, version)
   }
 
-  /** Retention: drop all but the `keep` highest version ids — except
-    * the pointed-at version, which is NEVER vacuumed no matter how old
-    * (a rollback target must not be deleted out from under readers).
+  /** Retention: drop DISAVOWED versions (ids above the pointer — a
+    * rollback renounced their content, so "newest" must not protect
+    * them: serving one from time travel after an incident is exactly
+    * the data the rollback was supposed to bury, r11 review finding),
+    * then all but the `keep` highest LEGITIMATE versions. The
+    * pointed-at version is NEVER vacuumed no matter how old (a
+    * rollback target must not be deleted out from under readers).
     * Time travel reaches exactly what retention kept; this is where
     * that sentence gets its teeth. Returns the version ids deleted.
     */
@@ -139,8 +191,10 @@ object Versioning {
     require(keep >= 1, s"keep must be ≥ 1, got $keep")
     val (fs, _) = fsOf(spark, dir)
     val cur = currentVersion(spark, dir)
-    val doomed = listVersions(spark, dir).sorted.dropRight(keep)
-      .filterNot(cur.contains)
+    val (disavowed, legit) = listVersions(spark, dir).sorted
+      .partition(v => cur.exists(v > _))
+    val doomed = (disavowed ++ legit.dropRight(keep))
+      .filterNot(cur.contains).sorted
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
     }

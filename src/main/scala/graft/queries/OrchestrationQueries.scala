@@ -35,6 +35,52 @@ object OrchestrationQueries {
     graft.engine.FsUtil.deleteRecursively(root)
   }
 
+  /** Shared three-arm contract core of the delete rows (q141/q144 —
+    * r11 review finding: the twins carried diverging copies of this
+    * ~35-line block). PRECONDITION: the index at `idx` holds the full
+    * embedding corpus `e` with ids `% 4 == 0` already tombstoned
+    * (however the caller got them there — direct delete or streamed
+    * takedown). The core then: searches the tombstoned tree
+    * (materialized BEFORE compaction mutates what it reads), compacts
+    * (the physical purge), searches again, builds the
+    * rebuild(remaining) reference arm under the caller's frozen
+    * centroids, and returns the per-query three-way agreement frame
+    * (query_id, n_results, n_agree, n_doomed) plus the tombstone
+    * counts read before/after the purge.
+    */
+  private def deleteContractCore(s: SparkSession, e: DataFrame, idx: String,
+      ref: String, cents: Seq[Seq[Double]]): (DataFrame, Long, Long) = {
+    import graft.ops.AnnIndex
+    val tombBefore = AnnIndex.tombstonedCount(s, idx)
+    val q = e.where(col("vec_id") < 10) // deleted ids may still query
+    val before = AnnIndex.searchIvfIndex(s, idx, q,
+      "vec_id", "embedding", k = 5, nProbe = 2).localCheckpoint(true)
+    AnnIndex.compactIvfIndex(s, idx)
+    val tombAfter = AnnIndex.tombstonedCount(s, idx)
+    val purged = AnnIndex.searchIvfIndex(s, idx, q,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank2"), col("cosine").as("cos2"))
+    AnnIndex.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), "vec_id",
+      "embedding", ref, nCells = cents.length, centroids = Some(cents))
+    val rebuilt = AnnIndex.searchIvfIndex(s, ref, q,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank3"), col("cosine").as("cos3"))
+    val agg = before
+      .join(purged, Seq("query_id", "neighbor_id"), "full_outer")
+      .join(rebuilt, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_results"),
+        sum(when(col("rank") === col("rank2") &&
+          col("cosine") === col("cos2") &&
+          col("rank") === col("rank3") &&
+          col("cosine") === col("cos3"), 1L).otherwise(0L)).as("n_agree"),
+        max(when(col("neighbor_id") % 4 === 0, 1L).otherwise(0L))
+          .as("n_doomed"))
+    (agg, tombBefore, tombAfter)
+  }
+
   val queries: Map[String, Q] = Map(
     // O1/O2/O4 + S3/S5/S8/S9/A2 + D2-at-the-sink: the full 3-stage run,
     // executed TWICE over the same directories to prove idempotent
@@ -577,36 +623,10 @@ object OrchestrationQueries {
         val nDel = AnnIndex.deleteFromIvfIndex(s, s"$tmp/idx",
           e.where(col("vec_id") % 4 === 0).select("vec_id"), "vec_id",
           del = 1L)
-        val tombBefore = AnnIndex.tombstonedCount(s, s"$tmp/idx")
-        val q = e.where(col("vec_id") < 10) // deleted ids may still query
-        // materialize BEFORE compaction mutates the tree it reads
-        val afterDel = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
-          "vec_id", "embedding", k = 5, nProbe = 2).localCheckpoint(true)
-        AnnIndex.compactIvfIndex(s, s"$tmp/idx")
-        val tombAfter = AnnIndex.tombstonedCount(s, s"$tmp/idx")
+        val (agg, tombBefore, tombAfter) =
+          deleteContractCore(s, e, s"$tmp/idx", s"$tmp/ref", cents)
         val (nBase, _) = AnnIndex.metaCounts(s, s"$tmp/idx")
-        val purged = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
-            "vec_id", "embedding", k = 5, nProbe = 2)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").as("rank2"), col("cosine").as("cos2"))
-        AnnIndex.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), "vec_id",
-          "embedding", s"$tmp/ref", nCells = 8, centroids = Some(cents))
-        val rebuilt = AnnIndex.searchIvfIndex(s, s"$tmp/ref", q,
-            "vec_id", "embedding", k = 5, nProbe = 2)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").as("rank3"), col("cosine").as("cos3"))
-        afterDel
-          .join(purged, Seq("query_id", "neighbor_id"), "full_outer")
-          .join(rebuilt, Seq("query_id", "neighbor_id"), "full_outer")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_results"),
-            sum(when(col("rank") === col("rank2") &&
-              col("cosine") === col("cos2") &&
-              col("rank") === col("rank3") &&
-              col("cosine") === col("cos3"), 1L).otherwise(0L)).as("n_agree"),
-            max(when(col("neighbor_id") % 4 === 0, 1L).otherwise(0L))
-              .as("n_doomed"))
-          .select(col("query_id"),
+        agg.select(col("query_id"),
             (col("n_results") === 5L && col("n_agree") === 5L)
               .as("results_match"),
             (col("n_doomed") === 0L).as("no_deleted_neighbor"),
@@ -639,33 +659,9 @@ object OrchestrationQueries {
           s"$tmp/idx", nCells = 8, iters = 1)
         val dataBatches = Replay.takedownReplay(s, doomed, s"$tmp/idx",
           nBatches = 3)
-        val tombBefore = AnnIndex.tombstonedCount(s, s"$tmp/idx")
-        val q = e.where(col("vec_id") < 10)
-        // materialize BEFORE compaction mutates the tree it reads
-        val streamed = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
-          "vec_id", "embedding", k = 5, nProbe = 2).localCheckpoint(true)
-        AnnIndex.compactIvfIndex(s, s"$tmp/idx")
-        val tombAfter = AnnIndex.tombstonedCount(s, s"$tmp/idx")
-        val purged = AnnIndex.searchIvfIndex(s, s"$tmp/idx", q,
-            "vec_id", "embedding", k = 5, nProbe = 2)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").as("rank2"), col("cosine").as("cos2"))
-        AnnIndex.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), "vec_id",
-          "embedding", s"$tmp/ref", nCells = 8, centroids = Some(cents))
-        val rebuilt = AnnIndex.searchIvfIndex(s, s"$tmp/ref", q,
-            "vec_id", "embedding", k = 5, nProbe = 2)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").as("rank3"), col("cosine").as("cos3"))
-        streamed
-          .join(purged, Seq("query_id", "neighbor_id"), "full_outer")
-          .join(rebuilt, Seq("query_id", "neighbor_id"), "full_outer")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_results"),
-            sum(when(col("rank") === col("rank2") &&
-              col("cosine") === col("cos2") &&
-              col("rank") === col("rank3") &&
-              col("cosine") === col("cos3"), 1L).otherwise(0L)).as("n_agree"))
-          .select(col("query_id"),
+        val (agg, tombBefore, tombAfter) =
+          deleteContractCore(s, e, s"$tmp/idx", s"$tmp/ref", cents)
+        agg.select(col("query_id"),
             (col("n_results") === 5L && col("n_agree") === 5L)
               .as("results_match"),
             lit(tombBefore).as("n_tombstoned"),

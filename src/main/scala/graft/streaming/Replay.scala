@@ -130,6 +130,45 @@ object Replay {
     }
   }
 
+  /** Shared scaffold of the index-maintenance replays (ingest and
+    * takedown): stage `feed` as `nBatches` mod-partitioned files,
+    * stream them one file per trigger through `perBatch(batch,
+    * batchId)`, then INJECT a replay of batch 0 through the same
+    * callback (failure after commit, before the offset log advanced)
+    * — so every consumer's exactly-once contract is exercised by the
+    * harness, not assumed. The replay-fault predicate, the batchId→
+    * file-order assumption, and the drain/cleanup ordering live HERE,
+    * once (r11 review finding: the two consumers had diverging
+    * copies). Returns data batches observed.
+    */
+  private def indexFoldReplay(spark: SparkSession, feed: DataFrame,
+      modCol: String, nBatches: Int, stageDir: String, tag: String)(
+      perBatch: (DataFrame, Long) => Unit): Int = {
+    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
+    val dir = Option(stageDir).getOrElse(freshStageDir(tag))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    try {
+      stageModBatches(feed, modCol, dir, fs, path, nBatches)
+      val src = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          perBatch(batch, batchId)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      // injected REPLAY of the first batch under its original batchId
+      perBatch(feed.where(pmod(col(modCol), lit(nBatches)) === 0), 0L)
+      dataBatches
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+    }
+  }
+
   /** Replay a vector corpus through STREAMING INDEX INGEST: a seed
     * slice builds the persisted IVF index (and freezes the coarse
     * quantizer — the [[graft.ops.AnnIndex]] discipline), then each
@@ -147,37 +186,15 @@ object Replay {
       deltas: DataFrame, indexDir: String, nCells: Int,
       nBatches: Int = 3, stageDir: String = null): Int = {
     import graft.ops.AnnIndex
-    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
-    val dir = Option(stageDir).getOrElse(freshStageDir("ivfingest"))
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-    try {
-      AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", indexDir,
-        nCells = nCells, iters = 3)
-      val feed = deltas.select(col("vec_id").cast("long").as("vec_id"),
-        col("embedding"))
-      stageModBatches(feed, "vec_id", dir, fs, path, nBatches)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          AnnIndex.appendToIvfIndex(spark, indexDir, batch,
-            "vec_id", "embedding", gen = batchId + 1L)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      // injected REPLAY of the first delta batch (failure after commit,
-      // before the offset log advanced): same gen → overwrites itself
-      AnnIndex.appendToIvfIndex(spark, indexDir,
-        feed.where(pmod(col("vec_id"), lit(nBatches)) === 0),
-        "vec_id", "embedding", gen = 1L)
-      dataBatches
-    } finally {
-      org.apache.spark.graft.ListenerDrain.drain(spark)
-      fs.delete(path, true)
+    AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", indexDir,
+      nCells = nCells, iters = 3)
+    val feed = deltas.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    indexFoldReplay(spark, feed, "vec_id", nBatches, stageDir,
+      "ivfingest") { (batch, batchId) =>
+      AnnIndex.appendToIvfIndex(spark, indexDir, batch,
+        "vec_id", "embedding", gen = batchId + 1L)
+      ()
     }
   }
 
@@ -196,35 +213,12 @@ object Replay {
   def takedownReplay(spark: SparkSession, takedowns: DataFrame,
       indexDir: String, nBatches: Int = 3, stageDir: String = null): Int = {
     import graft.ops.AnnIndex
-    require(nBatches >= 2, s"a replay needs ≥ 2 micro-batches, got $nBatches")
-    val dir = Option(stageDir).getOrElse(freshStageDir("ivftakedown"))
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-    try {
-      val feed = takedowns.select(col("vec_id").cast("long").as("vec_id"))
-      stageModBatches(feed, "vec_id", dir, fs, path, nBatches)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          AnnIndex.deleteFromIvfIndex(spark, indexDir, batch,
-            "vec_id", del = batchId + 1L)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      // injected REPLAY of the first takedown batch (failure after
-      // commit, before the offset log advanced): same del → overwrites
-      // itself, the tombstone set cannot double-count
-      AnnIndex.deleteFromIvfIndex(spark, indexDir,
-        feed.where(pmod(col("vec_id"), lit(nBatches)) === 0),
-        "vec_id", del = 1L)
-      dataBatches
-    } finally {
-      org.apache.spark.graft.ListenerDrain.drain(spark)
-      fs.delete(path, true)
+    val feed = takedowns.select(col("vec_id").cast("long").as("vec_id"))
+    indexFoldReplay(spark, feed, "vec_id", nBatches, stageDir,
+      "ivftakedown") { (batch, batchId) =>
+      AnnIndex.deleteFromIvfIndex(spark, indexDir, batch,
+        "vec_id", del = batchId + 1L)
+      ()
     }
   }
 

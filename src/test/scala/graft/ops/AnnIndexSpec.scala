@@ -318,6 +318,26 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(search() == afterDel)
   }
 
+  test("a full-tombstone compaction refuses loudly and leaves the tree " +
+      "readable (empty searches), instead of folding to zero files") {
+    val dir = Files.createTempDirectory("graft_annidx_del5").toString
+    val all = corpus(24)
+    AnnIndex.buildIvfIndex(all, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    AnnIndex.deleteFromIvfIndex(spark, s"$dir/ivf",
+      all.select("vec_id"), "vec_id", 1L)
+    val q = all.where(col("vec_id") < 4)
+    def search() = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", q,
+      "vec_id", "embedding", k = 3, nProbe = 2).count()
+    assert(search() == 0L, "everything tombstoned ⇒ empty results")
+    intercept[IllegalStateException] {
+      AnnIndex.compactIvfIndex(spark, s"$dir/ivf")
+    }
+    // the refused fold left the tree exactly as readable as before
+    assert(search() == 0L)
+    assert(spark.read.parquet(s"$dir/ivf/postings.parquet").count() == 24L)
+    assert(AnnIndex.tombstonedCount(spark, s"$dir/ivf") == 24L)
+  }
+
   test("crash orderings cannot resurrect a deleted id: stale tombstones over " +
       "a purged tree are a no-op, and a rebuild retires them with the corpus") {
     val dir = Files.createTempDirectory("graft_annidx_del3").toString

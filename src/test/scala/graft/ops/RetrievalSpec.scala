@@ -310,6 +310,44 @@ class RetrievalSpec extends SparkSpecBase {
     assert(fused == manual)
   }
 
+  test("rrfFuse collapses a duplicated (query, doc) arm row to one vote at " +
+      "its best rank") {
+    import spark.implicits._
+    val clean = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    // doc 11 double-listed at ranks 2 and 3 — must vote once, at 2
+    val dup = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 11L, 3), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val a = Retrieval.rrfFuse(Seq(clean), k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    val b = Retrieval.rrfFuse(Seq(dup), k = 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b, "a duplicated candidate must not occupy two rank slots")
+  }
+
+  test("hybridTopK excludes a query doc present in the corpus from BOTH " +
+      "arms — never a half-score self-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "liquor sales report"),
+      (2L, "liquor sales"),
+      (3L, "store report")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // the query IS corpus doc 2 — text and vector identical
+    val q = docs.where(col("doc_id") === 2)
+    val qv = vecs.where(col("vec_id") === 2)
+    val fused = Retrieval.hybridTopK(docs, "doc_id", "text",
+        vecs, "vec_id", "embedding", q, "doc_id", "text",
+        qv, "vec_id", "embedding", k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fused.nonEmpty && fused.forall(_._3 != 2L),
+      "the self-match must be excluded, not half-scored")
+    // and each arm's k-bounding already excluded it (ranks contiguous)
+    assert(fused.map(_._2).sorted == (1 to fused.size).toSeq)
+  }
+
   test("tfidfTopTerms matches the exact quantized recompute; rare terms outrank stopwords") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

@@ -88,8 +88,8 @@ class VersioningSpec extends SparkSpecBase {
       Set((2L, "b"), (3L, "x"), (4L, "d")))
   }
 
-  test("vacuum drops all but the newest keep versions but never the " +
-      "pointed-at one") {
+  test("vacuum drops disavowed versions first, then all but the newest " +
+      "keep legitimate ones — never the pointed-at one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pub3").toString
     (1 to 4).foreach(_ => Versioning.publish(vOld, s"$dir/ds"))
     assert(Versioning.vacuum(spark, s"$dir/ds", keep = 2) == Seq(1L, 2L))
@@ -99,10 +99,34 @@ class VersioningSpec extends SparkSpecBase {
       Versioning.read(spark, s"$dir/ds", Some(1L))
     }
     assert(Versioning.read(spark, s"$dir/ds", Some(3L)).count() == 3L)
-    // the pointed-at version survives any keep
+    // rollback disavows v4: vacuum buries it even though it is the
+    // "newest" — an incident must not leave its bad data reachable —
+    // while the pointed-at v3 survives any keep
     Versioning.rollback(spark, s"$dir/ds", 3L)
-    assert(Versioning.vacuum(spark, s"$dir/ds", keep = 1) == Seq.empty)
-    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(3L, 4L))
+    assert(Versioning.vacuum(spark, s"$dir/ds", keep = 1) == Seq(4L))
+    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(3L))
     assert(Versioning.read(spark, s"$dir/ds").count() == 3L)
+    intercept[IllegalArgumentException] {
+      Versioning.read(spark, s"$dir/ds", Some(4L))
+    }
+  }
+
+  test("publish is single-writer: a held lock fails a second publisher " +
+      "loudly; breakLock recovers a crashed holder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub4").toString
+    Versioning.publish(vOld, s"$dir/ds")
+    // crash state: the holder died mid-publish — reconstructed by
+    // planting its lock file
+    val lock = java.nio.file.Paths.get(s"$dir/ds/_publish_lock")
+    java.nio.file.Files.createFile(lock)
+    intercept[IllegalStateException] {
+      Versioning.publish(vNew, s"$dir/ds")
+    }
+    assert(Versioning.currentVersion(spark, s"$dir/ds").contains(1L),
+      "a refused publish must leave the dataset untouched")
+    Versioning.breakLock(spark, s"$dir/ds")
+    assert(Versioning.publish(vNew, s"$dir/ds") == 2L)
+    // the lock does not outlive a successful publish
+    assert(!java.nio.file.Files.exists(lock))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: batch documents into fixed token-budget training
@@ -345,6 +346,39 @@ object Packing {
         col("tokens_in_window"),
         array_join(slice(col("__w"), (col("slice_start") + 1).cast("int"),
           col("tokens_in_window").cast("int")), " ").as("text_slice"))
+
+  /** Block-diagonal attention segments per training window: each
+    * (window, doc) slice gets its 0-based start WITHIN the window and
+    * a 1-based segment index in stream order — the boundary/reset
+    * positions a trainer needs so attention cannot leak across packed
+    * documents (EOD-reset / block-diagonal masks over a GPT-style
+    * token stream). Derivable purely from the manifest: within a
+    * window the slices are contiguous in stream order (ascending
+    * doc_id — the layout's prefix-sum order), so a segment's start is
+    * the window-local running sum of the preceding slice lengths.
+    *
+    * Scale: the only window function partitions BY window_id over
+    * that window's own manifest rows (≤ docs-per-window — bounded by
+    * the window size, never corpus rows); no global sort, no join.
+    *
+    * Output: (window_id, seg_idx, doc_id, seg_start, seg_len);
+    * seg_start of seg_idx 1 is always 0, and per window the segments
+    * tile [0, window) exactly (stream tail excepted) — both
+    * spec-pinned.
+    */
+  def windowSegments(manifest: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("window_id")).orderBy(col("doc_id"))
+    manifest
+      .select(col("window_id"), col("doc_id"), col("tokens_in_window"))
+      .select(
+        col("window_id"),
+        row_number().over(w).cast("int").as("seg_idx"),
+        col("doc_id"),
+        coalesce(sum(col("tokens_in_window"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("seg_start"),
+        col("tokens_in_window").as("seg_len"))
+  }
 
   /** Contiguous multi-worker shard assignment over a [[windowManifest]]:
     * worker `s` owns windows `[s·span, (s+1)·span)` with

@@ -226,6 +226,22 @@ object ScaleQueries {
       Packing.windowManifest(offsets, window = 2048L)
     },
 
+    // Block-diagonal attention segments over the q109 manifest: the
+    // boundary/reset positions a trainer derives its attention mask
+    // from, so packed documents cannot attend across each other. Per
+    // window: 1-based segment index in stream order, 0-based start,
+    // slice length — the only window function partitions by
+    // window_id over that window's own rows (bounded by docs per
+    // window, never corpus rows).
+    "q148_attention_segments" -> { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      val offsets = Packing.tokenStreamOffsets(withTokens, "doc_id", "n_tokens",
+        window = 2048L, nBuckets = 64)
+      Packing.windowSegments(Packing.windowManifest(offsets, window = 2048L))
+        .orderBy("window_id", "seg_idx")
+    },
+
     // Contiguous data-loader shards over the token-stream manifest:
     // 8 workers each own a contiguous window range of the packed
     // stream (sequential IO per worker; every shard exactly span
@@ -462,6 +478,34 @@ object ScaleQueries {
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
         |""".stripMargin,
+
+    "q148_attention_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, n_tokens, start_offset,
+        |         unnest(generate_series(start_offset // 2048, (start_offset + n_tokens - 1) // 2048)) AS window_id
+        |  FROM o WHERE n_tokens > 0),
+        |mf AS (
+        |  SELECT window_id, doc_id,
+        |         LEAST((window_id + 1) * 2048, start_offset + n_tokens)
+        |           - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
+        |  FROM m)
+        |SELECT CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(row_number() OVER (PARTITION BY window_id ORDER BY doc_id) AS INT)
+        |    AS seg_idx,
+        |  doc_id,
+        |  CAST(COALESCE(SUM(tokens_in_window) OVER (PARTITION BY window_id
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS seg_start,
+        |  tokens_in_window AS seg_len
+        |FROM mf ORDER BY window_id, seg_idx""".stripMargin,
 
     "q137_window_rehydrate" ->
       """WITH t AS (

@@ -344,4 +344,33 @@ class PackingSpec extends SparkSpecBase {
     assert(one.length == 1 && one(0)._5 == totalMass)
     intercept[IllegalArgumentException](Packing.shardManifest(manifest, 0))
   }
+
+  test("windowSegments: per-window segments tile [0, window) in stream " +
+      "order, first segment starts at 0, tail window short") {
+    import spark.implicits._
+    // stream: doc1=7, doc2=10, doc3=4 tokens; window=10
+    //   w0: doc1[0,7) + doc2[7,10)   w1: doc2[0,7)+doc3[7,10)  w2: doc3[0,1)
+    val docs = Seq((1L, 7L), (2L, 10L), (3L, 4L)).toDF("doc_id", "n")
+    val offsets = Packing.tokenStreamOffsets(docs, "doc_id", "n",
+      window = 10L, nBuckets = 4)
+    val segs = Packing.windowSegments(Packing.windowManifest(offsets, 10L))
+      .orderBy("window_id", "seg_idx")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(segs == Seq(
+      (0L, 1, 1L, 0L, 7L), (0L, 2, 2L, 7L, 3L),
+      (1L, 1, 2L, 0L, 7L), (1L, 2, 3L, 7L, 3L),
+      (2L, 1, 3L, 0L, 1L)))
+    // invariants the trainer's mask builder relies on
+    val byWin = segs.groupBy(_._1)
+    byWin.foreach { case (_, ss) =>
+      assert(ss.head._4 == 0L, "first segment starts at 0")
+      // contiguity: each start = previous start + previous length
+      ss.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._5)
+        case _ => ()
+      }
+    }
+    val full = byWin.filter(_._1 < 2).values
+    assert(full.forall(_.map(_._5).sum == 10L), "non-tail windows tile fully")
+  }
 }

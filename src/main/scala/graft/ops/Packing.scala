@@ -415,4 +415,86 @@ object Packing {
         sum(col("tokens_in_window")).as("token_mass"),
         count(lit(1)).as("n_doc_slices"))
   }
+
+  /** Content checksum modulus/multiplier: per-row polynomial signature
+    * sig = ((((w·8191 + doc)·8191 + start)·8191 + len) each step mod
+    * 1,000,003, summed per shard — EXACT integer arithmetic any
+    * engine reproduces (the [[graft.ops.Selection.tokenBucket]]
+    * portability discipline; xxhash64 has no portable twin).
+    * Order-independent by construction (a sum), which is what a
+    * distributed recompute needs; intermediate products stay ≤
+    * 1e6·8191 ≪ 2⁶³ and the shard sum stays exact below ~9·10¹² rows
+    * per shard.
+    */
+  private val ChecksumMod = 1000003L
+  private def rowSig: org.apache.spark.sql.Column = expr(
+    s"""((((window_id % ${ChecksumMod}L) * 8191 + doc_id % ${ChecksumMod}L)
+       |  % ${ChecksumMod}L * 8191 + slice_start % ${ChecksumMod}L)
+       |  % ${ChecksumMod}L * 8191 + tokens_in_window % ${ChecksumMod}L)
+       |  % ${ChecksumMod}L""".stripMargin.replace("\n", " "))
+
+  /** Per-shard integrity manifest over the loader assignment: the
+    * shard stats of [[shardManifest]] plus a portable content
+    * checksum over the shard's (window, doc, start, len) rows. Write
+    * it NEXT TO the published layout; the loader calls
+    * [[verifyShards]] against it before training — a flipped byte, a
+    * truncated file, or a re-laid stream surfaces as a per-shard
+    * mismatch instead of a silently-wrong training run.
+    */
+  def shardChecksums(manifest: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"shardChecksums: nShards=$nShards")
+    val bounds = manifest.agg((max(col("window_id")) + 1L).as("__w_total"))
+    checksumsWithTotal(manifest.crossJoin(broadcast(bounds)), nShards)
+  }
+
+  private def checksumsWithTotal(withTotal: DataFrame,
+      nShards: Int): DataFrame =
+    withTotal
+      .where(col("__w_total").isNotNull)
+      .withColumn("shard",
+        expr(s"window_id div ((__w_total + ${nShards}L - 1) div ${nShards}L)"))
+      .groupBy("shard")
+      .agg(min(col("window_id")).as("first_window"),
+        max(col("window_id")).as("last_window"),
+        count(lit(1)).as("n_doc_slices"),
+        sum(col("tokens_in_window")).as("token_mass"),
+        sum(rowSig).as("checksum"))
+
+  /** Loader-side verification: recompute the checksums over the
+    * manifest actually read and compare shard-for-shard against the
+    * expected integrity manifest. The shard GEOMETRY comes from the
+    * EXPECTED side (its top shard carries the original stream's last
+    * window), never from the data under test — a truncated read must
+    * surface as missing/short shards, not silently re-bucket the
+    * surviving windows into a smaller stream's geometry. Output: one
+    * row per shard on either side, `ok` = all three facts match; a
+    * shard missing from one side reports ok = false (a lost shard IS
+    * corruption). The join is nShards rows a side — driver-free and
+    * trivially broadcast.
+    */
+  def verifyShards(manifest: DataFrame, nShards: Int,
+      expected: DataFrame): DataFrame = {
+    // recover w_total from the expected manifest: the top shard's
+    // window range ends at the original stream's last window
+    val expTotal = expected
+      .agg((max(col("last_window")) + 1L).as("__w_total"))
+    val actual = checksumsWithTotal(
+        manifest.crossJoin(broadcast(expTotal)), nShards)
+      .select(col("shard"), col("n_doc_slices").as("actual_slices"),
+        col("token_mass").as("actual_mass"),
+        col("checksum").as("actual_checksum"))
+    expected
+      .select(col("shard"), col("n_doc_slices").as("expected_slices"),
+        col("token_mass").as("expected_mass"),
+        col("checksum").as("expected_checksum"))
+      .join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        col("expected_slices"), col("actual_slices"),
+        col("expected_mass"), col("actual_mass"),
+        col("expected_checksum"), col("actual_checksum"),
+        (col("expected_slices") <=> col("actual_slices") &&
+          col("expected_mass") <=> col("actual_mass") &&
+          col("expected_checksum") <=> col("actual_checksum")).as("ok"))
+  }
 }

@@ -242,6 +242,33 @@ object ScaleQueries {
         .orderBy("window_id", "seg_idx")
     },
 
+    // Shard integrity manifest + loader-side verification: a portable
+    // exact-integer polynomial checksum per shard over the manifest's
+    // (window, doc, start, len) rows, written next to the layout;
+    // before training the loader recomputes under the EXPECTED shard
+    // geometry and compares — a flipped length is pinned to exactly
+    // its shard (the in-row tamper arm), while the untouched manifest
+    // self-verifies clean.
+    "q149_shard_integrity" -> { (s, dir) =>
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_tokens"))
+      val manifest = Packing.windowManifest(
+          Packing.tokenStreamOffsets(withTokens, "doc_id", "n_tokens",
+            window = 2048L, nBuckets = 64), window = 2048L)
+        .localCheckpoint(false) // feeds checksums + two verify arms
+      val expected = Packing.shardChecksums(manifest, nShards = 8)
+        .localCheckpoint(false) // feeds both verifies + the output row
+      val selfOk = Packing.verifyShards(manifest, 8, expected)
+        .select(col("shard"), col("ok").as("self_ok"))
+      val tampered = manifest.withColumn("tokens_in_window",
+        when(col("window_id") === 0 && col("slice_start") === 0,
+          col("tokens_in_window") + 1).otherwise(col("tokens_in_window")))
+      val flags = Packing.verifyShards(tampered, 8, expected)
+        .select(col("shard"), (!col("ok")).as("tamper_flagged"))
+      expected.join(selfOk, Seq("shard")).join(flags, Seq("shard"))
+        .orderBy("shard")
+    },
+
     // Contiguous data-loader shards over the token-stream manifest:
     // 8 workers each own a contiguous window range of the packed
     // stream (sequential IO per worker; every shard exactly span
@@ -478,6 +505,45 @@ object ScaleQueries {
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
         |""".stripMargin,
+
+    "q149_shard_integrity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, n_tokens, start_offset,
+        |         unnest(generate_series(start_offset // 2048, (start_offset + n_tokens - 1) // 2048)) AS window_id
+        |  FROM o WHERE n_tokens > 0),
+        |mf AS (
+        |  SELECT window_id, doc_id,
+        |         GREATEST(window_id * 2048, start_offset) - start_offset AS slice_start,
+        |         LEAST((window_id + 1) * 2048, start_offset + n_tokens)
+        |           - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
+        |  FROM m),
+        |span AS (
+        |  SELECT ((MAX(window_id) + 1) + 7) // 8 AS sp FROM mf),
+        |sh AS (
+        |  SELECT window_id // sp AS shard, window_id, doc_id, slice_start,
+        |         tokens_in_window,
+        |         ((((window_id % 1000003) * 8191 + doc_id % 1000003)
+        |           % 1000003 * 8191 + slice_start % 1000003)
+        |           % 1000003 * 8191 + tokens_in_window % 1000003)
+        |           % 1000003 AS sig
+        |  FROM mf CROSS JOIN span)
+        |SELECT shard,
+        |  CAST(MIN(window_id) AS BIGINT) AS first_window,
+        |  CAST(MAX(window_id) AS BIGINT) AS last_window,
+        |  CAST(COUNT(*) AS BIGINT) AS n_doc_slices,
+        |  CAST(SUM(tokens_in_window) AS BIGINT) AS token_mass,
+        |  CAST(SUM(sig) AS BIGINT) AS checksum,
+        |  TRUE AS self_ok,
+        |  (shard = 0) AS tamper_flagged
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q148_attention_segments" ->
       """WITH t AS (

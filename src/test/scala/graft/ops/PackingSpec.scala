@@ -345,6 +345,37 @@ class PackingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Packing.shardManifest(manifest, 0))
   }
 
+  test("shardChecksums/verifyShards: self-verify passes; a single tampered " +
+      "row, a dropped row, and a lost shard each flag exactly their shard") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, 5L + i % 7)).toDF("doc_id", "n")
+    val manifest = Packing.windowManifest(
+      Packing.tokenStreamOffsets(docs, "doc_id", "n", window = 16L,
+        nBuckets = 4), 16L)
+    val expected = Packing.shardChecksums(manifest, nShards = 4)
+    assert(expected.count() == 4L)
+    // self-verification: all shards ok
+    val self = Packing.verifyShards(manifest, 4, expected)
+    assert(self.where(!col("ok")).count() == 0L &&
+      self.count() == 4L)
+    // tamper one row's length: exactly its shard flags
+    val tampered = manifest.withColumn("tokens_in_window",
+      when(col("window_id") === 0 && col("slice_start") === 0,
+        col("tokens_in_window") + 1).otherwise(col("tokens_in_window")))
+    val vt = Packing.verifyShards(tampered, 4, expected)
+    assert(vt.where(!col("ok")).select("shard").as[Long].collect().toSeq
+      == Seq(0L))
+    // drop one row (truncated shard): its shard flags via slice count
+    val dropped = manifest.where(
+      !(col("window_id") === 1 && col("slice_start") === 0))
+    assert(Packing.verifyShards(dropped, 4, expected)
+      .where(!col("ok")).count() >= 1L)
+    // a whole missing shard still surfaces (full-outer, ok = false)
+    val halfGone = manifest.where(col("window_id") < 2)
+    val vh = Packing.verifyShards(halfGone, 4, expected)
+    assert(vh.count() == 4L && vh.where(!col("ok")).count() >= 2L)
+  }
+
   test("windowSegments: per-window segments tile [0, window) in stream " +
       "order, first segment starts at 0, tail window short") {
     import spark.implicits._

@@ -347,6 +347,48 @@ object Packing {
         array_join(slice(col("__w"), (col("slice_start") + 1).cast("int"),
           col("tokens_in_window").cast("int")), " ").as("text_slice"))
 
+  /** Length-bucketed batch assembly — the padding-efficiency shape for
+    * VARIABLE-length training (SFT/eval batches padded to the batch
+    * max, unlike the packed token stream): docs sorted by token count
+    * land in fixed-size batches of near-equal lengths, so the
+    * `batch_size · max_len` cost hugs the true token mass instead of
+    * paying every batch's worst doc. Ties (and equal lengths) break by
+    * doc id — fully deterministic.
+    *
+    * Scale: the global (n_tokens, doc_id) order rides
+    * [[ScalableWindows.prefixSumByBucket]] over a composite long key —
+    * the two-phase bucketed prefix sum, NO single-partition window.
+    * One bounds aggregate guards the key composition (`n_tokens ·
+    * (maxId+1) + doc_id` must fit a long — rejected loudly, never
+    * wrapped).
+    *
+    * Output: (doc_id, n_tokens, batch_id), batch_id 0-based in length
+    * order; the tail batch may be short.
+    */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String,
+      tokensCol: String, batchSize: Int, nBuckets: Int = 1024): DataFrame = {
+    require(batchSize >= 1, s"lengthBucketedBatches: batchSize=$batchSize")
+    requireIntegralId(docs, idCol)
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(tokensCol).cast("long").as("n_tokens"))
+    val b = src.agg(max(col("doc_id")), max(col("n_tokens")),
+      count(lit(1))).head()
+    if (b.getLong(2) == 0L)
+      return src.withColumn("batch_id", lit(0L)).where(lit(false))
+    val (maxId, maxTok) = (b.getLong(0), b.getLong(1))
+    require(maxId >= 0 && maxTok >= 0 &&
+      (maxTok == 0L || maxTok <= (Long.MaxValue - maxId) / (maxId + 1L)),
+      s"lengthBucketedBatches: composite sort key n_tokens*(maxId+1)+doc_id " +
+        s"overflows a long (maxId=$maxId, maxTokens=$maxTok)")
+    val keyed = src
+      .withColumn("__k", col("n_tokens") * lit(maxId + 1L) + col("doc_id"))
+      .withColumn("__one", lit(1L))
+    ScalableWindows.prefixSumByBucket(keyed, "__k", "__one", "__rank",
+        nBuckets)
+      .withColumn("batch_id", expr(s"__rank div ${batchSize}L"))
+      .select(col("doc_id"), col("n_tokens"), col("batch_id"))
+  }
+
   /** Block-diagonal attention segments per training window: each
     * (window, doc) slice gets its 0-based start WITHIN the window and
     * a 1-based segment index in stream order — the boundary/reset

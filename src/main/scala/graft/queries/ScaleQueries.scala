@@ -242,6 +242,41 @@ object ScaleQueries {
         .orderBy("window_id", "seg_idx")
     },
 
+    // Length-bucketed batch assembly for VARIABLE-length training
+    // (SFT/eval, padded to the batch max — the other loader shape
+    // besides the packed token stream): sorting by length before
+    // batching makes Σ batch·max_len hug the true token mass. The row
+    // reports the padding economics of the sorted assembly against
+    // doc-id-order batching on identical data — both arms exact
+    // integer arithmetic over the same global-rank machinery.
+    "q150_length_batches" -> { (s, dir) =>
+      import graft.ops.ScalableWindows
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      def summary(assign: DataFrame, strategy: String) =
+        assign.groupBy("batch_id")
+          .agg(count(lit(1)).as("nd"), max(col("n_tokens")).as("mx"),
+            sum(col("n_tokens")).as("sm"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("nd") * col("mx")).as("total_cost"),
+            sum(col("sm")).as("total_tokens"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("total_cost"), col("total_tokens"),
+            expr("(total_cost - total_tokens) * 1000000 div total_cost")
+              .as("pad_share6"))
+      val sorted = Packing.lengthBucketedBatches(src, "doc_id", "n_tokens",
+        batchSize = 32, nBuckets = 64)
+      val naive = ScalableWindows.prefixSumByBucket(
+          src.withColumn("__one", lit(1L)), "doc_id", "__one", "__rank",
+          nBuckets = 64)
+        .withColumn("batch_id", expr("__rank div 32L"))
+        .select(col("doc_id"), col("n_tokens"), col("batch_id"))
+      summary(sorted, "length_sorted")
+        .unionByName(summary(naive, "docid_order"))
+        .orderBy("strategy")
+    },
+
     // Shard integrity manifest + loader-side verification: a portable
     // exact-integer polynomial checksum per shard over the manifest's
     // (window, doc, start, len) rows, written next to the layout;
@@ -505,6 +540,45 @@ object ScaleQueries {
         |         - GREATEST(window_id * 2048, start_offset) AS tokens_in_window
         |FROM m
         |""".stripMargin,
+
+    "q150_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT n_tokens,
+        |         (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id
+        |  FROM t),
+        |n AS (
+        |  SELECT n_tokens,
+        |         (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id
+        |  FROM t),
+        |sb AS (
+        |  SELECT batch_id, COUNT(*) AS nd, MAX(n_tokens) AS mx,
+        |         SUM(n_tokens) AS sm
+        |  FROM s GROUP BY batch_id),
+        |nb AS (
+        |  SELECT batch_id, COUNT(*) AS nd, MAX(n_tokens) AS mx,
+        |         SUM(n_tokens) AS sm
+        |  FROM n GROUP BY batch_id)
+        |SELECT * FROM (
+        |  SELECT 'length_sorted' AS strategy,
+        |    CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |    CAST(SUM(nd * mx) AS BIGINT) AS total_cost,
+        |    CAST(SUM(sm) AS BIGINT) AS total_tokens,
+        |    CAST((SUM(nd * mx) - SUM(sm)) * 1000000 // SUM(nd * mx) AS BIGINT)
+        |      AS pad_share6
+        |  FROM sb
+        |  UNION ALL
+        |  SELECT 'docid_order' AS strategy,
+        |    CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |    CAST(SUM(nd * mx) AS BIGINT) AS total_cost,
+        |    CAST(SUM(sm) AS BIGINT) AS total_tokens,
+        |    CAST((SUM(nd * mx) - SUM(sm)) * 1000000 // SUM(nd * mx) AS BIGINT)
+        |      AS pad_share6
+        |  FROM nb
+        |) ORDER BY strategy""".stripMargin,
 
     "q149_shard_integrity" ->
       """WITH t AS (

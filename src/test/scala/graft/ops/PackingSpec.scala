@@ -345,6 +345,34 @@ class PackingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Packing.shardManifest(manifest, 0))
   }
 
+  test("lengthBucketedBatches: batches group near-equal lengths, " +
+      "deterministic tie-break, padding beats doc-id order") {
+    import spark.implicits._
+    // lengths engineered so doc-id order interleaves short/long
+    val docs = (1L to 16L).map(i => (i, if (i % 2 == 0) 100L else 5L))
+      .toDF("doc_id", "n")
+    val got = Packing.lengthBucketedBatches(docs, "doc_id", "n",
+        batchSize = 4, nBuckets = 4)
+      .orderBy("batch_id", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 16)
+    // all 8 short docs fill batches 0-1; all 8 long docs batches 2-3
+    val byBatch = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBatch(0L) ++ byBatch(1L) == Seq.fill(8)(5L))
+    assert(byBatch(2L) ++ byBatch(3L) == Seq.fill(8)(100L))
+    // equal lengths order by doc_id: batch 0 holds the 4 smallest odd ids
+    assert(got.filter(_._3 == 0L).map(_._1) == Seq(1L, 3L, 5L, 7L))
+    // padding economics: cost = Σ batch_size·max_len
+    def cost(assign: Seq[(Long, Long, Long)]): Long =
+      assign.groupBy(_._3).values.map(b => b.size * b.map(_._2).max).sum
+    val naive = got.map { case (id, n, _) => (id, n, (id - 1) / 4) }
+    assert(cost(got) < cost(naive),
+      "length bucketing must beat doc-id-order batching on this fixture")
+    // empty input → empty output, no crash
+    assert(Packing.lengthBucketedBatches(
+      docs.where(lit(false)), "doc_id", "n", 4).count() == 0L)
+  }
+
   test("shardChecksums/verifyShards: self-verify passes; a single tampered " +
       "row, a dropped row, and a lost shard each flag exactly their shard") {
     import spark.implicits._

@@ -78,6 +78,36 @@ object Similarity {
       k, simName)
   }
 
+  /** Hard-negative mining for embedding/metric training: for each
+    * anchor, the `k` NEAREST vectors whose label DIFFERS — the
+    * almost-positives a contrastive loss learns the most from. The
+    * label predicate filters the candidate pairs BEFORE the k-bounded
+    * ranking (the pre-filter discipline: post-filtering a plain top-k
+    * starves anchors whose neighborhoods are same-label, exactly the
+    * anchors hard negatives matter for). Exact cosine, ties by
+    * ascending neighbor id; anchors broadcast like [[bruteForceTopK]].
+    *
+    * Output: (query_id, neighbor_id, cosine, rank) with
+    * label(query) ≠ label(neighbor) for every row.
+    */
+  def hardNegativesTopK(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"))
+    // null-labeled rows match nothing on either side (a null label is
+    // unknown, not "different from everything") — <=> then negate
+    val joined = c.join(broadcast(q),
+      col("query_id") =!= col("neighbor_id") &&
+        !(col("__ql") <=> col("__cl")) &&
+        col("__ql").isNotNull && col("__cl").isNotNull)
+    rankTopK(
+      joined.select(col("query_id"), col("neighbor_id"),
+        cosineExact(col("qv"), col("cv")).as("cosine")),
+      k, "cosine")
+  }
+
   /** Deterministic ±1 hyperplane component for (table, plane, dim):
     * driver-side splitmix64-style bit mix of the coordinates. Row-
     * independent, so planes are materialized ONCE as literals — the

@@ -355,6 +355,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Hard-negative mining for embedding training: each anchor's k
+    // NEAREST vectors with a DIFFERENT label — the almost-positives a
+    // contrastive loss learns the most from. The label predicate
+    // filters candidate pairs BEFORE the k-bounding (q143's
+    // pre-filter lesson: post-filtering starves exactly the anchors
+    // whose neighborhoods are same-label — the ones that matter).
+    "q151_hard_negatives" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegativesTopK(
+          e.where(col("vec_id") < 10), e, "vec_id", "embedding", "label",
+          k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Near-dup clustering: Jaccard pairs → connected components →
     // cluster label (= min-id survivor) per member document.
     "q48_dedup_clusters" -> { (s, dir) =>
@@ -4009,6 +4023,35 @@ object PipelineQueries {
         |LEFT JOIN bestf bf ON bf.src_id = fm.src_id AND bf.tgt_id = fm.tgt_id
         |LEFT JOIN bestb bb ON bb.src_id = fm.src_id AND bb.tgt_id = fm.tgt_id
         |ORDER BY fm.src_id, fm.tgt_id""".stripMargin,
+
+    "q151_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT query_id, neighbor_id,
+        |    SUM(round(CAST(qv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(cv[i] AS DOUBLE) * 1e6)) / 1e12 AS dab,
+        |    SUM(round(CAST(qv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(qv[i] AS DOUBLE) * 1e6)) / 1e12 AS daa,
+        |    SUM(round(CAST(cv[i] AS DOUBLE) * 1e6)
+        |        * round(CAST(cv[i] AS DOUBLE) * 1e6)) / 1e12 AS dbb
+        |  FROM q JOIN c ON query_id <> neighbor_id
+        |    AND ql IS NOT NULL AND cl IS NOT NULL AND ql <> cl,
+        |    range(1, 65) t(i)
+        |  GROUP BY query_id, neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    dab / (sqrt(daa) * sqrt(dbb)) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dab / (sqrt(daa) * sqrt(dbb)) DESC, neighbor_id) AS rnk
+        |  FROM dots
+        |)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q47_cosine_topk" ->
       """WITH q AS (

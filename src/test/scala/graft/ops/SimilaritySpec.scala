@@ -701,4 +701,31 @@ class SimilaritySpec extends SparkSpecBase {
       .orderBy("src_id", "tgt_id").collect().map(_.toSeq)
     assert(viaFn.toSeq == viaDefault.toSeq)
   }
+
+  test("hardNegativesTopK: nearest cross-label neighbors, pre-filtered " +
+      "before k-bounding; null labels match nothing") {
+    import spark.implicits._
+    // two tight clusters; labels split WITHIN cluster A so anchors
+    // there have same-label nearest neighbors a post-filter would keep
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.99f, 0.01f), "a"),
+      (3L, Array(0.98f, 0.02f), "b"), (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(0.01f, 0.99f), null.asInstanceOf[String]))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegativesTopK(vecs, vecs, "vec_id",
+        "embedding", "label", k = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val lab = Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b")
+    // every mined pair crosses labels
+    assert(got.forall(r => lab.get(r._1) != lab.get(r._2)))
+    // anchor 1's HARD negative is the near-identical cross-label doc 3
+    // (rank 1), which a post-filter over top-1 (doc 2, same label)
+    // would have dropped entirely
+    assert(got.filter(_._1 == 1L).head._2 == 3L)
+    // null-labeled rows neither query nor serve
+    assert(got.forall(r => r._1 != 5L && r._2 != 5L))
+    // pre-filter semantics: every labeled anchor still fills k = 2
+    assert(got.groupBy(_._1).forall(_._2.size == 2))
+  }
 }

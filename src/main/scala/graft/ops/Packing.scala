@@ -372,12 +372,19 @@ object Packing {
     val src = docs.select(col(idCol).cast("long").as("doc_id"),
       col(tokensCol).cast("long").as("n_tokens"))
     val b = src.agg(max(col("doc_id")), max(col("n_tokens")),
-      count(lit(1))).head()
+      count(lit(1)), min(col("doc_id")), min(col("n_tokens"))).head()
     if (b.getLong(2) == 0L)
       return src.withColumn("batch_id", lit(0L)).where(lit(false))
     val (maxId, maxTok) = (b.getLong(0), b.getLong(1))
-    require(maxId >= 0 && maxTok >= 0 &&
-      (maxTok == 0L || maxTok <= (Long.MaxValue - maxId) / (maxId + 1L)),
+    // negatives corrupt the composite key's ORDER, not just its range
+    // (a negative id shifts a long doc below a short one) — reject
+    // loudly; hash-derived ids are frequently negative longs, so this
+    // fires in practice, not just in theory (r11 review finding)
+    require(b.getLong(3) >= 0L && b.getLong(4) >= 0L,
+      s"lengthBucketedBatches: doc ids and token counts must be " +
+        s"non-negative (minId=${b.getLong(3)}, minTokens=${b.getLong(4)}) " +
+        "— dense-rank hash ids upstream")
+    require(maxTok == 0L || maxTok <= (Long.MaxValue - maxId) / (maxId + 1L),
       s"lengthBucketedBatches: composite sort key n_tokens*(maxId+1)+doc_id " +
         s"overflows a long (maxId=$maxId, maxTokens=$maxTok)")
     val keyed = src
@@ -442,14 +449,24 @@ object Packing {
     * n_doc_slices), one row per NON-EMPTY shard (trailing shards past
     * the window count simply don't appear).
     */
+  /** ONE home for the ceil-span shard-assignment law: rows tagged with
+    * `shard = window_id div ceil(w_total / nShards)` given a
+    * `__w_total` column (empty manifest → null total → zero rows).
+    * [[shardManifest]] and [[shardChecksums]]/[[verifyShards]] BOTH
+    * ride this — loader sharding and integrity sharding cannot drift
+    * apart (r11 review finding).
+    */
+  private def assignShard(withTotal: DataFrame, nShards: Int): DataFrame =
+    withTotal
+      .where(col("__w_total").isNotNull)
+      .withColumn("shard",
+        expr(s"window_id div ((__w_total + ${nShards}L - 1) div ${nShards}L)"))
+
   def shardManifest(manifest: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20),
       s"shardManifest: nShards=$nShards")
     val bounds = manifest.agg((max(col("window_id")) + 1L).as("__w_total"))
-    manifest.crossJoin(broadcast(bounds))
-      .where(col("__w_total").isNotNull) // empty manifest → empty shards
-      .withColumn("shard",
-        expr(s"window_id div ((__w_total + ${nShards}L - 1) div ${nShards}L)"))
+    assignShard(manifest.crossJoin(broadcast(bounds)), nShards)
       .groupBy("shard")
       .agg(min(col("window_id")).as("first_window"),
         max(col("window_id")).as("last_window"),
@@ -458,21 +475,29 @@ object Packing {
         count(lit(1)).as("n_doc_slices"))
   }
 
-  /** Content checksum modulus/multiplier: per-row polynomial signature
-    * sig = ((((w·8191 + doc)·8191 + start)·8191 + len) each step mod
-    * 1,000,003, summed per shard — EXACT integer arithmetic any
-    * engine reproduces (the [[graft.ops.Selection.tokenBucket]]
-    * portability discipline; xxhash64 has no portable twin).
-    * Order-independent by construction (a sum), which is what a
-    * distributed recompute needs; intermediate products stay ≤
-    * 1e6·8191 ≪ 2⁶³ and the shard sum stays exact below ~9·10¹² rows
-    * per shard.
+  /** Content checksum: per-row signature
+    * sig = ((rowkey + 1) · (len + 1)) mod 1,000,003 with
+    * rowkey = ((w·8191 + doc)·8191 + start) step-wise mod, summed per
+    * shard — EXACT integer arithmetic any engine reproduces (the
+    * [[graft.ops.Selection.tokenBucket]] portability discipline;
+    * xxhash64 has no portable twin). Order-independent by construction
+    * (a sum), which is what a distributed recompute needs. The length
+    * MULTIPLIES the row identity rather than adding to it: a linear
+    * len term has a constant coefficient, so a mass-preserving
+    * redistribution (+1 here, −1 there) cancels in the sum and the
+    * corruption class integrity checking most needs to catch — token
+    * mass intact, lengths wrong — passes silently (caught by the
+    * spec's swap arm, r11). With the product form that delta is
+    * (rowkeyA − rowkeyB) mod M — nonzero unless the row keys collide
+    * mod M (~10⁻⁶, the standard integrity-hash trade). Each sig < M,
+    * products ≤ M² ≪ 2⁶³, the shard sum stays exact below ~9·10¹²
+    * rows per shard.
     */
   private val ChecksumMod = 1000003L
   private def rowSig: org.apache.spark.sql.Column = expr(
-    s"""((((window_id % ${ChecksumMod}L) * 8191 + doc_id % ${ChecksumMod}L)
+    s"""(((((window_id % ${ChecksumMod}L) * 8191 + doc_id % ${ChecksumMod}L)
        |  % ${ChecksumMod}L * 8191 + slice_start % ${ChecksumMod}L)
-       |  % ${ChecksumMod}L * 8191 + tokens_in_window % ${ChecksumMod}L)
+       |  % ${ChecksumMod}L + 1) * (tokens_in_window % ${ChecksumMod}L + 1))
        |  % ${ChecksumMod}L""".stripMargin.replace("\n", " "))
 
   /** Per-shard integrity manifest over the loader assignment: the
@@ -492,10 +517,7 @@ object Packing {
 
   private def checksumsWithTotal(withTotal: DataFrame,
       nShards: Int): DataFrame =
-    withTotal
-      .where(col("__w_total").isNotNull)
-      .withColumn("shard",
-        expr(s"window_id div ((__w_total + ${nShards}L - 1) div ${nShards}L)"))
+    assignShard(withTotal, nShards)
       .groupBy("shard")
       .agg(min(col("window_id")).as("first_window"),
         max(col("window_id")).as("last_window"),
@@ -518,9 +540,19 @@ object Packing {
   def verifyShards(manifest: DataFrame, nShards: Int,
       expected: DataFrame): DataFrame = {
     // recover w_total from the expected manifest: the top shard's
-    // window range ends at the original stream's last window
-    val expTotal = expected
-      .agg((max(col("last_window")) + 1L).as("__w_total"))
+    // window range ends at the original stream's last window. An
+    // EMPTY expected manifest is refused loudly, not compared: a null
+    // total would filter out every actual row and the gate's
+    // `where(!ok).count == 0` check would VACUOUSLY pass — a missing
+    // integrity manifest must never read as a clean verification
+    // (r11 review finding). Bounded: a 1-row aggregate.
+    val expTotalRow = expected
+      .agg((max(col("last_window")) + 1L).as("__w_total")).head()
+    require(!expTotalRow.isNullAt(0),
+      "verifyShards: the expected integrity manifest is empty — refusing " +
+        "to verify against nothing (a lost manifest is not a clean pass)")
+    val expTotal = expected.sparkSession.range(1)
+      .select(lit(expTotalRow.getLong(0)).as("__w_total"))
     val actual = checksumsWithTotal(
         manifest.crossJoin(broadcast(expTotal)), nShards)
       .select(col("shard"), col("n_doc_slices").as("actual_slices"),

@@ -97,11 +97,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col(labelCol).as("__cl"))
     // null-labeled rows match nothing on either side (a null label is
-    // unknown, not "different from everything") — <=> then negate
+    // unknown, not "different from everything"): plain =!= is null
+    // when either side is null, which an inner join treats as
+    // non-matching — exactly the wanted semantics
     val joined = c.join(broadcast(q),
       col("query_id") =!= col("neighbor_id") &&
-        !(col("__ql") <=> col("__cl")) &&
-        col("__ql").isNotNull && col("__cl").isNotNull)
+        col("__ql") =!= col("__cl"))
     rankTopK(
       joined.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("qv"), col("cv")).as("cosine")),

@@ -254,6 +254,9 @@ object ScaleQueries {
       val src = Tables.documents(s, dir)
         .select(col("doc_id"),
           TextOps.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+        // both arms' rank machinery takes several passes over this
+        // frame; tokenize the corpus once, not ~7 times
+        .localCheckpoint(false)
       def summary(assign: DataFrame, strategy: String) =
         assign.groupBy("batch_id")
           .agg(count(lit(1)).as("nd"), max(col("n_tokens")).as("mx"),
@@ -295,8 +298,11 @@ object ScaleQueries {
         .localCheckpoint(false) // feeds both verifies + the output row
       val selfOk = Packing.verifyShards(manifest, 8, expected)
         .select(col("shard"), col("ok").as("self_ok"))
+      // tamper exactly ONE manifest row — (window 0, doc 0) exists at
+      // every scale (doc 0 opens the stream); slice_start === 0 would
+      // hit EVERY doc that starts inside window 0 (r11 review finding)
       val tampered = manifest.withColumn("tokens_in_window",
-        when(col("window_id") === 0 && col("slice_start") === 0,
+        when(col("window_id") === 0 && col("doc_id") === 0,
           col("tokens_in_window") + 1).otherwise(col("tokens_in_window")))
       val flags = Packing.verifyShards(tampered, 8, expected)
         .select(col("shard"), (!col("ok")).as("tamper_flagged"))
@@ -604,9 +610,9 @@ object ScaleQueries {
         |sh AS (
         |  SELECT window_id // sp AS shard, window_id, doc_id, slice_start,
         |         tokens_in_window,
-        |         ((((window_id % 1000003) * 8191 + doc_id % 1000003)
+        |         (((((window_id % 1000003) * 8191 + doc_id % 1000003)
         |           % 1000003 * 8191 + slice_start % 1000003)
-        |           % 1000003 * 8191 + tokens_in_window % 1000003)
+        |           % 1000003 + 1) * (tokens_in_window % 1000003 + 1))
         |           % 1000003 AS sig
         |  FROM mf CROSS JOIN span)
         |SELECT shard,

@@ -386,13 +386,32 @@ class PackingSpec extends SparkSpecBase {
     val self = Packing.verifyShards(manifest, 4, expected)
     assert(self.where(!col("ok")).count() == 0L &&
       self.count() == 4L)
-    // tamper one row's length: exactly its shard flags
+    // tamper exactly ONE row's length: exactly its shard flags
     val tampered = manifest.withColumn("tokens_in_window",
-      when(col("window_id") === 0 && col("slice_start") === 0,
+      when(col("window_id") === 0 && col("doc_id") === 1,
         col("tokens_in_window") + 1).otherwise(col("tokens_in_window")))
     val vt = Packing.verifyShards(tampered, 4, expected)
     assert(vt.where(!col("ok")).select("shard").as[Long].collect().toSeq
       == Seq(0L))
+    // a MASS-PRESERVING flip (+1 on one row, -1 on a sibling) is
+    // invisible to slice count and token mass — only the checksum
+    // catches it
+    val swapped = manifest.withColumn("tokens_in_window",
+      when(col("window_id") === 0 && col("doc_id") === 1,
+        col("tokens_in_window") + 1)
+        .when(col("window_id") === 0 && col("doc_id") === 2,
+          col("tokens_in_window") - 1)
+        .otherwise(col("tokens_in_window")))
+    val vs = Packing.verifyShards(swapped, 4, expected)
+    assert(vs.where(!col("ok")).select("shard").as[Long].collect().toSeq
+      == Seq(0L), "a mass-preserving flip must still flag via checksum")
+    assert(vs.where(col("shard") === 0)
+      .select(col("expected_mass") === col("actual_mass")).head().getBoolean(0),
+      "the fixture must actually preserve mass for this arm to mean anything")
+    // empty expected manifest: refused loudly, never a vacuous pass
+    intercept[IllegalArgumentException] {
+      Packing.verifyShards(manifest, 4, expected.where(lit(false)))
+    }
     // drop one row (truncated shard): its shard flags via slice count
     val dropped = manifest.where(
       !(col("window_id") === 1 && col("slice_start") === 0))

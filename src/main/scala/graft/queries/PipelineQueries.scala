@@ -597,6 +597,46 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     },
 
+    // WATERMARK LATE-DATA ACCOUNTING — the two promises an event-time
+    // watermark makes, checked instead of assumed: rows arriving
+    // behind the watermark are DROPPED AND COUNTED (reconcilable
+    // against the source — no silent loss), and append mode emits
+    // ONLY finalized windows (end behind the final watermark), so a
+    // downstream training sink never sees a partially-filled hour.
+    // Planted late rows are fresh-id copies of day-1 events; the
+    // emitted aggregate proves they never contaminated their window.
+    "q152_streaming_late_data" -> { (s, dir) =>
+      import graft.streaming.Replay
+      val ev = Tables.events(s, dir)
+      // on-time filler in the final (never-emitted) window: lets the
+      // lagging late-record filter watermark catch up (see
+      // Replay.lateDataReplay's two-watermark note). Selected by a
+      // broadcast join on max(ts) — no driver timestamp round-trip
+      val filler = ev.join(
+          broadcast(ev.agg(max(col("ts")).as("__mx"))),
+          col("ts") === col("__mx")).drop("__mx")
+        .withColumn("event_id", col("event_id") + lit(2000000000L))
+      val late = ev.where(col("ts") < lit(java.sql.Timestamp.valueOf(
+          "2024-01-02 00:00:00")))
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+      // numRowsDroppedByWatermark counts rows reaching the STATE
+      // operator — map-side partial aggregation has already collapsed
+      // the late batch to its distinct (hour, type) groups (the late
+      // batch is one staged file ⇒ one input partition ⇒ the partials
+      // ARE the distinct groups), so the exact reconciliation unit is
+      // groups, not raw rows
+      val nLateGroups = late.select(date_trunc("hour", col("ts")),
+        col("event_type")).distinct().count()
+      val (emitted, dropped, batches) = Replay.lateDataReplay(
+        s, ev, filler, late, watermark = "1 hour")
+      emitted.select(col("hour"), col("event_type"), col("n_events"),
+          col("value_sum"),
+          lit(nLateGroups > 0L && dropped == nLateGroups)
+            .as("late_all_dropped"),
+          lit(batches >= 3).as("replayed_multibatch"))
+        .orderBy("hour", "event_type")
+    },
+
     // The STREAMING CURATION-TO-LOADER composition's correctness row
     // (q120's streaming twin): offline-trained classifier weights
     // (q122's seed convention) gate each micro-batch map-side, kept
@@ -3865,6 +3905,23 @@ object PipelineQueries {
          |  CASE WHEN tk > 0 THEN (so + tk - 1) // 512 END AS last_window,
          |  TRUE AS replayed_multibatch
          |FROM laid ORDER BY doc_id""".stripMargin,
+
+    // The oracle replays BOTH watermark promises in closed form: the
+    // aggregate runs over the on-time corpus only (late copies were
+    // dropped, filler lives in an unemitted window), and the HAVING
+    // keeps exactly the windows whose end sits behind the final
+    // watermark max(ts) - 1h.
+    "q152_streaming_late_data" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum,
+        |  TRUE AS late_all_dropped,
+        |  TRUE AS replayed_multibatch
+        |FROM events CROSS JOIN mx
+        |GROUP BY hour, event_type, m
+        |HAVING hour + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        |ORDER BY hour, event_type""".stripMargin,
 
     "q106_streaming_replay" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

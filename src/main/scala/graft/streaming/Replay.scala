@@ -222,6 +222,67 @@ object Replay {
     }
   }
 
+  /** Replay events through the APPEND-MODE watermarked rollup with a
+    * deliberately LATE final micro-batch — the row that makes the
+    * watermark's two promises checkable instead of assumed: (1) rows
+    * arriving behind the watermark are DROPPED and the drop is
+    * COUNTED (`numRowsDroppedByWatermark` summed over the run — no
+    * silent data loss: the pipeline can reconcile drops against the
+    * source), and (2) only FINALIZED windows (window end behind the
+    * final watermark) are emitted downstream — append mode's
+    * emit-once contract, the one a training-data sink needs to never
+    * see a partially-filled hour.
+    *
+    * Batch order: the corpus, then an on-time `filler` batch (fresh
+    * ids in the stream's final window — see the lag note below), then
+    * `lateEvents` (old timestamps, fresh ids) squarely behind the
+    * watermark. Returns (emitted windows, rows dropped by watermark,
+    * data batches observed).
+    */
+  def lateDataReplay(spark: SparkSession, events: DataFrame,
+      filler: DataFrame, lateEvents: DataFrame,
+      watermark: String = "1 hour",
+      stageDir: String = null): (DataFrame, Long, Int) = {
+    val dir = Option(stageDir).getOrElse(freshStageDir("latedata"))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    try {
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      // Spark runs TWO watermarks per batch (probed, r11): eviction
+      // uses the watermark advanced by the PREVIOUS batch, while the
+      // late-record FILTER lags one batch further (so data arriving in
+      // the same batch that advanced the watermark isn't dropped).
+      // Hence three batches: the corpus advances event time, the
+      // on-time `filler` batch lets the filter watermark catch up, and
+      // only THEN do the late rows arrive squarely behind it. The
+      // filler must be on-time rows in the stream's final (unemitted)
+      // window so it can never contaminate an emitted aggregate.
+      val batches = Seq(events, filler, lateEvents)
+      batches.zipWithIndex.foreach { case (b, k) =>
+        b.coalesce(1).write.mode("append").parquet(dir)
+        stampBatch(fs, path, seen, base, k)
+      }
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val name = "graft_replay_latedata"
+      spark.catalog.dropTempView(name)
+      val q = EventStreams.hourlyRollupStream(src, watermark)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.table(name).localCheckpoint(true), dropped, dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(path, true)
+    }
+  }
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
     * observed). The stage dir is process-unique by default and deleted

@@ -182,6 +182,43 @@ class ReplaySpec extends SparkSpecBase {
     assert(search(s"$dir/ivf") == search(s"$dir/ref"))
   }
 
+  test("late-data replay: rows behind the watermark are dropped AND " +
+      "counted; only finalized windows are emitted") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val onTime = Seq(
+      (1L, ts("2024-03-01 00:10:00"), 1L, "a", 1.0, ""),
+      (2L, ts("2024-03-01 00:40:00"), 1L, "b", 2.0, ""),
+      (3L, ts("2024-03-01 01:10:00"), 2L, "a", 4.0, ""),
+      (4L, ts("2024-03-01 02:30:00"), 2L, "a", 8.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // same hour-0 event times, FRESH ids — arriving after the
+    // watermark passed their window
+    val late = Seq(
+      (101L, ts("2024-03-01 00:20:00"), 3L, "a", 16.0, ""),
+      (102L, ts("2024-03-01 00:50:00"), 3L, "b", 32.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // on-time filler in the final (never-emitted) window — lets the
+    // lagging late-record filter watermark catch up
+    val filler = Seq(
+      (201L, ts("2024-03-01 02:30:00"), 4L, "a", 64.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val (emitted, dropped, batches) = Replay.lateDataReplay(spark, onTime,
+      filler, late, watermark = "1 hour")
+    assert(batches >= 3, "the late batch must have streamed for real")
+    // the drop counter's unit is state-operator input = the late
+    // batch's distinct (hour, type) groups (map-side partials); the
+    // fixture's 2 late rows are 2 groups
+    assert(dropped == 2L, "every late group must be counted, none silent")
+    val rows = emitted.orderBy("hour", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    // final watermark = 02:30 - 1h = 01:30 ⇒ only hour 00 (end 01:00)
+    // is finalized; hours 01/02 are withheld, and the late rows'
+    // values never contaminate hour 00
+    assert(rows == Seq(
+      (ts("2024-03-01 00:00:00"), "a", 1L, 1.0),
+      (ts("2024-03-01 00:00:00"), "b", 1L, 2.0)))
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

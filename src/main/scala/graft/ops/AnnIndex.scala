@@ -280,6 +280,25 @@ object AnnIndex {
       .sorted
   }
 
+  /** Generation ids visible in the `_meta` side-table — the cleanup
+    * companion of [[listGenerations]]: a compaction interrupted
+    * between a stale gen's meta delete and its postings delete (or a
+    * pre-r12 crash in the reverse order) can leave the two listings
+    * disagreeing, and the stale-clear must cover their UNION or an
+    * orphaned meta row skews [[metaCounts]] forever.
+    */
+  private def listMetaGenerations(spark: SparkSession,
+      dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") =>
+        n.stripPrefix("gen=").toLong }
+      .sorted
+  }
+
   /** Fold every postings generation back into ONE compact base
     * generation under the SAME frozen centroids — the maintenance path
     * for the append/streaming-ingest tree, which otherwise accumulates
@@ -301,8 +320,19 @@ object AnnIndex {
     *      files under `_temporary`: a crash mid-write leaves the old
     *      tree byte-identical to readers (the q132 append argument);
     *   2. its `_meta` row;
-    *   3. stale generations cleared LAST, postings dir before meta
-    *      dir. A crash between 2 and 3 leaves a MIXED tree (compacted
+    *   3. stale generations cleared LAST, meta dir BEFORE its
+    *      postings dir, and the stale set is the UNION of the
+    *      postings and `_meta` listings. Meta-first keeps
+    *      [[metaCounts]] exact through any crash: a half-cleared gen
+    *      is then postings-without-meta, whose rows the fold already
+    *      owns (they count once, via the compacted gen's meta row) —
+    *      whereas the reverse order could strand a meta-without-
+    *      postings orphan on the OLD BASE gen, double-counting base
+    *      mass so [[appendedFraction]] under-fires the retrain
+    *      trigger forever (nothing keyed off the postings listing
+    *      would ever remove it; the union-derived cleanup also purges
+    *      any such orphan left by an older build). A crash between
+    *      2 and 3 leaves a MIXED tree (compacted
     *      base + stale gens): every search arm collapses multi-probe
     *      duplicates per (query_id, neighbor_id) and payloads are
     *      identical per id, so the mixed tree is search-IDENTICAL to
@@ -349,13 +379,18 @@ object AnnIndex {
           "refusing to fold to an unreadable empty tree; delete the " +
           "index directory to decommission it")
     }
-    // clear stale gens LAST; per gen: postings before meta, so an
-    // interrupted clear over-counts `appended` (trigger over-fires —
-    // the safe direction) rather than losing rows
-    gens.foreach { g =>
-      hadoopDelete(spark, s"$dir/postings.parquet/gen=$g")
-      hadoopDelete(spark, s"$dir/_meta/gen=$g")
-    }
+    // clear stale gens LAST; per gen: META before postings (an
+    // interrupted clear leaves postings-without-meta — rows the fold
+    // already owns, counted exactly once via the target's meta row —
+    // never a meta orphan that double-counts base mass), and the
+    // stale set is the UNION of both listings so orphaned meta gens
+    // from an older crash are purged on replay rather than skewing
+    // appendedFraction forever
+    (gens ++ listMetaGenerations(spark, dir))
+      .distinct.filterNot(_ == target).foreach { g =>
+        hadoopDelete(spark, s"$dir/_meta/gen=$g")
+        hadoopDelete(spark, s"$dir/postings.parquet/gen=$g")
+      }
     // tombstones go after the gens they mask: a crash anywhere above
     // leaves them in force (stale gens still carry the deleted rows),
     // and once the purged fold is the only generation they subtract
@@ -481,6 +516,15 @@ object AnnIndex {
         Seq("query_id"))
       .join(postings.select(col("vec_id").as("neighbor_id"),
         col("vec").as("neighborv")), Seq("neighbor_id"))
+      // a crash-window MIXED tree holds the same vec_id in two
+      // generations: the vector fetch would fan the shortlist out and
+      // one neighbor could occupy two top-k slots (TopK ranks rows,
+      // it does not dedup keys). Payloads are identical per id, so
+      // collapsing per (query, neighbor) is value-free — and bounded:
+      // it runs over the shortlist (queries × k·factor rows), not the
+      // corpus. Keeps the compaction mixed-tree search-identity
+      // promise on THIS arm too (spec-asserted).
+      .dropDuplicates("query_id", "neighbor_id")
     Similarity.rankTopK(
       rerank.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("queryv"), col("neighborv")).as("cosine")),
@@ -599,6 +643,74 @@ object AnnIndex {
       .join(allowed.select(col(allowedIdCol).as("vec_id")),
         Seq("vec_id"), "left_semi")
     rerankCandidates(qa, postings, k)
+  }
+
+  /** CORPUS-SCALE hard-negative mining over the stored index: for each
+    * anchor, the `k` nearest postings whose label DIFFERS — the
+    * [[Similarity.hardNegativesTopK]] semantics re-expressed so the
+    * anchor set never crosses the driver and never broadcasts. The
+    * exact arm broadcasts its anchors ([[Similarity.bruteForceTopK]]'s
+    * shape), which caps it at driver-memory anchor sets; here anchors
+    * flow executor-to-executor exactly like
+    * [[searchIvfIndexManyQueries]] (the contrastive-training reality:
+    * EVERY training example is an anchor, so the anchor set IS the
+    * corpus). The probe-cell set stays a ≤nCells frame that
+    * broadcast-semi-joins the postings scan on the partition column →
+    * runtime dynamic partition pruning (plan-asserted in the spec,
+    * the q140 discipline).
+    *
+    * The label predicate filters candidate pairs BEFORE the k-bounded
+    * ranking (the q143/q151 pre-filter lesson: post-filtering a plain
+    * top-k starves exactly the anchors whose neighborhoods are
+    * same-label — the ones hard negatives matter for). Labels ride a
+    * separate `labels` frame (`idCol`, `labelCol`) because postings
+    * deliberately carry no attributes; the join runs AFTER cell
+    * pruning, so only probed cells pay it, and it is NOT
+    * broadcast-hinted — a label table is corpus-sized, AQE decides
+    * (the q143 allowed-set reasoning). Null-labeled rows match
+    * nothing on either side (`=!=` is null-rejecting under the inner
+    * join); postings absent from `labels` have unknown labels and
+    * likewise never match.
+    *
+    * With `nProbe` ≥ the cell count the probe set is exhaustive and
+    * the result is row-for-row IDENTICAL to the exact broadcast arm
+    * (driver-checked, q153); at production probe counts recall
+    * follows the measured IVF behavior (RecallProbe).
+    *
+    * Output: (query_id, neighbor_id, cosine, rank),
+    * label(anchor) ≠ label(neighbor) on every row.
+    */
+  def hardNegativesIndexed(spark: SparkSession, dir: String,
+      anchors: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      labels: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, s"empty index at $dir")
+    // assignQueries + the anchor's own label: the label must survive
+    // the probe explosion so the cross-label predicate can run inside
+    // the candidate join (lazy localCheckpoint — qa feeds the
+    // probe-cell build side AND the candidate join, the many-queries
+    // discipline)
+    val qa = Similarity.ivfAssignProbes(
+        anchors.select(col(idCol).as("query_id"), col(vecCol).as("queryv"),
+          col(labelCol).as("__ql")),
+        "queryv", cents, nProbe)
+      .select(col("query_id"), col("queryv"), col("__ql"),
+        col("cell").cast("int").as("cell"))
+      .localCheckpoint(false)
+    val postings = prunedPostings(spark, dir, qa)
+      .join(labels.select(col(idCol).as("vec_id"),
+        col(labelCol).as("__cl")), Seq("vec_id"))
+    val cands = postings
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("vec").as("neighborv"), col("__cl"))
+      .join(qa, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("__ql") =!= col("__cl"))
+      .dropDuplicates("query_id", "neighbor_id")
+    Similarity.rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+      k, "cosine")
   }
 
   def searchIvfIndex(spark: SparkSession, dir: String,

@@ -402,9 +402,24 @@ object Packing {
     * positions a trainer needs so attention cannot leak across packed
     * documents (EOD-reset / block-diagonal masks over a GPT-style
     * token stream). Derivable purely from the manifest: within a
-    * window the slices are contiguous in stream order (ascending
-    * doc_id — the layout's prefix-sum order), so a segment's start is
-    * the window-local running sum of the preceding slice lengths.
+    * window the slices are contiguous in stream order, so a segment's
+    * start is the window-local running sum of the preceding slice
+    * lengths — taken in that SAME stream order.
+    *
+    * PRECONDITION (contract, not detectable from the manifest alone):
+    * `orderCol` must sort each window's rows into the order the
+    * slices physically occupy the token stream. The default,
+    * ascending `doc_id`, is exactly [[tokenStreamOffsets]]'s layout
+    * law (its prefix sum runs in doc-id order). A STREAMING layout
+    * ([[streaming.Replay]]'s mod-partitioned batches) appends in
+    * arrival order, which is NOT doc-id order across batches — for
+    * such manifests pass the column that carries stream position
+    * (e.g. the batch-composite offset), or the segments of a window
+    * straddling a batch boundary get silently wrong
+    * seg_start/seg_idx. The per-window tiling invariant
+    * (seg_start(i+1) = seg_start(i) + seg_len(i), first start 0)
+    * holds by construction for ANY total order, so it cannot catch a
+    * wrong `orderCol` — only the caller knows the stream order.
     *
     * Scale: the only window function partitions BY window_id over
     * that window's own manifest rows (≤ docs-per-window — bounded by
@@ -415,10 +430,12 @@ object Packing {
     * tile [0, window) exactly (stream tail excepted) — both
     * spec-pinned.
     */
-  def windowSegments(manifest: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("window_id")).orderBy(col("doc_id"))
+  def windowSegments(manifest: DataFrame,
+      orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("window_id")).orderBy(col(orderCol))
     manifest
-      .select(col("window_id"), col("doc_id"), col("tokens_in_window"))
+      .select((Seq("window_id", "doc_id", "tokens_in_window", orderCol)
+        .distinct).map(col): _*)
       .select(
         col("window_id"),
         row_number().over(w).cast("int").as("seg_idx"),

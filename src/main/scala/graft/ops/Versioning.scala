@@ -87,6 +87,32 @@ object Versioning {
 
   private val LockFile = "_publish_lock"
 
+  /** Filesystem schemes on which publish's two primitives DO NOT hold:
+    * object stores where `create(overwrite=false)` is a client-side
+    * check-then-create (no server-side exclusive create) and rename
+    * is a non-atomic copy+delete — so neither the single-writer lock
+    * nor the atomic `_current` pointer swap would actually be atomic.
+    * Publish REFUSES these loudly rather than silently degrading to
+    * "probably fine" semantics; production object-store deployments
+    * need a real coordination layer (a table format or a lock
+    * service), not this file-convention protocol. HDFS (server-side
+    * exclusive create + atomic in-namespace rename) and local/posix
+    * (O_CREAT|O_EXCL + atomic rename(2)) are the supported homes.
+    */
+  private val NonAtomicSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "cosn", "swift")
+
+  private[ops] def requireAtomicFs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    require(!NonAtomicSchemes.contains(scheme),
+      s"Versioning.publish: $dir is on '$scheme', which has no atomic " +
+        "rename or server-side exclusive create — the single-writer and " +
+        "atomic-pointer-swap guarantees would not hold. Use HDFS/posix, " +
+        "or a table format with a real commit protocol for object stores")
+  }
+
   /** A crashed publisher's lock blocks later publishes (by design —
     * nothing else can distinguish crashed from slow); the operator or
     * a lease-holding maintenance job (the [[graft.engine.Schedule]]
@@ -111,10 +137,17 @@ object Versioning {
     * Overwrite into the same v=N tree and leaving a torn mix behind
     * the pointer. The lock is removed on success AND on failure; only
     * a publisher that died takes it to the grave — see [[breakLock]].
+    *
+    * SUPPORTED FILESYSTEMS: HDFS and local/posix only. Both
+    * guarantees lean on primitives object stores lack (server-side
+    * exclusive create; atomic rename) — publish refuses known
+    * non-atomic schemes loudly rather than degrading silently (see
+    * [[NonAtomicSchemes]]).
     */
   def publish(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, dir)
+    requireAtomicFs(fs, dir)
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockFile")
     val acquired =

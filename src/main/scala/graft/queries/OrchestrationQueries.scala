@@ -536,6 +536,60 @@ object OrchestrationQueries {
       } finally drainAndDelete(s, tmp)
     },
 
+    // CORPUS-SCALE HARD-NEGATIVE MINING — q151's operator freed of its
+    // broadcast bound: in contrastive training EVERY example is an
+    // anchor, so the anchor set is corpus-sized and the exact arm's
+    // driver broadcast is the scale ceiling. Here anchors flow
+    // executor-to-executor over the stored index (q140's DPP
+    // many-query shape) and the cross-label predicate filters
+    // candidates BEFORE the k-bounding (q143/q151's pre-filter
+    // lesson). Contract row: the WHOLE corpus anchors both arms; with
+    // exhaustive probes the indexed arm is row-for-row IDENTICAL
+    // (ids, ranks, exact cosines) to the exact broadcast arm, the
+    // probe side plans runtime DPP, and no returned pair shares a
+    // label (read back through the label table, not assumed).
+    "q153_hard_negatives_indexed" -> { (s, dir) =>
+      import graft.ops.{AnnIndex, Similarity}
+      val tmp = Files.createTempDirectory("graft_q153_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // iters=1: the identity contract is independent of centroid
+        // quality (q140's reasoning) — train cheaply, mine twice
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/ivf",
+          nCells = 8, iters = 1)
+        val indexed = AnnIndex.hardNegativesIndexed(s, s"$tmp/ivf", e,
+          "vec_id", "embedding", "label", e.select("vec_id", "label"),
+          k = 3, nProbe = 8)
+        val dppPlanned = indexed.queryExecution.executedPlan.toString
+          .contains("dynamicpruning")
+        val exact = Similarity.hardNegativesTopK(e, e,
+            "vec_id", "embedding", "label", k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        val ql = e.select(col("vec_id").as("query_id"),
+          col("label").as("qlab"))
+        val nl = e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlab"))
+        indexed
+          .join(exact, Seq("query_id", "neighbor_id"), "full_outer")
+          .join(ql, Seq("query_id"))
+          .join(nl, Seq("neighbor_id"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank") === col("rank2") &&
+              col("cosine") === col("cos2"), 1L).otherwise(0L)).as("n_agree"),
+            sum(when(col("qlab") === col("nlab"), 1L).otherwise(0L))
+              .as("n_same_label"))
+          .select(col("query_id"),
+            (col("n_results") === 3L && col("n_agree") === 3L)
+              .as("results_match"),
+            lit(dppPlanned).as("dpp_planned"),
+            (col("n_same_label") === 0L).as("cross_label_only"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
+    },
+
     // GENERATION COMPACTION — the maintenance path the append (q132)
     // and streaming-ingest (q134) trees were missing: each append owns
     // one gen=G directory, so a high-frequency ingest accumulates
@@ -866,6 +920,11 @@ object OrchestrationQueries {
 
     "q140_ann_many_query_search" ->
       """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS dpp_planned
+        |FROM embeddings ORDER BY query_id""".stripMargin,
+
+    "q153_hard_negatives_indexed" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match, TRUE AS dpp_planned,
+        |  TRUE AS cross_label_only
         |FROM embeddings ORDER BY query_id""".stripMargin,
 
     "q138_ann_index_compact" ->

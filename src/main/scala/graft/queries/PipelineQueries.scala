@@ -1045,6 +1045,15 @@ object PipelineQueries {
           "doc_id", "text").head()
         val (nAdd, nRem, nMod, nOld, nNew) = (g.getLong(0), g.getLong(1),
           g.getLong(2), g.getLong(3), g.getLong(4))
+        // an EMPTY published baseline has no meaningful change ratio —
+        // refuse loudly rather than auto-accept (a gate that waves
+        // through whatever follows a broken v1 is worse than no gate)
+        // or throw a bare / by zero (r11 ADVICE finding). Matches the
+        // verifyShards "never verify against nothing" discipline.
+        require(nOld > 0L,
+          s"q147 promotion gate: published baseline at $ds is empty — " +
+            "cannot compute a change ratio against nothing; republish a " +
+            "non-empty v1 or promote manually")
         val ratio6 = (nAdd + nRem + nMod) * 1000000L / nOld
         val accepted = ratio6 <= 500000L
         val published = if (accepted) Versioning.publish(candidate, ds) else v1

@@ -148,6 +148,46 @@ class AnnIndexSpec extends SparkSpecBase {
       s"expected a dynamicpruningexpression PartitionFilter on the postings scan:\n$plan")
   }
 
+  test("hardNegativesIndexed: identical to the exact broadcast arm under " +
+      "exhaustive probes, cross-label only, null labels match nothing, " +
+      "DPP on the probe side") {
+    val dir = Files.createTempDirectory("graft_annidx_hn").toString
+    val e = corpus(40)
+      // two labels per cluster so every anchor has same-label near
+      // neighbors (the starvation shape pre-filtering exists for);
+      // ids ≡ 0 mod 10 carry NULL labels
+      .withColumn("label",
+        when(col("vec_id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("vec_id") % 8))
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf",
+      nCells = 4, iters = 3)
+    val labels = e.select("vec_id", "label")
+    val indexed = AnnIndex.hardNegativesIndexed(spark, s"$dir/ivf", e,
+      "vec_id", "embedding", "label", labels, k = 3, nProbe = 4)
+    val got = indexed.orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exact = Similarity.hardNegativesTopK(e, e,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == exact,
+      "exhaustive-probe indexed arm must equal the exact broadcast arm")
+    // null-labeled anchors mine nothing; null-labeled corpus rows are
+    // never negatives
+    val nullIds = (0 until 40 by 10).map(_.toLong).toSet
+    assert(got.nonEmpty && got.forall(r =>
+      !nullIds.contains(r._1) && !nullIds.contains(r._2)))
+    // cross-label on every row, by label lookup not by trust
+    val lab = e.collect().map(r =>
+      r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+    assert(got.forall(r => lab(r._1) != lab(r._2)))
+    // the probe side must plan runtime partition pruning (q140's
+    // discipline — anchors never cross the driver)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression PartitionFilter:\n$plan")
+  }
+
   test("append contracts: gen 0 rejected; a rebuild clears stale generations") {
     val dir = Files.createTempDirectory("graft_annidx_gen").toString
     val e = corpus(24)
@@ -231,6 +271,16 @@ class AnnIndexSpec extends SparkSpecBase {
     // ... but search collapses per-(query, neighbor) duplicates and the
     // payloads are identical per id, so results don't change
     assert(search() == before, "mixed tree must stay search-identical")
+    // the quantized arm too: its exact re-rank fetches neighbor vectors
+    // from the (duplicated) postings scan — without the per-(query,
+    // neighbor) collapse after that join, one neighbor would occupy two
+    // top-k slots on exactly this tree (r11 ADVICE finding)
+    val quantMixed = AnnIndex.searchIvfIndexQuantized(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", k = 3, nProbe = 2, rerankFactor = 100)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(quantMixed == before,
+      "mixed tree must stay search-identical on the quantized arm")
     // drift OVER-counts in the mixed state (trigger over-fires — safe)
     assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 16.0 / 48.0)
     // the REPLAYED compaction dedups the union and converges
@@ -240,6 +290,31 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(post.count() == 48L &&
       post.select("vec_id").distinct().count() == 48L)
     assert(search() == before)
+  }
+
+  test("an orphaned _meta generation (crash mid-stale-clear) is purged by " +
+      "the replayed compaction and never double-counts base mass") {
+    val dir = Files.createTempDirectory("graft_annidx_orphan").toString
+    val all = corpus(48)
+    val a = all.where(col("vec_id") % 3 =!= 0)
+    val b = all.where(col("vec_id") % 3 === 0)
+    AnnIndex.buildIvfIndex(a, "vec_id", "embedding", s"$dir/ivf", nCells = 4)
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 1L)
+    AnnIndex.compactIvfIndex(spark, s"$dir/ivf")
+    // reconstruct the pre-r12 crash state: the OLD BASE gen's postings
+    // were cleared but its meta row survived — re-plant _meta/gen=0
+    spark.range(1).select(lit(32L).as("n_vectors"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/ivf/_meta/gen=0")
+    // the orphan inflates BASE mass (gen<=0), so the retrain trigger
+    // would under-fire: 16 appended over 48+32 base
+    AnnIndex.appendToIvfIndex(spark, s"$dir/ivf", b, "vec_id", "embedding", 2L)
+    assert(AnnIndex.metaCounts(spark, s"$dir/ivf") == ((48L + 32L, 16L)))
+    // a replayed compaction derives its cleanup set from BOTH listings,
+    // so the meta orphan goes even though no postings dir names gen=0
+    assert(AnnIndex.compactIvfIndex(spark, s"$dir/ivf") == 48L)
+    assert(AnnIndex.metaCounts(spark, s"$dir/ivf") == ((48L, 0L)))
+    assert(AnnIndex.appendedFraction(spark, s"$dir/ivf") == 0.0)
   }
 
   // ---- tombstone deletes ---------------------------------------------------

@@ -451,4 +451,27 @@ class PackingSpec extends SparkSpecBase {
     val full = byWin.filter(_._1 < 2).values
     assert(full.forall(_.map(_._5).sum == 10L), "non-tail windows tile fully")
   }
+
+  test("windowSegments: an explicit orderCol carries manifests whose " +
+      "stream order is not doc-id order (streaming layouts)") {
+    import spark.implicits._
+    // a window packed in ARRIVAL order 5,2,9 (mod-partitioned batch
+    // layout): doc-id order would put doc2 first and assign every
+    // seg_start wrong — the arrival-position column is the truth
+    val manifest = Seq(
+      (0L, 5L, 4L, 1L), (0L, 2L, 3L, 2L), (0L, 9L, 3L, 3L))
+      .toDF("window_id", "doc_id", "tokens_in_window", "arrival_pos")
+    val byArrival = Packing.windowSegments(manifest, orderCol = "arrival_pos")
+      .orderBy("seg_idx")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(byArrival == Seq(
+      (0L, 1, 5L, 0L, 4L), (0L, 2, 2L, 4L, 3L), (0L, 3, 9L, 7L, 3L)))
+    // the default (doc-id) order on the same rows demonstrates the
+    // silent-misattribution mode the contract warns about: tiling
+    // still holds (it holds for ANY order), but starts move
+    val byDocId = Packing.windowSegments(manifest)
+      .orderBy("seg_idx").as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(byDocId.map(_._3) == Seq(2L, 5L, 9L))
+    assert(byDocId != byArrival)
+  }
 }

@@ -129,4 +129,23 @@ class VersioningSpec extends SparkSpecBase {
     // the lock does not outlive a successful publish
     assert(!java.nio.file.Files.exists(lock))
   }
+
+  test("publish refuses object-store schemes whose create/rename are not " +
+      "atomic; HDFS and local pass the guard") {
+    // a stub FS is enough: the guard keys off the scheme alone (the
+    // actual connector jars are deliberately not on this classpath)
+    def stub(scheme: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.RawLocalFileSystem {
+        override def getUri: java.net.URI =
+          java.net.URI.create(s"$scheme://bucket")
+      }
+    for (s <- Seq("s3a", "s3", "gs", "abfss", "wasb", "oss")) {
+      val e = intercept[IllegalArgumentException] {
+        Versioning.requireAtomicFs(stub(s), s"$s://bucket/ds")
+      }
+      assert(e.getMessage.contains("no atomic rename"), s"scheme $s")
+    }
+    Versioning.requireAtomicFs(stub("hdfs"), "hdfs://nn/ds")
+    Versioning.requireAtomicFs(stub("file"), "/tmp/ds")
+  }
 }

@@ -637,6 +637,56 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     },
 
+    // KILL-AND-RESTART RECOVERY — the exactly-once half q134/q144's
+    // injected replays cannot prove: a REAL StreamingQuery.stop() on
+    // a live continuous-trigger query mid-corpus, then a NEW query
+    // over the same checkpoint dir + file sink. Recovery must get
+    // offsets right (the restarted query reads ONLY post-kill files —
+    // checked against the input-row counters), state right (windows
+    // whose rows arrived pre-kill finalize post-restart from the
+    // recovered state store, their input never re-read), and sink
+    // transactionality right (no window emitted twice across the two
+    // queries). The emitted aggregate is compared row-for-row against
+    // a never-stopped one-shot twin over the same staged batch
+    // sequence, and the oracle replays the append-mode emission in
+    // closed form (windows ending behind the final watermark).
+    "q154_streaming_restart_recovery" -> { (s, dir) =>
+      import graft.streaming.Replay
+      val ev = Tables.events(s, dir).select("ts", "event_type", "value")
+      // four week-ish slices: event time ADVANCES with batch index, so
+      // the watermark finalizes windows in every phase — the kill
+      // lands with emitted output behind it and live state across it
+      val batches = (0 until 4).map(b =>
+        ev.where(expr("(day(ts) - 1) div 8") === b))
+      val r = Replay.restartRecoveryReplay(s, batches, stopAfter = 2,
+        watermark = "1 hour")
+      val twin = Replay.restartRecoveryReplay(s, batches, stopAfter = 0,
+        watermark = "1 hour")
+      // parity and mass checks are bounded driver actions (window
+      // count, not corpus rows)
+      val nDiff = r.result
+        .select(col("hour"), col("event_type"), col("n_events"),
+          col("value_sum"))
+        .join(twin.result.select(col("hour"), col("event_type"),
+          col("n_events").as("n2"), col("value_sum").as("v2")),
+          Seq("hour", "event_type"), "full_outer")
+        .where(col("n_events").isNull || col("n2").isNull ||
+          col("n_events") =!= col("n2") || col("value_sum") =!= col("v2"))
+        .count()
+      val nFinal = r.result.count()
+      val nTotal = ev.count()
+      r.result.select(col("hour"), col("event_type"), col("n_events"),
+          col("value_sum"),
+          lit(nDiff == 0L && twin.rowsPhaseA == nTotal)
+            .as("results_match"),
+          lit(r.rowsPhaseB > 0L && r.rowsPhaseA + r.rowsPhaseB == nTotal)
+            .as("no_reprocess"),
+          lit(r.dataBatchesA == 2 && r.emittedAtStop >= 1L &&
+            r.emittedAtStop < nFinal).as("stopped_midcorpus"),
+          lit(r.dataBatchesB >= 2).as("replayed_multibatch"))
+        .orderBy("hour", "event_type")
+    },
+
     // The STREAMING CURATION-TO-LOADER composition's correctness row
     // (q120's streaming twin): offline-trained classifier weights
     // (q122's seed convention) gate each micro-batch map-side, kept
@@ -3926,6 +3976,24 @@ object PipelineQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum,
         |  TRUE AS late_all_dropped,
+        |  TRUE AS replayed_multibatch
+        |FROM events CROSS JOIN mx
+        |GROUP BY hour, event_type, m
+        |HAVING hour + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        |ORDER BY hour, event_type""".stripMargin,
+
+    // q152's closed-form append-mode emission (windows ending behind
+    // the final watermark max(ts) - 1h) — the restarted run must land
+    // on exactly the uninterrupted stream's output, which is exactly
+    // this aggregate.
+    "q154_streaming_restart_recovery" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum,
+        |  TRUE AS results_match,
+        |  TRUE AS no_reprocess,
+        |  TRUE AS stopped_midcorpus,
         |  TRUE AS replayed_multibatch
         |FROM events CROSS JOIN mx
         |GROUP BY hour, event_type, m

@@ -283,6 +283,131 @@ object Replay {
     }
   }
 
+  /** One kill-and-restart recovery run's observables — see
+    * [[restartRecoveryReplay]].
+    */
+  final case class RestartRun(
+      result: DataFrame, rowsPhaseA: Long, rowsPhaseB: Long,
+      emittedAtStop: Long, dataBatchesA: Int, dataBatchesB: Int)
+
+  /** KILL-AND-RESTART recovery over a REAL checkpoint: the injected-
+    * replay rows (q134/q144) prove sink idempotence when a completed
+    * batch re-runs; this proves the other half of exactly-once — a
+    * stream STOPPED mid-corpus (a genuine `StreamingQuery.stop()` on
+    * a live continuous-trigger query, not an AvailableNow run that
+    * drained) resumes from its checkpoint dir + sink and lands on
+    * EXACTLY the one-shot result.
+    *
+    * Phase A stages only `batches(0 until stopAfter)`, starts the
+    * watermarked hourly rollup on the DEFAULT continuous micro-batch
+    * trigger (the query believes more files may arrive — this is what
+    * makes the stop a mid-corpus kill rather than a drained
+    * shutdown), waits until those rows are consumed AND ≥ 1 finalized
+    * window has committed to the parquet FILE SINK (its
+    * `_spark_metadata` log is the exactly-once ledger readers see),
+    * then stops. The remaining batches land while the stream is DOWN.
+    * Phase B starts a NEW query over the SAME source dir, checkpoint
+    * dir, and sink path with `Trigger.AvailableNow` and drains.
+    *
+    * What recovery must get right, all observable in the returned
+    * record: offsets (phase B's input rows are ONLY the files staged
+    * after the kill — nothing re-read, nothing skipped), state (the
+    * unfinalized windows whose rows arrived BEFORE the kill are
+    * emitted by phase B from recovered state — their input files are
+    * never read again), and sink transactionality (no window emitted
+    * twice across the two queries). The caller proves all three by
+    * comparing `result` to a fresh `stopAfter <= 0` run (one query,
+    * same staged batch sequence, fresh checkpoint + sink): the
+    * one-shot twin.
+    *
+    * `batches` must share one schema; each stages as exactly one file
+    * (one micro-batch, the [[stageModBatches]] discipline). Returns
+    * the final sink contents (localCheckpointed — the staging dirs
+    * are deleted on return) plus the per-phase input-row and
+    * data-batch counts and the sink row count observed at the stop.
+    */
+  def restartRecoveryReplay(spark: SparkSession, batches: Seq[DataFrame],
+      stopAfter: Int, watermark: String = "1 hour",
+      stageDir: String = null): RestartRun = {
+    require(batches.size >= 2,
+      s"a replay needs >= 2 micro-batches, got ${batches.size}")
+    require(stopAfter < batches.size,
+      s"stopAfter=$stopAfter leaves nothing for the restarted query " +
+        s"(${batches.size} batches) — the recovery row needs both phases")
+    val dir = Option(stageDir).getOrElse(freshStageDir("restart"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val srcDir = s"$dir/src"
+    val sinkDir = s"$dir/sink"
+    val ckDir = s"$dir/checkpoint"
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    fs.mkdirs(srcPath)
+    try {
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      def stage(range: Range): Unit = range.foreach { k =>
+        batches(k).coalesce(1).write.mode("append").parquet(srcDir)
+        stampBatch(fs, srcPath, seen, base, k)
+      }
+      val schema = batches.head.schema
+      def start(avail: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val w = EventStreams.hourlyRollupStream(src, watermark)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+        (if (avail) w.trigger(Trigger.AvailableNow()) else w).start()
+      }
+      // the sink THROUGH its _spark_metadata log — only committed files
+      def sinkCount(): Long =
+        try spark.read.parquet(sinkDir).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      def rowsIn(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        q.recentProgress.map(_.numInputRows).sum
+      def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+        q.recentProgress.count(_.numInputRows > 0)
+
+      if (stopAfter <= 0) {
+        // the one-shot twin: same staged sequence, one uninterrupted run
+        stage(batches.indices)
+        val q = start(avail = true)
+        q.awaitTermination()
+        RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
+          rowsIn(q), 0L, -1L, dataBatches(q), 0)
+      } else {
+        stage(0 until stopAfter)
+        // expected phase-A mass read back off the staged files (the
+        // feed frames may be non-deterministic to recount)
+        val expectA = spark.read.parquet(srcDir).count()
+        val qa = start(avail = false)
+        val deadline = System.currentTimeMillis() + 180000L
+        while ((rowsIn(qa) < expectA || sinkCount() < 1L) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        val gotA = rowsIn(qa)
+        val aBatches = dataBatches(qa)
+        qa.stop()
+        qa.awaitTermination()
+        require(gotA == expectA,
+          s"phase A consumed $gotA of $expectA staged rows before the " +
+            "stop deadline — cannot call this a post-commit kill")
+        val emittedAtStop = sinkCount()
+        // the rest of the corpus arrives while the stream is DOWN
+        stage(stopAfter until batches.size)
+        val qb = start(avail = true)
+        qb.awaitTermination()
+        RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
+          gotA, rowsIn(qb), emittedAtStop, aBatches, dataBatches(qb))
+      }
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(root, true)
+    }
+  }
+
   /** Replay `events` through [[EventStreams.hourlyRollupStream]] in
     * `nBatches` micro-batches. Returns (final state, data batches
     * observed). The stage dir is process-unique by default and deleted

@@ -219,6 +219,42 @@ class ReplaySpec extends SparkSpecBase {
       (ts("2024-03-01 00:00:00"), "b", 1L, 2.0)))
   }
 
+  test("kill-and-restart recovery: a mid-corpus stop() resumes from the " +
+      "checkpoint — offsets, window state, and sink all recovered") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 4 two-hour batches (phase A must be able to finalize SOMETHING
+    // under the 1h watermark before the kill: after batch 1 the
+    // watermark is 02:40, so hours 00-01 commit pre-stop)
+    def hour(h: Int, idBase: Long) = Seq(
+      (idBase, ts(f"2024-03-01 $h%02d:10:00"), 1L, "a", 1.0 * (h + 1), ""),
+      (idBase + 1, ts(f"2024-03-01 $h%02d:40:00"), 2L, "b", 2.0 * (h + 1), ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batches = (0 until 4).map(b =>
+      hour(2 * b, 100L * b).unionAll(hour(2 * b + 1, 100L * b + 50L)))
+    val r = Replay.restartRecoveryReplay(spark, batches, stopAfter = 2)
+    // offsets recovered: phase B read ONLY the post-kill files
+    assert(r.rowsPhaseA == 8L && r.rowsPhaseB == 8L,
+      s"phase split wrong: A=${r.rowsPhaseA} B=${r.rowsPhaseB}")
+    assert(r.dataBatchesA == 2 && r.dataBatchesB == 2)
+    // the kill landed mid-corpus with something already committed
+    assert(r.emittedAtStop >= 1L)
+    val got = r.result.orderBy("hour", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    // final watermark = 07:40 - 1h = 06:40 ⇒ hours 00-05 finalized
+    // (06 ends 07:00 > 06:40); hours 02-03 arrived BEFORE the kill
+    // but finalize after it — recovered state, not re-read input
+    assert(got == (0 until 6).flatMap(h => Seq(
+      (ts(f"2024-03-01 $h%02d:00:00"), "a", 1L, 1.0 * (h + 1)),
+      (ts(f"2024-03-01 $h%02d:00:00"), "b", 1L, 2.0 * (h + 1)))))
+    assert(got.size.toLong > r.emittedAtStop,
+      "something must finalize AFTER the restart or the row proves nothing")
+    // the one-shot twin (same staged sequence, never stopped) matches
+    val twin = Replay.restartRecoveryReplay(spark, batches, stopAfter = 0)
+    assert(twin.result.orderBy("hour", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq == got)
+    assert(twin.rowsPhaseA == 16L && twin.emittedAtStop == -1L)
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

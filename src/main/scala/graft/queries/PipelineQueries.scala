@@ -1272,6 +1272,30 @@ object PipelineQueries {
           emb.where(col("vec_id") % 5 === 0).select("vec_id"), "vec_id",
           del = 1L)
         val idxTombstoned = AnnIndex.tombstonedCount(s, s"$tmp/idx")
+        // VERSION-PINNED card (r11 verdict #4): the card names the
+        // immutable corpus version it describes and carries the q147
+        // change ratio vs the previous release — BOTH read THROUGH
+        // the published Versioning artifact (pointer + v=N trees),
+        // not from in-memory frames, so the numbers describe what a
+        // consumer would actually time-travel to. Previous release =
+        // the corpus minus every 7th doc with every 11th text
+        // reversed (the q147 fixture convention), current = the
+        // corpus the rest of the card describes.
+        import graft.ops.Versioning
+        val vds = s"$tmp/corpus_versions"
+        Versioning.publish(corpus.select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, reverse(col("text")))
+              .otherwise(col("text"))), vds)
+        val vCur = Versioning.publish(corpus.select("doc_id", "text"), vds)
+        val dg = Versioning.diffSummary(
+          Versioning.read(s, vds, Some(vCur - 1L)),
+          Versioning.read(s, vds), "doc_id", "text").head()
+        val (vAdd, vRem, vMod, vOld) =
+          (dg.getLong(0), dg.getLong(1), dg.getLong(2), dg.getLong(3))
+        require(vOld > 0L, "version delta against an empty previous release")
+        val versionDelta6 = (vAdd + vRem + vMod) * 1000000L / vOld
         val card = mix
           .join(health, Seq("source"), "left")
           .join(sample, Seq("source"), "left")
@@ -1286,7 +1310,9 @@ object PipelineQueries {
             coalesce(col("sample_docs"), lit(0L)).as("sample_docs"),
             coalesce(col("sample_tokens"), lit(0L)).as("sample_tokens"),
             lit(drift6).as("index_drift6"),
-            lit(idxTombstoned).as("index_tombstoned"))
+            lit(idxTombstoned).as("index_tombstoned"),
+            lit(vCur).as("dataset_version"),
+            lit(versionDelta6).as("version_delta6"))
         graft.engine.Pipeline.writeStage(card.coalesce(1), s"$tmp/card")
         val p = new org.apache.hadoop.fs.Path(s"$tmp/card")
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -3191,6 +3217,12 @@ object PipelineQueries {
          |   FROM embeddings) AS index_drift6,
          |  (SELECT CAST(COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS BIGINT)
          |   FROM embeddings) AS index_tombstoned,
+         |  CAST(2 AS BIGINT) AS dataset_version,
+         |  (SELECT CAST((COUNT(*) FILTER (WHERE doc_id % 7 = 0)
+         |     + COUNT(*) FILTER (WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+         |                        AND reverse(text) <> text)) * 1000000
+         |     // COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+         |   FROM documents WHERE doc_id >= 20) AS version_delta6,
          |  TRUE AS one_file
          |FROM wt CROSS JOIN nm
          |LEFT JOIN health h ON h.source = wt.source

@@ -51,6 +51,51 @@ object AnnIndex {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  private val WriterLockFile = "_writer_lock"
+
+  /** ONE writer per index tree at a time: every mutation (build,
+    * append, compact, delete) runs under an exclusive-create lock
+    * file at the index root — the [[Versioning.publish]] discipline
+    * applied to the generation tree. Single-writer-per-WRITE is what
+    * each writer's own crash story assumes (gen-overwrite, fold,
+    * tombstone-retire orderings); two INTERLEAVED writers (a
+    * streaming ingest racing a nightly compaction, two streams on
+    * one index) could otherwise tear the tree in ways none of those
+    * stories cover — e.g. a compaction folding generations while an
+    * append lands a new one between the fold's read and its stale
+    * clear. The second writer fails LOUDLY and mutates nothing;
+    * readers are never blocked (searches take no lock — every
+    * reader-visible state under a single writer is already covered
+    * by the crash-ordering contracts). Composed maintenance
+    * ([[maybeRetrain]]) acquires per operation, not per decision —
+    * the decision inputs are monotone (appended mass, tombstones),
+    * so a stale read only delays work to the next pass.
+    *
+    * A crashed writer takes the lock to the grave by design;
+    * [[breakIndexLock]] is the operator's recovery after confirming
+    * the holder is dead. HDFS/posix-only guarantee ([[FsLock]]).
+    */
+  private def withWriterLock[T](spark: SparkSession, dir: String,
+      op: String)(body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterLockFile")
+    if (!FsLock.tryAcquire(fs, lock)) throw new IllegalStateException(
+      s"$op: another writer holds $dir/$WriterLockFile — one writer " +
+        "per index tree (stream ingest, takedown, compaction and " +
+        "rebuild serialize); back off, or breakIndexLock(dir) if its " +
+        "holder crashed")
+    try body finally FsLock.release(fs, lock)
+  }
+
+  /** Clear a crashed writer's lock — see [[withWriterLock]]. */
+  def breakIndexLock(spark: SparkSession, dir: String): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterLockFile")
+    FsLock.release(
+      lock.getFileSystem(spark.sparkContext.hadoopConfiguration), lock)
+  }
+
   /** Assign + quantize + co-locate one batch of vectors for a
     * generation directory write (shared by build and append).
     */

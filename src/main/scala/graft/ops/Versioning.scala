@@ -150,27 +150,10 @@ object Versioning {
     requireAtomicFs(fs, dir)
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockFile")
-    val acquired =
-      if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
-        // local create(overwrite=false) is check-then-create (TOCTOU):
-        // use nio O_CREAT|O_EXCL, the posix equivalent of HDFS's
-        // server-side exclusive create
-        try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lock.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        try { fs.create(lock, false).close(); true }
-        catch {
-          case e: java.io.IOException =>
-            if (fs.exists(lock)) false else throw e
-        }
-      }
-    if (!acquired) throw new IllegalStateException(
+    // exclusive create via the shared primitive ([[FsLock]]): nio
+    // O_CREAT|O_EXCL locally (Hadoop local create(false) is a
+    // check-then-create TOCTOU), server-side exclusive create on HDFS
+    if (!FsLock.tryAcquire(fs, lock)) throw new IllegalStateException(
       s"publish: another publisher holds $dir/$LockFile — back off, or " +
         "breakLock(dir) if its holder crashed")
     try {

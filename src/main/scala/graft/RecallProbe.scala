@@ -175,6 +175,64 @@ object RecallProbe {
         s"(pure projected at same width mean=${projRecalls.sum / projRecalls.size}) " +
         s"per-query=${recalls.toSeq.sorted.mkString(",")}")
     }
+    // INDEX-LIFECYCLE recall (r12 order #5): the production steady
+    // state is build → append (drift) → takedown deletes → nightly
+    // maintenance, and the maintenance pass has two arms — compact
+    // (fold + purge under FROZEN centroids) or maybeRetrain's rebuild
+    // (FRESH centroids over the survivors). RecallProbe pinned fresh
+    // and appended trees only; this measures recall@k through each
+    // lifecycle state so the floors cover the steady state too.
+    // Tombstoned ≡ compacted is an identity law (q141's three-arm
+    // contract) — printed here as evidence, the interesting datum is
+    // frozen-centroid-over-survivors vs fresh-centroid-over-survivors.
+    {
+      import graft.ops.AnnIndex
+      val lcRoot = java.nio.file.Files
+        .createTempDirectory("graft_recall_lc").toString
+      val base = e.where(col("vec_id") % 4 =!= 0)          // 75%: the build
+      val delta = e.where(col("vec_id") % 4 === 0)         // 25%: the drift
+      val delPred = col("vec_id") % 10 >= 1 &&
+        col("vec_id") % 10 <= 3 && col("vec_id") >= 10     // ~30% takedown
+      val survivors = e.where(!delPred)
+      val exactSurv = Similarity.bruteForceTopK(q, survivors,
+          "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def recallLine(tag: String, dir: String,
+          truth: Map[Long, Set[Long]]): Unit = {
+        val got = AnnIndex.searchIvfIndex(spark, dir, q,
+            "vec_id", "embedding", k = 5, nProbe = 3)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val rs = truth.map { case (qid, ex) =>
+          (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+        println(s"[recall-probe] sf=$sfDir ivf_lifecycle $tag cells=16 " +
+          s"nProbe=3: min=${rs.min} mean=${rs.sum / rs.size}")
+      }
+      for (arm <- Seq("compact", "retrain")) {
+        val dir = s"$lcRoot/$arm"
+        AnnIndex.buildIvfIndex(base, "vec_id", "embedding", dir,
+          nCells = 16, iters = 3)
+        AnnIndex.appendToIvfIndex(spark, dir, delta,
+          "vec_id", "embedding", gen = 1L)
+        if (arm == "compact")
+          recallLine("post_append(full corpus)", dir, exactCos)
+        AnnIndex.deleteFromIvfIndex(spark, dir,
+          e.where(delPred).select("vec_id"), "vec_id", del = 1L)
+        if (arm == "compact") {
+          recallLine("tombstoned(vs survivors)", dir, exactSurv)
+          AnnIndex.compactIvfIndex(spark, dir)
+          recallLine("compacted_frozen_centroids", dir, exactSurv)
+        } else {
+          // appendedFraction = 1/3 ≥ τ ⇒ maybeRetrain takes the
+          // rebuild arm: fresh centroids over the survivor corpus
+          val retrained = AnnIndex.maybeRetrain(spark, dir, survivors,
+            "vec_id", "embedding", nCells = 16, tau = 0.2, iters = 3)
+          recallLine(s"maybeRetrain_fresh_centroids(fired=$retrained)",
+            dir, exactSurv)
+        }
+      }
+    }
     spark.stop()
   }
 }

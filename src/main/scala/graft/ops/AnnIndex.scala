@@ -79,13 +79,20 @@ object AnnIndex {
       op: String)(body: => T): T = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the lock is only a lock where exclusive create is server-side
+    // atomic — same guard, same refusal, as Versioning.publish
+    Versioning.requireAtomicFs(fs, dir, s"AnnIndex.$op")
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterLockFile")
-    if (!FsLock.tryAcquire(fs, lock)) throw new IllegalStateException(
-      s"$op: another writer holds $dir/$WriterLockFile — one writer " +
-        "per index tree (stream ingest, takedown, compaction and " +
-        "rebuild serialize); back off, or breakIndexLock(dir) if its " +
-        "holder crashed")
+    if (!FsLock.tryAcquire(fs, lock, FsLock.holderStamp(op))) {
+      val holder = FsLock.holderInfo(fs, lock)
+        .map(h => s" (holder: $h)").getOrElse("")
+      throw new IllegalStateException(
+        s"$op: another writer holds $dir/$WriterLockFile$holder — one " +
+          "writer per index tree (stream ingest, takedown, compaction " +
+          "and rebuild serialize); back off, or breakIndexLock(dir) if " +
+          "its holder crashed")
+    }
     try body finally FsLock.release(fs, lock)
   }
 
@@ -146,28 +153,33 @@ object AnnIndex {
     centroids.foreach(cs => require(cs.length == nCells,
       s"buildIvfIndex: ${cs.length} pre-trained centroids but nCells=$nCells " +
         "— the quantizer you pass IS the cell count; pass matching values"))
+    // centroid training reads only the corpus, never the tree — it
+    // stays OUTSIDE the lock so a long kmeans doesn't stretch the
+    // single-writer window; every tree byte below is lock-guarded
     val cents = centroids.getOrElse(Similarity.trainIvfCentroids(
       corpus, idCol, vecCol, nCells, iters, corpusRowsHint = corpusRowsHint))
     require(cents.nonEmpty, "buildIvfIndex: no centroids")
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(
-      cents.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("centroid",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = false))))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
-    // a rebuild owns the WHOLE tree: per-generation overwrite below
-    // only truncates gen=0, so stale higher generations must go first —
-    // and stale tombstones with them (they belong to the replaced
-    // corpus; carrying them over would silently delete from the new one)
-    hadoopDelete(spark, s"$dir/postings.parquet")
-    hadoopDelete(spark, s"$dir/_meta")
-    hadoopDelete(spark, s"$dir/_deletes")
-    writeGeneration(spark, dir, 0L,
-      postedFrame(corpus, idCol, vecCol, cents))
+    withWriterLock(spark, dir, "buildIvfIndex") {
+      spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+      // a rebuild owns the WHOLE tree: per-generation overwrite below
+      // only truncates gen=0, so stale higher generations must go first —
+      // and stale tombstones with them (they belong to the replaced
+      // corpus; carrying them over would silently delete from the new one)
+      hadoopDelete(spark, s"$dir/postings.parquet")
+      hadoopDelete(spark, s"$dir/_meta")
+      hadoopDelete(spark, s"$dir/_deletes")
+      writeGeneration(spark, dir, 0L,
+        postedFrame(corpus, idCol, vecCol, cents))
+    }
     cents
   }
 
@@ -194,9 +206,14 @@ object AnnIndex {
   def appendToIvfIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String, vecCol: String, gen: Long): Long = {
     require(gen >= 1, s"gen 0 is the base build; appends start at 1 (got $gen)")
-    val cents = loadCentroids(spark, dir)
-    require(cents.nonEmpty, s"empty index at $dir")
-    writeGeneration(spark, dir, gen, postedFrame(newDocs, idCol, vecCol, cents))
+    withWriterLock(spark, dir, "appendToIvfIndex") {
+      // centroids read INSIDE the lock: a concurrent rebuild must not
+      // swap the quantizer between this read and the generation write
+      val cents = loadCentroids(spark, dir)
+      require(cents.nonEmpty, s"empty index at $dir")
+      writeGeneration(spark, dir, gen,
+        postedFrame(newDocs, idCol, vecCol, cents))
+    }
   }
 
   /** Appended-vector mass relative to the base build — the drift
@@ -267,13 +284,15 @@ object AnnIndex {
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, del: Long): Long = {
     require(del >= 1, s"delete batches start at 1 (got $del)")
-    require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
-    val obs = org.apache.spark.sql.Observation()
-    ids.select(col(idCol).as("vec_id")).where(col("vec_id").isNotNull)
-      .distinct()
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/del=$del")
-    obs.get("n").asInstanceOf[Long]
+    withWriterLock(spark, dir, "deleteFromIvfIndex") {
+      require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
+      val obs = org.apache.spark.sql.Observation()
+      ids.select(col(idCol).as("vec_id")).where(col("vec_id").isNotNull)
+        .distinct()
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/del=$del")
+      obs.get("n").asInstanceOf[Long]
+    }
   }
 
   /** The accumulated tombstone set — (vec_id) rows across every
@@ -395,7 +414,8 @@ object AnnIndex {
     *
     * Returns the row count of the compacted base generation.
     */
-  def compactIvfIndex(spark: SparkSession, dir: String): Long = {
+  def compactIvfIndex(spark: SparkSession, dir: String): Long =
+      withWriterLock(spark, dir, "compactIvfIndex") {
     val gens = listGenerations(spark, dir)
     require(gens.nonEmpty, s"empty index at $dir — nothing to compact")
     val target = gens.min - 1L

@@ -20,26 +20,61 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
   */
 private[graft] object FsLock {
 
-  /** Try to acquire `lock` via exclusive create. Returns true iff this
-    * caller created the file (and therefore owns the lock).
+  /** Holder identity stamped INTO the lock file at acquisition — what
+    * the operator deciding whether to break a lock reads to find (and
+    * confirm dead) its holder. Empty lock files gave them nothing.
     */
-  def tryAcquire(fs: FileSystem, lock: Path): Boolean =
+  def holderStamp(op: String): String =
+    s"op=$op pid=${ProcessHandle.current().pid()} host=" +
+      s"${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"acquired=${java.time.Instant.now()}"
+
+  /** Try to acquire `lock` via exclusive create, stamping `info` into
+    * the file. Returns true iff this caller created the file (and
+    * therefore owns the lock). The create is the atomic claim; the
+    * content write rides the same call (CREATE_NEW locally, the
+    * exclusive create's own stream on HDFS), so a visible lock file
+    * always carries its holder line.
+    */
+  def tryAcquire(fs: FileSystem, lock: Path, info: String = ""): Boolean =
     if (fs.isInstanceOf[LocalFileSystem] ||
         fs.isInstanceOf[RawLocalFileSystem]) {
       try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(lock.toUri.getPath))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lock.toUri.getPath),
+          info.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
-      try { fs.create(lock, false).close(); true }
-      catch {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(info.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
         case e: java.io.IOException =>
           if (fs.exists(lock)) false else throw e
       }
     }
+
+  /** The holder line of a held lock, for the lock-held error message.
+    * None if the lock vanished (holder released between the failed
+    * acquire and this read) or predates holder stamping.
+    */
+  def holderInfo(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val bytes = new Array[Byte](4096)
+        val n = in.read(bytes)
+        if (n <= 0) None
+        else Some(new String(bytes, 0, n,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Release a held (or orphaned) lock. Idempotent. */
   def release(fs: FileSystem, lock: Path): Unit =

@@ -104,10 +104,10 @@ object Versioning {
       "oss", "cosn", "swift")
 
   private[ops] def requireAtomicFs(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Unit = {
+      dir: String, op: String = "Versioning.publish"): Unit = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
     require(!NonAtomicSchemes.contains(scheme),
-      s"Versioning.publish: $dir is on '$scheme', which has no atomic " +
+      s"$op: $dir is on '$scheme', which has no atomic " +
         "rename or server-side exclusive create — the single-writer and " +
         "atomic-pointer-swap guarantees would not hold. Use HDFS/posix, " +
         "or a table format with a real commit protocol for object stores")
@@ -153,9 +153,13 @@ object Versioning {
     // exclusive create via the shared primitive ([[FsLock]]): nio
     // O_CREAT|O_EXCL locally (Hadoop local create(false) is a
     // check-then-create TOCTOU), server-side exclusive create on HDFS
-    if (!FsLock.tryAcquire(fs, lock)) throw new IllegalStateException(
-      s"publish: another publisher holds $dir/$LockFile — back off, or " +
-        "breakLock(dir) if its holder crashed")
+    if (!FsLock.tryAcquire(fs, lock, FsLock.holderStamp("publish"))) {
+      val holder = FsLock.holderInfo(fs, lock)
+        .map(h => s" (holder: $h)").getOrElse("")
+      throw new IllegalStateException(
+        s"publish: another publisher holds $dir/$LockFile$holder — back " +
+          "off, or breakLock(dir) if its holder crashed")
+    }
     try {
       val next = currentVersion(spark, dir).getOrElse(0L) + 1L
       df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")

@@ -653,11 +653,19 @@ object PipelineQueries {
     "q154_streaming_restart_recovery" -> { (s, dir) =>
       import graft.streaming.Replay
       val ev = Tables.events(s, dir).select("ts", "event_type", "value")
-      // four week-ish slices: event time ADVANCES with batch index, so
-      // the watermark finalizes windows in every phase — the kill
-      // lands with emitted output behind it and live state across it
+      // four quartile slices of the FULL timestamp span: event time
+      // ADVANCES with batch index, so the watermark finalizes windows
+      // in every phase — the kill lands with emitted output behind it
+      // and live state across it. Sliced on unix_timestamp, not
+      // day-of-month: a day slice repeats across month boundaries,
+      // which would break event-time ordering (and the closed-form
+      // oracle) the moment the fixture spans two months
+      val bounds = ev.agg(min(unix_timestamp(col("ts"))).as("mn"),
+        max(unix_timestamp(col("ts"))).as("mx")).head()
+      val mn = bounds.getLong(0)
+      val span = (bounds.getLong(1) - mn) / 4L + 1L // ceil: index ≤ 3
       val batches = (0 until 4).map(b =>
-        ev.where(expr("(day(ts) - 1) div 8") === b))
+        ev.where(expr(s"(unix_timestamp(ts) - $mn) div $span") === b))
       val r = Replay.restartRecoveryReplay(s, batches, stopAfter = 2,
         watermark = "1 hour")
       val twin = Replay.restartRecoveryReplay(s, batches, stopAfter = 0,

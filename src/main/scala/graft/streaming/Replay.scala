@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -283,6 +283,72 @@ object Replay {
     }
   }
 
+  /** UPDATE-MODE arm of the watermarked hourly rollup — the dashboard
+    * read path, where [[lateDataReplay]] is the training-sink read
+    * path: the SAME watermark still drops late rows (promise 1 is
+    * mode-independent), but instead of withholding a window until it
+    * finalizes, every micro-batch emits the CURRENT partial for each
+    * window it touched — partial-then-final sequencing, observable
+    * here because each update lands tagged with its micro-batch id.
+    *
+    * Each element of `batches` stages as one file = one micro-batch
+    * (event time should advance with batch index, the caller's
+    * responsibility as in [[restartRecoveryReplay]]). Returns (every
+    * emitted update as (batch_id, hour, event_type, n_events,
+    * value_sum), rows dropped by the watermark, data batches
+    * observed). Update-mode promises the caller can pin against the
+    * closed-form batch aggregate: a window touched by k batches emits
+    * ≤ k monotone partials; its LAST update equals the batch rollup
+    * over the rows the watermark accepted; a batch whose rows were
+    * all dropped updates NOTHING.
+    */
+  def hourlyRollupUpdateReplay(spark: SparkSession,
+      batches: Seq[DataFrame], watermark: String = "1 hour",
+      stageDir: String = null): (DataFrame, Long, Int) = {
+    require(batches.size >= 2,
+      s"a replay needs >= 2 micro-batches, got ${batches.size}")
+    val dir = Option(stageDir).getOrElse(freshStageDir("rollupupd"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val srcDir = s"$dir/src"
+    val updDir = s"$dir/updates"
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    fs.mkdirs(srcPath)
+    try {
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      batches.zipWithIndex.foreach { case (b, k) =>
+        b.coalesce(1).write.mode("append").parquet(srcDir)
+        stampBatch(fs, srcPath, seen, base, k)
+      }
+      val src = spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStreams.hourlyRollupStream(src, watermark)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/checkpoint")
+        // update mode hands foreachBatch ONLY the groups this trigger
+        // changed — tagging them with the batch id is what makes the
+        // partial-then-final sequence a queryable frame
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(updDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.read.parquet(updDir).localCheckpoint(true),
+        dropped, dataBatches)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(root, true)
+    }
+  }
+
   /** One kill-and-restart recovery run's observables — see
     * [[restartRecoveryReplay]].
     */
@@ -401,6 +467,117 @@ object Replay {
         qb.awaitTermination()
         RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
           gotA, rowsIn(qb), emittedAtStop, aBatches, dataBatches(qb))
+      }
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark)
+      fs.delete(root, true)
+    }
+  }
+
+  /** KILL-AND-RESTART recovery for the STREAMING INDEX INGEST — the
+    * [[restartRecoveryReplay]] discipline applied to the foreachBatch
+    * index writer: [[indexIngestReplay]] proves the `gen = batchId+1`
+    * overwrite absorbs an INJECTED replay of a committed batch; this
+    * proves the real-restart half — a genuine `StreamingQuery.stop()`
+    * on a live continuous-trigger ingest mid-corpus, then a NEW query
+    * over the SAME checkpoint, must land the generation tree on
+    * EXACTLY the never-stopped run's tree.
+    *
+    * What recovery must get right: batchId continuity (the restarted
+    * query resumes from the checkpoint's offset log, so post-restart
+    * batches take FRESH ids — committed generations are never
+    * overwritten with different data), and mid-batch kill replay (a
+    * batch whose append committed its `gen=B` directory but whose
+    * streaming commit log entry didn't land is REPLAYED under the
+    * same batchId after restart, and the generation-overwrite
+    * contract makes the rewrite byte-idempotent). Either way the
+    * trees converge — the caller proves it by comparing postings and
+    * search results against a `stopAfter <= 0` one-shot twin over the
+    * same staged batch sequence and a twin index dir.
+    *
+    * The caller builds the seed index (gen=0, frozen centroids)
+    * before calling, exactly as in [[indexIngestReplay]]. Each
+    * element of `deltaBatches` stages as one file = one micro-batch;
+    * phase A stages `deltaBatches(0 until stopAfter)`, runs on the
+    * default continuous trigger (the query believes more files may
+    * arrive — the stop is a kill, not a drain), waits until every
+    * staged row is consumed, then stops. The rest stage while the
+    * stream is DOWN; phase B drains them with `Trigger.AvailableNow`
+    * over the same checkpoint. Returns the per-phase input-row and
+    * data-batch counts ([[RestartRun]] with `result` = the postings
+    * tree read, `emittedAtStop` = generations visible at the stop).
+    */
+  def indexIngestRestartReplay(spark: SparkSession,
+      deltaBatches: Seq[DataFrame], indexDir: String,
+      stopAfter: Int, stageDir: String = null): RestartRun = {
+    import graft.ops.AnnIndex
+    require(deltaBatches.size >= 2,
+      s"a replay needs >= 2 micro-batches, got ${deltaBatches.size}")
+    val dir = Option(stageDir).getOrElse(freshStageDir("ivfrestart"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val srcDir = s"$dir/src"
+    val ckDir = s"$dir/checkpoint"
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    fs.mkdirs(srcPath)
+    try {
+      val seen = scala.collection.mutable.Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      def stage(range: Range): Unit = range.foreach { k =>
+        deltaBatches(k).coalesce(1).write.mode("append").parquet(srcDir)
+        stampBatch(fs, srcPath, seen, base, k)
+      }
+      val schema = deltaBatches.head.schema
+      def start(avail: Boolean) = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val w = src.writeStream
+          .option("checkpointLocation", ckDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            AnnIndex.appendToIvfIndex(spark, indexDir, batch,
+              "vec_id", "embedding", gen = batchId + 1L)
+            ()
+          }
+        (if (avail) w.trigger(Trigger.AvailableNow()) else w).start()
+      }
+      def rowsIn(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        q.recentProgress.map(_.numInputRows).sum
+      def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+        q.recentProgress.count(_.numInputRows > 0)
+      def tree(): DataFrame =
+        spark.read.parquet(s"$indexDir/postings.parquet")
+
+      if (stopAfter <= 0) {
+        stage(deltaBatches.indices)
+        val q = start(avail = true)
+        q.awaitTermination()
+        RestartRun(tree(), rowsIn(q), 0L, -1L, dataBatches(q), 0)
+      } else {
+        require(stopAfter < deltaBatches.size,
+          s"stopAfter=$stopAfter leaves nothing for the restarted query")
+        stage(0 until stopAfter)
+        val expectA = spark.read.parquet(srcDir).count()
+        val qa = start(avail = false)
+        val deadline = System.currentTimeMillis() + 180000L
+        while (rowsIn(qa) < expectA &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        val gotA = rowsIn(qa)
+        val aBatches = dataBatches(qa)
+        qa.stop()
+        qa.awaitTermination()
+        require(gotA == expectA,
+          s"phase A consumed $gotA of $expectA staged rows before the " +
+            "stop deadline — cannot call this a post-commit kill")
+        val gensAtStop = AnnIndex.listGenerations(spark, indexDir)
+          .count(_ > 0L).toLong
+        // the rest of the corpus arrives while the stream is DOWN
+        stage(stopAfter until deltaBatches.size)
+        val qb = start(avail = true)
+        qb.awaitTermination()
+        RestartRun(tree(), gotA, rowsIn(qb), gensAtStop,
+          aBatches, dataBatches(qb))
       }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)

@@ -592,4 +592,62 @@ class AnnIndexSpec extends SparkSpecBase {
       .where(col("vec_id") === 99L).collect()
     assert(bad.length == 1 && bad(0).isNullAt(bad(0).fieldIndex("q_scale")))
   }
+
+  test("every index mutation is single-writer: a held lock fails the " +
+      "second writer loudly with the holder line, mutates nothing, and " +
+      "breakIndexLock recovers a crashed holder") {
+    val dir = Files.createTempDirectory("graft_annlock").toString
+    val idx = s"$dir/ivf"
+    val e = corpus(24)
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", idx, nCells = 3)
+    AnnIndex.appendToIvfIndex(spark, idx, corpus(32).where(col("vec_id") >= 24),
+      "vec_id", "embedding", gen = 1L)
+    // crash state: a writer died mid-mutation — reconstructed by
+    // planting its lock (stamped, as a real acquisition would be)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_writer_lock")
+    assert(FsLock.tryAcquire(fs, lock, FsLock.holderStamp("appendToIvfIndex")))
+    val before = spark.read.parquet(s"$idx/postings.parquet")
+      .orderBy("vec_id").collect().toSeq
+    // all four mutation entry points refuse, name the holder, and
+    // leave the tree byte-identical
+    val errs = Seq(
+      intercept[IllegalStateException] {
+        AnnIndex.appendToIvfIndex(spark, idx,
+          Seq((90L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", gen = 2L)
+      },
+      intercept[IllegalStateException] {
+        AnnIndex.deleteFromIvfIndex(spark, idx,
+          Seq(Tuple1(3L)).toDF("vec_id"), "vec_id", del = 1L)
+      },
+      intercept[IllegalStateException] { AnnIndex.compactIvfIndex(spark, idx) },
+      intercept[IllegalStateException] {
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", idx, nCells = 3)
+      })
+    errs.foreach { ex =>
+      assert(ex.getMessage.contains("another writer holds"))
+      assert(ex.getMessage.contains("op=appendToIvfIndex") &&
+        ex.getMessage.contains("pid=") && ex.getMessage.contains("acquired="),
+        s"holder line missing from: ${ex.getMessage}")
+    }
+    assert(AnnIndex.listGenerations(spark, idx) == Seq(0L, 1L))
+    assert(AnnIndex.tombstonedCount(spark, idx) == 0L)
+    assert(spark.read.parquet(s"$idx/postings.parquet")
+      .orderBy("vec_id").collect().toSeq == before)
+    // operator confirms the holder dead → break → mutations flow again,
+    // and a successful mutation does not leave its lock behind
+    AnnIndex.breakIndexLock(spark, idx)
+    assert(AnnIndex.compactIvfIndex(spark, idx) == 32L)
+    assert(!fs.exists(lock))
+    // released on FAILURE too: the zero-survivor refusal inside
+    // compactIvfIndex throws, but the next writer is not blocked
+    AnnIndex.deleteFromIvfIndex(spark, idx,
+      e.union(corpus(32).where(col("vec_id") >= 24)).select("vec_id"),
+      "vec_id", del = 1L)
+    intercept[IllegalStateException] { AnnIndex.compactIvfIndex(spark, idx) }
+    assert(!fs.exists(lock),
+      "a failed mutation must release the writer lock")
+  }
 }

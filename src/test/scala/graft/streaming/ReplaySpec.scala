@@ -255,6 +255,106 @@ class ReplaySpec extends SparkSpecBase {
     assert(twin.rowsPhaseA == 16L && twin.emittedAtStop == -1L)
   }
 
+  test("update-mode rollup: every touched window emits its current " +
+      "partial per batch, the last update equals the batch aggregate, " +
+      "and the same watermark still drops late rows") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour 1 receives rows in TWO batches — the partial-then-final
+    // sequence under test; b0 reaches hour 2 so the LAGGED late-record
+    // filter watermark at b2 (b0's max − 1h = 01:40, one batch behind
+    // eviction — the q152 two-watermark probe) is already past the
+    // late row's window end
+    val b0 = Seq(
+      (1L, ts("2024-03-01 00:10:00"), 1L, "a", 1.0, ""),
+      (2L, ts("2024-03-01 01:40:00"), 1L, "a", 2.0, ""),
+      (3L, ts("2024-03-01 02:40:00"), 1L, "a", 3.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b1 = Seq(
+      (4L, ts("2024-03-01 01:50:00"), 2L, "a", 4.0, ""),
+      (5L, ts("2024-03-01 03:30:00"), 2L, "a", 8.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // hour-0 window ends 01:00 ≤ the lagged filter watermark 01:40:
+    // dropped, and therefore updates NOTHING
+    val b2 = Seq(
+      (101L, ts("2024-03-01 00:20:00"), 3L, "a", 16.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val (updates, dropped, batches) = Replay.hourlyRollupUpdateReplay(
+      spark, Seq(b0, b1, b2), watermark = "1 hour")
+    assert(batches == 3, "all three batches must have streamed for real")
+    assert(dropped == 1L, "the late row must be dropped AND counted")
+    val got = updates
+      .select("batch_id", "hour", "event_type", "n_events", "value_sum")
+      .as[(Long, java.sql.Timestamp, String, Long, Double)]
+      .collect().toSeq.sorted
+    // batch 0: hours 0-2 at their first partials; batch 1: hour 1
+    // UPDATED (n 1→2 — the partial-then-final sequence) + hour 3's
+    // first partial, hours 0/2 untouched ⇒ not re-emitted; batch 2:
+    // late row dropped ⇒ zero updates
+    assert(got == Seq(
+      (0L, ts("2024-03-01 00:00:00"), "a", 1L, 1.0),
+      (0L, ts("2024-03-01 01:00:00"), "a", 1L, 2.0),
+      (0L, ts("2024-03-01 02:00:00"), "a", 1L, 3.0),
+      (1L, ts("2024-03-01 01:00:00"), "a", 2L, 6.0),
+      (1L, ts("2024-03-01 03:00:00"), "a", 1L, 8.0)), s"got $got")
+    // closed-form oracle: the LAST update per window is the batch
+    // rollup over exactly the rows the watermark accepted
+    val finals = got.groupBy(r => (r._2, r._3))
+      .map { case (_, rs) => rs.maxBy(_._1) }
+      .map(r => (r._2, r._3, r._4, r._5)).toSet
+    val oracle = EventStreams.hourlyRollup(b0.unionAll(b1))
+      .select("hour", "event_type", "n_events", "value_sum")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(finals == oracle)
+  }
+
+  test("index-ingest kill-and-restart: a mid-corpus stop() on the " +
+      "foreachBatch append stream resumes from its checkpoint — the " +
+      "generation tree equals the never-stopped twin's") {
+    import graft.ops.AnnIndex
+    // 4 well-separated clusters; seed freezes the quantizer, 4 delta
+    // batches of 8 vectors stream in as gen 1..4
+    val all = (0 until 48).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (i / 4)))
+    }.toDF("vec_id", "embedding")
+    val seed = all.where(col("vec_id") < 16)
+    val deltas = (0 until 4).map(b => all.where(
+      col("vec_id") >= 16 + 8 * b && col("vec_id") < 24 + 8 * b))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrst").toString
+    // both trees under the SAME frozen centroids, or the comparison
+    // would measure quantizer drift instead of recovery
+    val cents = AnnIndex.buildIvfIndex(seed, "vec_id", "embedding",
+      s"$dir/killed", nCells = 4, iters = 3)
+    AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", s"$dir/twin",
+      nCells = 4, centroids = Some(cents))
+    val r = Replay.indexIngestRestartReplay(spark, deltas,
+      s"$dir/killed", stopAfter = 2)
+    val twin = Replay.indexIngestRestartReplay(spark, deltas,
+      s"$dir/twin", stopAfter = 0)
+    // offsets recovered: phase B read ONLY the post-kill files
+    assert(r.rowsPhaseA == 16L && r.rowsPhaseB == 16L,
+      s"phase split wrong: A=${r.rowsPhaseA} B=${r.rowsPhaseB}")
+    assert(twin.rowsPhaseA == 32L)
+    // the kill landed mid-corpus: some generations committed, not all
+    assert(r.emittedAtStop >= 1L && r.emittedAtStop < 4L)
+    assert(r.dataBatchesA == 2 && r.dataBatchesB >= 2)
+    // the whole tree converged: same rows in the same generations'
+    // same cells (batchId continuity ⇒ gens, frozen centroids ⇒ cells)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("gen", "cell", "vec_id").collect().map(_.toSeq).toSet
+    assert(shape(r.result) == shape(twin.result))
+    assert(AnnIndex.listGenerations(spark, s"$dir/killed") ==
+      AnnIndex.listGenerations(spark, s"$dir/twin"))
+    // and search parity through both stored trees
+    val q = all.where(col("vec_id") < 4)
+    def top(idx: String) = AnnIndex.searchIvfIndex(spark, idx, q,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(top(s"$dir/killed") == top(s"$dir/twin"))
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

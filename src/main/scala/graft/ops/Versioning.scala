@@ -116,11 +116,42 @@ object Versioning {
   /** A crashed publisher's lock blocks later publishes (by design —
     * nothing else can distinguish crashed from slow); the operator or
     * a lease-holding maintenance job (the [[graft.engine.Schedule]]
-    * claim discipline) clears it after confirming the holder is dead.
+    * claim discipline) clears it after confirming the holder is dead
+    * — the holder line stamped into the lock file says who to
+    * confirm.
     */
   def breakLock(spark: SparkSession, dir: String): Unit = {
     val (fs, _) = fsOf(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$LockFile"), false)
+  }
+
+  /** ONE dataset mutation at a time: publish, rollback, and vacuum
+    * all serialize through the same exclusive-create lock. Publish
+    * alone was locked through r12, which left two real tears: a
+    * vacuum racing a publish sees the just-written v=N+1 tree before
+    * the pointer swap, classifies it DISAVOWED (id above the
+    * pointer), and deletes the tree the swap is about to expose; a
+    * rollback racing a publish has its pointer swap silently
+    * overridden, un-disavowing the versions the rollback renounced.
+    * Readers stay lock-free (the pointer swap is atomic; every
+    * reader-visible state under a single mutator is covered by the
+    * crash-ordering contract).
+    */
+  private def withDatasetLock[T](spark: SparkSession, dir: String,
+      op: String)(body: => T): T = {
+    val (fs, root) = fsOf(spark, dir)
+    requireAtomicFs(fs, dir, s"Versioning.$op")
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockFile")
+    if (!FsLock.tryAcquire(fs, lock, FsLock.holderStamp(op))) {
+      val holder = FsLock.holderInfo(fs, lock)
+        .map(h => s" (holder: $h)").getOrElse("")
+      throw new IllegalStateException(
+        s"$op: another mutator holds $dir/$LockFile$holder — publish, " +
+          "rollback and vacuum serialize; back off, or breakLock(dir) " +
+          "if its holder crashed")
+    }
+    try body finally breakLock(spark, dir)
   }
 
   /** Publish `df` as the next version of the dataset at `dir` and
@@ -144,29 +175,17 @@ object Versioning {
     * non-atomic schemes loudly rather than degrading silently (see
     * [[NonAtomicSchemes]]).
     */
-  def publish(df: DataFrame, dir: String): Long = {
-    val spark = df.sparkSession
-    val (fs, root) = fsOf(spark, dir)
-    requireAtomicFs(fs, dir)
-    if (!fs.exists(root)) fs.mkdirs(root)
-    val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockFile")
+  def publish(df: DataFrame, dir: String): Long =
     // exclusive create via the shared primitive ([[FsLock]]): nio
     // O_CREAT|O_EXCL locally (Hadoop local create(false) is a
     // check-then-create TOCTOU), server-side exclusive create on HDFS
-    if (!FsLock.tryAcquire(fs, lock, FsLock.holderStamp("publish"))) {
-      val holder = FsLock.holderInfo(fs, lock)
-        .map(h => s" (holder: $h)").getOrElse("")
-      throw new IllegalStateException(
-        s"publish: another publisher holds $dir/$LockFile$holder — back " +
-          "off, or breakLock(dir) if its holder crashed")
-    }
-    try {
+    withDatasetLock(df.sparkSession, dir, "publish") {
+      val spark = df.sparkSession
       val next = currentVersion(spark, dir).getOrElse(0L) + 1L
       df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
       swapPointer(spark, dir, next)
       next
-    } finally breakLock(spark, dir)
-  }
+    }
 
   /** Read the dataset: the current version by default, or any
     * still-on-disk version for time travel (`read(dir, Some(1))` is
@@ -191,11 +210,12 @@ object Versioning {
     * was disavowed; its number is reused so the version line stays
     * contiguous).
     */
-  def rollback(spark: SparkSession, dir: String, version: Long): Unit = {
-    require(listVersions(spark, dir).contains(version),
-      s"cannot roll back to absent version $version at $dir")
-    swapPointer(spark, dir, version)
-  }
+  def rollback(spark: SparkSession, dir: String, version: Long): Unit =
+    withDatasetLock(spark, dir, "rollback") {
+      require(listVersions(spark, dir).contains(version),
+        s"cannot roll back to absent version $version at $dir")
+      swapPointer(spark, dir, version)
+    }
 
   /** Retention: drop DISAVOWED versions (ids above the pointer — a
     * rollback renounced their content, so "newest" must not protect
@@ -209,16 +229,18 @@ object Versioning {
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"keep must be ≥ 1, got $keep")
-    val (fs, _) = fsOf(spark, dir)
-    val cur = currentVersion(spark, dir)
-    val (disavowed, legit) = listVersions(spark, dir).sorted
-      .partition(v => cur.exists(v > _))
-    val doomed = (disavowed ++ legit.dropRight(keep))
-      .filterNot(cur.contains).sorted
-    doomed.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
+    withDatasetLock(spark, dir, "vacuum") {
+      val (fs, _) = fsOf(spark, dir)
+      val cur = currentVersion(spark, dir)
+      val (disavowed, legit) = listVersions(spark, dir).sorted
+        .partition(v => cur.exists(v > _))
+      val doomed = (disavowed ++ legit.dropRight(keep))
+        .filterNot(cur.contains).sorted
+      doomed.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
+      }
+      doomed
     }
-    doomed
   }
 
   /** Snapshot diff by content hash: (doc_id, change) for every doc

@@ -111,23 +111,52 @@ class VersioningSpec extends SparkSpecBase {
     }
   }
 
-  test("publish is single-writer: a held lock fails a second publisher " +
-      "loudly; breakLock recovers a crashed holder") {
+  test("every dataset mutation is single-writer: a held lock fails " +
+      "publish, rollback AND vacuum loudly (with the holder line); " +
+      "breakLock recovers a crashed holder") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pub4").toString
     Versioning.publish(vOld, s"$dir/ds")
-    // crash state: the holder died mid-publish — reconstructed by
-    // planting its lock file
+    Versioning.publish(vNew, s"$dir/ds")
+    // crash state: the holder died mid-mutation — reconstructed by
+    // planting its lock file (stamped, as a real acquisition would be)
     val lock = java.nio.file.Paths.get(s"$dir/ds/_publish_lock")
-    java.nio.file.Files.createFile(lock)
-    intercept[IllegalStateException] {
-      Versioning.publish(vNew, s"$dir/ds")
+    java.nio.file.Files.write(lock,
+      FsLock.holderStamp("publish").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val errs = Seq(
+      intercept[IllegalStateException] {
+        Versioning.publish(vNew, s"$dir/ds")
+      },
+      intercept[IllegalStateException] {
+        Versioning.rollback(spark, s"$dir/ds", 1L)
+      },
+      intercept[IllegalStateException] {
+        Versioning.vacuum(spark, s"$dir/ds", keep = 1)
+      })
+    errs.foreach { e =>
+      assert(e.getMessage.contains("another mutator holds"))
+      assert(e.getMessage.contains("op=publish") &&
+        e.getMessage.contains("pid="), s"holder line missing: ${e.getMessage}")
     }
-    assert(Versioning.currentVersion(spark, s"$dir/ds").contains(1L),
-      "a refused publish must leave the dataset untouched")
+    assert(Versioning.currentVersion(spark, s"$dir/ds").contains(2L),
+      "a refused mutation must leave the pointer untouched")
+    assert(Versioning.listVersions(spark, s"$dir/ds") == Seq(1L, 2L),
+      "a refused vacuum must delete nothing")
     Versioning.breakLock(spark, s"$dir/ds")
-    assert(Versioning.publish(vNew, s"$dir/ds") == 2L)
-    // the lock does not outlive a successful publish
+    assert(Versioning.publish(vNew, s"$dir/ds") == 3L)
+    // the lock does not outlive a successful mutation — any of them
     assert(!java.nio.file.Files.exists(lock))
+    Versioning.rollback(spark, s"$dir/ds", 2L)
+    assert(!java.nio.file.Files.exists(lock))
+    assert(Versioning.vacuum(spark, s"$dir/ds", keep = 2) == Seq(3L))
+    assert(!java.nio.file.Files.exists(lock))
+    // released on FAILURE too: a refused rollback (absent version)
+    // throws inside the lock but must not leave it held
+    intercept[IllegalArgumentException] {
+      Versioning.rollback(spark, s"$dir/ds", 99L)
+    }
+    assert(!java.nio.file.Files.exists(lock),
+      "a failed mutation must release the lock")
   }
 
   test("publish refuses object-store schemes whose create/rename are not " +

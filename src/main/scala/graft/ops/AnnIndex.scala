@@ -71,12 +71,22 @@ object AnnIndex {
     * the decision inputs are monotone (appended mass, tombstones),
     * so a stale read only delays work to the next pass.
     *
-    * A crashed writer takes the lock to the grave by design;
-    * [[breakIndexLock]] is the operator's recovery after confirming
-    * the holder is dead. HDFS/posix-only guarantee ([[FsLock]]).
+    * CRASH-ORPHANED locks self-heal when provable: acquisition rides
+    * [[FsLock.acquireOrReclaim]], so a kill -9'd writer on THIS host
+    * (the checkpoint-restart case — a restarted foreachBatch ingest
+    * finds its predecessor's lock with a dead pid) is reclaimed
+    * unaided, which is what keeps the q154-class streaming recovery
+    * story automatic through a hard crash. A cross-host or
+    * unprovable orphan still needs [[breakIndexLock]] after the
+    * operator confirms the holder dead. The body receives a
+    * [[FsLock.Fence]] and must `verify()` immediately before each
+    * tree-mutating write: a holder whose lock was wrongly broken
+    * (live-holder break, reclaim racing a fresh acquire) aborts
+    * before touching the tree instead of racing the new writer.
+    * HDFS/posix-only guarantee ([[FsLock]]).
     */
   private def withWriterLock[T](spark: SparkSession, dir: String,
-      op: String)(body: => T): T = {
+      op: String)(body: FsLock.Fence => T): T = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the lock is only a lock where exclusive create is server-side
@@ -84,7 +94,8 @@ object AnnIndex {
     Versioning.requireAtomicFs(fs, dir, s"AnnIndex.$op")
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterLockFile")
-    if (!FsLock.tryAcquire(fs, lock, FsLock.holderStamp(op))) {
+    val stamp = FsLock.holderStamp(op)
+    if (!FsLock.acquireOrReclaim(fs, lock, stamp)) {
       val holder = FsLock.holderInfo(fs, lock)
         .map(h => s" (holder: $h)").getOrElse("")
       throw new IllegalStateException(
@@ -93,10 +104,19 @@ object AnnIndex {
           "and rebuild serialize); back off, or breakIndexLock(dir) if " +
           "its holder crashed")
     }
-    try body finally FsLock.release(fs, lock)
+    // release-if-owned, not unconditional delete: if this writer was
+    // fenced out mid-body, the lock on disk is the NEW holder's
+    try body(FsLock.fence(fs, lock, stamp, s"AnnIndex.$op"))
+    finally FsLock.releaseOwned(fs, lock, stamp)
   }
 
-  /** Clear a crashed writer's lock — see [[withWriterLock]]. */
+  /** Manual override for a crash-orphaned writer lock that
+    * [[FsLock.acquireOrReclaim]] cannot self-heal (foreign host, or a
+    * stamp it can't prove dead) — see [[withWriterLock]]. Breaking a
+    * STILL-LIVE holder is survivable but not free: the live writer is
+    * fenced out at its next tree-mutating write ([[FsLock.Fence]])
+    * and aborts loudly rather than racing the new one.
+    */
   def breakIndexLock(spark: SparkSession, dir: String): Unit = {
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterLockFile")
     FsLock.release(
@@ -124,12 +144,17 @@ object AnnIndex {
     * rewrites both — the `tokenStreamSink` ordering discipline.
     */
   private def writeGeneration(spark: SparkSession, dir: String, gen: Long,
-      posted: DataFrame): Long = {
+      posted: DataFrame, fence: FsLock.Fence): Long = {
+    // fence before EACH tree write, not once per mutation: the
+    // postings job can run minutes at corpus scale, and the meta row
+    // is the reader-visible commit — both must be this holder's
+    fence.verify()
     val obs = org.apache.spark.sql.Observation()
     posted.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$dir/postings.parquet/gen=$gen")
     val n = obs.get("n").asInstanceOf[Long]
+    fence.verify()
     spark.range(1).select(lit(n).as("n_vectors"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/_meta/gen=$gen")
     n
@@ -160,7 +185,8 @@ object AnnIndex {
       corpus, idCol, vecCol, nCells, iters, corpusRowsHint = corpusRowsHint))
     require(cents.nonEmpty, "buildIvfIndex: no centroids")
     import scala.jdk.CollectionConverters._
-    withWriterLock(spark, dir, "buildIvfIndex") {
+    withWriterLock(spark, dir, "buildIvfIndex") { fence =>
+      fence.verify()
       spark.createDataFrame(
         cents.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
         org.apache.spark.sql.types.StructType(Seq(
@@ -178,7 +204,7 @@ object AnnIndex {
       hadoopDelete(spark, s"$dir/_meta")
       hadoopDelete(spark, s"$dir/_deletes")
       writeGeneration(spark, dir, 0L,
-        postedFrame(corpus, idCol, vecCol, cents))
+        postedFrame(corpus, idCol, vecCol, cents), fence)
     }
     cents
   }
@@ -206,13 +232,13 @@ object AnnIndex {
   def appendToIvfIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String, vecCol: String, gen: Long): Long = {
     require(gen >= 1, s"gen 0 is the base build; appends start at 1 (got $gen)")
-    withWriterLock(spark, dir, "appendToIvfIndex") {
+    withWriterLock(spark, dir, "appendToIvfIndex") { fence =>
       // centroids read INSIDE the lock: a concurrent rebuild must not
       // swap the quantizer between this read and the generation write
       val cents = loadCentroids(spark, dir)
       require(cents.nonEmpty, s"empty index at $dir")
       writeGeneration(spark, dir, gen,
-        postedFrame(newDocs, idCol, vecCol, cents))
+        postedFrame(newDocs, idCol, vecCol, cents), fence)
     }
   }
 
@@ -284,8 +310,9 @@ object AnnIndex {
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, del: Long): Long = {
     require(del >= 1, s"delete batches start at 1 (got $del)")
-    withWriterLock(spark, dir, "deleteFromIvfIndex") {
+    withWriterLock(spark, dir, "deleteFromIvfIndex") { fence =>
       require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
+      fence.verify()
       val obs = org.apache.spark.sql.Observation()
       ids.select(col(idCol).as("vec_id")).where(col("vec_id").isNotNull)
         .distinct()
@@ -415,7 +442,7 @@ object AnnIndex {
     * Returns the row count of the compacted base generation.
     */
   def compactIvfIndex(spark: SparkSession, dir: String): Long =
-      withWriterLock(spark, dir, "compactIvfIndex") {
+      withWriterLock(spark, dir, "compactIvfIndex") { fence =>
     val gens = listGenerations(spark, dir)
     require(gens.nonEmpty, s"empty index at $dir — nothing to compact")
     val target = gens.min - 1L
@@ -428,7 +455,7 @@ object AnnIndex {
     // compaction is where tombstones become physical: the fold writes
     // the survivors only, then retires the tombstone set
     val n = writeGeneration(spark, dir, target,
-      withoutTombstoned(spark, dir, all).repartition(col("cell")))
+      withoutTombstoned(spark, dir, all).repartition(col("cell")), fence)
     // a zero-survivor fold (every row tombstoned — a full decommission)
     // must NOT clear the stale gens: a zero-row PARTITIONED write emits
     // no data files, so the "compacted" tree would hold no parquet at
@@ -451,6 +478,7 @@ object AnnIndex {
     // stale set is the UNION of both listings so orphaned meta gens
     // from an older crash are purged on replay rather than skewing
     // appendedFraction forever
+    fence.verify()
     (gens ++ listMetaGenerations(spark, dir))
       .distinct.filterNot(_ == target).foreach { g =>
         hadoopDelete(spark, s"$dir/_meta/gen=$g")

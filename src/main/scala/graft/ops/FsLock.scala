@@ -13,20 +13,40 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
   * (see [[Versioning]]'s scheme guard for the protocol that refuses
   * them outright).
   *
-  * A crashed holder takes its lock to the grave BY DESIGN — nothing
-  * else can distinguish crashed from slow; the owning protocol
-  * exposes a break operation for the operator who has confirmed the
-  * holder is dead.
+  * CRASH RECOVERY. A crashed holder (kill -9, OOM, node loss — the
+  * cluster norm) skips its `finally` and leaves the lock behind. Two
+  * recovery paths:
+  *   1. AUTOMATIC, same host only ([[acquireOrReclaim]]): the holder
+  *      stamp carries pid+host; when the stamped host is THIS host
+  *      and the pid provably no longer exists, the orphan is
+  *      reclaimed and acquisition retried. This is what lets a
+  *      checkpoint-restarted streaming writer recover unaided after
+  *      its predecessor was killed mid-batch (the q154/ReplaySpec
+  *      composition). A DIFFERENT host's pid cannot be probed from
+  *      here, so a cross-host orphan still needs path 2.
+  *   2. MANUAL (`breakIndexLock`/`breakLock`): the operator confirms
+  *      the stamped holder dead and deletes the lock.
+  * Both paths can be WRONG in one way — breaking a holder that is
+  * actually alive (pid recycled; operator misread) yields two
+  * writers. [[Fence.verify]] is the backstop: every writer re-checks
+  * that the lock file still carries ITS stamp immediately before
+  * each tree-mutating write, so a fenced-out writer aborts before
+  * damaging the tree instead of racing the usurper.
   */
 private[graft] object FsLock {
 
+  private def localHost: String =
+    java.net.InetAddress.getLocalHost.getHostName
+
   /** Holder identity stamped INTO the lock file at acquisition — what
     * the operator deciding whether to break a lock reads to find (and
-    * confirm dead) its holder. Empty lock files gave them nothing.
+    * confirm dead) its holder, what [[holderProvablyDead]] probes,
+    * and (via the per-acquisition token) what [[Fence.verify]]
+    * compares. Empty lock files gave them nothing.
     */
   def holderStamp(op: String): String =
-    s"op=$op pid=${ProcessHandle.current().pid()} host=" +
-      s"${java.net.InetAddress.getLocalHost.getHostName} " +
+    s"op=$op pid=${ProcessHandle.current().pid()} host=$localHost " +
+      s"token=${java.util.UUID.randomUUID()} " +
       s"acquired=${java.time.Instant.now()}"
 
   /** Try to acquire `lock` via exclusive create, stamping `info` into
@@ -49,14 +69,31 @@ private[graft] object FsLock {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(info.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case e: java.io.IOException =>
-          if (fs.exists(lock)) false else throw e
+      // two failure modes, two owners: a failed CREATE with the file
+      // present is ANOTHER writer's lock (return false); a failed
+      // stamp write AFTER our create succeeded is OUR lock — it must
+      // not be mistaken for a foreign holder (the caller would back
+      // off forever from a lock nobody will ever release), so delete
+      // it and rethrow
+      val created =
+        try Some(fs.create(lock, false))
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(lock)) None else throw e
+        }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            try out.write(
+              info.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          } catch {
+            case e: java.io.IOException =>
+              fs.delete(lock, false)
+              throw e
+          }
+          true
       }
     }
 
@@ -76,7 +113,83 @@ private[graft] object FsLock {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** Release a held (or orphaned) lock. Idempotent. */
+  /** True iff the stamped holder is PROVABLY dead from here: its
+    * stamped host is this host and no process with its pid exists.
+    * Conservative everywhere else — a foreign host (can't probe), a
+    * stamp without pid/host (predates stamping), or a live pid (even
+    * a recycled one — indistinguishable from the holder) all read as
+    * "not provably dead", leaving the decision to the operator.
+    */
+  def holderProvablyDead(info: String): Boolean = {
+    val fields = info.split("\\s+").iterator.flatMap { f =>
+      f.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    (fields.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption),
+        fields.get("host")) match {
+      case (Some(pid), Some(host)) if host == localHost =>
+        val h = ProcessHandle.of(pid)
+        !(h.isPresent && h.get.isAlive)
+      case _ => false
+    }
+  }
+
+  /** [[tryAcquire]], auto-reclaiming a crash-orphaned lock whose
+    * stamped holder [[holderProvablyDead]] proves dead. The reclaim
+    * is delete-then-retry: concurrent reclaimers are arbitrated by
+    * the retried exclusive create (exactly one wins), and the one
+    * hazard a delete-retry pair cannot close — this reclaim deleting
+    * a lock that a FRESH holder re-acquired between our read and our
+    * delete — is why every writer must [[Fence.verify]] before its
+    * tree-mutating writes. Returns true iff this caller now owns the
+    * lock under `info`.
+    */
+  def acquireOrReclaim(fs: FileSystem, lock: Path, info: String): Boolean =
+    tryAcquire(fs, lock, info) || {
+      if (holderInfo(fs, lock).exists(holderProvablyDead)) {
+        release(fs, lock)
+        tryAcquire(fs, lock, info)
+      } else false
+    }
+
+  /** Release ONLY if the lock still carries this holder's stamp: a
+    * holder that was fenced out (its lock broken and re-acquired)
+    * must not delete the usurper's lock on its way down — that would
+    * orphan-break the NEW writer and cascade the very race fencing
+    * exists to stop. Idempotent; a vanished lock is a no-op.
+    */
+  def releaseOwned(fs: FileSystem, lock: Path, stamp: String): Unit =
+    if (holderInfo(fs, lock).contains(stamp)) release(fs, lock)
+
+  /** Release a held (or orphaned) lock unconditionally — the manual
+    * break path. Idempotent.
+    */
   def release(fs: FileSystem, lock: Path): Unit =
     fs.delete(lock, false)
+
+  /** Write-time fencing: proof this holder STILL owns the lock,
+    * checked immediately before each tree-mutating write. Catches
+    * both wrong-break cases (an operator's `break*` against a live
+    * holder; [[acquireOrReclaim]]'s delete racing a fresh acquire) —
+    * the fenced-out writer throws BEFORE touching the tree, so the
+    * single-writer invariant holds even when the lock protocol was
+    * violated around it. The residual read-to-write window is
+    * milliseconds (one lock-file read), not the job's whole runtime.
+    */
+  final class Fence private[ops] (fs: FileSystem, lock: Path,
+      stamp: String, what: String) {
+    def verify(): Unit = {
+      val cur = holderInfo(fs, lock)
+      if (!cur.contains(stamp)) throw new IllegalStateException(
+        s"$what: fenced out — this writer's lock was broken and " +
+          s"${cur.map(h => s"re-acquired by [$h]").getOrElse("not re-acquired")}" +
+          "; aborting before the tree-mutating write (was the holder " +
+          "broken while still alive?)")
+    }
+  }
+
+  def fence(fs: FileSystem, lock: Path, stamp: String, what: String): Fence =
+    new Fence(fs, lock, stamp, what)
 }

@@ -113,12 +113,15 @@ object Versioning {
         "or a table format with a real commit protocol for object stores")
   }
 
-  /** A crashed publisher's lock blocks later publishes (by design —
-    * nothing else can distinguish crashed from slow); the operator or
-    * a lease-holding maintenance job (the [[graft.engine.Schedule]]
-    * claim discipline) clears it after confirming the holder is dead
-    * — the holder line stamped into the lock file says who to
-    * confirm.
+  /** Manual override for a crash-orphaned dataset lock that
+    * [[FsLock.acquireOrReclaim]] cannot self-heal (foreign host, or
+    * a stamp it can't prove dead): the operator or a lease-holding
+    * maintenance job (the [[graft.engine.Schedule]] claim discipline)
+    * clears it after confirming the holder dead — the holder line
+    * stamped into the lock file says who to confirm. Breaking a
+    * STILL-LIVE holder is survivable but not free: the live holder is
+    * fenced out at its next mutating write ([[FsLock.Fence]]) and
+    * aborts loudly rather than racing the new mutator.
     */
   def breakLock(spark: SparkSession, dir: String): Unit = {
     val (fs, _) = fsOf(spark, dir)
@@ -138,12 +141,18 @@ object Versioning {
     * crash-ordering contract).
     */
   private def withDatasetLock[T](spark: SparkSession, dir: String,
-      op: String)(body: => T): T = {
+      op: String)(body: FsLock.Fence => T): T = {
     val (fs, root) = fsOf(spark, dir)
     requireAtomicFs(fs, dir, s"Versioning.$op")
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$LockFile")
-    if (!FsLock.tryAcquire(fs, lock, FsLock.holderStamp(op))) {
+    // acquireOrReclaim: a crash-orphaned lock whose stamped pid is
+    // provably dead ON THIS HOST self-heals (the AnnIndex writer-lock
+    // discipline, shared at the FsLock level); anything unprovable
+    // still refuses and names the holder. The body must fence.verify()
+    // before each mutating write — the backstop against a wrong break.
+    val stamp = FsLock.holderStamp(op)
+    if (!FsLock.acquireOrReclaim(fs, lock, stamp)) {
       val holder = FsLock.holderInfo(fs, lock)
         .map(h => s" (holder: $h)").getOrElse("")
       throw new IllegalStateException(
@@ -151,7 +160,10 @@ object Versioning {
           "rollback and vacuum serialize; back off, or breakLock(dir) " +
           "if its holder crashed")
     }
-    try body finally breakLock(spark, dir)
+    // release-if-owned: a fenced-out mutator must not delete the
+    // usurper's lock on its way down
+    try body(FsLock.fence(fs, lock, stamp, s"Versioning.$op"))
+    finally FsLock.releaseOwned(fs, lock, stamp)
   }
 
   /** Publish `df` as the next version of the dataset at `dir` and
@@ -179,10 +191,15 @@ object Versioning {
     // exclusive create via the shared primitive ([[FsLock]]): nio
     // O_CREAT|O_EXCL locally (Hadoop local create(false) is a
     // check-then-create TOCTOU), server-side exclusive create on HDFS
-    withDatasetLock(df.sparkSession, dir, "publish") {
+    withDatasetLock(df.sparkSession, dir, "publish") { fence =>
       val spark = df.sparkSession
       val next = currentVersion(spark, dir).getOrElse(0L) + 1L
+      // fence before the tree write AND before the pointer swap — the
+      // version write can run minutes at corpus scale, and the swap
+      // is the reader-visible commit
+      fence.verify()
       df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
+      fence.verify()
       swapPointer(spark, dir, next)
       next
     }
@@ -211,9 +228,10 @@ object Versioning {
     * contiguous).
     */
   def rollback(spark: SparkSession, dir: String, version: Long): Unit =
-    withDatasetLock(spark, dir, "rollback") {
+    withDatasetLock(spark, dir, "rollback") { fence =>
       require(listVersions(spark, dir).contains(version),
         s"cannot roll back to absent version $version at $dir")
+      fence.verify()
       swapPointer(spark, dir, version)
     }
 
@@ -229,13 +247,14 @@ object Versioning {
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"keep must be ≥ 1, got $keep")
-    withDatasetLock(spark, dir, "vacuum") {
+    withDatasetLock(spark, dir, "vacuum") { fence =>
       val (fs, _) = fsOf(spark, dir)
       val cur = currentVersion(spark, dir)
       val (disavowed, legit) = listVersions(spark, dir).sorted
         .partition(v => cur.exists(v > _))
       val doomed = (disavowed ++ legit.dropRight(keep))
         .filterNot(cur.contains).sorted
+      fence.verify()
       doomed.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
       }

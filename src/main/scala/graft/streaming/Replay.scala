@@ -341,8 +341,20 @@ object Replay {
         .flatMap(_.stateOperators)
         .map(_.numRowsDroppedByWatermark).sum
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      (spark.read.parquet(updDir).localCheckpoint(true),
-        dropped, dataBatches)
+      // updDir exists only if some batch actually updated a group —
+      // "a batch whose rows were all dropped updates NOTHING" is part
+      // of the contract, so an all-dropped run must read as an EMPTY
+      // update sequence, not an AnalysisException on a missing path
+      val updates =
+        if (fs.exists(new org.apache.hadoop.fs.Path(updDir)))
+          spark.read.parquet(updDir)
+        else spark.emptyDataFrame
+          .withColumn("hour", lit(null).cast("timestamp"))
+          .withColumn("event_type", lit(null).cast("string"))
+          .withColumn("n_events", lit(null).cast("long"))
+          .withColumn("value_sum", lit(null).cast("double"))
+          .withColumn("batch_id", lit(null).cast("long"))
+      (updates.localCheckpoint(true), dropped, dataBatches)
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(root, true)
@@ -509,7 +521,8 @@ object Replay {
     */
   def indexIngestRestartReplay(spark: SparkSession,
       deltaBatches: Seq[DataFrame], indexDir: String,
-      stopAfter: Int, stageDir: String = null): RestartRun = {
+      stopAfter: Int, stageDir: String = null,
+      afterKill: () => Unit = () => ()): RestartRun = {
     import graft.ops.AnnIndex
     require(deltaBatches.size >= 2,
       s"a replay needs >= 2 micro-batches, got ${deltaBatches.size}")
@@ -572,6 +585,11 @@ object Replay {
             "stop deadline — cannot call this a post-commit kill")
         val gensAtStop = AnnIndex.listGenerations(spark, indexDir)
           .count(_ > 0L).toLong
+        // hook for reconstructing what a HARD crash (kill -9 — no
+        // finally) leaves behind that a graceful stop() does not: the
+        // orphaned _writer_lock arm plants a dead-pid stamped lock
+        // here and proves phase B reclaims it unaided
+        afterKill()
         // the rest of the corpus arrives while the stream is DOWN
         stage(stopAfter until deltaBatches.size)
         val qb = start(avail = true)

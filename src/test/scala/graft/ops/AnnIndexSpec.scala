@@ -650,4 +650,42 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!fs.exists(lock),
       "a failed mutation must release the writer lock")
   }
+
+  test("a crash-orphaned writer lock (dead pid, this host) self-heals: " +
+      "the next mutation reclaims it unaided, while a live holder's " +
+      "lock still refuses every entry point") {
+    val dir = Files.createTempDirectory("graft_annreclaim").toString
+    val idx = s"$dir/ivf"
+    AnnIndex.buildIvfIndex(corpus(24), "vec_id", "embedding", idx, nCells = 3)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$idx/_writer_lock")
+    // the kill -9 shape: a writer died without its finally — its lock
+    // sits there stamped with a pid that no longer exists on this host
+    val deadPid = Iterator.iterate(600000L)(_ + 1)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    assert(FsLock.tryAcquire(fs, lock,
+      s"op=appendToIvfIndex pid=$deadPid host=$host token=dead " +
+        "acquired=2024-01-01T00:00:00Z"))
+    // no breakIndexLock: the mutation itself proves the holder dead,
+    // reclaims, runs, and releases
+    assert(AnnIndex.appendToIvfIndex(spark, idx,
+      corpus(32).where(col("vec_id") >= 24),
+      "vec_id", "embedding", gen = 1L) == 8L)
+    assert(!fs.exists(lock), "reclaimed lock must not outlive the mutation")
+    assert(AnnIndex.listGenerations(spark, idx) == Seq(0L, 1L))
+    // contrast — LIVE holder (this very process): conservative refusal,
+    // nothing reclaimed, the holder's lock untouched
+    val live = FsLock.holderStamp("compactIvfIndex")
+    assert(FsLock.tryAcquire(fs, lock, live))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.deleteFromIvfIndex(spark, idx,
+        Seq(Tuple1(3L)).toDF("vec_id"), "vec_id", del = 1L)
+    }
+    assert(e.getMessage.contains("another writer holds"))
+    assert(FsLock.holderInfo(fs, lock).contains(live),
+      "a live holder's lock must survive the refused acquire")
+    AnnIndex.breakIndexLock(spark, idx)
+  }
 }

@@ -1,0 +1,161 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FilterFileSystem, Path, RawLocalFileSystem}
+
+import graft.SparkSpecBase
+
+/** The lock-file primitive's crash-recovery surface: dead-holder
+  * liveness proof, auto-reclaim, owned release, and write-time
+  * fencing. The protocol-level composition (a checkpoint-restarted
+  * ingest stream recovering over a crash-orphaned lock) lives in
+  * ReplaySpec; the mutation-level refusals in AnnIndexSpec /
+  * VersioningSpec.
+  */
+class FsLockSpec extends SparkSpecBase {
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def tmpLock(): Path =
+    new Path(Files.createTempDirectory("graft_fslock").toString, "_lock")
+
+  private def localHost = java.net.InetAddress.getLocalHost.getHostName
+
+  /** A pid that provably belongs to no process on this host. */
+  private def deadPid: Long =
+    Iterator.iterate(600000L)(_ + 1)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+
+  private def stampWith(pid: Long, host: String = localHost): String =
+    s"op=test pid=$pid host=$host token=fixed " +
+      "acquired=2024-01-01T00:00:00Z"
+
+  test("holderProvablyDead: only a same-host stamp with a vanished pid " +
+      "proves death — live pid, foreign host, and unparseable stamps " +
+      "all stay conservative") {
+    assert(FsLock.holderProvablyDead(stampWith(deadPid)))
+    assert(!FsLock.holderProvablyDead(
+      stampWith(ProcessHandle.current().pid())), "own (live) pid")
+    assert(!FsLock.holderProvablyDead(
+      stampWith(deadPid, host = "some-other-node")), "foreign host")
+    assert(!FsLock.holderProvablyDead("op=old-style-stamp"),
+      "pre-stamp lock content")
+    assert(!FsLock.holderProvablyDead(""), "empty content")
+    // the real stamp carries everything the probe needs about ITSELF
+    assert(!FsLock.holderProvablyDead(FsLock.holderStamp("x")),
+      "a live holder's own stamp must never read as dead")
+  }
+
+  test("acquireOrReclaim: reclaims a dead-pid orphan unaided, refuses a " +
+      "live holder, and concurrent reclaimers are arbitrated by the " +
+      "retried exclusive create") {
+    val lock = tmpLock()
+    // plain acquire on a free path
+    val mine = FsLock.holderStamp("acq")
+    assert(FsLock.acquireOrReclaim(fs, lock, mine))
+    assert(FsLock.holderInfo(fs, lock).contains(mine))
+    // a LIVE holder (this very stamp) refuses a second acquirer
+    assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("acq2")))
+    assert(FsLock.holderInfo(fs, lock).contains(mine),
+      "a refused acquire must not disturb the held lock")
+    FsLock.release(fs, lock)
+    // a crash-orphaned lock (dead pid, this host) self-heals
+    assert(FsLock.tryAcquire(fs, lock, stampWith(deadPid)))
+    val next = FsLock.holderStamp("recovered")
+    assert(FsLock.acquireOrReclaim(fs, lock, next),
+      "dead-pid orphan must be reclaimed without a manual break")
+    assert(FsLock.holderInfo(fs, lock).contains(next))
+    FsLock.release(fs, lock)
+    // a foreign-host orphan is NOT provably dead from here: refuse
+    assert(FsLock.tryAcquire(fs, lock, stampWith(deadPid, "other-node")))
+    assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("x")))
+    FsLock.release(fs, lock)
+  }
+
+  test("releaseOwned deletes only this holder's lock; a fenced-out " +
+      "holder's finally leaves the usurper's lock intact") {
+    val lock = tmpLock()
+    val mine = FsLock.holderStamp("rel")
+    assert(FsLock.tryAcquire(fs, lock, mine))
+    // normal path: owned → released
+    FsLock.releaseOwned(fs, lock, mine)
+    assert(!fs.exists(lock))
+    // usurped path: someone else's stamp on disk → leave it
+    val theirs = FsLock.holderStamp("usurper")
+    assert(FsLock.tryAcquire(fs, lock, theirs))
+    FsLock.releaseOwned(fs, lock, mine)
+    assert(fs.exists(lock) && FsLock.holderInfo(fs, lock).contains(theirs),
+      "releaseOwned must not delete a lock it does not own")
+    FsLock.release(fs, lock)
+    // vanished path: no-op
+    FsLock.releaseOwned(fs, lock, mine)
+  }
+
+  test("Fence.verify passes while owned and throws once the lock was " +
+      "broken — with or without a new holder — naming the usurper") {
+    val lock = tmpLock()
+    val mine = FsLock.holderStamp("fenced")
+    assert(FsLock.tryAcquire(fs, lock, mine))
+    val fence = FsLock.fence(fs, lock, mine, "FsLockSpec.op")
+    fence.verify() // owned: no throw
+    // wrong break while alive + immediate re-acquire (the two-writers
+    // hazard): the original holder is fenced out before it can write
+    FsLock.release(fs, lock)
+    val usurper = FsLock.holderStamp("usurper")
+    assert(FsLock.tryAcquire(fs, lock, usurper))
+    val e = intercept[IllegalStateException] { fence.verify() }
+    assert(e.getMessage.contains("fenced out") &&
+      e.getMessage.contains("op=usurper"), e.getMessage)
+    // bare break, no re-acquire: still fenced out
+    FsLock.release(fs, lock)
+    val e2 = intercept[IllegalStateException] { fence.verify() }
+    assert(e2.getMessage.contains("not re-acquired"), e2.getMessage)
+  }
+
+  test("non-local FS: a stamp-write failure AFTER a successful exclusive " +
+      "create deletes our own lock and rethrows — never reports it as " +
+      "another writer's") {
+    // a FilterFileSystem is neither LocalFileSystem nor
+    // RawLocalFileSystem, so tryAcquire takes the HDFS branch while
+    // operating on local disk; its create() hands back a stream whose
+    // write() fails — the crashed-stamp shape under test
+    val raw = new RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val failing = new FilterFileSystem(raw) {
+      override def create(f: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        val real = super.create(f, overwrite)
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.OutputStream {
+            override def write(b: Int): Unit =
+              throw new java.io.IOException("disk full (injected)")
+            override def close(): Unit = real.close()
+          }, null)
+      }
+    }
+    val lock = tmpLock()
+    val e = intercept[java.io.IOException] {
+      FsLock.tryAcquire(failing, lock, "stamp that will not land")
+    }
+    assert(e.getMessage.contains("injected"))
+    assert(!fs.exists(lock),
+      "our own failed-create lock must be deleted, not orphaned")
+    // and the next acquirer is NOT blocked
+    assert(FsLock.tryAcquire(fs, lock, FsLock.holderStamp("next")))
+    FsLock.release(fs, lock)
+    // contrast: create() itself failing with the file PRESENT is a
+    // foreign holder — false, file untouched
+    assert(FsLock.tryAcquire(fs, lock, FsLock.holderStamp("holder")))
+    val refusing = new FilterFileSystem(raw) {
+      override def create(f: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("already exists (server-side)")
+    }
+    assert(!FsLock.tryAcquire(refusing, lock, "second"))
+    assert(fs.exists(lock), "the foreign lock must survive the refusal")
+    FsLock.release(fs, lock)
+  }
+}

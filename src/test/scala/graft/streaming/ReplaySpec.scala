@@ -307,6 +307,20 @@ class ReplaySpec extends SparkSpecBase {
     assert(finals == oracle)
   }
 
+  test("update-mode rollup with zero updating batches returns an EMPTY " +
+      "update sequence with the contract schema — not a missing-path " +
+      "error ('a batch whose rows were all dropped updates NOTHING')") {
+    def empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double,
+        String)].toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val (updates, dropped, batches) =
+      Replay.hourlyRollupUpdateReplay(spark, Seq(empty, empty))
+    assert(updates.count() == 0L)
+    assert(updates.columns.toSeq ==
+      Seq("hour", "event_type", "n_events", "value_sum", "batch_id"))
+    assert(dropped == 0L && batches == 0)
+  }
+
   test("index-ingest kill-and-restart: a mid-corpus stop() on the " +
       "foreachBatch append stream resumes from its checkpoint — the " +
       "generation tree equals the never-stopped twin's") {
@@ -353,6 +367,70 @@ class ReplaySpec extends SparkSpecBase {
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect().toSeq
     assert(top(s"$dir/killed") == top(s"$dir/twin"))
+  }
+
+  test("index-ingest HARD-crash restart: a kill -9'd writer's orphaned " +
+      "_writer_lock (dead pid) is reclaimed unaided by the checkpoint-" +
+      "restarted stream — tree parity with the never-stopped twin; a " +
+      "LIVE holder's lock still fails the restarted stream loudly") {
+    import graft.ops.{AnnIndex, FsLock}
+    val all = (0 until 48).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (i / 4)))
+    }.toDF("vec_id", "embedding")
+    val seed = all.where(col("vec_id") < 16)
+    val deltas = (0 until 4).map(b => all.where(
+      col("vec_id") >= 16 + 8 * b && col("vec_id") < 24 + 8 * b))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfhard").toString
+    val cents = AnnIndex.buildIvfIndex(seed, "vec_id", "embedding",
+      s"$dir/killed", nCells = 4, iters = 3)
+    AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", s"$dir/twin",
+      nCells = 4, centroids = Some(cents))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/killed/_writer_lock")
+    val deadPid = Iterator.iterate(600000L)(_ + 1)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    // afterKill reconstructs the ONE artifact a kill -9 leaves that a
+    // graceful stop() does not: the writer's lock, stamped with a pid
+    // that died with it. Phase B's first appendToIvfIndex must prove
+    // the holder dead, reclaim, and proceed — no manual breakIndexLock
+    val r = Replay.indexIngestRestartReplay(spark, deltas,
+      s"$dir/killed", stopAfter = 2,
+      afterKill = () => assert(FsLock.tryAcquire(fs, lock,
+        s"op=appendToIvfIndex pid=$deadPid host=$host token=dead " +
+          "acquired=2024-01-01T00:00:00Z")))
+    val twin = Replay.indexIngestRestartReplay(spark, deltas,
+      s"$dir/twin", stopAfter = 0)
+    assert(r.rowsPhaseA == 16L && r.rowsPhaseB == 16L,
+      s"phase split wrong: A=${r.rowsPhaseA} B=${r.rowsPhaseB}")
+    assert(!fs.exists(lock),
+      "the reclaimed lock must not outlive the recovered stream")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("gen", "cell", "vec_id").collect().map(_.toSeq).toSet
+    assert(shape(r.result) == shape(twin.result),
+      "recovery through the orphaned lock must land on the one-shot tree")
+    assert(AnnIndex.listGenerations(spark, s"$dir/killed") ==
+      AnnIndex.listGenerations(spark, s"$dir/twin"))
+    // contrast — a LIVE holder (this very process) at restart: the
+    // stream must NOT reclaim; its first batch fails with the holder
+    // line and the lock survives
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivflive").toString
+    AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", s"$dir2/idx",
+      nCells = 4, centroids = Some(cents))
+    val lock2 = new org.apache.hadoop.fs.Path(s"$dir2/idx/_writer_lock")
+    val live = FsLock.holderStamp("compactIvfIndex")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replay.indexIngestRestartReplay(spark, deltas, s"$dir2/idx",
+        stopAfter = 2,
+        afterKill = () => assert(FsLock.tryAcquire(fs, lock2, live)))
+    }
+    assert(e.getMessage.contains("another writer holds"), e.getMessage)
+    assert(FsLock.holderInfo(fs, lock2).contains(live),
+      "a live holder's lock must survive the failed restart")
+    AnnIndex.breakIndexLock(spark, s"$dir2/idx")
   }
 
   test("replay is idempotent: a second run replaces stage dir and sink view") {

@@ -71,6 +71,35 @@ object Calibration {
     */
   val ProjectedQuantizedRecallFloor = 0.35
 
+  /** Index-lifecycle recall floor (r12 order #5, datum recorded r14):
+    * MEAN recall@5 vs the exact survivor set of the COMPACTED tree
+    * under FROZEN centroids (16 cells, nProbe=3) after the production
+    * steady-state lifecycle — build on 75% of the corpus, append the
+    * other 25% (drift), tombstone ~30%, fold. Measured by
+    * `RecallProbe`'s ivf_lifecycle section at all three scales:
+    * post_append 0.50/0.44/0.32, tombstoned 0.50/0.46/0.28,
+    * compacted_frozen 0.50/0.46/0.28, maybeRetrain_fresh
+    * 0.54/0.62/0.32 (sf0.001/0.01/0.1). Two results: (1) tombstoned ≡
+    * compacted recall EXACTLY at every scale — compaction is purely a
+    * layout op, folding + physical purge under the frozen quantizer
+    * costs zero recall (the q141 identity law, now measured through
+    * the full lifecycle); (2) fresh-centroid retrain ≥ frozen at
+    * every scale (largest gap +0.16 at sf0.01) — the drift the
+    * appendedFraction trigger watches is real, and maybeRetrain's
+    * rebuild arm buys recall, never costs it. 0.4 keeps a five-hit
+    * margin under the sf0.001 measurement the spec re-measures.
+    */
+  val IvfLifecycleFrozenRecallFloor = 0.4
+
+  /** The divergence tolerance for the lifecycle's retrain-vs-frozen
+    * comparison: fresh-centroid mean recall must not fall more than
+    * ONE hit (1/(k·|Q|) = 0.02 at k=5, 10 queries) below the
+    * frozen-centroid fold on the same survivors — i.e. retraining
+    * never hurts. Measured fresh−frozen: +0.04/+0.16/+0.04 at
+    * sf0.001/0.01/0.1.
+    */
+  val IvfLifecycleRetrainSlack = 0.02
+
   /** q73: semantic-dedup cosine threshold. Calibrated to the synthetic
     * embeddings, whose max pairwise cosine tops out near 0.45 (real
     * embedding models sit near 0.95+) — τ=0.4 keeps the operator

@@ -174,4 +174,75 @@ class CalibrationSpec extends SparkSpecBase {
         s"max pairwise cosine $maxCos < tau ${Calibration.SemanticDedupTau} — " +
         "q73 would drop nothing (vacuous contract)"))
   }
+
+  test("index-lifecycle recall floors hold on the live fixtures: " +
+      "tombstoned ≡ compacted EXACTLY, the frozen-centroid fold stays " +
+      "above its floor, and maybeRetrain's fresh centroids never cost " +
+      "recall") {
+    assume(fixturesPresent, s"$sfDir absent")
+    import graft.ops.AnnIndex
+    val lcRoot = java.nio.file.Files
+      .createTempDirectory("graft_calib_lc").toString
+    // the RecallProbe ivf_lifecycle recipe, verbatim: build on 75%,
+    // append the drifted 25%, tombstone ~30%, then the two maintenance
+    // arms — compact (frozen centroids) vs maybeRetrain (fresh)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 10)
+    val base = e.where(col("vec_id") % 4 =!= 0)
+    val delta = e.where(col("vec_id") % 4 === 0)
+    val delPred = col("vec_id") % 10 >= 1 &&
+      col("vec_id") % 10 <= 3 && col("vec_id") >= 10
+    val survivors = e.where(!delPred)
+    val exactSurv = Similarity.bruteForceTopK(q, survivors,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def results(dir: String): Map[Long, Set[Long]] =
+      AnnIndex.searchIvfIndex(spark, dir, q,
+          "vec_id", "embedding", k = 5, nProbe = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val rs = exactSurv.map { case (qid, ex) =>
+        (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    var frozenMean = 0.0
+    var freshMean = 0.0
+    for (arm <- Seq("compact", "retrain")) {
+      val dir = s"$lcRoot/$arm"
+      AnnIndex.buildIvfIndex(base, "vec_id", "embedding", dir,
+        nCells = 16, iters = 3)
+      AnnIndex.appendToIvfIndex(spark, dir, delta,
+        "vec_id", "embedding", gen = 1L)
+      AnnIndex.deleteFromIvfIndex(spark, dir,
+        e.where(delPred).select("vec_id"), "vec_id", del = 1L)
+      if (arm == "compact") {
+        val tombstoned = results(dir)
+        AnnIndex.compactIvfIndex(spark, dir)
+        val compacted = results(dir)
+        // the identity law through the full lifecycle: the fold +
+        // physical purge is a LAYOUT op — search-identical to the
+        // tombstoned tree it folded (measured ≡ at all three scales)
+        assert(compacted == tombstoned,
+          "compaction under frozen centroids changed search results")
+        frozenMean = meanRecall(compacted)
+        assert(frozenMean >= Calibration.IvfLifecycleFrozenRecallFloor,
+          repin("IvfLifecycleFrozenRecallFloor",
+            s"compacted-frozen mean recall $frozenMean < floor " +
+            s"${Calibration.IvfLifecycleFrozenRecallFloor} " +
+            "(16 cells, nProbe=3, k=5, lifecycle recipe)"))
+      } else {
+        assert(AnnIndex.maybeRetrain(spark, dir, survivors,
+          "vec_id", "embedding", nCells = 16, tau = 0.2, iters = 3),
+          "appendedFraction 1/3 >= tau must fire the rebuild arm")
+        freshMean = meanRecall(results(dir))
+      }
+    }
+    assert(freshMean >= frozenMean - Calibration.IvfLifecycleRetrainSlack,
+      repin("IvfLifecycleRetrainSlack",
+        s"fresh-centroid mean recall $freshMean fell more than " +
+        s"${Calibration.IvfLifecycleRetrainSlack} below the frozen fold " +
+        s"$frozenMean — retraining should never cost recall"))
+  }
 }

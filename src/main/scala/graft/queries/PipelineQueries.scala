@@ -637,6 +637,41 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     },
 
+    // UPDATE-MODE ROLLUP — the dashboard read path q152/q154's
+    // append-mode pins cannot see: every micro-batch re-emits the
+    // CURRENT partial of each window it touched, tagged with its batch
+    // id, so a consumer watching the stream sees each window's value
+    // sequence converge on the batch aggregate. The replay stages the
+    // events table as four event-time-ordered quartile slices (q154's
+    // monotone unix-timestamp slicing — nothing arrives late, so
+    // nothing is watermark-dropped and every emitted row is provable
+    // in closed form), and the oracle replays the whole partial
+    // SEQUENCE: for each (window, type) and each batch that touched
+    // it, the cumulative aggregate over slices ≤ that batch. Hash
+    // equality therefore pins update-mode's three promises at once —
+    // only touched groups re-emit, partials are the exact running
+    // aggregates, and the last partial equals the batch rollup.
+    "q155_streaming_update_rollup" -> { (s, dir) =>
+      import graft.streaming.Replay
+      val ev = Tables.events(s, dir).select("ts", "event_type", "value")
+      // q154's slicing: quartiles of the full SECOND-floored timestamp
+      // span (unix_timestamp floors; the oracle floors identically) —
+      // event time advances with batch index by construction
+      val bounds = ev.agg(min(unix_timestamp(col("ts"))).as("mn"),
+        max(unix_timestamp(col("ts"))).as("mx")).head()
+      val mn = bounds.getLong(0)
+      val span = (bounds.getLong(1) - mn) / 4L + 1L // ceil: index <= 3
+      val batches = (0 until 4).map(b =>
+        ev.where(expr(s"(unix_timestamp(ts) - $mn) div $span") === b))
+      val (updates, dropped, nBatches) =
+        Replay.hourlyRollupUpdateReplay(s, batches, watermark = "1 hour")
+      updates.select(col("batch_id"), col("hour"), col("event_type"),
+          col("n_events"), col("value_sum"),
+          lit(dropped == 0L).as("none_dropped"),
+          lit(nBatches >= 3).as("replayed_multibatch"))
+        .orderBy("batch_id", "hour", "event_type")
+    },
+
     // KILL-AND-RESTART RECOVERY — the exactly-once half q134/q144's
     // injected replays cannot prove: a REAL StreamingQuery.stop() on
     // a live continuous-trigger query mid-corpus, then a NEW query
@@ -4021,6 +4056,38 @@ object PipelineQueries {
         |GROUP BY hour, event_type, m
         |HAVING hour + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
         |ORDER BY hour, event_type""".stripMargin,
+
+    // q155's closed-form UPDATE-MODE emission: one row per (window,
+    // type, touching batch) carrying the cumulative aggregate over the
+    // event-time-ordered quartile slices up to that batch. Nothing is
+    // late under monotone slicing, so every staged row is accepted and
+    // the partial sequence is exactly this windowed running sum; the
+    // foreachBatch batch ids are the slice indices (one staged file
+    // per slice, maxFilesPerTrigger=1, mtime-ordered).
+    "q155_streaming_update_rollup" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS mn,
+        |    (MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) -
+        |     MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT))) // 4 + 1 AS sp
+        |  FROM events
+        |), e AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) - mn) // sp AS batch_id,
+        |    value
+        |  FROM events CROSS JOIN b
+        |), agg AS (
+        |  SELECT hour, event_type, batch_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,3))) AS v
+        |  FROM e GROUP BY hour, event_type, batch_id
+        |)
+        |SELECT batch_id, hour, event_type,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS n_events,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS value_sum,
+        |  TRUE AS none_dropped,
+        |  TRUE AS replayed_multibatch
+        |FROM agg
+        |WINDOW w AS (PARTITION BY hour, event_type ORDER BY batch_id)
+        |ORDER BY batch_id, hour, event_type""".stripMargin,
 
     // q152's closed-form append-mode emission (windows ending behind
     // the final watermark max(ts) - 1h) — the restarted run must land

@@ -32,17 +32,18 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!rec.contains("\n"))
   }
 
-  test("window keeps >=20 registered-query slots of headroom (r10 stall lesson)") {
-    // r10 ended with ONE free slot: registration of new operators was
-    // about to become impossible without a record restructure. The
-    // r11 deciseconds/queries_ds layout must keep at least 20 future
-    // registrations (worst-case 3-digit values, 4-char keys) inside
-    // the same worst-case bound, so growth never stalls mid-round.
+  test("window keeps >=40 registered-query slots of headroom (r10 stall lesson)") {
+    // r10 ended with ONE free slot, and the r11 queries_ds layout hit
+    // ZERO margin over its +20 guarantee at 154 queries — both times
+    // registration was about to stall mid-round. The r14 positional
+    // queries_ds1 layout (~4 bytes/query) must keep at least 40
+    // future registrations (worst-case 3-digit values) inside the
+    // same worst-case bound, so growth never stalls again.
     val inv = SparkEntry.queries.keys.toSeq
     val maxQ = inv.map(n => Bench.shortKey(n).drop(1).toInt).max
-    val future = (maxQ + 1 to maxQ + 20).map(i => s"q${i}_future_op")
+    val future = (maxQ + 1 to maxQ + 40).map(i => s"q${i}_future_op")
     val rec = recordFor(inv ++ future)
-    assert(rec.length < 1900, s"+20-query record is ${rec.length} bytes:\n$rec")
+    assert(rec.length < 1900, s"+40-query record is ${rec.length} bytes:\n$rec")
   }
 
   test("contention sentinel rides the DRIVER-PARSED record, not just stderr") {
@@ -59,30 +60,43 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(rec.startsWith("""{"metric":"total","value":"""))
     assert(rec.endsWith(""","sf":"sf0.1"}"""))
     assert(rec.contains(""""unit":"sec""""))
-    assert(rec.count(_ == '{') == 2 && rec.count(_ == '}') == 2)
     assert(rec.count(_ == '[') == rec.count(_ == ']'))
     assert(rec.count(_ == '"') % 2 == 0)
-    // one numeric key per query inside queries_ds (the q prefix is
-    // dropped there — one byte per query), all unique
-    val m = rec.substring(rec.indexOf(""""queries_ds":"""))
-    val keys = """"(\d+)":""".r.findAllMatchIn(m).map(_.group(1)).toSeq
-    assert(keys.length == SparkEntry.queries.size)
-    assert(keys.distinct.length == keys.length, "short query keys must stay unique")
+    // a full contiguous inventory rides the positional array: exactly
+    // one decisecond value per registered query, index+1 = query number
+    val m = rec.substring(rec.indexOf(""""queries_ds1":["""))
+    val vals = m.drop(m.indexOf('[') + 1).takeWhile(_ != ']').split(',')
+    assert(vals.length == SparkEntry.queries.size)
+    assert(vals.forall(v => v.nonEmpty && v.forall(_.isDigit)))
   }
 
-  test("per-query unit change is LOUD: queries_ds present, old seconds key absent") {
+  test("per-query layout changes are LOUD: positional queries_ds1 for the " +
+      "contiguous full suite, explicit queries_ds map for filtered runs, " +
+      "old seconds key never reappears") {
     // the judge reads seconds; a silent 10x unit change inside a key
-    // still named `queries` would be misread as a catastrophic
-    // regression (or improvement). The rename makes old readers fail
-    // to find the field instead of finding wrong numbers.
+    // still named `queries` (r11) or a silent positional re-keying
+    // inside `queries_ds` (r14) would be misread as a catastrophic
+    // regression. Each rename makes old readers fail to find the
+    // field instead of finding wrong numbers.
+    val full = fullInventoryRecord
+    assert(full.contains(""""queries_ds1":["""))
+    assert(!full.contains(""""queries_ds":"""),
+      "contiguous suite must not also emit the map form")
+    // a filtered (non-contiguous) run keeps the self-describing map
     val rec = Bench.compactRecord(Seq("q64_pipeline_run" -> 5.591),
       totalSec = 5.591, paritySec = 0.0, ingestSec = 0.0,
       only = None, sfDir = "/tmp/x")
     assert(rec.contains(""""queries_ds":{"64":56}"""))
+    assert(!rec.contains(""""queries_ds1""""))
     assert(!rec.contains(""""queries":"""), "old seconds-unit key must not reappear")
+    // q1 alone IS contiguous (1..1): positional, one element
+    val one = Bench.compactRecord(Seq("q01_clean_coerce" -> 1.1),
+      totalSec = 1.1, paritySec = 1.1, ingestSec = 0.0,
+      only = Some(Seq("q01")), sfDir = "/tmp/x")
+    assert(one.contains(""""queries_ds1":[11]"""))
     // extensions_sec is derivable (value - parity_sec - ingest_sec);
     // dropping it paid for sentinel bytes — it must stay dropped
-    assert(!rec.contains("extensions_sec"))
+    assert(!fullInventoryRecord.contains("extensions_sec"))
   }
 
   test("filtered runs are stamped with the only field") {

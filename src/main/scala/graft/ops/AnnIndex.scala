@@ -104,10 +104,13 @@ object AnnIndex {
           "and rebuild serialize); back off, or breakIndexLock(dir) if " +
           "its holder crashed")
     }
-    // release-if-owned, not unconditional delete: if this writer was
-    // fenced out mid-body, the lock on disk is the NEW holder's
-    try body(FsLock.fence(fs, lock, stamp, s"AnnIndex.$op"))
-    finally FsLock.releaseOwned(fs, lock, stamp)
+    // heartbeat while the mutation runs (the cross-host lease, FsLock
+    // path 2); release-if-owned, not unconditional delete: if this
+    // writer was fenced out mid-body, the lock on disk is the NEW
+    // holder's
+    try FsLock.withHeartbeat(fs, lock, stamp) {
+      body(FsLock.fence(fs, lock, stamp, s"AnnIndex.$op"))
+    } finally FsLock.releaseOwned(fs, lock, stamp)
   }
 
   /** Manual override for a crash-orphaned writer lock that

@@ -14,18 +14,24 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
   * them outright).
   *
   * CRASH RECOVERY. A crashed holder (kill -9, OOM, node loss — the
-  * cluster norm) skips its `finally` and leaves the lock behind. Two
-  * recovery paths:
-  *   1. AUTOMATIC, same host only ([[acquireOrReclaim]]): the holder
+  * cluster norm) skips its `finally` and leaves the lock behind.
+  * Three recovery paths:
+  *   1. AUTOMATIC, same host ([[acquireOrReclaim]]): the holder
   *      stamp carries pid+host; when the stamped host is THIS host
   *      and the pid provably no longer exists, the orphan is
-  *      reclaimed and acquisition retried. This is what lets a
-  *      checkpoint-restarted streaming writer recover unaided after
-  *      its predecessor was killed mid-batch (the q154/ReplaySpec
-  *      composition). A DIFFERENT host's pid cannot be probed from
-  *      here, so a cross-host orphan still needs path 2.
-  *   2. MANUAL (`breakIndexLock`/`breakLock`): the operator confirms
-  *      the stamped holder dead and deletes the lock.
+  *      reclaimed and acquisition retried immediately. This is what
+  *      lets a checkpoint-restarted streaming writer recover unaided
+  *      after its predecessor was killed mid-batch (the
+  *      q154/ReplaySpec composition).
+  *   2. AUTOMATIC, any host (heartbeat lease): holders refresh the
+  *      lock file's mtime every [[HeartbeatMs]] while their mutation
+  *      runs ([[withHeartbeat]]); an acquirer may reclaim any lock
+  *      whose heartbeat has been silent past [[DefaultLeaseTtlMs]] —
+  *      the path a restart rescheduled onto a DIFFERENT node (where
+  *      the pid is unprobeable) needs. Recovery latency = the TTL.
+  *   3. MANUAL (`breakIndexLock`/`breakLock`): the operator confirms
+  *      the stamped holder dead and deletes the lock — now only
+  *      needed to beat the TTL clock.
   * Both paths can be WRONG in one way — breaking a holder that is
   * actually alive (pid recycled; operator misread) yields two
   * writers. [[Fence.verify]] is the backstop: every writer re-checks
@@ -136,19 +142,82 @@ private[graft] object FsLock {
     }
   }
 
+  /** Lease TTL: a held lock whose heartbeat (mtime refresh, below)
+    * has been silent longer than this is reclaimable by ANY acquirer,
+    * including one on another host — the recovery path the pid probe
+    * cannot reach (a checkpoint restart rescheduled onto a different
+    * node after node loss, the 100 TB-cluster norm). Holders heartbeat
+    * every [[HeartbeatMs]] while their mutation runs, so only a
+    * stopped heart (crash) ever expires; a paused-but-alive holder
+    * (GC stall, FS hiccup) that overshoots the TTL and gets wrongly
+    * reclaimed is caught by [[Fence.verify]] before it can touch the
+    * tree — the fencing backstop is what makes TTL reclaim safe to
+    * turn on at all. Cross-host clock skew is bounded by NTP and two
+    * orders of magnitude below the TTL. Tunable for specs via
+    * -Dgraft.lock.lease.ttl.ms.
+    */
+  val DefaultLeaseTtlMs: Long = 180000L
+  val HeartbeatMs: Long = 15000L
+
+  def leaseTtlMs: Long =
+    java.lang.Long.getLong("graft.lock.lease.ttl.ms", DefaultLeaseTtlMs)
+
+  /** True iff the lock exists and its heartbeat is silent past `ttl`.
+    * A vanished lock or unreadable status reads as NOT expired —
+    * reclaim decisions stay conservative on anything unprovable.
+    */
+  def leaseExpired(fs: FileSystem, lock: Path, ttlMs: Long): Boolean =
+    try System.currentTimeMillis() -
+      fs.getFileStatus(lock).getModificationTime > ttlMs
+    catch { case _: java.io.IOException => false }
+
+  /** Refresh a held lock's heartbeat — but never a lock this holder
+    * no longer owns (a fenced-out holder's heart must not mask the
+    * NEW holder's own liveness signal).
+    */
+  def heartbeat(fs: FileSystem, lock: Path, stamp: String): Unit =
+    try {
+      if (holderInfo(fs, lock).contains(stamp))
+        fs.setTimes(lock, System.currentTimeMillis(), -1L)
+    } catch { case _: java.io.IOException => () }
+
+  /** Run `body` with a daemon heartbeat thread refreshing the held
+    * lock every [[HeartbeatMs]] (bounded by ttl/4 so shrunken spec
+    * TTLs stay live). The thread dies with the body, success or
+    * failure.
+    */
+  def withHeartbeat[T](fs: FileSystem, lock: Path, stamp: String)
+      (body: => T): T = {
+    val interval = math.max(50L, math.min(HeartbeatMs, leaseTtlMs / 4))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (!stop.get()) heartbeat(fs, lock, stamp)
+      }
+    }, s"graft-lock-heartbeat-${lock.getName}")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop.set(true); t.interrupt() }
+  }
+
   /** [[tryAcquire]], auto-reclaiming a crash-orphaned lock whose
-    * stamped holder [[holderProvablyDead]] proves dead. The reclaim
-    * is delete-then-retry: concurrent reclaimers are arbitrated by
-    * the retried exclusive create (exactly one wins), and the one
-    * hazard a delete-retry pair cannot close — this reclaim deleting
-    * a lock that a FRESH holder re-acquired between our read and our
-    * delete — is why every writer must [[Fence.verify]] before its
-    * tree-mutating writes. Returns true iff this caller now owns the
-    * lock under `info`.
+    * stamped holder [[holderProvablyDead]] proves dead (same host,
+    * vanished pid) OR whose heartbeat lease has expired (any host —
+    * see [[DefaultLeaseTtlMs]]). The reclaim is delete-then-retry:
+    * concurrent reclaimers are arbitrated by the retried exclusive
+    * create (exactly one wins), and the one hazard a delete-retry
+    * pair cannot close — this reclaim deleting a lock that a FRESH
+    * holder re-acquired between our read and our delete — is why
+    * every writer must [[Fence.verify]] before its tree-mutating
+    * writes. Returns true iff this caller now owns the lock under
+    * `info`.
     */
   def acquireOrReclaim(fs: FileSystem, lock: Path, info: String): Boolean =
     tryAcquire(fs, lock, info) || {
-      if (holderInfo(fs, lock).exists(holderProvablyDead)) {
+      if (holderInfo(fs, lock).exists(holderProvablyDead) ||
+          leaseExpired(fs, lock, leaseTtlMs)) {
         release(fs, lock)
         tryAcquire(fs, lock, info)
       } else false

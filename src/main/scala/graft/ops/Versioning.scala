@@ -160,10 +160,12 @@ object Versioning {
           "rollback and vacuum serialize; back off, or breakLock(dir) " +
           "if its holder crashed")
     }
-    // release-if-owned: a fenced-out mutator must not delete the
-    // usurper's lock on its way down
-    try body(FsLock.fence(fs, lock, stamp, s"Versioning.$op"))
-    finally FsLock.releaseOwned(fs, lock, stamp)
+    // heartbeat while the mutation runs (the cross-host lease, FsLock
+    // path 2); release-if-owned: a fenced-out mutator must not delete
+    // the usurper's lock on its way down
+    try FsLock.withHeartbeat(fs, lock, stamp) {
+      body(FsLock.fence(fs, lock, stamp, s"Versioning.$op"))
+    } finally FsLock.releaseOwned(fs, lock, stamp)
   }
 
   /** Publish `df` as the next version of the dataset at `dir` and

@@ -687,5 +687,30 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(FsLock.holderInfo(fs, lock).contains(live),
       "a live holder's lock must survive the refused acquire")
     AnnIndex.breakIndexLock(spark, idx)
+    // CROSS-HOST orphan (the pid is unprobeable from here — node loss
+    // with the restart rescheduled elsewhere): the heartbeat lease is
+    // the recovery path. Silent past the TTL ⇒ the mutation reclaims
+    // unaided; heartbeat-fresh ⇒ conservative refusal stands
+    assert(FsLock.tryAcquire(fs, lock,
+      s"op=appendToIvfIndex pid=12345 host=lost-node-17 token=x " +
+        "acquired=2024-01-01T00:00:00Z"))
+    fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
+    System.setProperty("graft.lock.lease.ttl.ms", "60000")
+    try {
+      assert(AnnIndex.appendToIvfIndex(spark, idx,
+        corpus(40).where(col("vec_id") >= 32),
+        "vec_id", "embedding", gen = 2L) == 8L)
+      assert(!fs.exists(lock))
+      assert(FsLock.tryAcquire(fs, lock,
+        s"op=compactIvfIndex pid=12345 host=lost-node-17 token=y " +
+          "acquired=2024-01-01T00:00:00Z")) // fresh mtime: lease live
+      val e2 = intercept[IllegalStateException] {
+        AnnIndex.compactIvfIndex(spark, idx)
+      }
+      assert(e2.getMessage.contains("another writer holds"))
+    } finally {
+      System.clearProperty("graft.lock.lease.ttl.ms")
+      AnnIndex.breakIndexLock(spark, idx)
+    }
   }
 }

@@ -114,6 +114,65 @@ class FsLockSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("not re-acquired"), e2.getMessage)
   }
 
+  test("heartbeat lease: a silent-past-TTL lock is reclaimable from ANY " +
+      "host, a heartbeating (or merely fresh) one is not, and the " +
+      "heartbeat never refreshes a lock the holder no longer owns") {
+    val lock = tmpLock()
+    // leaseExpired semantics: fresh -> live, backdated -> expired,
+    // vanished -> conservative not-expired
+    val foreign = stampWith(deadPid, host = "some-other-node")
+    assert(FsLock.tryAcquire(fs, lock, foreign))
+    assert(!FsLock.leaseExpired(fs, lock, ttlMs = 60000L))
+    fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
+    assert(FsLock.leaseExpired(fs, lock, ttlMs = 60000L))
+    FsLock.release(fs, lock)
+    assert(!FsLock.leaseExpired(fs, lock, ttlMs = 60000L), "vanished lock")
+    // cross-host orphan (pid unprobeable from here) + silent heartbeat
+    // -> acquireOrReclaim recovers unaided once the TTL has passed
+    assert(FsLock.tryAcquire(fs, lock, foreign))
+    fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
+    System.setProperty("graft.lock.lease.ttl.ms", "60000")
+    try {
+      val mine = FsLock.holderStamp("recovered")
+      assert(FsLock.acquireOrReclaim(fs, lock, mine),
+        "expired cross-host lease must be reclaimable")
+      assert(FsLock.holderInfo(fs, lock).contains(mine))
+      FsLock.release(fs, lock)
+      // fresh cross-host lock (heartbeat alive): conservative refusal
+      assert(FsLock.tryAcquire(fs, lock, foreign))
+      assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("x")))
+      FsLock.release(fs, lock)
+    } finally System.clearProperty("graft.lock.lease.ttl.ms")
+    // withHeartbeat keeps a held lock's lease live through a body
+    // longer than the TTL; the thread dies with the body
+    System.setProperty("graft.lock.lease.ttl.ms", "600")
+    try {
+      val mine = FsLock.holderStamp("beating")
+      assert(FsLock.tryAcquire(fs, lock, mine))
+      FsLock.withHeartbeat(fs, lock, mine) {
+        Thread.sleep(1200) // two TTLs: only heartbeats keep it live
+        assert(!FsLock.acquireOrReclaim(fs, lock,
+          FsLock.holderStamp("thief")),
+          "a heartbeating holder must not be lease-reclaimed")
+        assert(FsLock.holderInfo(fs, lock).contains(mine))
+      }
+      FsLock.release(fs, lock)
+    } finally System.clearProperty("graft.lock.lease.ttl.ms")
+    // a fenced-out holder's heartbeat must not mask the NEW holder's
+    // liveness: stamp mismatch -> mtime untouched
+    val usurper = FsLock.holderStamp("usurper")
+    assert(FsLock.tryAcquire(fs, lock, usurper))
+    val backdate = System.currentTimeMillis() - 120000L
+    fs.setTimes(lock, backdate, -1L)
+    FsLock.heartbeat(fs, lock, "not-my-stamp")
+    assert(fs.getFileStatus(lock).getModificationTime == backdate,
+      "heartbeat refreshed a lock it does not own")
+    FsLock.heartbeat(fs, lock, usurper)
+    assert(fs.getFileStatus(lock).getModificationTime > backdate,
+      "the owner's heartbeat must refresh")
+    FsLock.release(fs, lock)
+  }
+
   test("non-local FS: a stamp-write failure AFTER a successful exclusive " +
       "create deletes our own lock and rethrows — never reports it as " +
       "another writer's") {

@@ -146,20 +146,70 @@ object AnnIndex {
     * leaves the generation visibly uncovered and the replay (same gen)
     * rewrites both — the `tokenStreamSink` ordering discipline.
     */
+  /** Purge leftover staging dirs under `parent` whose name starts with
+    * `prefix` — dead or fenced-out writers leave their (hidden,
+    * reader-invisible) stages behind; the next writer of the same
+    * target clears them before staging its own.
+    */
+  private def purgeStages(spark: SparkSession, parent: String,
+      prefix: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(parent)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** STAGE → FENCE → RENAME: the tree-commit discipline that makes
+    * the write-time fence actually guard the commit instant. A
+    * distributed write can run minutes; fencing only at its START
+    * would leave a reclaimed-but-still-running writer (driver stall
+    * past the lease TTL, or a dead app's executors still flushing
+    * tasks) free to land files in the live tree. Instead every job
+    * writes into a dot-hidden, token-unique staging dir (invisible to
+    * every reader; a late job commit from a fenced-out twin lands in
+    * ITS OWN stage, never the tree), then the fence is re-verified
+    * and the stage RENAMED into place — two metadata ops, a
+    * milliseconds window, on the same atomic-rename filesystems the
+    * lock already requires. Crash anywhere before the rename leaves
+    * the target untouched; between delete and rename leaves the
+    * target absent (the "visibly uncovered, replay rewrites" state
+    * the generation contract already owns).
+    */
+  private def commitStaged(spark: SparkSession, fence: FsLock.Fence,
+      stage: String, target: String): Unit = {
+    val t = new org.apache.hadoop.fs.Path(target)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fence.verify()
+    if (fs.exists(t)) fs.delete(t, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stage), t))
+      throw new IllegalStateException(
+        s"commitStaged: rename $stage -> $target failed")
+  }
+
+  private def stageToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def writeGeneration(spark: SparkSession, dir: String, gen: Long,
       posted: DataFrame, fence: FsLock.Fence): Long = {
-    // fence before EACH tree write, not once per mutation: the
-    // postings job can run minutes at corpus scale, and the meta row
-    // is the reader-visible commit — both must be this holder's
+    // stage → fence → rename for BOTH tree writes ([[commitStaged]]);
+    // the meta row commits after the postings so a crash between the
+    // two leaves the generation visibly uncovered
+    purgeStages(spark, s"$dir/postings.parquet", s".stage_gen_${gen}_")
+    purgeStages(spark, s"$dir/_meta", s".stage_gen_${gen}_")
+    val token = stageToken()
+    val stagePost = s"$dir/postings.parquet/.stage_gen_${gen}_$token"
     fence.verify()
     val obs = org.apache.spark.sql.Observation()
     posted.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$dir/postings.parquet/gen=$gen")
+      .partitionBy("cell").parquet(stagePost)
     val n = obs.get("n").asInstanceOf[Long]
-    fence.verify()
+    commitStaged(spark, fence, stagePost, s"$dir/postings.parquet/gen=$gen")
+    val stageMeta = s"$dir/_meta/.stage_gen_${gen}_$token"
     spark.range(1).select(lit(n).as("n_vectors"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_meta/gen=$gen")
+      .write.mode(SaveMode.Overwrite).parquet(stageMeta)
+    commitStaged(spark, fence, stageMeta, s"$dir/_meta/gen=$gen")
     n
   }
 
@@ -189,6 +239,10 @@ object AnnIndex {
     require(cents.nonEmpty, "buildIvfIndex: no centroids")
     import scala.jdk.CollectionConverters._
     withWriterLock(spark, dir, "buildIvfIndex") { fence =>
+      // centroids ride the same stage → fence → rename commit as the
+      // generation writes: the quantizer swap is reader-visible
+      purgeStages(spark, dir, ".stage_centroids_")
+      val stageCents = s"$dir/.stage_centroids_${stageToken()}"
       fence.verify()
       spark.createDataFrame(
         cents.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
@@ -198,7 +252,8 @@ object AnnIndex {
           org.apache.spark.sql.types.StructField("centroid",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType), nullable = false))))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(stageCents)
+      commitStaged(spark, fence, stageCents, s"$dir/centroids.parquet")
       // a rebuild owns the WHOLE tree: per-generation overwrite below
       // only truncates gen=0, so stale higher generations must go first —
       // and stale tombstones with them (they belong to the replaced
@@ -315,13 +370,19 @@ object AnnIndex {
     require(del >= 1, s"delete batches start at 1 (got $del)")
     withWriterLock(spark, dir, "deleteFromIvfIndex") { fence =>
       require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
+      // stage → fence → rename, the writeGeneration discipline: a
+      // tombstone batch becomes reader-visible at the rename instant
+      purgeStages(spark, s"$dir/_deletes", s".stage_del_${del}_")
+      val stage = s"$dir/_deletes/.stage_del_${del}_${stageToken()}"
       fence.verify()
       val obs = org.apache.spark.sql.Observation()
       ids.select(col(idCol).as("vec_id")).where(col("vec_id").isNotNull)
         .distinct()
         .observe(obs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/_deletes/del=$del")
-      obs.get("n").asInstanceOf[Long]
+        .write.mode(SaveMode.Overwrite).parquet(stage)
+      val n = obs.get("n").asInstanceOf[Long]
+      commitStaged(spark, fence, stage, s"$dir/_deletes/del=$del")
+      n
     }
   }
 
@@ -481,9 +542,12 @@ object AnnIndex {
     // stale set is the UNION of both listings so orphaned meta gens
     // from an older crash are purged on replay rather than skewing
     // appendedFraction forever
-    fence.verify()
+    // fence per stale GEN, not once per loop (the vacuum discipline):
+    // a mid-loop wrong reclaim must not let this stale clear race the
+    // usurper's own view of the tree
     (gens ++ listMetaGenerations(spark, dir))
       .distinct.filterNot(_ == target).foreach { g =>
+        fence.verify()
         hadoopDelete(spark, s"$dir/_meta/gen=$g")
         hadoopDelete(spark, s"$dir/postings.parquet/gen=$g")
       }
@@ -493,6 +557,14 @@ object AnnIndex {
     // ids that no longer exist — a no-op either way, never a
     // resurrection
     hadoopDelete(spark, s"$dir/_deletes")
+    // maintenance owns layout: sweep stage leftovers from dead or
+    // fenced-out writers whose gen never replayed (reader-invisible
+    // but bytes; same-target writers purge their own prefix, this is
+    // the catch-all)
+    fence.verify()
+    purgeStages(spark, s"$dir/postings.parquet", ".stage_")
+    purgeStages(spark, s"$dir/_meta", ".stage_")
+    purgeStages(spark, dir, ".stage_")
     n
   }
 

@@ -44,16 +44,44 @@ private[graft] object FsLock {
   private def localHost: String =
     java.net.InetAddress.getLocalHost.getHostName
 
+  /** This process's pid-namespace identity (Linux: the /proc/self/
+    * ns/pid symlink target, e.g. "pid:[4026531836]"). Two containers
+    * on one node can report the SAME hostname while owning DISJOINT
+    * pid tables — a pid probe across namespaces proves nothing, so
+    * the stamp carries the namespace and [[holderProvablyDead]]
+    * refuses to probe across a mismatch. None on non-Linux ⇒ pid
+    * probing disabled there (the lease path still recovers).
+    */
+  def localPidNamespace: Option[String] =
+    try Some(java.nio.file.Files.readSymbolicLink(
+      java.nio.file.Paths.get("/proc/self/ns/pid")).toString)
+    catch { case _: Exception => None }
+
+  /** This process's start time in epoch millis — the recycled-pid
+    * detector: a probe that finds the pid ALIVE but with a different
+    * start instant is looking at a new process wearing a dead
+    * holder's pid, which is a proof of death, not of life.
+    */
+  private def startMillisOf(h: ProcessHandle): Option[Long] = {
+    val o = h.info().startInstant()
+    if (o.isPresent) Some(o.get.toEpochMilli) else None
+  }
+
   /** Holder identity stamped INTO the lock file at acquisition — what
     * the operator deciding whether to break a lock reads to find (and
-    * confirm dead) its holder, what [[holderProvablyDead]] probes,
-    * and (via the per-acquisition token) what [[Fence.verify]]
-    * compares. Empty lock files gave them nothing.
+    * confirm dead) its holder, what [[holderProvablyDead]] probes
+    * (pid + host + pid-namespace + process start time), and (via the
+    * per-acquisition token) what [[Fence.verify]] compares. Empty
+    * lock files gave them nothing.
     */
-  def holderStamp(op: String): String =
-    s"op=$op pid=${ProcessHandle.current().pid()} host=$localHost " +
+  def holderStamp(op: String): String = {
+    val self = ProcessHandle.current()
+    s"op=$op pid=${self.pid()} host=$localHost " +
+      localPidNamespace.map(n => s"pidns=$n ").getOrElse("") +
+      startMillisOf(self).map(s => s"start=$s ").getOrElse("") +
       s"token=${java.util.UUID.randomUUID()} " +
       s"acquired=${java.time.Instant.now()}"
+  }
 
   /** Try to acquire `lock` via exclusive create, stamping `info` into
     * the file. Returns true iff this caller created the file (and
@@ -103,28 +131,43 @@ private[graft] object FsLock {
       }
     }
 
-  /** The holder line of a held lock, for the lock-held error message.
-    * None if the lock vanished (holder released between the failed
-    * acquire and this read) or predates holder stamping.
+  /** The holder line of a held lock — the comparator for
+    * [[Fence.verify]], [[releaseOwned]] and [[heartbeat]], so the
+    * read must be COMPLETE: a single short read (legal for any
+    * FSDataInputStream) truncating the stamp would make a holder's
+    * own lock compare foreign. Reads to EOF (stamps are ~200 bytes;
+    * the buffer bounds a corrupt file). None if the lock vanished
+    * (holder released between the failed acquire and this read) or
+    * predates holder stamping.
     */
   def holderInfo(fs: FileSystem, lock: Path): Option[String] =
     try {
       val in = fs.open(lock)
       try {
         val bytes = new Array[Byte](4096)
-        val n = in.read(bytes)
-        if (n <= 0) None
-        else Some(new String(bytes, 0, n,
+        var off = 0
+        var n = 0
+        while (off < bytes.length && n >= 0) {
+          n = in.read(bytes, off, bytes.length - off)
+          if (n > 0) off += n
+        }
+        if (off == 0) None
+        else Some(new String(bytes, 0, off,
           java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** True iff the stamped holder is PROVABLY dead from here: its
-    * stamped host is this host and no process with its pid exists.
-    * Conservative everywhere else — a foreign host (can't probe), a
-    * stamp without pid/host (predates stamping), or a live pid (even
-    * a recycled one — indistinguishable from the holder) all read as
-    * "not provably dead", leaving the decision to the operator.
+  /** True iff the stamped holder is PROVABLY dead from here. Probing
+    * is only meaningful inside the holder's own pid table, so it
+    * requires stamped host == this host AND stamped pid-namespace ==
+    * this namespace (two containers on one node can share a hostname
+    * while owning disjoint pid tables — the probe must refuse that
+    * case, not mis-prove it). Inside the namespace: pid absent ⇒
+    * dead; pid ALIVE but with a different process start time ⇒ a NEW
+    * process recycled the dead holder's pid ⇒ dead; pid alive with
+    * the stamped start (or no start to compare) ⇒ alive. Conservative
+    * everywhere else — foreign host, namespace mismatch or absence,
+    * stampless lock — leaving recovery to the lease or the operator.
     */
   def holderProvablyDead(info: String): Boolean = {
     val fields = info.split("\\s+").iterator.flatMap { f =>
@@ -133,13 +176,25 @@ private[graft] object FsLock {
         case _ => None
       }
     }.toMap
-    (fields.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption),
-        fields.get("host")) match {
-      case (Some(pid), Some(host)) if host == localHost =>
-        val h = ProcessHandle.of(pid)
-        !(h.isPresent && h.get.isAlive)
+    val sameNs = (fields.get("pidns"), localPidNamespace) match {
+      case (Some(a), Some(b)) => a == b
+      // a namespaceless stamp (non-Linux writer) probed from a
+      // namespaceless prober: one pid table by construction
+      case (None, None) => true
       case _ => false
     }
+    val sameTable = fields.get("host").contains(localHost) && sameNs
+    if (!sameTable) false
+    else fields.get("pid").flatMap(p => scala.util.Try(p.toLong).toOption)
+      .exists { pid =>
+        val h = ProcessHandle.of(pid)
+        if (!h.isPresent || !h.get.isAlive) true
+        else (fields.get("start").flatMap(s =>
+            scala.util.Try(s.toLong).toOption), startMillisOf(h.get)) match {
+          case (Some(stamped), Some(actual)) => stamped != actual
+          case _ => false
+        }
+      }
   }
 
   /** Lease TTL: a held lock whose heartbeat (mtime refresh, below)
@@ -239,23 +294,39 @@ private[graft] object FsLock {
     fs.delete(lock, false)
 
   /** Write-time fencing: proof this holder STILL owns the lock,
-    * checked immediately before each tree-mutating write. Catches
-    * both wrong-break cases (an operator's `break*` against a live
-    * holder; [[acquireOrReclaim]]'s delete racing a fresh acquire) —
-    * the fenced-out writer throws BEFORE touching the tree, so the
-    * single-writer invariant holds even when the lock protocol was
-    * violated around it. The residual read-to-write window is
-    * milliseconds (one lock-file read), not the job's whole runtime.
+    * checked immediately before each tree COMMIT. Catches every
+    * wrong-break case (an operator's `break*` against a live holder;
+    * [[acquireOrReclaim]]'s delete racing a fresh acquire; a lease
+    * expiring under a stalled-but-alive holder) — the fenced-out
+    * writer throws BEFORE touching the tree, so the single-writer
+    * invariant holds even when the lock protocol was violated around
+    * it. What makes the check meaningful for DISTRIBUTED writes is
+    * the stage→fence→rename commit discipline (AnnIndex.commitStaged,
+    * Versioning.publish): the minutes-long job lands in a dot-hidden
+    * stage dir that no reader and no successor writer shares (a
+    * fenced-out twin's late job commit lands in its OWN stage), and
+    * only the fence-guarded RENAME — a metadata op, milliseconds —
+    * touches the live tree.
     */
   final class Fence private[ops] (fs: FileSystem, lock: Path,
       stamp: String, what: String) {
     def verify(): Unit = {
+      // one short retry before aborting: fencing is a correctness
+      // primitive now, and a single transient read hiccup (the
+      // holderInfo IOException→None path) must not kill an hours-long
+      // mutation that still owns its lock — a REAL break stays broken
+      // across both reads
       val cur = holderInfo(fs, lock)
-      if (!cur.contains(stamp)) throw new IllegalStateException(
-        s"$what: fenced out — this writer's lock was broken and " +
-          s"${cur.map(h => s"re-acquired by [$h]").getOrElse("not re-acquired")}" +
-          "; aborting before the tree-mutating write (was the holder " +
-          "broken while still alive?)")
+      if (!cur.contains(stamp)) {
+        Thread.sleep(100L)
+        val again = holderInfo(fs, lock)
+        if (!again.contains(stamp)) throw new IllegalStateException(
+          s"$what: fenced out — this writer's lock was broken and " +
+            s"${again.map(h => s"re-acquired by [$h]")
+              .getOrElse("not re-acquired")}" +
+            "; aborting before the tree-mutating write (was the holder " +
+            "broken while still alive?)")
+      }
     }
   }
 

@@ -195,12 +195,29 @@ object Versioning {
     // check-then-create TOCTOU), server-side exclusive create on HDFS
     withDatasetLock(df.sparkSession, dir, "publish") { fence =>
       val spark = df.sparkSession
+      val (fs, _) = fsOf(spark, dir)
       val next = currentVersion(spark, dir).getOrElse(0L) + 1L
-      // fence before the tree write AND before the pointer swap — the
-      // version write can run minutes at corpus scale, and the swap
-      // is the reader-visible commit
+      // STAGE → FENCE → RENAME (the AnnIndex.commitStaged discipline):
+      // the version write can run minutes at corpus scale, and a
+      // publisher stalled past the lease TTL and reclaimed must find
+      // its late job commit landed in its own dot-hidden stage — never
+      // the v=N tree a successor may already own. The fence guards the
+      // millisecond rename, and the pointer swap stays last, so the
+      // only crash-visible states remain "old version current" and
+      // "new version current and complete".
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.startsWith(".stage_v_"))
+        .foreach(s => fs.delete(s.getPath, true))
+      val stage = s"$dir/.stage_v_${next}_" +
+        java.util.UUID.randomUUID().toString.take(8)
       fence.verify()
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$next")
+      df.write.mode(SaveMode.Overwrite).parquet(stage)
+      fence.verify()
+      val target = new org.apache.hadoop.fs.Path(s"$dir/v=$next")
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(stage), target))
+        throw new IllegalStateException(
+          s"publish: rename $stage -> $target failed")
       fence.verify()
       swapPointer(spark, dir, next)
       next
@@ -256,8 +273,11 @@ object Versioning {
         .partition(v => cur.exists(v > _))
       val doomed = (disavowed ++ legit.dropRight(keep))
         .filterNot(cur.contains).sorted
-      fence.verify()
+      // fence per DELETE, not once per loop: a mid-loop wrong reclaim
+      // followed by the usurper's rollback could otherwise point
+      // readers at a version this stale loop is about to destroy
       doomed.foreach { v =>
+        fence.verify()
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
       }
       doomed

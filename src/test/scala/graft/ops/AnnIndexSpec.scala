@@ -662,12 +662,9 @@ class AnnIndexSpec extends SparkSpecBase {
     val lock = new org.apache.hadoop.fs.Path(s"$idx/_writer_lock")
     // the kill -9 shape: a writer died without its finally — its lock
     // sits there stamped with a pid that no longer exists on this host
-    val deadPid = Iterator.iterate(600000L)(_ + 1)
-      .find(p => ProcessHandle.of(p).isEmpty).get
-    val host = java.net.InetAddress.getLocalHost.getHostName
     assert(FsLock.tryAcquire(fs, lock,
-      s"op=appendToIvfIndex pid=$deadPid host=$host token=dead " +
-        "acquired=2024-01-01T00:00:00Z"))
+      LockTestSupport.plantedStamp("appendToIvfIndex",
+        LockTestSupport.deadPid)))
     // no breakIndexLock: the mutation itself proves the holder dead,
     // reclaims, runs, and releases
     assert(AnnIndex.appendToIvfIndex(spark, idx,
@@ -692,8 +689,8 @@ class AnnIndexSpec extends SparkSpecBase {
     // the recovery path. Silent past the TTL ⇒ the mutation reclaims
     // unaided; heartbeat-fresh ⇒ conservative refusal stands
     assert(FsLock.tryAcquire(fs, lock,
-      s"op=appendToIvfIndex pid=12345 host=lost-node-17 token=x " +
-        "acquired=2024-01-01T00:00:00Z"))
+      LockTestSupport.plantedStamp("appendToIvfIndex", 12345L,
+        host = "lost-node-17")))
     fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
     System.setProperty("graft.lock.lease.ttl.ms", "60000")
     try {
@@ -702,8 +699,8 @@ class AnnIndexSpec extends SparkSpecBase {
         "vec_id", "embedding", gen = 2L) == 8L)
       assert(!fs.exists(lock))
       assert(FsLock.tryAcquire(fs, lock,
-        s"op=compactIvfIndex pid=12345 host=lost-node-17 token=y " +
-          "acquired=2024-01-01T00:00:00Z")) // fresh mtime: lease live
+        LockTestSupport.plantedStamp("compactIvfIndex", 12345L,
+          host = "lost-node-17"))) // fresh mtime: lease live
       val e2 = intercept[IllegalStateException] {
         AnnIndex.compactIvfIndex(spark, idx)
       }
@@ -712,5 +709,67 @@ class AnnIndexSpec extends SparkSpecBase {
       System.clearProperty("graft.lock.lease.ttl.ms")
       AnnIndex.breakIndexLock(spark, idx)
     }
+  }
+
+  test("stage -> fence -> rename: a writer whose lock is usurped WHILE " +
+      "its distributed write runs aborts at the commit instant — the " +
+      "tree is untouched, its completed stage never renamed, and the " +
+      "usurper's lock survives") {
+    val dir = Files.createTempDirectory("graft_annfence").toString
+    val idx = s"$dir/ivf"
+    AnnIndex.buildIvfIndex(corpus(24), "vec_id", "embedding", idx, nCells = 3)
+    val before = spark.read.parquet(s"$idx/postings.parquet")
+      .orderBy("vec_id").collect().toSeq
+    val lockPath = s"$idx/_writer_lock"
+    val usurper = LockTestSupport.plantedStamp("usurper", 424242L)
+    // the wrong-break-mid-job shape, deterministically: a
+    // nondeterministic UDF inside the APPEND's own write job breaks
+    // the writer's lock and installs a usurper while the stage write
+    // is still running (exactly what a TTL reclaim under a stalled
+    // driver does); executed on the executors (same JVM, local mode)
+    val breakAndUsurp = org.apache.spark.sql.functions.udf { (id: Long) =>
+      val lp = java.nio.file.Paths.get(lockPath)
+      val cur = try new String(java.nio.file.Files.readAllBytes(lp), "UTF-8")
+        catch { case _: Exception => "" }
+      if (!cur.startsWith("op=usurper")) {
+        try {
+          java.nio.file.Files.deleteIfExists(lp)
+          java.nio.file.Files.write(lp, usurper.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        } catch { case _: Exception => () } // a sibling task won the race
+      }
+      id
+    }.asNondeterministic()
+    val delta = corpus(32).where(col("vec_id") >= 24)
+      .where(breakAndUsurp(col("vec_id")) >= 0L)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.appendToIvfIndex(spark, idx, delta,
+        "vec_id", "embedding", gen = 1L)
+    }
+    assert(e.getMessage.contains("fenced out"), e.getMessage)
+    // the commit never happened: no gen=1 postings or meta, the tree
+    // reads exactly as before, and the completed stage stayed hidden
+    assert(AnnIndex.listGenerations(spark, idx) == Seq(0L))
+    assert(spark.read.parquet(s"$idx/postings.parquet")
+      .orderBy("vec_id").collect().toSeq == before,
+      "a fenced-out writer's rows leaked into the live tree")
+    // the fenced-out writer's finally must NOT have deleted the
+    // usurper's lock (releaseOwned)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(FsLock.holderInfo(fs,
+      new org.apache.hadoop.fs.Path(lockPath)).contains(usurper),
+      "the usurper's lock must survive the fenced-out writer's exit")
+    // recovery: break the (planted, dead) usurper and the same append
+    // replays cleanly; the leftover stage is purged by its replayer
+    AnnIndex.breakIndexLock(spark, idx)
+    assert(AnnIndex.appendToIvfIndex(spark, idx,
+      corpus(32).where(col("vec_id") >= 24),
+      "vec_id", "embedding", gen = 1L) == 8L)
+    assert(AnnIndex.listGenerations(spark, idx) == Seq(0L, 1L))
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$idx/postings.parquet"))
+      .exists(_.getPath.getName.startsWith(".stage_")),
+      "the replayer must purge its predecessor's stage leftovers")
   }
 }

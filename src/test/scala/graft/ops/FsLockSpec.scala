@@ -21,20 +21,15 @@ class FsLockSpec extends SparkSpecBase {
   private def tmpLock(): Path =
     new Path(Files.createTempDirectory("graft_fslock").toString, "_lock")
 
-  private def localHost = java.net.InetAddress.getLocalHost.getHostName
-
-  /** A pid that provably belongs to no process on this host. */
-  private def deadPid: Long =
-    Iterator.iterate(600000L)(_ + 1)
-      .find(p => ProcessHandle.of(p).isEmpty).get
-
+  private def localHost = LockTestSupport.localHost
+  private def deadPid = LockTestSupport.deadPid
   private def stampWith(pid: Long, host: String = localHost): String =
-    s"op=test pid=$pid host=$host token=fixed " +
-      "acquired=2024-01-01T00:00:00Z"
+    LockTestSupport.plantedStamp("test", pid, host)
 
-  test("holderProvablyDead: only a same-host stamp with a vanished pid " +
-      "proves death — live pid, foreign host, and unparseable stamps " +
-      "all stay conservative") {
+  test("holderProvablyDead: only a same-host same-pid-namespace stamp " +
+      "with a vanished (or recycled) pid proves death — live pid, " +
+      "foreign host, foreign namespace, and unparseable stamps all " +
+      "stay conservative") {
     assert(FsLock.holderProvablyDead(stampWith(deadPid)))
     assert(!FsLock.holderProvablyDead(
       stampWith(ProcessHandle.current().pid())), "own (live) pid")
@@ -46,6 +41,40 @@ class FsLockSpec extends SparkSpecBase {
     // the real stamp carries everything the probe needs about ITSELF
     assert(!FsLock.holderProvablyDead(FsLock.holderStamp("x")),
       "a live holder's own stamp must never read as dead")
+    // SAME HOSTNAME, DIFFERENT pid table (two containers reporting the
+    // node's hostname): the probe must refuse, not mis-prove — a dead
+    // pid in OUR namespace says nothing about theirs
+    if (FsLock.localPidNamespace.isDefined) {
+      val foreignNs =
+        s"op=x pid=$deadPid host=$localHost pidns=pid:[999999] " +
+          "token=t acquired=2024-01-01T00:00:00Z"
+      assert(!FsLock.holderProvablyDead(foreignNs),
+        "pid-namespace mismatch must refuse the probe")
+      val noNs = s"op=x pid=$deadPid host=$localHost token=t " +
+        "acquired=2024-01-01T00:00:00Z"
+      assert(!FsLock.holderProvablyDead(noNs),
+        "a namespaceless stamp probed from a namespaced host is " +
+          "unprovable")
+    }
+    // RECYCLED pid: alive, but with a different start instant than the
+    // stamp recorded ⇒ a new process wearing a dead holder's pid ⇒
+    // provably dead (the start-time check is what makes pid reuse safe)
+    val self = ProcessHandle.current()
+    val start = self.info().startInstant()
+    if (start.isPresent) {
+      val ns = FsLock.localPidNamespace.map(n => s"pidns=$n ").getOrElse("")
+      val recycled =
+        s"op=x pid=${self.pid()} host=$localHost ${ns}start=12345 " +
+          "token=t acquired=2024-01-01T00:00:00Z"
+      assert(FsLock.holderProvablyDead(recycled),
+        "live pid with a mismatched start instant is a recycled pid")
+      val genuine =
+        s"op=x pid=${self.pid()} host=$localHost $ns" +
+          s"start=${start.get.toEpochMilli} token=t " +
+          "acquired=2024-01-01T00:00:00Z"
+      assert(!FsLock.holderProvablyDead(genuine),
+        "live pid with the stamped start instant is the holder")
+    }
   }
 
   test("acquireOrReclaim: reclaims a dead-pid orphan unaided, refuses a " +

@@ -165,12 +165,9 @@ class VersioningSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_pub5").toString
     Versioning.publish(vOld, s"$dir/ds")
     val lock = java.nio.file.Paths.get(s"$dir/ds/_publish_lock")
-    val deadPid = Iterator.iterate(600000L)(_ + 1)
-      .find(p => ProcessHandle.of(p).isEmpty).get
-    val host = java.net.InetAddress.getLocalHost.getHostName
     java.nio.file.Files.write(lock,
-      (s"op=publish pid=$deadPid host=$host token=dead " +
-        "acquired=2024-01-01T00:00:00Z").getBytes("UTF-8"),
+      LockTestSupport.plantedStamp("publish", LockTestSupport.deadPid)
+        .getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     // no breakLock: publish itself proves the holder dead and reclaims
     assert(Versioning.publish(vNew, s"$dir/ds") == 2L)

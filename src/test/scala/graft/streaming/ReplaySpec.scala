@@ -390,9 +390,6 @@ class ReplaySpec extends SparkSpecBase {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/killed/_writer_lock")
-    val deadPid = Iterator.iterate(600000L)(_ + 1)
-      .find(p => ProcessHandle.of(p).isEmpty).get
-    val host = java.net.InetAddress.getLocalHost.getHostName
     // afterKill reconstructs the ONE artifact a kill -9 leaves that a
     // graceful stop() does not: the writer's lock, stamped with a pid
     // that died with it. Phase B's first appendToIvfIndex must prove
@@ -400,8 +397,8 @@ class ReplaySpec extends SparkSpecBase {
     val r = Replay.indexIngestRestartReplay(spark, deltas,
       s"$dir/killed", stopAfter = 2,
       afterKill = () => assert(FsLock.tryAcquire(fs, lock,
-        s"op=appendToIvfIndex pid=$deadPid host=$host token=dead " +
-          "acquired=2024-01-01T00:00:00Z")))
+        graft.ops.LockTestSupport.plantedStamp("appendToIvfIndex",
+          graft.ops.LockTestSupport.deadPid))))
     val twin = Replay.indexIngestRestartReplay(spark, deltas,
       s"$dir/twin", stopAfter = 0)
     assert(r.rowsPhaseA == 16L && r.rowsPhaseB == 16L,

@@ -146,70 +146,37 @@ object AnnIndex {
     * leaves the generation visibly uncovered and the replay (same gen)
     * rewrites both — the `tokenStreamSink` ordering discipline.
     */
-  /** Purge leftover staging dirs under `parent` whose name starts with
-    * `prefix` — dead or fenced-out writers leave their (hidden,
-    * reader-invisible) stages behind; the next writer of the same
-    * target clears them before staging its own.
-    */
-  private def purgeStages(spark: SparkSession, parent: String,
-      prefix: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(parent)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      fs.listStatus(p).filter(_.getPath.getName.startsWith(prefix))
-        .foreach(s => fs.delete(s.getPath, true))
-  }
-
-  /** STAGE → FENCE → RENAME: the tree-commit discipline that makes
-    * the write-time fence actually guard the commit instant. A
-    * distributed write can run minutes; fencing only at its START
-    * would leave a reclaimed-but-still-running writer (driver stall
-    * past the lease TTL, or a dead app's executors still flushing
-    * tasks) free to land files in the live tree. Instead every job
-    * writes into a dot-hidden, token-unique staging dir (invisible to
-    * every reader; a late job commit from a fenced-out twin lands in
-    * ITS OWN stage, never the tree), then the fence is re-verified
-    * and the stage RENAMED into place — two metadata ops, a
-    * milliseconds window, on the same atomic-rename filesystems the
-    * lock already requires. Crash anywhere before the rename leaves
-    * the target untouched; between delete and rename leaves the
-    * target absent (the "visibly uncovered, replay rewrites" state
-    * the generation contract already owns).
-    */
-  private def commitStaged(spark: SparkSession, fence: FsLock.Fence,
-      stage: String, target: String): Unit = {
-    val t = new org.apache.hadoop.fs.Path(target)
-    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fence.verify()
-    if (fs.exists(t)) fs.delete(t, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(stage), t))
-      throw new IllegalStateException(
-        s"commitStaged: rename $stage -> $target failed")
-  }
-
-  private def stageToken(): String =
-    java.util.UUID.randomUUID().toString.take(8)
+  private def fsFor(spark: SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeGeneration(spark: SparkSession, dir: String, gen: Long,
       posted: DataFrame, fence: FsLock.Fence): Long = {
-    // stage → fence → rename for BOTH tree writes ([[commitStaged]]);
+    // stage → fence → rename for BOTH tree writes ([[StagedCommit]]);
     // the meta row commits after the postings so a crash between the
-    // two leaves the generation visibly uncovered
-    purgeStages(spark, s"$dir/postings.parquet", s".stage_gen_${gen}_")
-    purgeStages(spark, s"$dir/_meta", s".stage_gen_${gen}_")
-    val token = stageToken()
+    // two leaves the generation visibly uncovered. Purges are
+    // fence-guarded INSIDE StagedCommit — a fenced-out zombie
+    // resuming here must throw before it can delete the live
+    // holder's in-flight stage
+    val fs = fsFor(spark, dir)
+    StagedCommit.purgeStages(fs, s"$dir/postings.parquet",
+      s".stage_gen_${gen}_", fence)
+    StagedCommit.purgeStages(fs, s"$dir/_meta",
+      s".stage_gen_${gen}_", fence)
+    val token = StagedCommit.stageToken()
     val stagePost = s"$dir/postings.parquet/.stage_gen_${gen}_$token"
-    fence.verify()
     val obs = org.apache.spark.sql.Observation()
     posted.observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell").parquet(stagePost)
     val n = obs.get("n").asInstanceOf[Long]
-    commitStaged(spark, fence, stagePost, s"$dir/postings.parquet/gen=$gen")
+    StagedCommit.commitStaged(fs, fence, stagePost,
+      s"$dir/postings.parquet/gen=$gen")
     val stageMeta = s"$dir/_meta/.stage_gen_${gen}_$token"
     spark.range(1).select(lit(n).as("n_vectors"))
       .write.mode(SaveMode.Overwrite).parquet(stageMeta)
-    commitStaged(spark, fence, stageMeta, s"$dir/_meta/gen=$gen")
+    StagedCommit.commitStaged(fs, fence, stageMeta, s"$dir/_meta/gen=$gen")
     n
   }
 
@@ -239,11 +206,22 @@ object AnnIndex {
     require(cents.nonEmpty, "buildIvfIndex: no centroids")
     import scala.jdk.CollectionConverters._
     withWriterLock(spark, dir, "buildIvfIndex") { fence =>
-      // centroids ride the same stage → fence → rename commit as the
-      // generation writes: the quantizer swap is reader-visible
-      purgeStages(spark, dir, ".stage_centroids_")
-      val stageCents = s"$dir/.stage_centroids_${stageToken()}"
-      fence.verify()
+      // A rebuild swaps TWO reader-visible artifacts that must agree
+      // (the quantizer and the postings assigned under it), and
+      // readers take no lock — so BOTH are fully staged before the
+      // tree is touched, then swapped in a few metadata ops. That
+      // shrinks the torn quantizer/postings window from the gen-0
+      // job's whole runtime to milliseconds. It cannot be zero with
+      // two artifacts and lock-free readers: an IN-PLACE rebuild is
+      // not reader-transparent (a reader straddling the swap, or a
+      // crash inside it, can observe new centroids over old postings
+      // until the rebuild replays) — zero-downtime serving should
+      // build into a FRESH directory and move readers with a
+      // Versioning pointer swap instead.
+      val fs = fsFor(spark, dir)
+      StagedCommit.purgeStages(fs, dir, ".stage_", fence)
+      val token = StagedCommit.stageToken()
+      val stageCents = s"$dir/.stage_centroids_$token"
       spark.createDataFrame(
         cents.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
         org.apache.spark.sql.types.StructType(Seq(
@@ -253,16 +231,31 @@ object AnnIndex {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType), nullable = false))))
         .write.mode(SaveMode.Overwrite).parquet(stageCents)
-      commitStaged(spark, fence, stageCents, s"$dir/centroids.parquet")
-      // a rebuild owns the WHOLE tree: per-generation overwrite below
-      // only truncates gen=0, so stale higher generations must go first —
-      // and stale tombstones with them (they belong to the replaced
-      // corpus; carrying them over would silently delete from the new one)
+      val stagePost = s"$dir/.stage_build_postings_$token"
+      val obs = org.apache.spark.sql.Observation()
+      postedFrame(corpus, idCol, vecCol, cents)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(stagePost)
+      val n = obs.get("n").asInstanceOf[Long]
+      val stageMeta = s"$dir/.stage_build_meta_$token"
+      spark.range(1).select(lit(n).as("n_vectors"))
+        .write.mode(SaveMode.Overwrite).parquet(stageMeta)
+      // the swap: a rebuild owns the WHOLE tree — stale higher
+      // generations go first (per-generation rename below would only
+      // replace gen=0), and stale tombstones with them (they belong
+      // to the replaced corpus; carrying them over would silently
+      // delete from the new one). Fence opens the swap; each rename
+      // re-fences (StagedCommit).
+      fence.verify()
       hadoopDelete(spark, s"$dir/postings.parquet")
       hadoopDelete(spark, s"$dir/_meta")
       hadoopDelete(spark, s"$dir/_deletes")
-      writeGeneration(spark, dir, 0L,
-        postedFrame(corpus, idCol, vecCol, cents), fence)
+      StagedCommit.commitStaged(fs, fence, stageCents,
+        s"$dir/centroids.parquet")
+      StagedCommit.commitStaged(fs, fence, stagePost,
+        s"$dir/postings.parquet/gen=0")
+      StagedCommit.commitStaged(fs, fence, stageMeta, s"$dir/_meta/gen=0")
+      n
     }
     cents
   }
@@ -372,16 +365,18 @@ object AnnIndex {
       require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
       // stage → fence → rename, the writeGeneration discipline: a
       // tombstone batch becomes reader-visible at the rename instant
-      purgeStages(spark, s"$dir/_deletes", s".stage_del_${del}_")
-      val stage = s"$dir/_deletes/.stage_del_${del}_${stageToken()}"
-      fence.verify()
+      val fs = fsFor(spark, dir)
+      StagedCommit.purgeStages(fs, s"$dir/_deletes",
+        s".stage_del_${del}_", fence)
+      val stage = s"$dir/_deletes/.stage_del_${del}_" +
+        StagedCommit.stageToken()
       val obs = org.apache.spark.sql.Observation()
       ids.select(col(idCol).as("vec_id")).where(col("vec_id").isNotNull)
         .distinct()
         .observe(obs, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(stage)
       val n = obs.get("n").asInstanceOf[Long]
-      commitStaged(spark, fence, stage, s"$dir/_deletes/del=$del")
+      StagedCommit.commitStaged(fs, fence, stage, s"$dir/_deletes/del=$del")
       n
     }
   }
@@ -560,11 +555,12 @@ object AnnIndex {
     // maintenance owns layout: sweep stage leftovers from dead or
     // fenced-out writers whose gen never replayed (reader-invisible
     // but bytes; same-target writers purge their own prefix, this is
-    // the catch-all)
-    fence.verify()
-    purgeStages(spark, s"$dir/postings.parquet", ".stage_")
-    purgeStages(spark, s"$dir/_meta", ".stage_")
-    purgeStages(spark, dir, ".stage_")
+    // the catch-all). Each purge fences internally.
+    val sweepFs = fsFor(spark, dir)
+    StagedCommit.purgeStages(sweepFs, s"$dir/postings.parquet",
+      ".stage_", fence)
+    StagedCommit.purgeStages(sweepFs, s"$dir/_meta", ".stage_", fence)
+    StagedCommit.purgeStages(sweepFs, dir, ".stage_", fence)
     n
   }
 

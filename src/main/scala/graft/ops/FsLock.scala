@@ -168,6 +168,10 @@ private[graft] object FsLock {
     * the stamped start (or no start to compare) ⇒ alive. Conservative
     * everywhere else — foreign host, namespace mismatch or absence,
     * stampless lock — leaving recovery to the lease or the operator.
+    * Upgrade note: a stamp written WITHOUT a pidns field (an older
+    * binary) probed from a namespaced (Linux) host falls into the
+    * conservative arm — during a rolling upgrade such orphans recover
+    * through the lease TTL rather than the instant pid probe.
     */
   def holderProvablyDead(info: String): Boolean = {
     val fields = info.split("\\s+").iterator.flatMap { f =>
@@ -249,7 +253,14 @@ private[graft] object FsLock {
       while (!stop.get()) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }
-        if (!stop.get()) heartbeat(fs, lock, stamp)
+        // NOTHING may kill this loop while the body runs: a dead
+        // heart under a healthy hours-long mutation is exactly the
+        // wrong-reclaim the lease must not manufacture (heartbeat
+        // itself swallows IOException; this catches everything else,
+        // e.g. an FS that rejects setTimes)
+        if (!stop.get())
+          try heartbeat(fs, lock, stamp)
+          catch { case _: Throwable => () }
       }
     }, s"graft-lock-heartbeat-${lock.getName}")
     t.setDaemon(true)

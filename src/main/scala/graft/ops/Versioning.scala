@@ -197,27 +197,19 @@ object Versioning {
       val spark = df.sparkSession
       val (fs, _) = fsOf(spark, dir)
       val next = currentVersion(spark, dir).getOrElse(0L) + 1L
-      // STAGE → FENCE → RENAME (the AnnIndex.commitStaged discipline):
-      // the version write can run minutes at corpus scale, and a
-      // publisher stalled past the lease TTL and reclaimed must find
-      // its late job commit landed in its own dot-hidden stage — never
-      // the v=N tree a successor may already own. The fence guards the
-      // millisecond rename, and the pointer swap stays last, so the
-      // only crash-visible states remain "old version current" and
-      // "new version current and complete".
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(_.getPath.getName.startsWith(".stage_v_"))
-        .foreach(s => fs.delete(s.getPath, true))
-      val stage = s"$dir/.stage_v_${next}_" +
-        java.util.UUID.randomUUID().toString.take(8)
-      fence.verify()
+      // STAGE → FENCE → RENAME ([[StagedCommit]] — one implementation
+      // shared with the index writers): the version write can run
+      // minutes at corpus scale, and a publisher stalled past the
+      // lease TTL and reclaimed must find its late job commit landed
+      // in its own dot-hidden stage — never the v=N tree a successor
+      // may already own. The fence guards the millisecond rename, and
+      // the pointer swap stays last, so the only crash-visible states
+      // remain "old version current" and "new version current and
+      // complete".
+      StagedCommit.purgeStages(fs, dir, s".stage_v_${next}_", fence)
+      val stage = s"$dir/.stage_v_${next}_${StagedCommit.stageToken()}"
       df.write.mode(SaveMode.Overwrite).parquet(stage)
-      fence.verify()
-      val target = new org.apache.hadoop.fs.Path(s"$dir/v=$next")
-      if (fs.exists(target)) fs.delete(target, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(stage), target))
-        throw new IllegalStateException(
-          s"publish: rename $stage -> $target failed")
+      StagedCommit.commitStaged(fs, fence, stage, s"$dir/v=$next")
       fence.verify()
       swapPointer(spark, dir, next)
       next

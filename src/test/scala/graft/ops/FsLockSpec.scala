@@ -173,13 +173,15 @@ class FsLockSpec extends SparkSpecBase {
       FsLock.release(fs, lock)
     } finally System.clearProperty("graft.lock.lease.ttl.ms")
     // withHeartbeat keeps a held lock's lease live through a body
-    // longer than the TTL; the thread dies with the body
-    System.setProperty("graft.lock.lease.ttl.ms", "600")
+    // longer than the TTL; the thread dies with the body. TTL:beat is
+    // 4:1 (ttl/4 bound), so the arm tolerates a ~2-beat scheduler
+    // stall on a loaded box without a false reclaim
+    System.setProperty("graft.lock.lease.ttl.ms", "3000")
     try {
       val mine = FsLock.holderStamp("beating")
       assert(FsLock.tryAcquire(fs, lock, mine))
       FsLock.withHeartbeat(fs, lock, mine) {
-        Thread.sleep(1200) // two TTLs: only heartbeats keep it live
+        Thread.sleep(4000) // well past the TTL: only beats keep it live
         assert(!FsLock.acquireOrReclaim(fs, lock,
           FsLock.holderStamp("thief")),
           "a heartbeating holder must not be lease-reclaimed")

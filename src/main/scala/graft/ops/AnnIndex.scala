@@ -260,6 +260,59 @@ object AnnIndex {
     cents
   }
 
+  /** ZERO-DOWNTIME REBUILD — the serving-path twin of
+    * [[buildIvfIndex]] (whose scaladoc documents why an IN-PLACE
+    * rebuild is inherently not reader-transparent: two reader-visible
+    * artifacts, lock-free readers). This composition closes that gap:
+    * the new index tree (quantizer + postings + meta, all of it) is
+    * built by [[buildIvfIndex]] inside a [[Versioning.publishTree]]
+    * stage — a dot-hidden dir under `root` no reader resolves — and
+    * readers are moved with the atomic `_current` pointer swap.
+    * Readers resolve [[currentIndexDir]] once per search and then
+    * read an IMMUTABLE `v=N` tree, so they see old-complete or
+    * new-complete, never a torn quantizer/postings mix; a search
+    * mid-flight across the swap finishes consistently on the version
+    * it resolved. Rebuilds serialize through the root's dataset lock
+    * (heartbeat + fenced commit — the whole crash story of
+    * [[Versioning.publish]] applies verbatim); old versions stay for
+    * rollback until [[Versioning.vacuum]] reclaims them.
+    *
+    * Centroid training runs BEFORE the dataset lock is taken (it
+    * reads only the corpus), so a long kmeans doesn't stretch the
+    * mutation window — the same reasoning as [[buildIvfIndex]]'s
+    * train-outside-the-lock. Returns (published version, centroids).
+    */
+  def rebuildIvfIndexVersioned(corpus: DataFrame, idCol: String,
+      vecCol: String, root: String, nCells: Int, iters: Int = 2,
+      corpusRowsHint: Option[Long] = None,
+      centroids: Option[Seq[Seq[Double]]] = None)
+      : (Long, Seq[Seq[Double]]) = {
+    val cents = centroids.getOrElse(Similarity.trainIvfCentroids(
+      corpus, idCol, vecCol, nCells, iters, corpusRowsHint = corpusRowsHint))
+    val v = Versioning.publishTree(corpus.sparkSession, root) { stage =>
+      buildIvfIndex(corpus, idCol, vecCol, stage, nCells,
+        centroids = Some(cents))
+    }
+    (v, cents)
+  }
+
+  /** The index tree readers of a versioned root should search right
+    * now: `root/v=<current>` — resolve once, then search the
+    * immutable tree ([[rebuildIvfIndexVersioned]]). Pass `version`
+    * for time travel onto any still-retained rebuild.
+    */
+  def currentIndexDir(spark: SparkSession, root: String,
+      version: Option[Long] = None): String = {
+    val v = version.orElse(Versioning.currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no published index version at $root — rebuildIvfIndexVersioned " +
+          "first"))
+    val dir = s"$root/v=$v"
+    require(fsFor(spark, root).exists(new org.apache.hadoop.fs.Path(dir)),
+      s"index version $v does not exist at $root")
+    dir
+  }
+
   /** Incremental append — the hourly-ingest path between nightly
     * retrains: assign `newDocs` against the STORED centroids and write
     * them as generation `gen` of the postings tree. EXACTLY-ONCE in

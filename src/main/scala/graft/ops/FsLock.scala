@@ -25,10 +25,14 @@ import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSyst
   *      q154/ReplaySpec composition).
   *   2. AUTOMATIC, any host (heartbeat lease): holders refresh the
   *      lock file's mtime every [[HeartbeatMs]] while their mutation
-  *      runs ([[withHeartbeat]]); an acquirer may reclaim any lock
-  *      whose heartbeat has been silent past [[DefaultLeaseTtlMs]] —
-  *      the path a restart rescheduled onto a DIFFERENT node (where
-  *      the pid is unprobeable) needs. Recovery latency = the TTL.
+  *      runs ([[withHeartbeat]]); an acquirer may reclaim a lock
+  *      whose stamp ADVERTISES lease participation (`lease=<ttl>`,
+  *      see [[holderStamp]]) and whose heartbeat has been silent
+  *      past the advertised TTL — the path a restart rescheduled
+  *      onto a DIFFERENT node (where the pid is unprobeable) needs.
+  *      Recovery latency = the TTL. Stamps without the field (an
+  *      older binary, a raw [[tryAcquire]] caller) never promised
+  *      to heartbeat or fence, so they are NEVER lease-reclaimed.
   *   3. MANUAL (`breakIndexLock`/`breakLock`): the operator confirms
   *      the stamped holder dead and deletes the lock — now only
   *      needed to beat the TTL clock.
@@ -73,15 +77,49 @@ private[graft] object FsLock {
     * (pid + host + pid-namespace + process start time), and (via the
     * per-acquisition token) what [[Fence.verify]] compares. Empty
     * lock files gave them nothing.
+    *
+    * The `lease=<ttlMs>` field ADVERTISES lease participation: this
+    * holder promises to heartbeat ([[withHeartbeat]]) and to fence
+    * its writes, so a silent mtime past the advertised TTL really
+    * means a stopped heart. TTL reclaim is GATED on that field
+    * ([[acquireOrReclaim]]): a lock written by an older binary or a
+    * raw [[tryAcquire]] caller has a static mtime but made no such
+    * promise — reclaiming it after 180 s would manufacture two
+    * unfenced concurrent writers during a rolling upgrade. Such
+    * locks recover only via the pid probe or a manual break.
     */
   def holderStamp(op: String): String = {
     val self = ProcessHandle.current()
     s"op=$op pid=${self.pid()} host=$localHost " +
       localPidNamespace.map(n => s"pidns=$n ").getOrElse("") +
       startMillisOf(self).map(s => s"start=$s ").getOrElse("") +
+      s"lease=$leaseTtlMs " +
       s"token=${java.util.UUID.randomUUID()} " +
       s"acquired=${java.time.Instant.now()}"
   }
+
+  /** Parse a stamp's `k=v` fields (whitespace-separated; values never
+    * contain whitespace by construction).
+    */
+  private def stampFields(info: String): Map[String, String] =
+    info.split("\\s+").iterator.flatMap { f =>
+      f.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
+  /** The lease TTL a holder ADVERTISED at acquisition — None for
+    * stamps that never promised to heartbeat (older binaries, raw
+    * [[tryAcquire]] callers), which makes them ineligible for TTL
+    * reclaim. Reclaimers honor the HOLDER's advertised TTL, not
+    * their own config: a holder beating against a longer local TTL
+    * must not be reclaimed on a shorter one.
+    */
+  def advertisedLeaseTtl(info: String): Option[Long] =
+    stampFields(info).get("lease")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .filter(_ > 0L)
 
   /** Try to acquire `lock` via exclusive create, stamping `info` into
     * the file. Returns true iff this caller created the file (and
@@ -174,12 +212,7 @@ private[graft] object FsLock {
     * through the lease TTL rather than the instant pid probe.
     */
   def holderProvablyDead(info: String): Boolean = {
-    val fields = info.split("\\s+").iterator.flatMap { f =>
-      f.split("=", 2) match {
-        case Array(k, v) => Some(k -> v)
-        case _ => None
-      }
-    }.toMap
+    val fields = stampFields(info)
     val sameNs = (fields.get("pidns"), localPidNamespace) match {
       case (Some(a), Some(b)) => a == b
       // a namespaceless stamp (non-Linux writer) probed from a
@@ -271,20 +304,26 @@ private[graft] object FsLock {
   /** [[tryAcquire]], auto-reclaiming a crash-orphaned lock whose
     * stamped holder [[holderProvablyDead]] proves dead (same host,
     * vanished pid) OR whose heartbeat lease has expired (any host —
-    * see [[DefaultLeaseTtlMs]]). The reclaim is delete-then-retry:
-    * concurrent reclaimers are arbitrated by the retried exclusive
-    * create (exactly one wins), and the one hazard a delete-retry
-    * pair cannot close — this reclaim deleting a lock that a FRESH
-    * holder re-acquired between our read and our delete — is why
-    * every writer must [[Fence.verify]] before its tree-mutating
-    * writes. Returns true iff this caller now owns the lock under
-    * `info`.
+    * at the TTL the holder itself advertised, and ONLY if it
+    * advertised one: a stamp without `lease=` never promised to
+    * heartbeat or fence, so its static mtime proves nothing —
+    * see [[advertisedLeaseTtl]]). The reclaim deletes
+    * CONDITIONALLY ([[releaseOwned]] against the stamp just proven
+    * dead/expired): a FRESH holder that re-acquired between our read
+    * and our delete keeps its lock, shrinking the wrong-break window
+    * to the read-delete gap of a single stamp comparison. Concurrent
+    * reclaimers are arbitrated by the retried exclusive create
+    * (exactly one wins); the residual race is why every writer must
+    * [[Fence.verify]] before its tree-mutating writes. Returns true
+    * iff this caller now owns the lock under `info`.
     */
   def acquireOrReclaim(fs: FileSystem, lock: Path, info: String): Boolean =
     tryAcquire(fs, lock, info) || {
-      if (holderInfo(fs, lock).exists(holderProvablyDead) ||
-          leaseExpired(fs, lock, leaseTtlMs)) {
-        release(fs, lock)
+      val held = holderInfo(fs, lock)
+      val reclaimable = held.exists(h => holderProvablyDead(h) ||
+        advertisedLeaseTtl(h).exists(ttl => leaseExpired(fs, lock, ttl)))
+      if (reclaimable) {
+        releaseOwned(fs, lock, held.get)
         tryAcquire(fs, lock, info)
       } else false
     }

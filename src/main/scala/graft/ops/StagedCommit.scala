@@ -39,21 +39,41 @@ private[graft] object StagedCommit {
         .foreach(s => fs.delete(s.getPath, true))
   }
 
-  /** Fence, then swap `stage` into `target`: the commit instant. A
-    * crash before the rename leaves the target untouched; between the
-    * delete and the rename leaves it absent — the "visibly uncovered,
-    * replay rewrites" state the owning protocols' crash contracts
-    * already cover.
+  /** Fence, then swap `stage` into `target`: the commit instant. The
+    * old target is renamed ASIDE to a stage-prefixed tombstone (a
+    * metadata op), not deleted — so a rename failure, or a fence
+    * failure caught between the two renames, puts the old tree BACK
+    * and the target stays old-or-new; only the rename gap itself
+    * (metadata-op ms) leaves it absent. A crash inside that gap
+    * leaves the old tree in the tombstone — reader-invisible
+    * (dot-hidden, stage-prefixed) and swept by the owning protocol's
+    * [[purgeStages]] before the replay rewrites, the same "visibly
+    * uncovered, replay rewrites" contract as before. The second
+    * fence narrows the two-writer window to the rename alone
+    * (r14 ADVICE): a wrong break landing during the old tree's
+    * rename-aside now aborts with the old tree restored instead of
+    * leaving the target absent.
     */
   def commitStaged(fs: FileSystem, fence: FsLock.Fence,
       stage: String, target: String): Unit = {
     fence.verify()
     val t = new Path(target)
-    if (fs.exists(t)) fs.delete(t, true)
     val parent = t.getParent
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-    if (!fs.rename(new Path(stage), t))
+    val tomb = new Path(stage + ".tomb")
+    val hadOld = fs.exists(t)
+    if (hadOld) {
+      if (fs.exists(tomb)) fs.delete(tomb, true)
+      if (!fs.rename(t, tomb)) throw new IllegalStateException(
+        s"commitStaged: rename-aside $target -> $tomb failed")
+    }
+    def restore(): Unit = if (hadOld) fs.rename(tomb, t)
+    try fence.verify() catch { case e: Throwable => restore(); throw e }
+    if (!fs.rename(new Path(stage), t)) {
+      restore()
       throw new IllegalStateException(
         s"commitStaged: rename $stage -> $target failed")
+    }
+    if (hadOld) fs.delete(tomb, true)
   }
 }

@@ -193,8 +193,26 @@ object Versioning {
     // exclusive create via the shared primitive ([[FsLock]]): nio
     // O_CREAT|O_EXCL locally (Hadoop local create(false) is a
     // check-then-create TOCTOU), server-side exclusive create on HDFS
-    withDatasetLock(df.sparkSession, dir, "publish") { fence =>
-      val spark = df.sparkSession
+    publishTree(df.sparkSession, dir)(stage =>
+      df.write.mode(SaveMode.Overwrite).parquet(stage))
+
+  /** Publish a caller-BUILT tree as the next version: the same lock /
+    * stage / fence / rename / pointer-swap discipline as [[publish]]
+    * (which rides this), but the version's content is produced by
+    * `build(stageDir)` — any writer that lays a directory tree down,
+    * e.g. a full [[AnnIndex.buildIvfIndex]] rebuild. This is the
+    * ZERO-DOWNTIME REBUILD composition the in-place rebuild scaladoc
+    * points at: readers keep resolving (and reading) the complete,
+    * immutable `v=N` tree for the whole minutes-long build — the new
+    * tree grows inside a dot-hidden stage they never see — and the
+    * commit is a rename plus an atomic pointer swap, metadata ops.
+    * A reader can never observe a torn tree because no version is
+    * ever mutated in place; mid-swap readers finish on old-complete,
+    * post-swap readers start on new-complete.
+    */
+  def publishTree(spark: SparkSession, dir: String)
+      (build: String => Unit): Long =
+    withDatasetLock(spark, dir, "publish") { fence =>
       val (fs, _) = fsOf(spark, dir)
       val next = currentVersion(spark, dir).getOrElse(0L) + 1L
       // STAGE → FENCE → RENAME ([[StagedCommit]] — one implementation
@@ -208,7 +226,7 @@ object Versioning {
       // complete".
       StagedCommit.purgeStages(fs, dir, s".stage_v_${next}_", fence)
       val stage = s"$dir/.stage_v_${next}_${StagedCommit.stageToken()}"
-      df.write.mode(SaveMode.Overwrite).parquet(stage)
+      build(stage)
       StagedCommit.commitStaged(fs, fence, stage, s"$dir/v=$next")
       fence.verify()
       swapPointer(spark, dir, next)
@@ -254,7 +272,10 @@ object Versioning {
     * pointed-at version is NEVER vacuumed no matter how old (a
     * rollback target must not be deleted out from under readers).
     * Time travel reaches exactly what retention kept; this is where
-    * that sentence gets its teeth. Returns the version ids deleted.
+    * that sentence gets its teeth. Also sweeps orphaned publisher
+    * stages (`.stage_v_*` dirs a crashed or fenced-out publisher left
+    * behind — reader-invisible, but garbage). Returns the version ids
+    * deleted.
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"keep must be ≥ 1, got $keep")
@@ -272,6 +293,17 @@ object Versioning {
         fence.verify()
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
       }
+      // catch-all sweep of orphaned publisher stages: publish purges
+      // only its OWN version's .stage_v_<next>_ prefix, so a publisher
+      // that died mid-stage leaves its dot-hidden dir (and a crashed
+      // commit's .tomb, which shares the prefix) behind forever if no
+      // later publish lands the same version number. Reader-invisible
+      // bytes, but retention is exactly where they get reclaimed —
+      // the AnnIndex compaction catch-all, mirrored. No live
+      // publisher's in-flight stage can be here: publish and vacuum
+      // serialize through the dataset lock, and a fenced-out zombie's
+      // stage is precisely the garbage this sweeps.
+      StagedCommit.purgeStages(fs, dir, ".stage_v_", fence)
       doomed
     }
   }

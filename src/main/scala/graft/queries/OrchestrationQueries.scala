@@ -928,6 +928,91 @@ object OrchestrationQueries {
           lit(ttOk).as("time_travel_ok"),
           lit(rolledOk).as("rollback_ok"))
       } finally drainAndDelete(s, tmp)
+    },
+
+    // ZERO-DOWNTIME REBUILD — the serving-path composition the
+    // in-place buildIvfIndex scaladoc points at (an in-place rebuild
+    // is inherently not reader-transparent: two reader-visible
+    // artifacts, lock-free readers): build the new index tree whole
+    // inside a Versioning stage under a VERSIONED root and move
+    // readers with the atomic pointer swap. Contract row: (1) the
+    // post-swap tree serves IDENTICAL results (ids, ranks, exact
+    // cosines) to an unversioned build of the same corpus under the
+    // same centroids; (2) the superseded v=1 tree reads EXACTLY as it
+    // did before the rebuild (rollback stays sound) until (3) vacuum
+    // reclaims precisely it, leaving the pointer on v=2. The
+    // torn-view impossibility (a concurrent reader mid-rebuild) is
+    // spec'd with a live reader thread in AnnIndexSpec.
+    "q156_zero_downtime_rebuild" -> { (s, dir) =>
+      import graft.ops.{AnnIndex, Versioning}
+      val tmp = Files.createTempDirectory("graft_q156_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val root = s"$tmp/idx"
+        // v1 serves a 2/3 corpus; iters=1 — the identity contract is
+        // independent of centroid quality (q140's reasoning)
+        val (v1, _) = AnnIndex.rebuildIvfIndexVersioned(
+          e.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          root, nCells = 8, iters = 1)
+        val q = e.where(col("vec_id") < 10)
+        val before = AnnIndex.searchIvfIndex(s,
+            AnnIndex.currentIndexDir(s, root), q, "vec_id", "embedding",
+            k = 5, nProbe = 2)
+          .localCheckpoint(true)
+        // rebuild v2 from the FULL corpus with fresh centroids while
+        // v1 keeps serving; readers move with the pointer swap
+        val (v2, cents2) = AnnIndex.rebuildIvfIndexVersioned(e,
+          "vec_id", "embedding", root, nCells = 8, iters = 1)
+        val after = AnnIndex.searchIvfIndex(s,
+            AnnIndex.currentIndexDir(s, root), q, "vec_id", "embedding",
+            k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2"))
+        // identity twin: an unversioned build of the same corpus
+        // under the SAME centroids — the versioned path must serve
+        // exactly this, byte-for-byte
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/twin",
+          nCells = 8, centroids = Some(cents2))
+        val twin = AnnIndex.searchIvfIndex(s, s"$tmp/twin", q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank3"), col("cosine").as("cos3"))
+        // the superseded tree, re-searched after the swap — must be
+        // bit-identical to its pre-rebuild self (materialize BEFORE
+        // vacuum reclaims it)
+        val oldAgain = AnnIndex.searchIvfIndex(s,
+            AnnIndex.currentIndexDir(s, root, version = Some(1L)), q,
+            "vec_id", "embedding", k = 5, nProbe = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rankOld"), col("cosine").as("cosOld"))
+          .localCheckpoint(true)
+        val vacuumOk = Versioning.vacuum(s, root, keep = 1) == Seq(1L) &&
+          Versioning.listVersions(s, root) == Seq(2L) &&
+          Versioning.currentVersion(s, root).contains(2L)
+        val newAgree = after
+          .join(twin, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("rank2") === col("rank3") &&
+              col("cos2") === col("cos3"), 1L).otherwise(0L)).as("n_agree"))
+        val oldAgree = before
+          .join(oldAgain, Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_old"),
+            sum(when(col("rank") === col("rankOld") &&
+              col("cosine") === col("cosOld"), 1L).otherwise(0L))
+              .as("n_old_agree"))
+        newAgree.join(oldAgree, Seq("query_id"))
+          .select(col("query_id"),
+            (col("n_results") === 5L && col("n_agree") === 5L)
+              .as("results_match"),
+            (col("n_old") >= 1L && col("n_old") === col("n_old_agree"))
+              .as("old_intact"),
+            lit(v1).as("v_before"), lit(v2).as("v_after"),
+            lit(vacuumOk).as("vacuumed_to_current"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -999,6 +1084,13 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM embeddings) AS n_posted,
         |  TRUE AS ids_unique,
         |  TRUE AS replayed_multibatch
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q156_zero_downtime_rebuild" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  TRUE AS old_intact,
+        |  CAST(1 AS BIGINT) AS v_before, CAST(2 AS BIGINT) AS v_after,
+        |  TRUE AS vacuumed_to_current
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q146_versioned_publish" ->

@@ -324,7 +324,8 @@ object Replay {
       }
       val src = spark.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = EventStreams.hourlyRollupStream(src, watermark)
+      val rolled = EventStreams.hourlyRollupStream(src, watermark)
+      val q = rolled
         .writeStream.outputMode("update")
         .option("checkpointLocation", s"$dir/checkpoint")
         // update mode hands foreachBatch ONLY the groups this trigger
@@ -344,16 +345,17 @@ object Replay {
       // updDir exists only if some batch actually updated a group —
       // "a batch whose rows were all dropped updates NOTHING" is part
       // of the contract, so an all-dropped run must read as an EMPTY
-      // update sequence, not an AnalysisException on a missing path
+      // update sequence, not an AnalysisException on a missing path.
+      // The empty frame's schema is the STREAM's own schema plus the
+      // batch_id tag foreachBatch adds — derived, not hard-coded, so
+      // the two paths cannot drift if the rollup's output changes
       val updates =
         if (fs.exists(new org.apache.hadoop.fs.Path(updDir)))
           spark.read.parquet(updDir)
-        else spark.emptyDataFrame
-          .withColumn("hour", lit(null).cast("timestamp"))
-          .withColumn("event_type", lit(null).cast("string"))
-          .withColumn("n_events", lit(null).cast("long"))
-          .withColumn("value_sum", lit(null).cast("double"))
-          .withColumn("batch_id", lit(null).cast("long"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          rolled.schema.add("batch_id",
+            org.apache.spark.sql.types.LongType))
       (updates.localCheckpoint(true), dropped, dataBatches)
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)

@@ -686,13 +686,13 @@ class AnnIndexSpec extends SparkSpecBase {
     AnnIndex.breakIndexLock(spark, idx)
     // CROSS-HOST orphan (the pid is unprobeable from here — node loss
     // with the restart rescheduled elsewhere): the heartbeat lease is
-    // the recovery path. Silent past the TTL ⇒ the mutation reclaims
-    // unaided; heartbeat-fresh ⇒ conservative refusal stands
+    // the recovery path. Silent past the TTL the lost holder
+    // ADVERTISED ⇒ the mutation reclaims unaided; heartbeat-fresh ⇒
+    // conservative refusal stands
     assert(FsLock.tryAcquire(fs, lock,
       LockTestSupport.plantedStamp("appendToIvfIndex", 12345L,
-        host = "lost-node-17")))
+        host = "lost-node-17", leaseTtlMs = Some(60000L))))
     fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
-    System.setProperty("graft.lock.lease.ttl.ms", "60000")
     try {
       assert(AnnIndex.appendToIvfIndex(spark, idx,
         corpus(40).where(col("vec_id") >= 32),
@@ -700,13 +700,13 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(!fs.exists(lock))
       assert(FsLock.tryAcquire(fs, lock,
         LockTestSupport.plantedStamp("compactIvfIndex", 12345L,
-          host = "lost-node-17"))) // fresh mtime: lease live
+          host = "lost-node-17",
+          leaseTtlMs = Some(60000L)))) // fresh mtime: lease live
       val e2 = intercept[IllegalStateException] {
         AnnIndex.compactIvfIndex(spark, idx)
       }
       assert(e2.getMessage.contains("another writer holds"))
     } finally {
-      System.clearProperty("graft.lock.lease.ttl.ms")
       AnnIndex.breakIndexLock(spark, idx)
     }
   }
@@ -771,5 +771,74 @@ class AnnIndexSpec extends SparkSpecBase {
         s"$idx/postings.parquet"))
       .exists(_.getPath.getName.startsWith(".stage_")),
       "the replayer must purge its predecessor's stage leftovers")
+  }
+
+  test("zero-downtime rebuild (versioned root + pointer swap): a " +
+      "CONCURRENT reader never observes a torn quantizer/postings mix " +
+      "while a full rebuild runs, the pointer advances atomically, the " +
+      "old tree stays searchable until vacuum reclaims it") {
+    val dir = Files.createTempDirectory("graft_annzdt").toString
+    val root = s"$dir/idx"
+    val small = corpus(24)
+    val full = corpus(48)
+    val (v1, _) = AnnIndex.rebuildIvfIndexVersioned(small, "vec_id",
+      "embedding", root, nCells = 4, iters = 1)
+    assert(v1 == 1L)
+    val v1Search = AnnIndex.searchIvfIndex(spark,
+        AnnIndex.currentIndexDir(spark, root),
+        small.where(col("vec_id") < 4), "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    // the reader: resolve the pointer ONCE per iteration, then read
+    // BOTH artifacts from the SAME resolved tree. The two versions
+    // differ in BOTH artifacts (4 cells/24 rows vs 8 cells/48 rows),
+    // so any torn view — new quantizer over old postings or vice
+    // versa — shows up as a (nCentroids, nPostings) pair outside the
+    // two valid states. The pointer sequence must also be monotone.
+    val valid = Set((4L, 24L), (8L, 48L))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var torn: Option[(Long, Long)] = None
+    @volatile var readerErr: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try while (!stop && torn.isEmpty) {
+        val d = AnnIndex.currentIndexDir(spark, root)
+        val nc = spark.read.parquet(s"$d/centroids.parquet").count()
+        val np = spark.read.parquet(s"$d/postings.parquet").count()
+        if (!valid((nc, np))) torn = Some((nc, np))
+        seen.add(nc)
+      } catch { case t: Throwable => readerErr = Some(t) }
+    }, "graft-zdt-reader")
+    reader.start()
+    val v2 = try {
+      val (v, _) = AnnIndex.rebuildIvfIndexVersioned(full, "vec_id",
+        "embedding", root, nCells = 8, iters = 1)
+      v
+    } finally { stop = true; reader.join(60000) }
+    assert(readerErr.isEmpty,
+      s"a lock-free reader must never fail mid-rebuild: $readerErr")
+    assert(torn.isEmpty, s"reader observed a torn view: $torn")
+    import scala.jdk.CollectionConverters._
+    val cells = seen.asScala.toSeq
+    assert(cells.nonEmpty && cells == cells.sorted,
+      s"pointer must move old -> new monotonically, saw $cells")
+    assert(v2 == 2L &&
+      Versioning.currentVersion(spark, root).contains(2L))
+    // new tree serves the full corpus; the old tree is bit-identical
+    // to its pre-rebuild self (time travel) until vacuum drops it
+    val d2 = AnnIndex.currentIndexDir(spark, root)
+    assert(spark.read.parquet(s"$d2/postings.parquet").count() == 48L)
+    val v1Again = AnnIndex.searchIvfIndex(spark,
+        AnnIndex.currentIndexDir(spark, root, version = Some(1L)),
+        small.where(col("vec_id") < 4), "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(v1Again == v1Search,
+      "the superseded tree must read exactly as before the rebuild")
+    assert(Versioning.vacuum(spark, root, keep = 1) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      AnnIndex.currentIndexDir(spark, root, version = Some(1L))
+    }
+    assert(AnnIndex.currentIndexDir(spark, root) == s"$root/v=2")
   }
 }

@@ -143,13 +143,15 @@ class FsLockSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("not re-acquired"), e2.getMessage)
   }
 
-  test("heartbeat lease: a silent-past-TTL lock is reclaimable from ANY " +
-      "host, a heartbeating (or merely fresh) one is not, and the " +
-      "heartbeat never refreshes a lock the holder no longer owns") {
+  test("heartbeat lease: a silent-past-its-ADVERTISED-TTL lock is " +
+      "reclaimable from ANY host, a heartbeating / fresh / " +
+      "longer-advertising / lease-less one is not, and the heartbeat " +
+      "never refreshes a lock the holder no longer owns") {
     val lock = tmpLock()
     // leaseExpired semantics: fresh -> live, backdated -> expired,
     // vanished -> conservative not-expired
-    val foreign = stampWith(deadPid, host = "some-other-node")
+    val foreign = LockTestSupport.plantedStamp("test", deadPid,
+      host = "some-other-node", leaseTtlMs = Some(60000L))
     assert(FsLock.tryAcquire(fs, lock, foreign))
     assert(!FsLock.leaseExpired(fs, lock, ttlMs = 60000L))
     fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
@@ -157,21 +159,44 @@ class FsLockSpec extends SparkSpecBase {
     FsLock.release(fs, lock)
     assert(!FsLock.leaseExpired(fs, lock, ttlMs = 60000L), "vanished lock")
     // cross-host orphan (pid unprobeable from here) + silent heartbeat
-    // -> acquireOrReclaim recovers unaided once the TTL has passed
+    // -> acquireOrReclaim recovers unaided once the TTL the HOLDER
+    // advertised has passed (the reclaimer's own config is irrelevant)
     assert(FsLock.tryAcquire(fs, lock, foreign))
     fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
-    System.setProperty("graft.lock.lease.ttl.ms", "60000")
-    try {
-      val mine = FsLock.holderStamp("recovered")
-      assert(FsLock.acquireOrReclaim(fs, lock, mine),
-        "expired cross-host lease must be reclaimable")
-      assert(FsLock.holderInfo(fs, lock).contains(mine))
-      FsLock.release(fs, lock)
-      // fresh cross-host lock (heartbeat alive): conservative refusal
-      assert(FsLock.tryAcquire(fs, lock, foreign))
-      assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("x")))
-      FsLock.release(fs, lock)
-    } finally System.clearProperty("graft.lock.lease.ttl.ms")
+    val mine = FsLock.holderStamp("recovered")
+    assert(FsLock.acquireOrReclaim(fs, lock, mine),
+      "expired cross-host lease must be reclaimable")
+    assert(FsLock.holderInfo(fs, lock).contains(mine))
+    FsLock.release(fs, lock)
+    // fresh cross-host lock (heartbeat alive): conservative refusal
+    assert(FsLock.tryAcquire(fs, lock, foreign))
+    assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("x")))
+    FsLock.release(fs, lock)
+    // a holder that advertised a LONGER lease than this reclaimer's
+    // config keeps its lock until ITS ttl passes — a mixed-config
+    // fleet must honor the promise the holder actually made
+    val longLease = LockTestSupport.plantedStamp("test", deadPid,
+      host = "some-other-node", leaseTtlMs = Some(600000L))
+    assert(FsLock.tryAcquire(fs, lock, longLease))
+    fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
+    assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("x")),
+      "a 10-min advertisement silent for 2 min is not expired")
+    FsLock.release(fs, lock)
+    // a stamp with NO lease field (older binary, raw tryAcquire
+    // caller) never promised to heartbeat or fence — a static mtime
+    // proves nothing, so TTL reclaim must refuse no matter how stale
+    // (the rolling-upgrade two-unfenced-writers hazard, r14 ADVICE)
+    val legacy = LockTestSupport.plantedStamp("test", deadPid,
+      host = "some-other-node", leaseTtlMs = None)
+    assert(FsLock.tryAcquire(fs, lock, legacy))
+    fs.setTimes(lock, System.currentTimeMillis() - 7200000L, -1L)
+    assert(!FsLock.acquireOrReclaim(fs, lock, FsLock.holderStamp("x")),
+      "a lease-less stamp must never be lease-reclaimed")
+    assert(FsLock.holderInfo(fs, lock).contains(legacy))
+    FsLock.release(fs, lock)
+    // the real stamp advertises its lease — the gate is self-applying
+    assert(FsLock.advertisedLeaseTtl(FsLock.holderStamp("x"))
+      .contains(FsLock.leaseTtlMs))
     // withHeartbeat keeps a held lock's lease live through a body
     // longer than the TTL; the thread dies with the body. TTL:beat is
     // 4:1 (ttl/4 bound), so the arm tolerates a ~2-beat scheduler

@@ -111,6 +111,36 @@ class VersioningSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuum sweeps orphaned publisher stages: a dead publisher's " +
+      ".stage_v_* dir (and a crashed commit's .tomb) is reclaimed, the " +
+      "live tree and pointer untouched — the compaction catch-all, " +
+      "mirrored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub5").toString
+    val ds = s"$dir/ds"
+    (1 to 3).foreach(_ => Versioning.publish(vOld, ds))
+    val fs = new org.apache.hadoop.fs.Path(ds)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a publisher that died mid-stage: its hidden stage dir has a
+    // version number (4) no later publish landed, so publish's own
+    // prefix purge (.stage_v_4_) never runs — only vacuum reclaims it.
+    // Plus the crash-inside-commitStaged shape: an orphaned .tomb.
+    val orphanStage = new org.apache.hadoop.fs.Path(
+      s"$ds/.stage_v_4_deadbeef")
+    val orphanTomb = new org.apache.hadoop.fs.Path(
+      s"$ds/.stage_v_4_deadbeef.tomb")
+    fs.mkdirs(orphanStage)
+    fs.mkdirs(orphanTomb)
+    assert(Versioning.vacuum(spark, ds, keep = 2) == Seq(1L))
+    assert(!fs.exists(orphanStage),
+      "vacuum must sweep a dead publisher's orphaned stage")
+    assert(!fs.exists(orphanTomb),
+      "vacuum must sweep a crashed commit's orphaned tombstone")
+    assert(Versioning.listVersions(spark, ds) == Seq(2L, 3L))
+    assert(Versioning.currentVersion(spark, ds).contains(3L))
+    assert(Versioning.read(spark, ds).count() == 3L,
+      "the sweep must not touch the live tree")
+  }
+
   test("every dataset mutation is single-writer: a held lock fails " +
       "publish, rollback AND vacuum loudly (with the holder line); " +
       "breakLock recovers a crashed holder") {

@@ -430,6 +430,77 @@ class ReplaySpec extends SparkSpecBase {
     AnnIndex.breakIndexLock(spark, s"$dir2/idx")
   }
 
+  test("index-ingest NODE-LOSS restart: a lost node's _writer_lock " +
+      "(foreign host — pid unprobeable — with the heartbeat silent " +
+      "past its advertised TTL) is lease-reclaimed unaided by the " +
+      "restarted stream, tree parity with the never-stopped twin; a " +
+      "heartbeat-FRESH foreign lock still fails the restart loudly") {
+    import graft.ops.{AnnIndex, FsLock}
+    val all = (0 until 48).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (i / 4)))
+    }.toDF("vec_id", "embedding")
+    val seed = all.where(col("vec_id") < 16)
+    val deltas = (0 until 4).map(b => all.where(
+      col("vec_id") >= 16 + 8 * b && col("vec_id") < 24 + 8 * b))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfnode").toString
+    val cents = AnnIndex.buildIvfIndex(seed, "vec_id", "embedding",
+      s"$dir/lost", nCells = 4, iters = 3)
+    AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", s"$dir/twin",
+      nCells = 4, centroids = Some(cents))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/lost/_writer_lock")
+    // afterKill reconstructs the node-loss shape the pid probe cannot
+    // reach (FsLockSpec proves the primitive; this proves the
+    // composition through a REAL checkpoint restart): the dead node's
+    // hostname is foreign, its stamp ADVERTISED a 60 s lease, and its
+    // heartbeat has been silent for 120 s. Phase B's first
+    // appendToIvfIndex must lease-reclaim and proceed — no manual
+    // breakIndexLock, no TTL wait (the backdated mtime IS the wait)
+    val r = Replay.indexIngestRestartReplay(spark, deltas,
+      s"$dir/lost", stopAfter = 2,
+      afterKill = () => {
+        assert(FsLock.tryAcquire(fs, lock,
+          graft.ops.LockTestSupport.plantedStamp("appendToIvfIndex",
+            12345L, host = "lost-node-17", leaseTtlMs = Some(60000L))))
+        fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1L)
+      })
+    val twin = Replay.indexIngestRestartReplay(spark, deltas,
+      s"$dir/twin", stopAfter = 0)
+    assert(r.rowsPhaseA == 16L && r.rowsPhaseB == 16L,
+      s"phase split wrong: A=${r.rowsPhaseA} B=${r.rowsPhaseB}")
+    assert(!fs.exists(lock),
+      "the reclaimed lock must not outlive the recovered stream")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("gen", "cell", "vec_id").collect().map(_.toSeq).toSet
+    assert(shape(r.result) == shape(twin.result),
+      "lease recovery must land on the one-shot tree")
+    assert(AnnIndex.listGenerations(spark, s"$dir/lost") ==
+      AnnIndex.listGenerations(spark, s"$dir/twin"))
+    // contrast — the same foreign lock with a FRESH heartbeat (the
+    // node is fine, its writer mid-mutation): the restarted stream
+    // must refuse, and the foreign holder's lock survives
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivffresh")
+      .toString
+    AnnIndex.buildIvfIndex(seed, "vec_id", "embedding", s"$dir2/idx",
+      nCells = 4, centroids = Some(cents))
+    val lock2 = new org.apache.hadoop.fs.Path(s"$dir2/idx/_writer_lock")
+    val foreignFresh = graft.ops.LockTestSupport.plantedStamp(
+      "compactIvfIndex", 12345L, host = "lost-node-17",
+      leaseTtlMs = Some(60000L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replay.indexIngestRestartReplay(spark, deltas, s"$dir2/idx",
+        stopAfter = 2,
+        afterKill = () => assert(FsLock.tryAcquire(fs, lock2, foreignFresh)))
+    }
+    assert(e.getMessage.contains("another writer holds"), e.getMessage)
+    assert(FsLock.holderInfo(fs, lock2).contains(foreignFresh),
+      "a heartbeat-fresh foreign lock must survive the failed restart")
+    AnnIndex.breakIndexLock(spark, s"$dir2/idx")
+  }
+
   test("replay is idempotent: a second run replaces stage dir and sink view") {
     val (s1, _) = Replay.hourlyRollupReplay(spark, events,
       stageDir = "/tmp/graft_replay_spec_idem")

@@ -15,6 +15,10 @@ import graft.ops.{Dedup, Similarity}
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional second arg "grid": run only the stored-index
+    // (nCells, nProbe) grid — the section users iterate on when
+    // picking an operating point at the big scales
+    val onlyGrid = args.lift(1).contains("grid")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,6 +29,7 @@ object RecallProbe {
     import spark.implicits._
 
     // MinHash LSH vs exact Jaccard pairs
+    if (!onlyGrid) {
     val docs = Tables.documents(spark, sfDir)
     val exactPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -51,14 +56,15 @@ object RecallProbe {
       s"inc=${incPairs.size} hit=${(exactCross & incPairs).size} " +
       s"recall=${(exactCross & incPairs).size.toDouble / math.max(exactCross.size, 1)} " +
       s"false_pos=${(incPairs -- exactCross).size}")
+    }
 
     // ANN LSH vs exact cosine, per query
     val e = Tables.embeddings(spark, sfDir)
     val q = e.where(col("vec_id") < 10)
-    val exactCos = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+    lazy val exactCos = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    for ((np, nt) <- Seq((6, 4), (4, 8), (4, 16), (3, 16))) {
+    if (!onlyGrid) for ((np, nt) <- Seq((6, 4), (4, 8), (4, 16), (3, 16))) {
       val lshCos = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
           nPlanes = np, nTables = nt)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
@@ -71,11 +77,11 @@ object RecallProbe {
     }
 
     // IVF vs exact dot, per query, at several probe widths
-    val exactDot = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5,
+    lazy val exactDot = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5,
         simFn = (a, b) => graft.functions.decimalDotNative(a, b), simName = "dot")
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    for (nCells <- Seq(8, 16); nProbe <- Seq(1, 2, 3)) {
+    if (!onlyGrid) for (nCells <- Seq(8, 16); nProbe <- Seq(1, 2, 3)) {
       val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", nCells, iters = 3)
       val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
           nProbe = nProbe, centroids = Some(cents),
@@ -89,10 +95,69 @@ object RecallProbe {
         s"per-query=${recalls.toSeq.sorted.mkString(",")}")
     }
 
+    // STORED-INDEX (nCells, nProbe) GRID — the production-operating-
+    // point curve (r14 order #1): mean recall@5 of searchIvfIndex vs
+    // exact cosine across cell counts and probe widths, with the
+    // probed fraction (nProbe/nCells — the scale-honest cost axis:
+    // candidate work and postings bytes read scale with it) printed
+    // beside each point. 50 queries (vs the 10 elsewhere) for 0.004
+    // recall resolution. This is the curve a user picks (nCells,
+    // nProbe) from; the pinned operating points live in
+    // `graft.queries.Calibration` and NOTES.md.
+    {
+      import graft.ops.AnnIndex
+      val gridRoot = java.nio.file.Files
+        .createTempDirectory("graft_recall_grid").toString
+      val qWide = e.where(col("vec_id") < 50)
+      val exactWide = Similarity.bruteForceTopK(qWide, e,
+          "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (nCells <- Seq(8, 16, 32, 64)) {
+        val dir = s"$gridRoot/c$nCells"
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", dir,
+          nCells = nCells, iters = 3)
+        val widths = Seq(1, 2, 3, 4, 8, 16, 32, 64)
+          .filter(_ <= nCells).distinct
+        val line = widths.map { nProbe =>
+          val got = AnnIndex.searchIvfIndex(spark, dir, qWide,
+              "vec_id", "embedding", k = 5, nProbe = nProbe)
+            .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+          val rs = exactWide.map { case (qid, ex) =>
+            (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+          f"p=$nProbe%d(${nProbe.toDouble / nCells}%.2f):" +
+            f"${rs.sum / rs.size}%.3f"
+        }.mkString(" ")
+        println(s"[recall-probe] sf=$sfDir ivf_grid cells=$nCells " +
+          s"mean_recall@5 [p=nProbe(frac):recall] $line")
+        // the adaptive ladder at the same tree: what recall does
+        // per-query probe widening actually land on, and what width
+        // does the average query pay for it
+        val conv = AnnIndex.searchIvfIndexConverged(spark, dir, qWide,
+            "vec_id", "embedding", k = 5, nProbe0 = 1)
+          .select("query_id", "neighbor_id", "n_probe_used")
+          .as[(Long, Long, Int)].collect()
+        val convSets = conv.groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        val convRs = exactWide.map { case (qid, ex) =>
+          (convSets.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+        val usedByQ = conv.groupBy(_._1).view
+          .mapValues(_.head._3).toMap
+        val meanUsed = usedByQ.values.sum.toDouble /
+          math.max(usedByQ.size, 1)
+        println(f"[recall-probe] sf=$sfDir ivf_converged cells=$nCells " +
+          f"nProbe0=1: mean_recall@5=${convRs.sum / convRs.size}%.3f " +
+          f"mean_n_probe_used=$meanUsed%.1f " +
+          f"(mean probed frac=${meanUsed / nCells}%.2f)")
+      }
+    }
+
     // Quantized-rerank IVF (int8 candidate scoring + exact re-rank)
     // vs exact — pins q75's floor. Also printed: the full-precision
     // IVF twin at the same parameters, isolating the quantization
     // loss from the cell-blocking loss.
+    if (!onlyGrid) {
     val cents8 = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8, iters = 3)
     for (rf <- Seq(1, 2, 4)) {
       val qr = Similarity.ivfTopKQuantizedRerank(q, e, "vec_id", "embedding", k = 5,
@@ -115,11 +180,13 @@ object RecallProbe {
         s"per-query=${recalls.toSeq.sorted.mkString(",")}")
     }
 
+    }
+
     // Sampled-vs-full centroid training parity (trainSampleCap):
     // recall through centroids trained on a bounded sample vs the
     // full corpus, same IVF parameters — pins the claim that the
     // sample cap does not cost recall at coarse-quantizer granularity.
-    for (cap <- Seq(64, 256)) {
+    if (!onlyGrid) for (cap <- Seq(64, 256)) {
       val sampled = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8,
         iters = 3, trainSampleCap = cap)
       val viaSampled = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
@@ -135,7 +202,7 @@ object RecallProbe {
 
     // Projected-shortlist rerank (q103): JL 32-dim shortlist + exact
     // cosine re-rank vs exact cosine — pins ProjectedRecallFloor.
-    for (rf <- Seq(4, 8)) {
+    if (!onlyGrid) for (rf <- Seq(4, 8)) {
       val pr = Similarity.projectedRerankTopK(q, e, "vec_id", "embedding",
           k = 5, projDim = 32, rerankFactor = rf)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
@@ -156,7 +223,7 @@ object RecallProbe {
     // width — memoized so the duplicated sf0=16 tuples don't rerun
     // an identical shortlist+rerank job
     val pureBySf0 = scala.collection.mutable.Map.empty[Int, Map[Long, Set[Long]]]
-    for ((sf0, rf) <- Seq((16, 4), (16, 8), (32, 8))) {
+    if (!onlyGrid) for ((sf0, rf) <- Seq((16, 4), (16, 8), (32, 8))) {
       val pq = Similarity.projectedQuantizedRerankTopK(q, e, "vec_id", "embedding",
           k = 5, projDim = 32, shortlistFactor = sf0, rerankFactor = rf)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
@@ -185,7 +252,7 @@ object RecallProbe {
     // Tombstoned ≡ compacted is an identity law (q141's three-arm
     // contract) — printed here as evidence, the interesting datum is
     // frozen-centroid-over-survivors vs fresh-centroid-over-survivors.
-    {
+    if (!onlyGrid) {
       import graft.ops.AnnIndex
       val lcRoot = java.nio.file.Files
         .createTempDirectory("graft_recall_lc").toString

@@ -930,6 +930,90 @@ object AnnIndex {
       k, "cosine")
   }
 
+  /** ADAPTIVE PROBE WIDENING — the opt-in recall mode for callers who
+    * want "as exact as the index can give" without paying exhaustive
+    * probing for every query (the RecallProbe ivf_grid curve shows
+    * recall ≈ probed fraction on isotropic data, so a FIXED nProbe is
+    * a fixed recall ceiling; clustered real corpora converge much
+    * earlier). Per query: search at `nProbe0`, double the probe width
+    * and re-search, and ACCEPT a query's top-k once it is IDENTICAL
+    * (ids, ranks, exact cosines) at two consecutive widths — stable
+    * under doubling means the nearer half of the cell ordering has
+    * stopped contributing. Queries that never stabilize terminate at
+    * width = nCells, where the probe set is exhaustive and the result
+    * is EXACT within the index by construction. `n_probe_used` on
+    * every output row records the width that confirmed the row's
+    * query — the per-query cost actually paid, and the observable a
+    * recall/cost dashboard wants.
+    *
+    * Scale shape: each round re-searches ONLY the still-unconverged
+    * queries (left_semi on the mismatch set — no driver round-trip of
+    * ids; the only driver action per round is an isEmpty on the
+    * bounded mismatch frame), and each search is the standard
+    * DPP-pruned [[searchIvfIndexManyQueries]] plan. Worst case
+    * (nothing ever stabilizes early) the doubling ladder costs ≤ 2×
+    * the exhaustive search it ends on — the classic geometric-series
+    * bound — while the expected case pays ~2× the width each query
+    * actually needed. Convergence is a stability heuristic, not a
+    * proof (a true neighbor can hide beyond the doubled horizon);
+    * the guarantees are (1) per-query recall ≥ the fixed-`nProbe0`
+    * search (wider probes are candidate supersets ranked by exact
+    * cosine), (2) identical results to a fixed-width search at that
+    * query's `n_probe_used`, and (3) exhaustive-width queries are
+    * exact within the index — all three driver-checked (q157).
+    */
+  def searchIvfIndexConverged(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe0: Int = 1, maxRounds: Int = 16): DataFrame = {
+    val cents = loadCentroids(spark, dir)
+    require(cents.nonEmpty, s"empty index at $dir")
+    require(nProbe0 >= 1, s"nProbe0 must be >= 1, got $nProbe0")
+    val nCells = cents.length
+    var width = math.min(nProbe0, nCells)
+    var pending = queries.select(col(idCol), col(vecCol))
+      .localCheckpoint(false)
+    var cur = searchIvfIndexManyQueries(spark, dir, pending,
+      idCol, vecCol, k, width).localCheckpoint(false)
+    var accepted = List.empty[DataFrame]
+    var rounds = 0
+    var drained = false
+    while (width < nCells && rounds < maxRounds && !drained) {
+      val wider = math.min(width * 2L, nCells.toLong).toInt
+      val next = searchIvfIndexManyQueries(spark, dir, pending,
+        idCol, vecCol, k, wider).localCheckpoint(false)
+      // a query is STABLE iff its (neighbor, rank, cosine) rows match
+      // exactly across the two widths — any add, drop, re-rank, or
+      // score change keeps it pending
+      val mismatch = cur
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank"), col("cosine"))
+        .join(next.select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank2"), col("cosine").as("cos2")),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .where(col("rank").isNull || col("rank2").isNull ||
+          col("rank") =!= col("rank2") || col("cosine") =!= col("cos2"))
+        .select("query_id").distinct()
+        .localCheckpoint(false)
+      accepted ::= next.join(mismatch, Seq("query_id"), "left_anti")
+        .withColumn("n_probe_used", lit(wider))
+      drained = mismatch.isEmpty // bounded: ≤ |pending| ids
+      if (!drained) {
+        pending = pending.join(
+          mismatch.select(col("query_id").as(idCol)), Seq(idCol),
+          "left_semi").localCheckpoint(false)
+        cur = next.join(mismatch, Seq("query_id"), "left_semi")
+      }
+      width = wider
+      rounds += 1
+    }
+    // still-pending queries exit at the ladder's end: exhaustive
+    // (exact within the index) or the maxRounds belt
+    val tail =
+      if (drained) accepted.head.limit(0)
+      else cur.withColumn("n_probe_used", lit(width))
+    (tail :: accepted).reduce(_ unionByName _)
+  }
+
   def searchIvfIndex(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 2): DataFrame = {

@@ -100,6 +100,51 @@ object Calibration {
     */
   val IvfLifecycleRetrainSlack = 0.02
 
+  /** PRODUCTION-SCALE IVF operating point (r14 order #1): MEAN
+    * recall@5 of the STORED index ([[graft.ops.AnnIndex
+    * .searchIvfIndex]]) at the HALF-PROBE point — nCells=16,
+    * nProbe=8, 50 queries — vs exact cosine. The full (nCells,
+    * nProbe) grid (RecallProbe `ivf_grid`, NOTES r15) shows that on
+    * the near-isotropic fixtures mean recall is a SCALE-STABLE
+    * function of the probed fraction nProbe/nCells — mildly
+    * super-linear in it, and improving with cell granularity at a
+    * fixed fraction. Half-probe measured 0.844/0.832/0.784 at
+    * sf0.001/0.01/0.1 (cells=16) and 0.932/0.912/0.872 (cells=64);
+    * quarter-probe ≈ 0.54–0.79 across the grid. 0.7 keeps a ≥21-hit
+    * margin (50·5 hits, one hit = 0.004) under the weakest scale.
+    * UNLIKE the other floors this one is enforced at sf0.01 — the
+    * first scale-relevant recall pin (r14 "What's wrong" #1; the
+    * sf0.1 re-measurement costs minutes, sf0.01 seconds).
+    *
+    * OPERATING POINTS (isotropic worst case — real clustered
+    * embedding corpora sit well above these at the same cost; the
+    * fixtures are the adversarial floor):
+    *   - probed fraction 1/8  → mean recall ≈ 0.45–0.65
+    *   - probed fraction 1/4  → mean recall ≈ 0.54–0.79
+    *   - probed fraction 1/2  → mean recall ≈ 0.78–0.93
+    *   - probed fraction 1    → 1.0 (exact within the index)
+    * Pick nCells ≈ √|C| ([[graft.ops.Similarity.adaptiveCellCount]] —
+    * more cells is strictly better recall at a fixed fraction, paid
+    * in quantizer size), then nProbe = fraction·nCells from the
+    * target row, or let [[graft.ops.AnnIndex.searchIvfIndexConverged]]
+    * widen per query (below).
+    */
+  val IvfHalfProbeRecallFloor = 0.7
+
+  /** [[graft.ops.AnnIndex.searchIvfIndexConverged]] — adaptive
+    * probe widening (nProbe0=1, cells=16, 50 queries): mean recall@5
+    * floor vs exact cosine, enforced at sf0.01 beside the half-probe
+    * point. Measured 0.928/0.936/0.836 at sf0.001/0.01/0.1 with mean
+    * n_probe_used 13.3/13.8/12.2 — on the isotropic fixtures most
+    * queries ride the ladder high (neighbors scatter across cells;
+    * this IS the adversarial case), while the per-query widths show
+    * the mode paying less wherever a query stabilizes early; at
+    * cells=64 the mean probed fraction drops to ~0.55 for ~0.87
+    * recall. 0.8 keeps a ≥34-hit margin under the enforced sf0.01
+    * measurement.
+    */
+  val IvfConvergedRecallFloor = 0.8
+
   /** q73: semantic-dedup cosine threshold. Calibrated to the synthetic
     * embeddings, whose max pairwise cosine tops out near 0.45 (real
     * embedding models sit near 0.95+) — τ=0.4 keeps the operator

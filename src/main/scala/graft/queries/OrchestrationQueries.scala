@@ -1013,6 +1013,97 @@ object OrchestrationQueries {
           .orderBy("query_id")
           .localCheckpoint(true)
       } finally drainAndDelete(s, tmp)
+    },
+
+    // ADAPTIVE PROBE WIDENING — the recall dial on the stored index
+    // (r14 order #1): searchIvfIndexConverged starts every query at
+    // nProbe0=1 and doubles its probe width until its top-k is
+    // IDENTICAL at two consecutive widths (or the probe set is
+    // exhaustive). Contract row, per query: (1) recall vs the exact
+    // brute-force twin is ≥ the fixed-nProbe0 search's — the
+    // candidate-superset theorem, driver-checked; (2) the accepted
+    // rows are IDENTICAL (ids, ranks, exact cosines) to a fixed-width
+    // searchIvfIndex at that query's reported n_probe_used — the mode
+    // never invents results, it only picks a width; with width =
+    // nCells that is the exhaustive (exact-within-index) arm, so the
+    // ladder's terminal correctness rides the same check; (3) the
+    // reported width sits on the doubling ladder {4,8}. 8 cells and
+    // nProbe0=2, not the 16/1 of the calibration runs: the contract
+    // is width-count-independent and the registered plan pays one
+    // Spark job per ladder rung — the wider grid lives in
+    // RecallProbe/CalibrationSpec where it is measured, not re-proved
+    // (the q153 containment discipline). The
+    // recall-vs-cost curve behind the dial is RecallProbe's ivf_grid;
+    // the scale-relevant floors are pinned in Calibration and
+    // re-measured at sf0.01 by CalibrationSpec.
+    "q157_ann_adaptive_probe" -> { (s, dir) =>
+      import graft.ops.{AnnIndex, Similarity}
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_q157_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // iters=1: every contract is an identity/monotonicity law,
+        // independent of centroid quality (q138's reasoning)
+        AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$tmp/ivf",
+          nCells = 8, iters = 1)
+        val q = e.where(col("vec_id") < 10)
+        val conv = AnnIndex.searchIvfIndexConverged(s, s"$tmp/ivf", q,
+            "vec_id", "embedding", k = 5, nProbe0 = 2)
+          .localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+          k = 5)
+        def hits(res: DataFrame, tag: String) =
+          exact.select(col("query_id"), col("neighbor_id"))
+            .join(res.select(col("query_id"), col("neighbor_id"),
+              lit(1L).as("hit")), Seq("query_id", "neighbor_id"),
+              "left_outer")
+            .groupBy("query_id")
+            .agg(coalesce(sum(col("hit")), lit(0L)).as(tag))
+        val baseHits = hits(AnnIndex.searchIvfIndex(s, s"$tmp/ivf", q,
+          "vec_id", "embedding", k = 5, nProbe = 2), "n_hit_base")
+        val convHits = hits(conv, "n_hit_conv")
+        // width consistency: per DISTINCT accepted width (bounded ≤
+        // log2(nCells)+1 values — a bounded driver collect), the
+        // accepted rows must equal a fixed-width search at that width
+        val widths = conv.select("n_probe_used").distinct()
+          .as[Int].collect().toSeq.sorted
+        val consistency = widths.map { w =>
+          val subsetQ = q.join(
+            conv.where(col("n_probe_used") === w)
+              .select(col("query_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+          val fixed = AnnIndex.searchIvfIndex(s, s"$tmp/ivf", subsetQ,
+              "vec_id", "embedding", k = 5, nProbe = w)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank").as("rank_f"), col("cosine").as("cos_f"))
+          conv.where(col("n_probe_used") === w)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank"), col("cosine"))
+            .join(fixed, Seq("query_id", "neighbor_id"), "full_outer")
+            .groupBy("query_id")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("rank") === col("rank_f") &&
+                col("cosine") === col("cos_f"), 1L).otherwise(0L))
+                .as("n_same"))
+        }.reduce(_ unionByName _)
+          .select(col("query_id"),
+            (col("n_rows") === col("n_same")).as("width_consistent"))
+        val ladder = conv
+          .groupBy("query_id")
+          .agg(min("n_probe_used").as("w_min"),
+            max("n_probe_used").as("w_max"))
+          .select(col("query_id"),
+            (col("w_min") === col("w_max") &&
+              col("w_min").isin(4, 8)).as("width_on_ladder"))
+        convHits.join(baseHits, Seq("query_id"))
+          .join(consistency, Seq("query_id"))
+          .join(ladder, Seq("query_id"))
+          .select(col("query_id"),
+            (col("n_hit_conv") >= col("n_hit_base")).as("recall_monotone"),
+            col("width_consistent"), col("width_on_ladder"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -1084,6 +1175,11 @@ object OrchestrationQueries {
         |  (SELECT COUNT(*) FROM embeddings) AS n_posted,
         |  TRUE AS ids_unique,
         |  TRUE AS replayed_multibatch
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q157_ann_adaptive_probe" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_monotone,
+        |  TRUE AS width_consistent, TRUE AS width_on_ladder
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q156_zero_downtime_rebuild" ->

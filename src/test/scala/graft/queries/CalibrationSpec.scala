@@ -153,6 +153,51 @@ class CalibrationSpec extends SparkSpecBase {
         "(projDim=32, shortlistFactor=16, rerankFactor=4, k=5)"))
   }
 
+  test("production-scale IVF operating point holds at sf0.01: the " +
+      "half-probe stored-index floor and the converged-mode floor — " +
+      "the scale-relevant recall pins (every other floor re-measures " +
+      "sf0.001)") {
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory, s"$sf01 absent")
+    import graft.ops.AnnIndex
+    val e = Tables.embeddings(spark, sf01)
+    val qWide = e.where(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(qWide, e, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cal_sf01").toString
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf",
+      nCells = 16, iters = 3)
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (qid, ex) =>
+        (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val half = meanRecall(AnnIndex.searchIvfIndex(spark, s"$dir/ivf",
+      qWide, "vec_id", "embedding", k = 5, nProbe = 8))
+    assert(half >= Calibration.IvfHalfProbeRecallFloor,
+      repin("IvfHalfProbeRecallFloor",
+        s"half-probe (16 cells, nProbe=8) mean recall@5 $half < " +
+        s"floor ${Calibration.IvfHalfProbeRecallFloor} at sf0.01"))
+    val conv = meanRecall(AnnIndex.searchIvfIndexConverged(spark,
+      s"$dir/ivf", qWide, "vec_id", "embedding", k = 5, nProbe0 = 1))
+    assert(conv >= Calibration.IvfConvergedRecallFloor,
+      repin("IvfConvergedRecallFloor",
+        s"converged-mode (16 cells, nProbe0=1) mean recall@5 $conv < " +
+        s"floor ${Calibration.IvfConvergedRecallFloor} at sf0.01"))
+    // the ladder never does worse than its own starting width — the
+    // superset-of-candidates theorem, re-checked at scale
+    val base = meanRecall(AnnIndex.searchIvfIndex(spark, s"$dir/ivf",
+      qWide, "vec_id", "embedding", k = 5, nProbe = 1))
+    assert(conv >= base,
+      s"converged recall $conv fell below its nProbe0=1 start $base")
+  }
+
   test("q73's semantic-dedup tau keeps the operator non-vacuous on the live fixtures") {
     assume(fixturesPresent, s"$sfDir absent")
     // τ must sit BELOW the corpus's max pairwise cosine (else q73

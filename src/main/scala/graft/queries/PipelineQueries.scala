@@ -699,8 +699,13 @@ object PipelineQueries {
         max(unix_timestamp(col("ts"))).as("mx")).head()
       val mn = bounds.getLong(0)
       val span = (bounds.getLong(1) - mn) / 4L + 1L // ceil: index ≤ 3
+      // each slice materialized ONCE: both replay runs (kill-restart +
+      // never-stopped twin) stage every slice to their own dirs, so
+      // un-checkpointed frames would re-scan + re-filter the events
+      // table 8× (r15 containment; the result is unchanged)
       val batches = (0 until 4).map(b =>
-        ev.where(expr(s"(unix_timestamp(ts) - $mn) div $span") === b))
+        ev.where(expr(s"(unix_timestamp(ts) - $mn) div $span") === b)
+          .localCheckpoint(true))
       val r = Replay.restartRecoveryReplay(s, batches, stopAfter = 2,
         watermark = "1 hour")
       val twin = Replay.restartRecoveryReplay(s, batches, stopAfter = 0,

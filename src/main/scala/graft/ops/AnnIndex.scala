@@ -964,23 +964,57 @@ object AnnIndex {
     */
   def searchIvfIndexConverged(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe0: Int = 1, maxRounds: Int = 16): DataFrame = {
+      k: Int, nProbe0: Int = 1, maxRounds: Int = 16): DataFrame =
+    widenToConvergence(spark, dir,
+      queries.select(col(idCol), col(vecCol)), idCol, nProbe0, maxRounds)(
+      (pending, w) => searchIvfIndexManyQueries(spark, dir, pending,
+        idCol, vecCol, k, w))
+
+  /** [[hardNegativesIndexed]] under the same adaptive probe ladder as
+    * [[searchIvfIndexConverged]] — hard-negative mining is exactly
+    * where a fixed probe width quietly under-delivers (RecallProbe:
+    * ~0.3 recall at the old nProbe=3/16 default on the isotropic
+    * fixtures means ~70% of true hard negatives missed), and the
+    * miner runs offline where "pay each anchor's width" beats "pick
+    * one width for the corpus". Same contracts: per-anchor results ≡
+    * the fixed-width miner at the reported `n_probe_used`; terminal
+    * width = nCells is the exact broadcast arm's result (the q153
+    * identity).
+    */
+  def hardNegativesIndexedConverged(spark: SparkSession, dir: String,
+      anchors: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      labels: DataFrame, k: Int, nProbe0: Int = 1,
+      maxRounds: Int = 16): DataFrame =
+    widenToConvergence(spark, dir,
+      anchors.select(col(idCol), col(vecCol), col(labelCol)), idCol,
+      nProbe0, maxRounds)(
+      (pending, w) => hardNegativesIndexed(spark, dir, pending,
+        idCol, vecCol, labelCol, labels, k, w))
+
+  /** The doubling ladder both converged modes share: run `searchAt`
+    * over the still-pending queries at successive widths, accepting a
+    * query once its (neighbor, rank, cosine) rows are identical at
+    * two consecutive widths; unconverged queries terminate at
+    * width = nCells (exhaustive). `searchAt` must emit
+    * (query_id, neighbor_id, cosine, rank) and key its input on
+    * `idCol`.
+    */
+  private def widenToConvergence(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, nProbe0: Int, maxRounds: Int)
+      (searchAt: (DataFrame, Int) => DataFrame): DataFrame = {
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"empty index at $dir")
     require(nProbe0 >= 1, s"nProbe0 must be >= 1, got $nProbe0")
     val nCells = cents.length
     var width = math.min(nProbe0, nCells)
-    var pending = queries.select(col(idCol), col(vecCol))
-      .localCheckpoint(false)
-    var cur = searchIvfIndexManyQueries(spark, dir, pending,
-      idCol, vecCol, k, width).localCheckpoint(false)
+    var pending = queries.localCheckpoint(false)
+    var cur = searchAt(pending, width).localCheckpoint(false)
     var accepted = List.empty[DataFrame]
     var rounds = 0
     var drained = false
     while (width < nCells && rounds < maxRounds && !drained) {
       val wider = math.min(width * 2L, nCells.toLong).toInt
-      val next = searchIvfIndexManyQueries(spark, dir, pending,
-        idCol, vecCol, k, wider).localCheckpoint(false)
+      val next = searchAt(pending, wider).localCheckpoint(false)
       // a query is STABLE iff its (neighbor, rank, cosine) rows match
       // exactly across the two widths — any add, drop, re-rank, or
       // score change keeps it pending

@@ -94,7 +94,9 @@ object AnnIndex {
     Versioning.requireAtomicFs(fs, dir, s"AnnIndex.$op")
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/$WriterLockFile")
-    val stamp = FsLock.holderStamp(op)
+    // advertiseLease: this wrapper runs the body under withHeartbeat,
+    // so the stamp's lease promise is actually kept
+    val stamp = FsLock.holderStamp(op, advertiseLease = true)
     if (!FsLock.acquireOrReclaim(fs, lock, stamp)) {
       val holder = FsLock.holderInfo(fs, lock)
         .map(h => s" (holder: $h)").getOrElse("")
@@ -936,20 +938,22 @@ object AnnIndex {
     * recall ≈ probed fraction on isotropic data, so a FIXED nProbe is
     * a fixed recall ceiling; clustered real corpora converge much
     * earlier). Per query: search at `nProbe0`, double the probe width
-    * and re-search, and ACCEPT a query's top-k once it is IDENTICAL
-    * (ids, ranks, exact cosines) at two consecutive widths — stable
-    * under doubling means the nearer half of the cell ordering has
-    * stopped contributing. Queries that never stabilize terminate at
-    * width = nCells, where the probe set is exhaustive and the result
-    * is EXACT within the index by construction. `n_probe_used` on
+    * and re-search, and ACCEPT a query's top-k once it is FULL
+    * (k rows) and IDENTICAL (ids, ranks, exact cosines) at two
+    * consecutive widths — a full result stable under doubling means
+    * the nearer half of the cell ordering has stopped contributing,
+    * while a sub-k one can only grow and rides on. Queries that
+    * never reach that state terminate at width = nCells, where the
+    * probe set is exhaustive and the result is EXACT within the
+    * index by construction. `n_probe_used` on
     * every output row records the width that confirmed the row's
     * query — the per-query cost actually paid, and the observable a
     * recall/cost dashboard wants.
     *
     * Scale shape: each round re-searches ONLY the still-unconverged
-    * queries (left_semi on the mismatch set — no driver round-trip of
-    * ids; the only driver action per round is an isEmpty on the
-    * bounded mismatch frame), and each search is the standard
+    * queries (left_anti on the accepted ids — no driver round-trip
+    * of ids; the only driver action per round is a limit-1 isEmpty
+    * on the pending frame), and each search is the standard
     * DPP-pruned [[searchIvfIndexManyQueries]] plan. Worst case
     * (nothing ever stabilizes early) the doubling ladder costs ≤ 2×
     * the exhaustive search it ends on — the classic geometric-series
@@ -966,7 +970,8 @@ object AnnIndex {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe0: Int = 1, maxRounds: Int = 16): DataFrame =
     widenToConvergence(spark, dir,
-      queries.select(col(idCol), col(vecCol)), idCol, nProbe0, maxRounds)(
+      queries.select(col(idCol), col(vecCol)), idCol, k, nProbe0,
+      maxRounds)(
       (pending, w) => searchIvfIndexManyQueries(spark, dir, pending,
         idCol, vecCol, k, w))
 
@@ -986,7 +991,7 @@ object AnnIndex {
       labels: DataFrame, k: Int, nProbe0: Int = 1,
       maxRounds: Int = 16): DataFrame =
     widenToConvergence(spark, dir,
-      anchors.select(col(idCol), col(vecCol), col(labelCol)), idCol,
+      anchors.select(col(idCol), col(vecCol), col(labelCol)), idCol, k,
       nProbe0, maxRounds)(
       (pending, w) => hardNegativesIndexed(spark, dir, pending,
         idCol, vecCol, labelCol, labels, k, w))
@@ -994,13 +999,22 @@ object AnnIndex {
   /** The doubling ladder both converged modes share: run `searchAt`
     * over the still-pending queries at successive widths, accepting a
     * query once its (neighbor, rank, cosine) rows are identical at
-    * two consecutive widths; unconverged queries terminate at
-    * width = nCells (exhaustive). `searchAt` must emit
-    * (query_id, neighbor_id, cosine, rank) and key its input on
-    * `idCol`.
+    * two consecutive widths AND its top-k is FULL; everything else
+    * terminates at width = nCells (exhaustive). The full-k gate
+    * matters more than it looks: a query whose probed cells yield
+    * ZERO rows at both widths is invisible to a result-level
+    * comparison (nothing to mismatch), and a sub-k result can only
+    * grow as probing widens — accepting either "stable" state early
+    * would silently return nothing (or too little) for exactly the
+    * queries that need the widening most, e.g. an anchor whose
+    * near cells are all same-label in the miner. Sub-k queries are
+    * re-searched every round; the ≤ 2× doubling bound is unchanged.
+    * `searchAt` must emit (query_id, neighbor_id, cosine, rank),
+    * k-bounded, keyed on `idCol`.
     */
   private def widenToConvergence(spark: SparkSession, dir: String,
-      queries: DataFrame, idCol: String, nProbe0: Int, maxRounds: Int)
+      queries: DataFrame, idCol: String, k: Int, nProbe0: Int,
+      maxRounds: Int)
       (searchAt: (DataFrame, Int) => DataFrame): DataFrame = {
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"empty index at $dir")
@@ -1011,41 +1025,57 @@ object AnnIndex {
     var cur = searchAt(pending, width).localCheckpoint(false)
     var accepted = List.empty[DataFrame]
     var rounds = 0
-    var drained = false
-    while (width < nCells && rounds < maxRounds && !drained) {
-      val wider = math.min(width * 2L, nCells.toLong).toInt
-      val next = searchAt(pending, wider).localCheckpoint(false)
-      // a query is STABLE iff its (neighbor, rank, cosine) rows match
-      // exactly across the two widths — any add, drop, re-rank, or
-      // score change keeps it pending
-      val mismatch = cur
-        .select(col("query_id"), col("neighbor_id"),
-          col("rank"), col("cosine"))
-        .join(next.select(col("query_id"), col("neighbor_id"),
-            col("rank").as("rank2"), col("cosine").as("cos2")),
-          Seq("query_id", "neighbor_id"), "full_outer")
-        .where(col("rank").isNull || col("rank2").isNull ||
-          col("rank") =!= col("rank2") || col("cosine") =!= col("cos2"))
-        .select("query_id").distinct()
-        .localCheckpoint(false)
-      accepted ::= next.join(mismatch, Seq("query_id"), "left_anti")
-        .withColumn("n_probe_used", lit(wider))
-      drained = mismatch.isEmpty // bounded: ≤ |pending| ids
-      if (!drained) {
+    var done = false
+    while (!done) {
+      if (width >= nCells || rounds >= maxRounds) {
+        // the ladder's end: exhaustive width (exact within the index)
+        // or the maxRounds belt — every still-pending query exits
+        // with its current-width rows (zero-result queries simply
+        // have none, same as a fixed-width search)
+        accepted ::= cur.withColumn("n_probe_used", lit(width))
+        done = true
+      } else {
+        val wider = math.min(width * 2L, nCells.toLong).toInt
+        val next = searchAt(pending, wider).localCheckpoint(false)
+        // STABLE iff the (neighbor, rank, cosine) rows match exactly
+        // across the two widths — any add, drop, re-rank, or score
+        // change keeps the query pending
+        val mismatch = cur
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank"), col("cosine"))
+          .join(next.select(col("query_id"), col("neighbor_id"),
+              col("rank").as("rank2"), col("cosine").as("cos2")),
+            Seq("query_id", "neighbor_id"), "full_outer")
+          .where(col("rank").isNull || col("rank2").isNull ||
+            col("rank") =!= col("rank2") || col("cosine") =!= col("cos2"))
+          .select("query_id").distinct()
+        // ... and FULL: only a k-row result has stopped growing for
+        // sure; sub-k (and especially zero-row, which no result-level
+        // join can even see) rides on toward exhaustive
+        val fullIds = next.groupBy("query_id")
+          .agg(count(lit(1)).as("__n")).where(col("__n") >= k)
+          .select("query_id")
+        val acceptedNow = next
+          .join(mismatch, Seq("query_id"), "left_anti")
+          .join(fullIds, Seq("query_id"), "left_semi")
+          .withColumn("n_probe_used", lit(wider))
+          .localCheckpoint(false)
+        accepted ::= acceptedNow
+        // pending shrinks by the ACCEPTED ids — never by the observed
+        // ones (a query with no rows on either side was observed by
+        // neither frame and must stay)
         pending = pending.join(
-          mismatch.select(col("query_id").as(idCol)), Seq(idCol),
-          "left_semi").localCheckpoint(false)
-        cur = next.join(mismatch, Seq("query_id"), "left_semi")
+          acceptedNow.select(col("query_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti").localCheckpoint(false)
+        if (pending.isEmpty) done = true // bounded: limit-1 probe
+        else cur = next.join(
+          acceptedNow.select("query_id").distinct(),
+          Seq("query_id"), "left_anti").localCheckpoint(false)
+        width = wider
+        rounds += 1
       }
-      width = wider
-      rounds += 1
     }
-    // still-pending queries exit at the ladder's end: exhaustive
-    // (exact within the index) or the maxRounds belt
-    val tail =
-      if (drained) accepted.head.limit(0)
-      else cur.withColumn("n_probe_used", lit(width))
-    (tail :: accepted).reduce(_ unionByName _)
+    accepted.reduce(_ unionByName _)
   }
 
   def searchIvfIndex(spark: SparkSession, dir: String,

@@ -79,21 +79,27 @@ private[graft] object FsLock {
     * lock files gave them nothing.
     *
     * The `lease=<ttlMs>` field ADVERTISES lease participation: this
-    * holder promises to heartbeat ([[withHeartbeat]]) and to fence
+    * holder PROMISES to heartbeat ([[withHeartbeat]]) and to fence
     * its writes, so a silent mtime past the advertised TTL really
     * means a stopped heart. TTL reclaim is GATED on that field
-    * ([[acquireOrReclaim]]): a lock written by an older binary or a
-    * raw [[tryAcquire]] caller has a static mtime but made no such
-    * promise — reclaiming it after 180 s would manufacture two
-    * unfenced concurrent writers during a rolling upgrade. Such
-    * locks recover only via the pid probe or a manual break.
+    * ([[acquireOrReclaim]]): a lock whose stamp lacks it — an older
+    * binary, or any caller that acquires without heartbeating — has
+    * a static mtime but made no such promise; reclaiming it after
+    * 180 s would manufacture two unfenced concurrent writers. Such
+    * locks recover only via the pid probe or a manual break. Because
+    * the field IS the promise, it is OPT-IN (`advertiseLease`), set
+    * only by callers that will actually run the mutation under
+    * [[withHeartbeat]] (both protocol wrappers do) — baking it into
+    * every stamp would advertise a heartbeat raw [[tryAcquire]]
+    * callers never start, re-opening the exact hazard the gate
+    * closes.
     */
-  def holderStamp(op: String): String = {
+  def holderStamp(op: String, advertiseLease: Boolean = false): String = {
     val self = ProcessHandle.current()
     s"op=$op pid=${self.pid()} host=$localHost " +
       localPidNamespace.map(n => s"pidns=$n ").getOrElse("") +
       startMillisOf(self).map(s => s"start=$s ").getOrElse("") +
-      s"lease=$leaseTtlMs " +
+      (if (advertiseLease) s"lease=$leaseTtlMs " else "") +
       s"token=${java.util.UUID.randomUUID()} " +
       s"acquired=${java.time.Instant.now()}"
   }

@@ -151,7 +151,9 @@ object Versioning {
     // discipline, shared at the FsLock level); anything unprovable
     // still refuses and names the holder. The body must fence.verify()
     // before each mutating write — the backstop against a wrong break.
-    val stamp = FsLock.holderStamp(op)
+    // advertiseLease: this wrapper runs the body under withHeartbeat,
+    // so the stamp's lease promise is actually kept
+    val stamp = FsLock.holderStamp(op, advertiseLease = true)
     if (!FsLock.acquireOrReclaim(fs, lock, stamp)) {
       val holder = FsLock.holderInfo(fs, lock)
         .map(h => s" (holder: $h)").getOrElse("")

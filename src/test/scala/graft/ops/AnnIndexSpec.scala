@@ -838,6 +838,53 @@ class AnnIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("the ladder never accepts an empty or sub-k 'stable' result: an " +
+      "anchor whose near cells are all same-label rides to the " +
+      "exhaustive width and returns its k cross-label negatives — not " +
+      "zero rows (r15 review finding)") {
+    val dir = Files.createTempDirectory("graft_annladder").toString
+    // clusters 0..2 mutually near (unit axes), all label 0; cluster 3
+    // FAR (3·e₃) and the only label-1 mass — so an anchor in cluster 0
+    // probes cells 0,1,2 first (zero cross-label rows at widths 1 AND
+    // 2: the 'stable empty' trap) and finds negatives only at the
+    // exhaustive width
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      val scale = if (c == 3) 3.0f else 1.0f
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == c) scale else 0.0f) + 0.001f * (i / 4)),
+        if (c == 3) 1L else 0L)
+    }.toDF("vec_id", "embedding", "label")
+    val e = rows.select("vec_id", "embedding")
+    val labels = rows.select("vec_id", "label")
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf",
+      nCells = 4, iters = 4)
+    val anchors = rows.where(col("vec_id") % 4 === 0 &&
+      col("vec_id") < 8) // cluster-0 anchors
+    val conv = AnnIndex.hardNegativesIndexedConverged(spark, s"$dir/ivf",
+      anchors, "vec_id", "embedding", "label", labels, k = 3, nProbe0 = 1)
+      .collect()
+    val byAnchor = conv.groupBy(_.getAs[Long]("query_id"))
+    assert(byAnchor.keySet ==
+      anchors.select("vec_id").as[Long].collect().toSet,
+      "every anchor must surface — zero-row acceptance would drop them")
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.length == 3,
+        s"anchor $a returned ${rs.length} rows — sub-k acceptance")
+      assert(rs.forall(_.getAs[Int]("n_probe_used") == 4),
+        s"anchor $a must ride to the exhaustive width")
+    }
+    // and the exhaustive-width rows are the fixed miner's, exactly
+    val fixed = AnnIndex.hardNegativesIndexed(spark, s"$dir/ivf",
+        anchors, "vec_id", "embedding", "label", labels, k = 3,
+        nProbe = 4)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .collect().map(_.toSeq).toSet
+    assert(conv.map(r => Seq(r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+      r.getAs[Double]("cosine"))).toSet == fixed)
+  }
+
   test("zero-downtime rebuild (versioned root + pointer swap): a " +
       "CONCURRENT reader never observes a torn quantizer/postings mix " +
       "while a full rebuild runs, the pointer advances atomically, the " +

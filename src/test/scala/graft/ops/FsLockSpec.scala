@@ -194,16 +194,22 @@ class FsLockSpec extends SparkSpecBase {
       "a lease-less stamp must never be lease-reclaimed")
     assert(FsLock.holderInfo(fs, lock).contains(legacy))
     FsLock.release(fs, lock)
-    // the real stamp advertises its lease — the gate is self-applying
-    assert(FsLock.advertisedLeaseTtl(FsLock.holderStamp("x"))
+    // the advertisement is the PROMISE, so it is opt-in: the protocol
+    // wrappers (which heartbeat) advertise, a default stamp (raw
+    // tryAcquire, no heartbeat) does not — and is therefore never
+    // lease-reclaimable
+    assert(FsLock.advertisedLeaseTtl(
+        FsLock.holderStamp("x", advertiseLease = true))
       .contains(FsLock.leaseTtlMs))
+    assert(FsLock.advertisedLeaseTtl(FsLock.holderStamp("x")).isEmpty,
+      "a non-heartbeating caller's stamp must not advertise a lease")
     // withHeartbeat keeps a held lock's lease live through a body
     // longer than the TTL; the thread dies with the body. TTL:beat is
     // 4:1 (ttl/4 bound), so the arm tolerates a ~2-beat scheduler
     // stall on a loaded box without a false reclaim
     System.setProperty("graft.lock.lease.ttl.ms", "3000")
     try {
-      val mine = FsLock.holderStamp("beating")
+      val mine = FsLock.holderStamp("beating", advertiseLease = true)
       assert(FsLock.tryAcquire(fs, lock, mine))
       FsLock.withHeartbeat(fs, lock, mine) {
         Thread.sleep(4000) // well past the TTL: only beats keep it live

@@ -112,9 +112,10 @@ object Calibration {
     * sf0.001/0.01/0.1 (cells=16) and 0.932/0.912/0.872 (cells=64);
     * quarter-probe ≈ 0.54–0.79 across the grid. 0.7 keeps a ≥21-hit
     * margin (50·5 hits, one hit = 0.004) under the weakest scale.
-    * UNLIKE the other floors this one is enforced at sf0.01 — the
-    * first scale-relevant recall pin (r14 "What's wrong" #1; the
-    * sf0.1 re-measurement costs minutes, sf0.01 seconds).
+    * UNLIKE the other floors this one is enforced at sf0.01 AND at
+    * sf0.1 (two CalibrationSpec arms) — the scale-relevant recall
+    * pins r14 "What's wrong" #1 asked for; sf0.1 is exactly the
+    * scale where the old nProbe=3/16 default measured 0.28–0.32.
     *
     * OPERATING POINTS (isotropic worst case — real clustered
     * embedding corpora sit well above these at the same cost; the

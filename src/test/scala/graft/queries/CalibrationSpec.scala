@@ -198,6 +198,35 @@ class CalibrationSpec extends SparkSpecBase {
       s"converged recall $conv fell below its nProbe0=1 start $base")
   }
 
+  test("the half-probe floor also holds at sf0.1 — the scale where the " +
+      "r14 verdict observed 0.28-0.32 recall at the old nProbe=3/16 " +
+      "default (measured 0.784 at the pinned operating point)") {
+    val sf1 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf1).isDirectory, s"$sf1 absent")
+    import graft.ops.AnnIndex
+    val e = Tables.embeddings(spark, sf1)
+    val qWide = e.where(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(qWide, e, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cal_sf1").toString
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf",
+      nCells = 16, iters = 3)
+    val got = AnnIndex.searchIvfIndex(spark, s"$dir/ivf", qWide,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = exact.map { case (qid, ex) =>
+      (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+    val half = rs.sum / rs.size
+    assert(half >= Calibration.IvfHalfProbeRecallFloor,
+      repin("IvfHalfProbeRecallFloor",
+        s"half-probe (16 cells, nProbe=8) mean recall@5 $half < " +
+        s"floor ${Calibration.IvfHalfProbeRecallFloor} at sf0.1"))
+  }
+
   test("q73's semantic-dedup tau keeps the operator non-vacuous on the live fixtures") {
     assume(fixturesPresent, s"$sfDir absent")
     // τ must sit BELOW the corpus's max pairwise cosine (else q73

@@ -996,6 +996,26 @@ object AnnIndex {
       (pending, w) => hardNegativesIndexed(spark, dir, pending,
         idCol, vecCol, labelCol, labels, k, w))
 
+  /** [[searchIvfIndexFiltered]] under the adaptive probe ladder —
+    * the composition where the ladder's full-k gate earns its keep:
+    * a selective allowed set (one language, one license, post-cutoff
+    * docs) makes sub-k and zero-row probe results the NORM at narrow
+    * widths, and a stability-only acceptance would hand back exactly
+    * those starved results. Here every query either fills its top-k
+    * within the allowed sub-corpus and stabilizes, or rides to the
+    * exhaustive width where the result is the true filtered top-k
+    * within the index.
+    */
+  def searchIvfIndexFilteredConverged(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String, k: Int,
+      nProbe0: Int = 1, maxRounds: Int = 16): DataFrame =
+    widenToConvergence(spark, dir,
+      queries.select(col(idCol), col(vecCol)), idCol, k, nProbe0,
+      maxRounds)(
+      (pending, w) => searchIvfIndexFiltered(spark, dir, pending,
+        idCol, vecCol, allowed, allowedIdCol, k, w))
+
   /** The doubling ladder both converged modes share: run `searchAt`
     * over the still-pending queries at successive widths, accepting a
     * query once its (neighbor, rank, cosine) rows are identical at

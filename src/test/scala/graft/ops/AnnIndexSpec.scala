@@ -885,6 +885,51 @@ class AnnIndexSpec extends SparkSpecBase {
       r.getAs[Double]("cosine"))).toSet == fixed)
   }
 
+  test("searchIvfIndexFilteredConverged: a selective allowed set " +
+      "(the sub-k norm) rides to the exhaustive width and returns the " +
+      "true filtered top-k — never a starved result; every neighbor " +
+      "is allowed and rows match the fixed filtered search") {
+    val dir = Files.createTempDirectory("graft_annfconv").toString
+    val e = corpus(40)
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/ivf",
+      nCells = 4, iters = 3)
+    // allowed = cluster 3 only (vec_id % 4 == 3): for cluster-0
+    // queries every near cell is empty of allowed rows at narrow
+    // widths — the starved case
+    val allowed = e.where(col("vec_id") % 4 === 3).select("vec_id")
+    val q = e.where(col("vec_id") % 4 === 0 && col("vec_id") < 8)
+    val conv = AnnIndex.searchIvfIndexFilteredConverged(spark,
+        s"$dir/ivf", q, "vec_id", "embedding", allowed, "vec_id",
+        k = 3, nProbe0 = 1)
+      .collect()
+    val allowedSet = allowed.as[Long].collect().toSet
+    assert(conv.nonEmpty)
+    assert(conv.forall(r => allowedSet(r.getAs[Long]("neighbor_id"))),
+      "a disallowed neighbor surfaced")
+    val byQ = conv.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == q.select("vec_id").as[Long].collect().toSet,
+      "a starved query vanished instead of riding to exhaustive")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 3, s"query $qid starved at ${rs.length} rows")
+    }
+    // row identity with the fixed filtered search at each used width
+    conv.map(_.getAs[Int]("n_probe_used")).distinct.foreach { w =>
+      val ids = byQ.collect {
+        case (a, rs) if rs.head.getAs[Int]("n_probe_used") == w => a
+      }.toSet
+      val fixed = AnnIndex.searchIvfIndexFiltered(spark, s"$dir/ivf",
+          q.where(col("vec_id").isin(ids.toSeq.map(Long.box): _*)),
+          "vec_id", "embedding", allowed, "vec_id", k = 3, nProbe = w)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .collect().map(_.toSeq).toSet
+      val got = conv.filter(r => ids(r.getAs[Long]("query_id")))
+        .map(r => Seq(r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+          r.getAs[Double]("cosine"))).toSet
+      assert(got == fixed, s"width-$w rows diverge from the fixed arm")
+    }
+  }
+
   test("zero-downtime rebuild (versioned root + pointer swap): a " +
       "CONCURRENT reader never observes a torn quantizer/postings mix " +
       "while a full rebuild runs, the pointer advances atomically, the " +

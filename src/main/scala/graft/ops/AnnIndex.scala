@@ -1039,6 +1039,10 @@ object AnnIndex {
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"empty index at $dir")
     require(nProbe0 >= 1, s"nProbe0 must be >= 1, got $nProbe0")
+    // k >= 1: with k <= 0 the full-k gate could never accept (every
+    // result is empty), and the ladder would pay the whole doubling
+    // run to return an empty frame
+    require(k >= 1, s"k must be >= 1, got $k")
     val nCells = cents.length
     var width = math.min(nProbe0, nCells)
     var pending = queries.localCheckpoint(false)
@@ -1083,14 +1087,16 @@ object AnnIndex {
         accepted ::= acceptedNow
         // pending shrinks by the ACCEPTED ids — never by the observed
         // ones (a query with no rows on either side was observed by
-        // neither frame and must stay)
+        // neither frame and must stay). One distinct, reused by both
+        // anti-joins.
+        val acceptedIds = acceptedNow.select("query_id").distinct()
+          .localCheckpoint(false)
         pending = pending.join(
-          acceptedNow.select(col("query_id").as(idCol)).distinct(),
+          acceptedIds.select(col("query_id").as(idCol)),
           Seq(idCol), "left_anti").localCheckpoint(false)
         if (pending.isEmpty) done = true // bounded: limit-1 probe
-        else cur = next.join(
-          acceptedNow.select("query_id").distinct(),
-          Seq("query_id"), "left_anti").localCheckpoint(false)
+        else cur = next.join(acceptedIds, Seq("query_id"), "left_anti")
+          .localCheckpoint(false)
         width = wider
         rounds += 1
       }

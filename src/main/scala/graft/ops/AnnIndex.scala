@@ -279,6 +279,14 @@ object AnnIndex {
     * [[Versioning.publish]] applies verbatim); old versions stay for
     * rollback until [[Versioning.vacuum]] reclaims them.
     *
+    * RETENTION GRACE: readers are lock-free and only the POINTED-AT
+    * version is vacuum-protected, so a `vacuum(root, keep = 1)` run
+    * immediately after a rebuild can delete the superseded `v=N` out
+    * from under a reader that resolved [[currentIndexDir]] moments
+    * before the swap. Serving roots must either keep ≥ 2 versions or
+    * delay vacuum past the maximum query duration after a rebuild —
+    * see [[Versioning.vacuum]]'s grace rule.
+    *
     * Centroid training runs BEFORE the dataset lock is taken (it
     * reads only the corpus), so a long kmeans doesn't stretch the
     * mutation window — the same reasoning as [[buildIvfIndex]]'s
@@ -965,6 +973,20 @@ object AnnIndex {
     * cosine), (2) identical results to a fixed-width search at that
     * query's `n_probe_used`, and (3) exhaustive-width queries are
     * exact within the index — all three driver-checked (q157).
+    *
+    * `maxRounds` DEGRADATION: if the belt fires before the width
+    * reaches nCells, every still-pending query exits with its
+    * current-width rows WITHOUT the stability or full-k acceptance —
+    * possibly sub-k, empty, or full-but-still-shifting — and such
+    * rows carry no marker distinguishing them from accepted ones
+    * beyond `n_probe_used < nCells` plus a sub-k row count (a
+    * full-but-unstable belt exit is indistinguishable from an
+    * accepted result). At the default `maxRounds = 16` the belt is
+    * unreachable: the width doubles every round from ≥ 1, so 16
+    * rounds reach 2^16 = 65,536 ≥ the quantizer's cell cap, i.e. the
+    * ladder always ends exhaustive first. Only a caller-passed
+    * smaller `maxRounds` trades completeness for a hard round bound;
+    * such callers accept unmarked unconverged rows by contract.
     */
   def searchIvfIndexConverged(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,

@@ -214,8 +214,11 @@ private[graft] object FsLock {
     * stampless lock — leaving recovery to the lease or the operator.
     * Upgrade note: a stamp written WITHOUT a pidns field (an older
     * binary) probed from a namespaced (Linux) host falls into the
-    * conservative arm — during a rolling upgrade such orphans recover
-    * through the lease TTL rather than the instant pid probe.
+    * conservative arm — and since the lease reclaim is gated on the
+    * stamp ADVERTISING lease participation (`lease=`, which an older
+    * binary never wrote), such orphans are not TTL-reclaimed either:
+    * during a rolling upgrade they recover only via the pid probe
+    * (same host+namespace) or a manual [[breakLock]].
     */
   def holderProvablyDead(info: String): Boolean = {
     val fields = stampFields(info)

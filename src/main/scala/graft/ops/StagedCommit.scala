@@ -67,12 +67,21 @@ private[graft] object StagedCommit {
       if (!fs.rename(t, tomb)) throw new IllegalStateException(
         s"commitStaged: rename-aside $target -> $tomb failed")
     }
-    def restore(): Unit = if (hadOld) fs.rename(tomb, t)
-    try fence.verify() catch { case e: Throwable => restore(); throw e }
+    // The restore itself can fail (the one truly bad state: target
+    // absent, old tree stranded in the tomb). Surface that on the
+    // thrown error instead of letting it imply the old tree is back —
+    // the operator's recovery is a manual tomb -> target rename.
+    def restore(onto: Throwable): Unit =
+      if (hadOld && !fs.rename(tomb, t)) onto.addSuppressed(
+        new IllegalStateException(
+          s"commitStaged: RESTORE $tomb -> $target also failed — " +
+            s"target is ABSENT and the old tree lives in $tomb"))
+    try fence.verify() catch { case e: Throwable => restore(e); throw e }
     if (!fs.rename(new Path(stage), t)) {
-      restore()
-      throw new IllegalStateException(
+      val e = new IllegalStateException(
         s"commitStaged: rename $stage -> $target failed")
+      restore(e)
+      throw e
     }
     if (hadOld) fs.delete(tomb, true)
   }

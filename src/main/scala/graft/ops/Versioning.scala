@@ -278,6 +278,18 @@ object Versioning {
     * stages (`.stage_v_*` dirs a crashed or fenced-out publisher left
     * behind — reader-invisible, but garbage). Returns the version ids
     * deleted.
+    *
+    * RETENTION GRACE for SERVING roots (lock-free readers, e.g. an
+    * [[AnnIndex.rebuildIvfIndexVersioned]] root): a reader resolves
+    * the pointer once and then reads its immutable `v=N` tree with no
+    * lock held, so only the pointed-at version is protected —
+    * `vacuum(keep = 1)` fired right after a publish/rebuild can
+    * delete the superseded version an in-flight reader resolved
+    * moments earlier, failing it mid-read. Either keep ≥ 2 (the
+    * superseded version survives one more retention cycle) or delay
+    * vacuum past the maximum read/query duration after a pointer
+    * swap. Offline/archival roots with no concurrent readers may use
+    * keep = 1 freely.
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"keep must be ≥ 1, got $keep")

@@ -82,6 +82,39 @@ class StagedCommitSpec extends SparkSpecBase {
       "the stage survives for the replay to recommit")
   }
 
+  test("when the RESTORE rename also fails, the thrown error carries a " +
+      "suppressed note naming the tomb (r15 ADVICE: the old tree is " +
+      "stranded and the target absent — the error must say so, not " +
+      "imply the old tree was put back)") {
+    val base = Files.createTempDirectory("graft_staged4").toString
+    val fence = ownedFence(base)
+    mkTree(s"$base/target", "OLD")
+    mkTree(s"$base/.stage_t_eeee", "NEW")
+    val raw = new RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    // rename-aside succeeds; the swap fails; the restore fails too
+    val failing = new FilterFileSystem(raw) {
+      override def rename(src: Path, dst: Path): Boolean =
+        if (src.getName == ".stage_t_eeee" ||
+          src.getName == ".stage_t_eeee.tomb") false
+        else super.rename(src, dst)
+    }
+    val e = intercept[IllegalStateException] {
+      StagedCommit.commitStaged(failing, fence, s"$base/.stage_t_eeee",
+        s"$base/target")
+    }
+    val sup = e.getSuppressed
+    assert(sup.length == 1 && sup.head.getMessage.contains("RESTORE") &&
+      sup.head.getMessage.contains(".stage_t_eeee.tomb"),
+      s"expected a suppressed stranded-tomb note, got: " +
+        s"${sup.map(_.getMessage).mkString("; ")}")
+    assert(!fs.exists(new Path(s"$base/target")),
+      "this arm's contract IS the bad state: target absent...")
+    assert(fs.exists(new Path(s"$base/.stage_t_eeee.tomb/OLD")),
+      "...with the old tree stranded in the tomb the note points at")
+  }
+
   test("a fence broken before the commit aborts with the target " +
       "untouched; purgeStages under a broken fence throws before " +
       "deleting anything") {

@@ -113,6 +113,13 @@ object RecallProbe {
           "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // the q158 attribute slice (half the corpus) and its exact
+      // FILTERED twin — the filtered-converged mode's truth set
+      val allowedE = e.where(col("label") % 2 === 0)
+      val exactFilt = Similarity.bruteForceTopK(qWide, allowedE,
+          "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       for (nCells <- Seq(8, 16, 32, 64)) {
         val dir = s"$gridRoot/c$nCells"
         AnnIndex.buildIvfIndex(e, "vec_id", "embedding", dir,
@@ -150,6 +157,27 @@ object RecallProbe {
           f"nProbe0=1: mean_recall@5=${convRs.sum / convRs.size}%.3f " +
           f"mean_n_probe_used=$meanUsed%.1f " +
           f"(mean probed frac=${meanUsed / nCells}%.2f)")
+        // the FILTERED converged mode on the same tree (q158): recall
+        // vs the exact filtered twin plus the width the average query
+        // paid — a selective allowed set starves narrow probes, so
+        // the ladder is expected to ride higher than the unfiltered
+        // mode on the same tree
+        val fconv = AnnIndex.searchIvfIndexFilteredConverged(spark, dir,
+            qWide, "vec_id", "embedding", allowedE.select("vec_id"),
+            "vec_id", k = 5, nProbe0 = 1)
+          .select("query_id", "neighbor_id", "n_probe_used")
+          .as[(Long, Long, Int)].collect()
+        val fSets = fconv.groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        val fRs = exactFilt.map { case (qid, ex) =>
+          (fSets.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+        val fUsed = fconv.groupBy(_._1).view.mapValues(_.head._3).toMap
+        val fMean = fUsed.values.sum.toDouble / math.max(fUsed.size, 1)
+        println(f"[recall-probe] sf=$sfDir ivf_filtered_converged " +
+          f"cells=$nCells nProbe0=1 allowed=label%%2==0: " +
+          f"mean_recall@5=${fRs.sum / fRs.size}%.3f " +
+          f"mean_n_probe_used=$fMean%.1f " +
+          f"(mean probed frac=${fMean / nCells}%.2f)")
       }
     }
 

@@ -146,6 +146,28 @@ object Calibration {
     */
   val IvfConvergedRecallFloor = 0.8
 
+  /** The COST side of the converged-mode contract (r15 order #5):
+    * ceiling on the MEAN PROBED FRACTION (mean n_probe_used / nCells)
+    * of [[graft.ops.AnnIndex.searchIvfIndexConverged]] at the
+    * calibration operating point (nCells=16, nProbe0=1, 50 queries,
+    * sf0.01). The recall floors alone cannot catch a regression that
+    * silently rides EVERY query to the exhaustive width (recall only
+    * improves); this pins what the ladder PAYS. Measured mean
+    * fraction 0.83/0.86/0.76 at sf0.001/0.01/0.1 (RecallProbe
+    * ivf_converged — the isotropic fixtures are the adversarial
+    * case; clustered corpora converge far lower, e.g. ~0.55 at
+    * cells=64). 0.95 sits 9 points above the enforced sf0.01
+    * measurement (one query widening one rung moves the mean by
+    * 8/16/50 = 0.01, so ~9 queries of drift) while failing the
+    * everything-exhaustive state (1.0) outright.
+    *
+    * Re-pin procedure: `runMain graft.RecallProbe <sf> grid` at all
+    * three scales, read `mean probed frac` off the cells=16
+    * ivf_converged line, take the LARGEST, and leave ≥ 5 queries of
+    * margin (0.05) below 1.0 so the ceiling still has teeth.
+    */
+  val IvfConvergedMeanProbedFracCeiling = 0.95
+
   /** q73: semantic-dedup cosine threshold. Calibrated to the synthetic
     * embeddings, whose max pairwise cosine tops out near 0.45 (real
     * embedding models sit near 0.95+) — τ=0.4 keeps the operator

@@ -1104,6 +1104,108 @@ object OrchestrationQueries {
           .orderBy("query_id")
           .localCheckpoint(true)
       } finally drainAndDelete(s, tmp)
+    },
+
+    // FILTERED + CONVERGED — the composition the ladder's full-k gate
+    // exists for (r15 order #1): a selective allowed set starves
+    // narrow probes (sub-k and zero-row results are the NORM at small
+    // widths), so acceptance must require a FULL stable top-k or ride
+    // to exhaustive. Contract row, per query: (1) recall vs the exact
+    // FILTERED twin (brute force over the allowed sub-corpus) ≥ the
+    // fixed-nProbe0 filtered search's — the superset theorem under a
+    // filter; (2) the accepted rows are IDENTICAL (ids, ranks, exact
+    // cosines) to a search of a REFERENCE index built from the
+    // allowed rows alone under the same frozen centroids at the
+    // query's reported n_probe_used — the q143 pre-filter identity
+    // lifted rung-by-rung onto the ladder, against an independently
+    // BUILT index rather than the mode under test; (3) only allowed
+    // ids ever surface; (4) widths sit on the {4, 8} ladder. Same
+    // 8-cells/nProbe0=2 economy as q157 (one Spark job per rung); the
+    // filtered-mode recall datum lives in RecallProbe's grid.
+    "q158_ann_filtered_converged" -> { (s, dir) =>
+      import graft.ops.{AnnIndex, Similarity}
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_q158_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        val allowed = e.where(col("label") % 2 === 0) // the attribute slice
+        // iters=1: identity/monotonicity contracts are independent of
+        // centroid quality (q138's reasoning) — train cheaply
+        val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+          s"$tmp/idx", nCells = 8, iters = 1)
+        AnnIndex.buildIvfIndex(allowed, "vec_id", "embedding", s"$tmp/ref",
+          nCells = 8, centroids = Some(cents))
+        val q = e.where(col("vec_id") < 10)
+        val conv = AnnIndex.searchIvfIndexFilteredConverged(s, s"$tmp/idx",
+            q, "vec_id", "embedding", allowed.select("vec_id"), "vec_id",
+            k = 5, nProbe0 = 2)
+          .localCheckpoint(true)
+        val exact = Similarity.bruteForceTopK(q, allowed, "vec_id",
+          "embedding", k = 5)
+        def hits(res: DataFrame, tag: String) =
+          exact.select(col("query_id"), col("neighbor_id"))
+            .join(res.select(col("query_id"), col("neighbor_id"),
+              lit(1L).as("hit")), Seq("query_id", "neighbor_id"),
+              "left_outer")
+            .groupBy("query_id")
+            .agg(coalesce(sum(col("hit")), lit(0L)).as(tag))
+        val baseHits = hits(AnnIndex.searchIvfIndexFiltered(s, s"$tmp/idx",
+          q, "vec_id", "embedding", allowed.select("vec_id"), "vec_id",
+          k = 5, nProbe = 2), "n_hit_base")
+        val convHits = hits(conv, "n_hit_conv")
+        // per DISTINCT accepted width (bounded ≤ log2(nCells)+1 values
+        // — a bounded driver collect): accepted rows ≡ the ref index's
+        // search at that width
+        val widths = conv.select("n_probe_used").distinct()
+          .as[Int].collect().toSeq.sorted
+        val refIdent = widths.map { w =>
+          val subsetQ = q.join(
+            conv.where(col("n_probe_used") === w)
+              .select(col("query_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+          val ref = AnnIndex.searchIvfIndex(s, s"$tmp/ref", subsetQ,
+              "vec_id", "embedding", k = 5, nProbe = w)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank").as("rank_r"), col("cosine").as("cos_r"))
+          conv.where(col("n_probe_used") === w)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank"), col("cosine"))
+            .join(ref, Seq("query_id", "neighbor_id"), "full_outer")
+            .groupBy("query_id")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("rank") === col("rank_r") &&
+                col("cosine") === col("cos_r"), 1L).otherwise(0L))
+                .as("n_same"))
+        }.reduce(_ unionByName _)
+          .select(col("query_id"),
+            (col("n_rows") === col("n_same")).as("ref_identical"))
+        val onlyAllowed = conv
+          .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+            Seq("neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(max(when(col("label") % 2 =!= 0, 1L).otherwise(0L))
+            .as("n_outside"))
+          .select(col("query_id"),
+            (col("n_outside") === 0L).as("only_allowed"))
+        val ladder = conv
+          .groupBy("query_id")
+          .agg(min("n_probe_used").as("w_min"),
+            max("n_probe_used").as("w_max"))
+          .select(col("query_id"),
+            (col("w_min") === col("w_max") &&
+              col("w_min").isin(4, 8)).as("width_on_ladder"))
+        val nAllowed = allowed.count()
+        convHits.join(baseHits, Seq("query_id"))
+          .join(refIdent, Seq("query_id"))
+          .join(onlyAllowed, Seq("query_id"))
+          .join(ladder, Seq("query_id"))
+          .select(col("query_id"),
+            (col("n_hit_conv") >= col("n_hit_base")).as("recall_monotone"),
+            col("ref_identical"), col("only_allowed"),
+            col("width_on_ladder"), lit(nAllowed).as("n_allowed"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -1180,6 +1282,13 @@ object OrchestrationQueries {
     "q157_ann_adaptive_probe" ->
       """SELECT vec_id AS query_id, TRUE AS recall_monotone,
         |  TRUE AS width_consistent, TRUE AS width_on_ladder
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q158_ann_filtered_converged" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_monotone,
+        |  TRUE AS ref_identical, TRUE AS only_allowed,
+        |  TRUE AS width_on_ladder,
+        |  (SELECT COUNT(*) FROM embeddings WHERE label % 2 = 0) AS n_allowed
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q156_zero_downtime_rebuild" ->

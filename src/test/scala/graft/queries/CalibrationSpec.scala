@@ -184,12 +184,28 @@ class CalibrationSpec extends SparkSpecBase {
       repin("IvfHalfProbeRecallFloor",
         s"half-probe (16 cells, nProbe=8) mean recall@5 $half < " +
         s"floor ${Calibration.IvfHalfProbeRecallFloor} at sf0.01"))
-    val conv = meanRecall(AnnIndex.searchIvfIndexConverged(spark,
-      s"$dir/ivf", qWide, "vec_id", "embedding", k = 5, nProbe0 = 1))
+    val convDf = AnnIndex.searchIvfIndexConverged(spark,
+        s"$dir/ivf", qWide, "vec_id", "embedding", k = 5, nProbe0 = 1)
+      .localCheckpoint(true) // feeds the recall AND the cost contract
+    val conv = meanRecall(convDf)
     assert(conv >= Calibration.IvfConvergedRecallFloor,
       repin("IvfConvergedRecallFloor",
         s"converged-mode (16 cells, nProbe0=1) mean recall@5 $conv < " +
         s"floor ${Calibration.IvfConvergedRecallFloor} at sf0.01"))
+    // the COST side (r15 order #5): the recall floor alone would pass
+    // a regression that rides every query to the exhaustive width —
+    // pin what the ladder pays. n_probe_used is constant within a
+    // query, so distinct gives one row per query.
+    val usedWidths = convDf.select("query_id", "n_probe_used").distinct()
+      .as[(Long, Int)].collect()
+    val meanFrac = usedWidths.map(_._2).sum.toDouble /
+      (usedWidths.length * 16)
+    assert(meanFrac <= Calibration.IvfConvergedMeanProbedFracCeiling,
+      repin("IvfConvergedMeanProbedFracCeiling",
+        s"converged-mode (16 cells, nProbe0=1) mean probed fraction " +
+        s"$meanFrac > ceiling " +
+        s"${Calibration.IvfConvergedMeanProbedFracCeiling} at sf0.01 — " +
+        "the ladder is paying near-exhaustive width for every query"))
     // the ladder never does worse than its own starting width — the
     // superset-of-candidates theorem, re-checked at scale
     val base = meanRecall(AnnIndex.searchIvfIndex(spark, s"$dir/ivf",

@@ -68,6 +68,68 @@ class CopyTransportSpec extends SparkSpecBase {
     }
   }
 
+  test("loadAtomic (AppendSwap): stage DDL first, every COPY targets " +
+      "the stage with payloads byte-identical to plain load's, ONE " +
+      "BEGIN..COMMIT swap statement last (S9 single-commit parity)") {
+    AtomicCaptureTransport.reset()
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null: String), (3L, "c,d"), (4L, "e"))
+      .toDF("k", "v").repartition(2)
+    val n = CopySink.loadAtomic(df, "sales", () => new AtomicCaptureTransport,
+      CopySink.AppendSwap, token = "tok1")
+    assert(n == 4L)
+    val ev = AtomicCaptureTransport.events
+      .toArray(Array.empty[(String, String, Array[Byte])])
+    // order: [execute create] [copyIn xN] [execute swap] — job
+    // boundaries between the driver steps enforce it
+    assert(ev.head._1 == "execute" && ev.last._1 == "execute")
+    assert(ev.tail.init.forall(_._1 == "copyIn"),
+      s"unexpected event order: ${ev.map(_._1).mkString(",")}")
+    assert(ev.head._2 ==
+      "DROP TABLE IF EXISTS sales__stage_tok1; " +
+        "CREATE TABLE sales__stage_tok1 (LIKE sales INCLUDING DEFAULTS);")
+    assert(ev.last._2 ==
+      "BEGIN; INSERT INTO sales (k, v) SELECT k, v FROM sales__stage_tok1; " +
+        "DROP TABLE sales__stage_tok1; COMMIT;")
+    val copies = ev.tail.init
+    assert(copies.forall(_._2 == CopySink.copyStatement(df,
+      "sales__stage_tok1")), "every COPY must target the stage table")
+    // payload identity with the plain (non-atomic) load path
+    val plain = CopySink.copyPayloads(df).collect()
+      .map(new String(_, StandardCharsets.UTF_8)).sorted.toSeq
+    val atomic = copies.map(e => new String(e._3, StandardCharsets.UTF_8))
+      .sorted.toSeq
+    assert(atomic == plain,
+      "loadAtomic must ship byte-identical COPY payloads to load")
+  }
+
+  test("loadAtomic (ReplaceSwap): the swap renames the live table " +
+      "aside, renames the stage in, and drops the old — one " +
+      "transaction; a transport without execute() fails loudly " +
+      "BEFORE any COPY ships") {
+    AtomicCaptureTransport.reset()
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    CopySink.loadAtomic(df, "t", () => new AtomicCaptureTransport,
+      CopySink.ReplaceSwap, token = "tok2")
+    val ev = AtomicCaptureTransport.events
+      .toArray(Array.empty[(String, String, Array[Byte])])
+    assert(ev.last._2 ==
+      "BEGIN; DROP TABLE IF EXISTS t__old_tok2; " +
+        "ALTER TABLE t RENAME TO t__old_tok2; " +
+        "ALTER TABLE t__stage_tok2 RENAME TO t; " +
+        "DROP TABLE t__old_tok2; COMMIT;")
+    // the default execute throws: the atomic protocol must not run
+    // with a transport that would silently skip its commit step
+    reset()
+    intercept[UnsupportedOperationException] {
+      CopySink.loadAtomic(df, "t", () => new CaptureTransport,
+        CopySink.AppendSwap, token = "tok3")
+    }
+    assert(captured.isEmpty,
+      "no COPY may ship when the stage DDL cannot execute")
+  }
+
   test("empty partitions never open a transport") {
     reset()
     import spark.implicits._
@@ -93,4 +155,21 @@ object CaptureTransport {
   val opens = new AtomicInteger(0)
   val closes = new AtomicInteger(0)
   def reset(): Unit = { captured.clear(); opens.set(0); closes.set(0) }
+}
+
+/** Order-recording transport for the atomic protocol: every copyIn
+  * and execute lands in one queue (same-JVM statics — local mode), so
+  * the spec can assert DDL → COPY× → swap sequencing.
+  */
+class AtomicCaptureTransport extends CopySink.CopyTransport {
+  import AtomicCaptureTransport._
+  override def copyIn(statement: String, payload: Array[Byte]): Unit =
+    events.add(("copyIn", statement, payload))
+  override def execute(statement: String): Unit =
+    events.add(("execute", statement, Array.empty[Byte]))
+}
+
+object AtomicCaptureTransport {
+  val events = new ConcurrentLinkedQueue[(String, String, Array[Byte])]()
+  def reset(): Unit = events.clear()
 }

@@ -179,6 +179,28 @@ object RecallProbe {
           f"mean_n_probe_used=$fMean%.1f " +
           f"(mean probed frac=${fMean / nCells}%.2f)")
       }
+      // TWO-LEVEL index (r15 order #2) at 8×8 = 64 effective cells:
+      // recall at probed fractions MATCHED against the flat cells=64
+      // grid line above — the equal-probed-fraction contract datum.
+      // Probed fraction ≈ (nPC/8)·(nPF/8).
+      {
+        val dir2 = s"$gridRoot/two8x8"
+        AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", dir2,
+          nCoarse = 8, nFinePerCell = 8, iters = 3)
+        val line = Seq((2, 4), (4, 4), (4, 8), (8, 8)).map {
+          case (pc, pf) =>
+            val got = AnnIndex.searchIvfIndexTwoLevel(spark, dir2, qWide,
+                "vec_id", "embedding", k = 5,
+                nProbeCoarse = pc, nProbeFine = pf)
+              .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+            val rs = exactWide.map { case (qid, ex) =>
+              (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+            f"pc=$pc%d,pf=$pf%d(${pc * pf / 64.0}%.2f):${rs.sum / rs.size}%.3f"
+        }.mkString(" ")
+        println(s"[recall-probe] sf=$sfDir ivf2 coarse=8 fine=8 " +
+          s"mean_recall@5 [pc,pf(frac):recall] $line")
+      }
     }
 
     // Quantized-rerank IVF (int8 candidate scoring + exact re-rank)

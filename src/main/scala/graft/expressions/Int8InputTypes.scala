@@ -64,3 +64,13 @@ trait DoubleArrayInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType))
 }
+
+/** (vector, packed centroid matrix) input declaration for
+  * [[graft.expressions.NearestPackedCells]]: the vector ANSI-casts to
+  * array<double> and the packed matrix to array<array<double>>, the
+  * same misread guard as [[DoubleArrayInputTypes]] for both operands.
+  */
+trait PackedCentroidInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+}

@@ -179,6 +179,17 @@ package object functions {
     GraftSqlBridge.column(graft.expressions.NearestCells(
       GraftSqlBridge.expression(vec), index, nProbe))
 
+  /** Native top-n nearest centroids against a PACKED column-carried
+    * centroid matrix (array<array<double>>, pre-normalized) — the
+    * fine layer of the two-level IVF quantizer; positions best-first.
+    * See [[graft.expressions.NearestPackedCells]].
+    */
+  def nearestPackedCellsNative(vec: Column, packed: Column,
+      nProbe: Int): Column =
+    GraftSqlBridge.column(graft.expressions.NearestPackedCells(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(packed),
+      nProbe))
+
   /** Native random-hyperplane LSH bucketing
     * (graft.expressions.LshBuckets): all nTables bucket ids of a float
     * vector in one compiled pass — bit-identical to the declarative

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.cosineExact
 
@@ -1138,5 +1138,329 @@ object AnnIndex {
       spark.read.parquet(s"$dir/postings.parquet")
         .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*)))
     rerankCandidates(qa, postings, k)
+  }
+
+  // ===================================================================
+  // TWO-LEVEL (coarse → fine) IVF — the capacity path past the flat
+  // quantizer's 65,536-cell ceiling (r15 order #2).
+  //
+  // The flat index caps at [[Similarity.MaxAdaptiveCells]] because its
+  // whole quantizer is a driver-built [[graft.expressions
+  // .CentroidIndex]] riding task closures — at the cap that is already
+  // a 33.5 MB reference object, and the √|C| sizing rule wants ~10⁵·⁵
+  // cells at 10¹¹ vectors. Here the quantizer splits into two layers:
+  //
+  //   - COARSE: nCoarse ≤ 65,536 centroids, the same driver-bounded
+  //     kernel as the flat index (this is the only quantizer state
+  //     that ever touches the driver or a closure);
+  //   - FINE: nFinePerCell sub-centroids PER coarse group, persisted
+  //     at `fine_centroids.parquet/coarse=C/` — a search reads only
+  //     its PROBED groups' files (partition pruning), and each group's
+  //     matrix reaches executors as an ordinary packed column value
+  //     through a join on the coarse cell (nFine·dim doubles,
+  //     hundreds of KB — never a closure, never a driver collect).
+  //
+  // Effective cell count = nCoarse · nFinePerCell — 4.3B at both caps,
+  // far past any √|C| demand — while the postings tree keeps ≤ nCoarse
+  // partition DIRECTORIES (the proven layout bound): `fine` is a
+  // DATA column, sorted within each coarse partition at write time so
+  // probes prune at parquet row-group granularity via min/max stats.
+  // Equivalent to the residual formulation (argmin over {mean_g + r_i}
+  // ≡ argmin over this group's sub-centroids — a bijection), trained
+  // here directly on each group's vectors.
+  //
+  // v1 scope: build + search (+ the versioned zero-downtime rebuild,
+  // which composes with [[Versioning.publishTree]] like the flat
+  // index's). The incremental lifecycle (append / delete / compact)
+  // stays on the flat index; at two-level capacity the maintenance
+  // story is the versioned REBUILD, which is also its zero-downtime
+  // serving story.
+  // ===================================================================
+
+  /** Pack one coarse group's fine sub-quantizer into a single row:
+    * (coarse, ids array<int> in fine order, packed array<array<double>>
+    * L2-NORMALIZED — the same sum-of-squares/sqrt/divide arithmetic
+    * as the flat arm, applied once per GROUP here instead of once per
+    * row). Position p of `packed` is the centroid of fine id
+    * `ids[p]`; [[graft.expressions.NearestPackedCells]] returns
+    * positions, callers map through `ids`.
+    */
+  private def packFine(fineCents: DataFrame): DataFrame =
+    fineCents
+      .groupBy("coarse")
+      .agg(array_sort(collect_list(struct(col("fine"), col("centroid"))))
+        .as("fc"))
+      .select(col("coarse"),
+        transform(col("fc"), s => s.getField("fine")).as("ids"),
+        transform(col("fc"), s => {
+          val c = s.getField("centroid")
+          val n = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+          when(n === lit(0.0), c).otherwise(transform(c, x => x / n))
+        }).as("packed"))
+
+  /** Fine id of a vector against its group's packed sub-quantizer —
+    * position 0 of the native argmax, mapped through `ids`. NULL
+    * packed (a coarse group the bounded training sample never saw —
+    * its postings all land at fine 0) coalesces to 0, mirroring the
+    * flat arm's corrupt-vector all-ties resolution.
+    */
+  private def finePick(vec: Column, ids: Column, packed: Column): Column =
+    coalesce(
+      element_at(ids,
+        element_at(graft.functions.nearestPackedCellsNative(vec, packed, 1),
+          1).cast("int") + 1),
+      lit(0))
+
+  /** Distributed per-group Lloyd over the bounded per-group sample:
+    * the fine twin of [[Similarity.trainIvfCentroids]], with the same
+    * determinism discipline (hash-seeded, DECIMAL sums so centroid
+    * values are independent of shuffle fetch order) — but the
+    * centroids live in a DataFrame keyed by coarse group end to end;
+    * the driver never holds a fine centroid. `sample` is
+    * (coarse int, __key long, __v array<double>), pre-quarantined.
+    */
+  private def trainFineCentroids(sample: DataFrame, dim: Int,
+      nFinePerCell: Int, iters: Int): DataFrame = {
+    // seeds: the nFine lowest sample rows per group by (hash, hash) —
+    // the bounded TopK partial aggregate, never a window. Seed ids =
+    // 0..m−1 per group (dense by posexplode position). A __key
+    // collision inside a group can pair one (coarse, fine) seed slot
+    // with two vectors — min() picks deterministically.
+    val seeds = sample.groupBy("coarse")
+      .agg(TopK.topK(nFinePerCell)(-(col("__key").cast("double")),
+        col("__key")).as("__s"))
+      .select(col("coarse"), posexplode(col("__s")))
+      .select(col("coarse"), col("pos").cast("int").as("fine"),
+        col("col.key").as("__key"))
+      .join(sample, Seq("coarse", "__key"))
+      .groupBy("coarse", "fine").agg(min(col("__v")).as("centroid"))
+    var fineCents = seeds.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val packed = packFine(fineCents)
+      val assignedF = sample.join(packed, Seq("coarse"), "left")
+        .select(col("coarse"),
+          finePick(col("__v"), col("ids"), col("packed")).as("fine"),
+          col("__v"))
+      val sums = assignedF
+        .groupBy(col("coarse"), col("fine"))
+        .agg(count(lit(1)).as("__n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("__v"), i + 1).cast("decimal(30,15)"))
+              .cast("double")): _*).as("__sums"))
+      fineCents = fineCents.join(sums, Seq("coarse", "fine"), "left")
+        .select(col("coarse"), col("fine"),
+          when(col("__n").isNotNull,
+            transform(col("__sums"), s => s / col("__n")))
+            .otherwise(col("centroid")).as("centroid"))
+        .localCheckpoint(true) // bounded: nCoarse·nFine rows; truncate
+    }
+    fineCents
+  }
+
+  /** Train + persist the two-level index (see the section comment
+    * above for the layout and the ceiling math). Coarse training is
+    * the flat discipline ([[Similarity.trainIvfCentroids]] — bounded
+    * deterministic sample); fine training runs
+    * [[trainFineCentroids]] over a BOUNDED PER-GROUP sample (the
+    * `max(nFinePerCell, fineTrainCapPerCell)` lowest-hash rows of
+    * each group — a TopK partial aggregate plus one semi-join, so no
+    * driver state and no unbounded buffers). Postings carry
+    * (vec_id, vec, q_codes, q_scale, fine), hive-partitioned by
+    * `coarse` and sorted by (coarse, fine) within partitions for
+    * row-group pruning. The whole tree commits through the
+    * [[StagedCommit]] stage→fence→swap under the writer lock, exactly
+    * like [[buildIvfIndex]]. Returns the coarse centroids.
+    *
+    * Corrupt vectors (null/NaN/±Inf elements) are quarantined from
+    * BOTH training layers and post to (coarse 0's all-ties cell,
+    * fine 0) with null quantization codes — the flat index's policy.
+    */
+  def buildIvfIndexTwoLevel(corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String, nCoarse: Int, nFinePerCell: Int,
+      iters: Int = 2, corpusRowsHint: Option[Long] = None,
+      coarseCentroids: Option[Seq[Seq[Double]]] = None,
+      fineTrainCapPerCell: Int = 256): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    require(nFinePerCell >= 1, s"nFinePerCell must be ≥ 1, got $nFinePerCell")
+    coarseCentroids.foreach(cs => require(cs.length == nCoarse,
+      s"buildIvfIndexTwoLevel: ${cs.length} pre-trained coarse centroids " +
+        s"but nCoarse=$nCoarse — pass matching values"))
+    val coarse = coarseCentroids.getOrElse(Similarity.trainIvfCentroids(
+      corpus, idCol, vecCol, nCoarse, iters, corpusRowsHint = corpusRowsHint))
+    require(coarse.nonEmpty, "buildIvfIndexTwoLevel: no coarse centroids")
+    val dim = coarse.head.size
+    // the training quarantine ([[Similarity.trainingSample]] predicate)
+    val cleanAssigned = corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(forall(col("__v"),
+        x => x.isNotNull && !isnan(x) && abs(x) =!= lit(Double.PositiveInfinity)))
+      .select(Similarity.assignCell(col("__v"), coarse).cast("int").as("coarse"),
+        xxhash64(col("__id")).as("__key"), col("__v"))
+    // bounded per-group sample: TopK partial agg (≤ cap rows shuffle
+    // per group per partition) + one semi-join back for the vectors
+    val cap = math.max(nFinePerCell, fineTrainCapPerCell)
+    val sampleIds = cleanAssigned.groupBy("coarse")
+      .agg(TopK.topK(cap)(-(col("__key").cast("double")), col("__key"))
+        .as("__s"))
+      .select(col("coarse"), explode(col("__s")).as("e"))
+      .select(col("coarse"), col("e.key").as("__key"))
+    val sample = cleanAssigned
+      .join(sampleIds, Seq("coarse", "__key"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fineCents = try trainFineCentroids(sample, dim, nFinePerCell, iters)
+      finally sample.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    withWriterLock(spark, dir, "buildIvfIndexTwoLevel") { fence =>
+      val fs = fsFor(spark, dir)
+      StagedCommit.purgeStages(fs, dir, ".stage_", fence)
+      val token = StagedCommit.stageToken()
+      val stageCents = s"$dir/.stage_centroids_$token"
+      spark.createDataFrame(
+        coarse.zipWithIndex.map { case (c, i) => Row(i, c) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false))))
+        .write.mode(SaveMode.Overwrite).parquet(stageCents)
+      val stageFine = s"$dir/.stage_fine_$token"
+      fineCents.repartition(col("coarse"))
+        .write.mode(SaveMode.Overwrite).partitionBy("coarse")
+        .parquet(stageFine)
+      val stagePost = s"$dir/.stage_build_postings_$token"
+      val packedAll = packFine(
+        spark.read.parquet(stageFine)
+          .select(col("coarse").cast("int").as("coarse"),
+            col("fine").cast("int").as("fine"), col("centroid")))
+      val obs = org.apache.spark.sql.Observation()
+      Similarity.withQuantizedInt8(
+          corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+          "vec")
+        .withColumn("coarse",
+          Similarity.assignCell(col("vec"), coarse).cast("int"))
+        .join(packedAll, Seq("coarse"), "left")
+        .withColumn("fine", finePick(col("vec"), col("ids"), col("packed")))
+        .drop("ids", "packed")
+        .repartition(col("coarse"))
+        // coarse prefix satisfies the writer's required partition
+        // ordering, so THIS sort is the one retained — fine stays
+        // clustered for row-group min/max pruning
+        .sortWithinPartitions(col("coarse"), col("fine"))
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).partitionBy("coarse")
+        .parquet(stagePost)
+      val n = obs.get("n").asInstanceOf[Long]
+      val stageMeta = s"$dir/.stage_build_meta_$token"
+      spark.range(1).select(lit(n).as("n_vectors"))
+        .write.mode(SaveMode.Overwrite).parquet(stageMeta)
+      // the swap owns the whole tree (flat-layout leftovers included)
+      fence.verify()
+      hadoopDelete(spark, s"$dir/postings.parquet")
+      hadoopDelete(spark, s"$dir/fine_centroids.parquet")
+      hadoopDelete(spark, s"$dir/_meta")
+      hadoopDelete(spark, s"$dir/_deletes")
+      StagedCommit.commitStaged(fs, fence, stageCents,
+        s"$dir/centroids.parquet")
+      StagedCommit.commitStaged(fs, fence, stageFine,
+        s"$dir/fine_centroids.parquet")
+      StagedCommit.commitStaged(fs, fence, stagePost,
+        s"$dir/postings.parquet")
+      StagedCommit.commitStaged(fs, fence, stageMeta, s"$dir/_meta")
+    }
+    coarse
+  }
+
+  /** Search the two-level index. Probing is hierarchical: queries
+    * probe their `nProbeCoarse` nearest coarse groups (the flat
+    * kernel), then within EACH probed group their `nProbeFine`
+    * nearest sub-centroids — read from ONLY the probed groups'
+    * partition directories and joined in as packed column values
+    * (nothing fine-level crosses the driver except the ≤ nCoarse
+    * probed-group ids and the ≤ nFine distinct probed fine ids, both
+    * bounded collects). The postings scan prunes on `coarse`
+    * (directory level) and `fine` (row-group stats on the
+    * write-sorted column); candidates then join on the exact
+    * (coarse, fine) pair — composed into one synthetic cell key so
+    * the shared [[rerankCandidates]] arm (exact cosine, k-bounded,
+    * self-excluded, multi-probe-deduped) applies verbatim, making the
+    * flat/two-level result-identity contracts structural.
+    *
+    * Probed fraction ≈ (nProbeCoarse/nCoarse)·(nProbeFine/nFine) —
+    * the recall/cost dial now has two axes; RecallProbe's ivf2
+    * section measures recall at fractions matched against the flat
+    * grid. Exhaustive probing (nProbeCoarse = nCoarse, nProbeFine =
+    * nFinePerCell) is exact within the index, identical to the flat
+    * exhaustive arm (spec-pinned).
+    */
+  def searchIvfIndexTwoLevel(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2): DataFrame = {
+    require(nProbeCoarse >= 1 && nProbeFine >= 1,
+      s"probe widths must be ≥ 1, got $nProbeCoarse/$nProbeFine")
+    val coarse = loadCentroids(spark, dir)
+    require(coarse.nonEmpty, s"empty index at $dir")
+    val qc = Similarity.ivfAssignProbes(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
+        "queryv", coarse, nProbeCoarse)
+      .select(col("query_id"), col("queryv"),
+        col("cell").cast("int").as("coarse"))
+      .localCheckpoint(false)
+    // bounded collect: ≤ nCoarse probed group ids
+    val probedCoarse = qc.select("coarse").distinct().collect()
+      .map(_.getInt(0))
+    // only the probed groups' sub-centroids are READ AT ALL —
+    // partition-pruned scan, the ceiling-breaking property
+    val fine = spark.read.parquet(s"$dir/fine_centroids.parquet")
+      .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*))
+      .select(col("coarse").cast("int").as("coarse"),
+        col("fine").cast("int").as("fine"), col("centroid"))
+    val qf = qc.join(packFine(fine), Seq("coarse"), "left")
+      .select(col("query_id"), col("queryv"), col("coarse"),
+        explode(coalesce(
+          transform(graft.functions.nearestPackedCellsNative(
+            col("queryv"), col("packed"), nProbeFine),
+            p => element_at(col("ids"), p.cast("int") + 1)),
+          array(lit(0)))).as("fine"))
+      .localCheckpoint(false)
+    // bounded collect: distinct probed fine ids ≤ max nFinePerCell
+    val probedFine = qf.select("fine").distinct().collect()
+      .map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*) &&
+        col("fine").isin(probedFine.map(Integer.valueOf).toSeq: _*))
+    // synthetic composite cell (coarse << 32 | fine): the exact-pair
+    // candidate join rides the shared flat-arm implementation
+    def composite(c: Column, f: Column): Column =
+      c.cast("long") * lit(4294967296L) + f.cast("long")
+    val qa = qf.select(col("query_id"), col("queryv"),
+      composite(col("coarse"), col("fine")).as("cell"))
+    val posts = postings.select(
+      composite(col("coarse"), col("fine")).as("cell"),
+      col("vec_id"), col("vec"))
+    rerankCandidates(qa, posts, k)
+  }
+
+  /** Zero-downtime versioned rebuild for the two-level index — the
+    * capacity tree's maintenance AND serving story (see the section
+    * comment: at two-level scale, rebuild-under-a-version IS the
+    * lifecycle). Same composition as [[rebuildIvfIndexVersioned]]:
+    * coarse training runs BEFORE the dataset lock; the whole tree
+    * builds inside a [[Versioning.publishTree]] stage; readers move
+    * with the atomic `_current` pointer swap and resolve
+    * [[currentIndexDir]] once per search. The vacuum retention grace
+    * rule applies verbatim.
+    */
+  def rebuildIvfIndexTwoLevelVersioned(corpus: DataFrame, idCol: String,
+      vecCol: String, root: String, nCoarse: Int, nFinePerCell: Int,
+      iters: Int = 2, corpusRowsHint: Option[Long] = None)
+      : (Long, Seq[Seq[Double]]) = {
+    val cents = Similarity.trainIvfCentroids(
+      corpus, idCol, vecCol, nCoarse, iters, corpusRowsHint = corpusRowsHint)
+    val v = Versioning.publishTree(corpus.sparkSession, root) { stage =>
+      buildIvfIndexTwoLevel(corpus, idCol, vecCol, stage, nCoarse,
+        nFinePerCell, iters, coarseCentroids = Some(cents))
+    }
+    (v, cents)
   }
 }

@@ -1206,6 +1206,91 @@ object OrchestrationQueries {
           .orderBy("query_id")
           .localCheckpoint(true)
       } finally drainAndDelete(s, tmp)
+    },
+
+    // TWO-LEVEL IVF INDEX — the capacity path past the flat
+    // quantizer's 65,536-cell ceiling (r15 order #2): a coarse layer
+    // (driver-bounded, the only quantizer state that ever rides a
+    // closure) over persisted per-group fine sub-quantizers that
+    // reach executors as packed column values through a join on the
+    // coarse cell; postings keep ≤ nCoarse partition DIRECTORIES with
+    // `fine` as a write-sorted data column. Contract row, per query:
+    // (1) results_match — with nFinePerCell=1 the two layers collapse
+    // onto the coarse quantizer and search is IDENTICAL (ids, ranks,
+    // exact cosines) to the flat index under the same centroids at
+    // the same width; (2) exact_match — exhaustive probing on both
+    // layouts is exact within the index, so a 4×4 two-level tree at
+    // full width agrees exactly with the flat tree at full width;
+    // (3) fine_per_group_ok — every coarse group's fine ids are dense
+    // from 0 and ≤ nFinePerCell (the packing position contract);
+    // (4) scan_pruned — probing one coarse group touches strictly
+    // fewer files than a full scan on BOTH the postings and the
+    // fine-centroid trees. The recall-at-equal-probed-fraction curve
+    // lives in RecallProbe's ivf2 section; the floor is pinned in
+    // Calibration and re-measured by CalibrationSpec.
+    "q159_ann_two_level_index" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q159_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // iters=1: identity contracts are independent of centroid
+        // quality (q138's reasoning) — train cheaply
+        val cents = AnnIndex.buildIvfIndex(e, "vec_id", "embedding",
+          s"$tmp/flat", nCells = 8, iters = 1)
+        AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding",
+          s"$tmp/collapse", nCoarse = 8, nFinePerCell = 1, iters = 1,
+          coarseCentroids = Some(cents))
+        AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding",
+          s"$tmp/two", nCoarse = 4, nFinePerCell = 4, iters = 1)
+        val q = e.where(col("vec_id") < 10)
+        def agree(got: DataFrame, ref: DataFrame, tag: String) =
+          got.select(col("query_id"), col("neighbor_id"),
+              col("rank"), col("cosine"))
+            .join(ref.select(col("query_id"), col("neighbor_id"),
+              col("rank").as("rank_r"), col("cosine").as("cos_r")),
+              Seq("query_id", "neighbor_id"), "full_outer")
+            .groupBy("query_id")
+            .agg((count(lit(1)) === 5L &&
+              sum(when(col("rank") === col("rank_r") &&
+                col("cosine") === col("cos_r"), 1L).otherwise(0L)) === 5L)
+              .as(tag))
+        val collapse = agree(
+          AnnIndex.searchIvfIndexTwoLevel(s, s"$tmp/collapse", q,
+            "vec_id", "embedding", k = 5, nProbeCoarse = 2, nProbeFine = 1),
+          AnnIndex.searchIvfIndex(s, s"$tmp/flat", q,
+            "vec_id", "embedding", k = 5, nProbe = 2),
+          "results_match")
+        val exhaustive = agree(
+          AnnIndex.searchIvfIndexTwoLevel(s, s"$tmp/two", q,
+            "vec_id", "embedding", k = 5, nProbeCoarse = 4, nProbeFine = 4),
+          AnnIndex.searchIvfIndex(s, s"$tmp/flat", q,
+            "vec_id", "embedding", k = 5, nProbe = 8),
+          "exact_match")
+        val fineT = s.read.parquet(s"$tmp/two/fine_centroids.parquet")
+          .select(col("coarse").cast("int").as("coarse"),
+            col("fine").cast("int").as("fine"))
+        // bounded collect: ≤ nCoarse·nFine quantizer metadata rows
+        val fineOk = fineT.groupBy("coarse")
+          .agg(min("fine").as("lo"), max("fine").as("hi"),
+            count(lit(1)).as("n"))
+          .collect()
+          .forall(r => r.getInt(1) == 0 &&
+            r.getLong(3) == r.getInt(2) + 1L && r.getLong(3) <= 4L)
+        val post = s.read.parquet(s"$tmp/two/postings.parquet")
+        val c0 = post.select("coarse").head().getInt(0)
+        def files(df: DataFrame) =
+          df.select(input_file_name()).distinct().count()
+        val pruned =
+          files(post.where(col("coarse") === c0)) < files(post) &&
+          files(fineT.where(col("coarse") === c0)) <
+            files(s.read.parquet(s"$tmp/two/fine_centroids.parquet"))
+        collapse.join(exhaustive, Seq("query_id"))
+          .select(col("query_id"), col("results_match"), col("exact_match"),
+            lit(fineOk).as("fine_per_group_ok"),
+            lit(pruned).as("scan_pruned"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -1289,6 +1374,12 @@ object OrchestrationQueries {
         |  TRUE AS ref_identical, TRUE AS only_allowed,
         |  TRUE AS width_on_ladder,
         |  (SELECT COUNT(*) FROM embeddings WHERE label % 2 = 0) AS n_allowed
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q159_ann_two_level_index" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  TRUE AS exact_match, TRUE AS fine_per_group_ok,
+        |  TRUE AS scan_pruned
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q156_zero_downtime_rebuild" ->

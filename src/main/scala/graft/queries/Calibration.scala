@@ -146,6 +146,34 @@ object Calibration {
     */
   val IvfConvergedRecallFloor = 0.8
 
+  /** TWO-LEVEL index recall at the half-probed-fraction operating
+    * point (8 coarse × 8 fine = 64 effective cells; nProbeCoarse=4,
+    * nProbeFine=8 ⇒ probed fraction 1/2; 50 queries) vs exact cosine
+    * — the equal-probed-fraction contract of r15 order #2. Measured
+    * 0.772/0.724/0.736 at sf0.001/0.01/0.1 (RecallProbe `ivf2`),
+    * vs the FLAT 64-cell index's 0.932/0.912/0.872 at the same
+    * fraction: hierarchical quantization pays 0.14–0.19 recall on the
+    * isotropic fixtures (coarse-level misses compound — this is the
+    * adversarial case; clustered corpora pay less) and buys the
+    * capacity past the 65,536-cell ceiling. Exhaustive probing is
+    * exact (1.000 at every scale — the q159 identity). 0.6 keeps a
+    * ≥ 31-hit margin under the weakest (sf0.01, enforced) scale.
+    *
+    * Re-pin: `runMain graft.RecallProbe <sf> grid`, read the `ivf2`
+    * line's frac-0.50 point at all three scales, take the weakest,
+    * leave ≥ 10 hits (0.04) of margin.
+    */
+  val Ivf2HalfFracRecallFloor = 0.6
+
+  /** The equal-fraction SLACK bound pairing [[Ivf2HalfFracRecallFloor]]:
+    * two-level recall at probed fraction 1/2 must sit within this of
+    * the flat 64-cell index at the same fraction (measured gaps
+    * 0.160/0.188/0.136 — the price of hierarchy, bounded so a
+    * regression that quietly destroys the fine layer's usefulness
+    * fails the spec rather than hiding under the absolute floor).
+    */
+  val Ivf2EqualFracSlack = 0.3
+
   /** The COST side of the converged-mode contract (r15 order #5):
     * ceiling on the MEAN PROBED FRACTION (mean n_probe_used / nCells)
     * of [[graft.ops.AnnIndex.searchIvfIndexConverged]] at the

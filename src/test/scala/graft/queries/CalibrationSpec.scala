@@ -214,6 +214,48 @@ class CalibrationSpec extends SparkSpecBase {
       s"converged recall $conv fell below its nProbe0=1 start $base")
   }
 
+  test("two-level index recall holds at the half-fraction operating " +
+      "point at sf0.01 — the absolute floor AND the equal-fraction " +
+      "slack vs the flat 64-cell index (r15 order #2)") {
+    val sf01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(sf01).isDirectory, s"$sf01 absent")
+    import graft.ops.AnnIndex
+    val e = Tables.embeddings(spark, sf01)
+    val qWide = e.where(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(qWide, e, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (qid, ex) =>
+        (got.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cal_ivf2").toString
+    AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/flat",
+      nCells = 64, iters = 3)
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
+      nCoarse = 8, nFinePerCell = 8, iters = 3)
+    val two = meanRecall(AnnIndex.searchIvfIndexTwoLevel(spark,
+      s"$dir/two", qWide, "vec_id", "embedding", k = 5,
+      nProbeCoarse = 4, nProbeFine = 8))
+    assert(two >= Calibration.Ivf2HalfFracRecallFloor,
+      repin("Ivf2HalfFracRecallFloor",
+        s"two-level (8×8, pc=4, pf=8) mean recall@5 $two < floor " +
+        s"${Calibration.Ivf2HalfFracRecallFloor} at sf0.01"))
+    val flat = meanRecall(AnnIndex.searchIvfIndex(spark, s"$dir/flat",
+      qWide, "vec_id", "embedding", k = 5, nProbe = 32))
+    assert(two >= flat - Calibration.Ivf2EqualFracSlack,
+      repin("Ivf2EqualFracSlack",
+        s"two-level recall $two fell more than " +
+        s"${Calibration.Ivf2EqualFracSlack} under the flat index's " +
+        s"$flat at the same probed fraction"))
+  }
+
   test("the half-probe floor also holds at sf0.1 — the scale where the " +
       "r14 verdict observed 0.28-0.32 recall at the old nProbe=3/16 " +
       "default (measured 0.784 at the pinned operating point)") {

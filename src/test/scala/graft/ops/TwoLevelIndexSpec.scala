@@ -119,6 +119,24 @@ class TwoLevelIndexSpec extends SparkSpecBase {
       byGroup.mkString("; "))
   }
 
+  test("the postings scan PLAN carries both pruning levels: a " +
+      "PartitionFilter on coarse (directory pruning) and a pushed " +
+      "data filter on fine (row-group stats on the write-sorted " +
+      "column)") {
+    val dir = Files.createTempDirectory("graft_2lvl_plan").toString
+    val e = corpus(60)
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
+      nCoarse = 4, nFinePerCell = 3, iters = 2)
+    val got = AnnIndex.searchIvfIndexTwoLevel(spark, s"$dir/two",
+      e.where(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      nProbeCoarse = 1, nProbeFine = 1)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [coarse#"),
+      s"expected a coarse PartitionFilter on the postings scan:\n$plan")
+    assert(plan.contains("PushedFilters: [In(fine,"),
+      s"expected the fine IN-filter pushed to the parquet scan:\n$plan")
+  }
+
   test("build is deterministic: two builds of the same corpus are " +
       "value-identical in centroids, fine centroids and assignments") {
     val dir = Files.createTempDirectory("graft_2lvl_det").toString

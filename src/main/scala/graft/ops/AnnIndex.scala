@@ -1393,20 +1393,30 @@ object AnnIndex {
     * nFinePerCell) is exact within the index, identical to the flat
     * exhaustive arm (spec-pinned).
     */
-  def searchIvfIndexTwoLevel(spark: SparkSession, dir: String,
-      queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbeCoarse: Int = 2, nProbeFine: Int = 2): DataFrame = {
+  /** Synthetic composite cell (coarse << 32 | fine): the exact-pair
+    * candidate join rides the shared flat-arm implementation.
+    */
+  private def compositeCell(c: Column, f: Column): Column =
+    c.cast("long") * lit(4294967296L) + f.cast("long")
+
+  /** Hierarchical probing shared by the two-level search arms:
+    * `q` is a (query_id, queryv, …extras) frame; returns
+    * (qf — one row per (query, probed coarse, probed fine), extras
+    * riding along; postings — the pruned scan). Bounded driver
+    * collects: ≤ nCoarse probed group ids and ≤ max-nFinePerCell
+    * distinct fine ids; only the probed groups' sub-centroid
+    * partitions are read at all.
+    */
+  private def twoLevelProbed(spark: SparkSession, dir: String,
+      q: DataFrame, nProbeCoarse: Int, nProbeFine: Int)
+      : (DataFrame, DataFrame) = {
     require(nProbeCoarse >= 1 && nProbeFine >= 1,
       s"probe widths must be ≥ 1, got $nProbeCoarse/$nProbeFine")
     val coarse = loadCentroids(spark, dir)
     require(coarse.nonEmpty, s"empty index at $dir")
-    val qc = Similarity.ivfAssignProbes(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
-        "queryv", coarse, nProbeCoarse)
-      .select(col("query_id"), col("queryv"),
-        col("cell").cast("int").as("coarse"))
+    val qc = Similarity.ivfAssignProbes(q, "queryv", coarse, nProbeCoarse)
+      .withColumn("coarse", col("cell").cast("int")).drop("cell")
       .localCheckpoint(false)
-    // bounded collect: ≤ nCoarse probed group ids
     val probedCoarse = qc.select("coarse").distinct().collect()
       .map(_.getInt(0))
     // only the probed groups' sub-centroids are READ AT ALL —
@@ -1416,30 +1426,113 @@ object AnnIndex {
       .select(col("coarse").cast("int").as("coarse"),
         col("fine").cast("int").as("fine"), col("centroid"))
     val qf = qc.join(packFine(fine), Seq("coarse"), "left")
-      .select(col("query_id"), col("queryv"), col("coarse"),
-        explode(coalesce(
-          transform(graft.functions.nearestPackedCellsNative(
-            col("queryv"), col("packed"), nProbeFine),
-            p => element_at(col("ids"), p.cast("int") + 1)),
-          array(lit(0)))).as("fine"))
+      .withColumn("fine", explode(coalesce(
+        transform(graft.functions.nearestPackedCellsNative(
+          col("queryv"), col("packed"), nProbeFine),
+          p => element_at(col("ids"), p.cast("int") + 1)),
+        array(lit(0)))))
+      .drop("ids", "packed")
       .localCheckpoint(false)
-    // bounded collect: distinct probed fine ids ≤ max nFinePerCell
     val probedFine = qf.select("fine").distinct().collect()
       .map(_.getInt(0))
     val postings = spark.read.parquet(s"$dir/postings.parquet")
       .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*) &&
         col("fine").isin(probedFine.map(Integer.valueOf).toSeq: _*))
-    // synthetic composite cell (coarse << 32 | fine): the exact-pair
-    // candidate join rides the shared flat-arm implementation
-    def composite(c: Column, f: Column): Column =
-      c.cast("long") * lit(4294967296L) + f.cast("long")
+    (qf, postings)
+  }
+
+  def searchIvfIndexTwoLevel(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2): DataFrame = {
+    val (qf, postings) = twoLevelProbed(spark, dir,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
+      nProbeCoarse, nProbeFine)
     val qa = qf.select(col("query_id"), col("queryv"),
-      composite(col("coarse"), col("fine")).as("cell"))
+      compositeCell(col("coarse"), col("fine")).as("cell"))
     val posts = postings.select(
-      composite(col("coarse"), col("fine")).as("cell"),
+      compositeCell(col("coarse"), col("fine")).as("cell"),
       col("vec_id"), col("vec"))
     rerankCandidates(qa, posts, k)
   }
+
+  /** QUANTIZED two-level search — [[searchIvfIndexQuantized]]'s
+    * codes-shortlist shape on the capacity tree: candidates are
+    * scored with the int8 codes off the pruned scan (dim bytes cross
+    * the candidate join, not dim·4 floats), a `rerankFactor·k`
+    * shortlist survives, and only the shortlist joins back for the
+    * exact cosine re-rank. With a shortlist generous enough to hold
+    * every candidate the result is IDENTICAL to
+    * [[searchIvfIndexTwoLevel]] (the q126 plumbing contract,
+    * spec-pinned); at production shortlist sizes recall follows the
+    * measured quantized-rerank behavior (factor 4 recall-identical on
+    * the fixtures — RecallProbe). At 100 TB this arm compounds the
+    * two prunings: probed-fraction IO × 4× narrower candidate join.
+    */
+  def searchIvfIndexTwoLevelQuantized(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2,
+      rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
+    val q = Similarity.withQuantizedInt8(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
+        "queryv")
+      .select(col("query_id"), col("queryv"),
+        col("q_codes").as("query_codes"), col("q_scale").as("query_scale"))
+    val (qf, postings) = twoLevelProbed(spark, dir, q,
+      nProbeCoarse, nProbeFine)
+    val qa = qf.select(col("query_id"), col("queryv"),
+      col("query_codes"), col("query_scale"),
+      compositeCell(col("coarse"), col("fine")).as("cell"))
+    val posts = postings.select(
+      compositeCell(col("coarse"), col("fine")).as("cell"),
+      col("vec_id"), col("vec"), col("q_codes"), col("q_scale"))
+    val cands = posts
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("q_codes").as("neighbor_codes"),
+        col("q_scale").as("neighbor_scale"))
+      .join(qa.select(col("query_id"), col("query_codes"),
+        col("query_scale"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = Similarity.rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        Similarity.quantizedDot(col("query_codes"), col("query_scale"),
+          col("neighbor_codes"), col("neighbor_scale")).as("approx")),
+      k * rerankFactor, "approx")
+      .select("query_id", "neighbor_id")
+    val rerank = shortlist
+      .join(qa.select("query_id", "queryv").dropDuplicates("query_id"),
+        Seq("query_id"))
+      .join(posts.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("neighborv")), Seq("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    Similarity.rankTopK(
+      rerank.select(col("query_id"), col("neighbor_id"),
+        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+      k, "cosine")
+  }
+
+  /** The adaptive probe ladder ([[searchIvfIndexConverged]]) on the
+    * two-level tree: the ladder dials the COARSE probe width (the
+    * axis that controls which partition directories are read at all),
+    * with the fine layer probed EXHAUSTIVELY inside each probed group
+    * — that keeps the ladder's terminal guarantee intact (width =
+    * nCoarse with fine-exhaustive probing is exact within the index),
+    * and every rung's candidate set is a superset of the last (the
+    * recall-monotonicity theorem carries over unchanged).
+    * `n_probe_used` counts COARSE groups. Fixed fine sub-probing
+    * inside a ladder would forfeit terminal exactness — callers who
+    * want the (pc, pf) cost dial use [[searchIvfIndexTwoLevel]]
+    * directly with the RecallProbe `ivf2` curve.
+    */
+  def searchIvfIndexTwoLevelConverged(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbeCoarse0: Int = 1, maxRounds: Int = 16): DataFrame =
+    widenToConvergence(spark, dir,
+      queries.select(col(idCol), col(vecCol)), idCol, k, nProbeCoarse0,
+      maxRounds)(
+      (pending, w) => searchIvfIndexTwoLevel(spark, dir, pending,
+        idCol, vecCol, k, nProbeCoarse = w, nProbeFine = Int.MaxValue))
 
   /** Zero-downtime versioned rebuild for the two-level index — the
     * capacity tree's maintenance AND serving story (see the section

@@ -184,6 +184,64 @@ class TwoLevelIndexSpec extends SparkSpecBase {
     assert(two.size == 12)
   }
 
+  test("quantized two-level search with a generous shortlist is " +
+      "IDENTICAL to the exact arm (the q126 plumbing contract on the " +
+      "capacity tree)") {
+    val dir = Files.createTempDirectory("graft_2lvl_q").toString
+    val e = corpus(60)
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
+      nCoarse = 4, nFinePerCell = 3, iters = 2)
+    val q = e.where(col("vec_id") < 6)
+    val exact = collected(AnnIndex.searchIvfIndexTwoLevel(spark,
+      s"$dir/two", q, "vec_id", "embedding", k = 3,
+      nProbeCoarse = 2, nProbeFine = 2))
+    val viaCodes = collected(AnnIndex.searchIvfIndexTwoLevelQuantized(
+      spark, s"$dir/two", q, "vec_id", "embedding", k = 3,
+      nProbeCoarse = 2, nProbeFine = 2, rerankFactor = 60))
+    assert(viaCodes == exact)
+  }
+
+  test("converged ladder on the two-level tree: accepted rows equal a " +
+      "fixed-width search at the reported coarse width (fine " +
+      "exhaustive), terminal width is exact within the index, recall " +
+      "never falls below the starting width's") {
+    val dir = Files.createTempDirectory("graft_2lvl_cv").toString
+    val e = corpus(60)
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
+      nCoarse = 4, nFinePerCell = 3, iters = 2)
+    val q = e.where(col("vec_id") < 6)
+    val conv = AnnIndex.searchIvfIndexTwoLevelConverged(spark,
+      s"$dir/two", q, "vec_id", "embedding", k = 3, nProbeCoarse0 = 1)
+    val rows = conv.orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "rank", "cosine", "n_probe_used")
+      .as[(Long, Long, Int, Double, Int)].collect().toSeq
+    assert(rows.nonEmpty && rows.size == 18, s"got ${rows.size} rows")
+    // widths on the doubling ladder from 1 toward nCoarse = 4
+    val widths = rows.map(_._5).distinct.sorted
+    assert(widths.forall(Seq(2, 4).contains(_)), s"widths: $widths")
+    // per reported width: identity with the fixed-width arm
+    for (w <- widths) {
+      val ids = rows.filter(_._5 == w).map(_._1).distinct
+      val fixed = collected(AnnIndex.searchIvfIndexTwoLevel(spark,
+        s"$dir/two", q.where(col("vec_id").isin(ids: _*)),
+        "vec_id", "embedding", k = 3,
+        nProbeCoarse = w, nProbeFine = Int.MaxValue))
+      val acc = rows.filter(_._5 == w).map(r => (r._1, r._2, r._4, r._3))
+      assert(acc == fixed, s"width $w: converged rows must equal the " +
+        "fixed-width search")
+    }
+    // recall ≥ the nProbeCoarse0 = 1 start (candidate supersets)
+    val ex = collected(AnnIndex.searchIvfIndexTwoLevel(spark, s"$dir/two",
+      q, "vec_id", "embedding", k = 3,
+      nProbeCoarse = 4, nProbeFine = 3)).map(r => (r._1, r._2)).toSet
+    val start = collected(AnnIndex.searchIvfIndexTwoLevel(spark,
+      s"$dir/two", q, "vec_id", "embedding", k = 3,
+      nProbeCoarse = 1, nProbeFine = Int.MaxValue))
+      .map(r => (r._1, r._2)).toSet
+    val convPairs = rows.map(r => (r._1, r._2)).toSet
+    assert((convPairs & ex).size >= (start & ex).size)
+  }
+
   test("zero-downtime versioned rebuild composes: the published tree " +
       "searches identically to a direct build under the same coarse " +
       "centroids") {

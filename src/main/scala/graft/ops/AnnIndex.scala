@@ -343,9 +343,32 @@ object AnnIndex {
     *
     * Returns the number of vectors appended.
     */
+  /** The flat-layout guard on every INCREMENTAL mutation: the
+    * generation/tombstone lifecycle is defined over the flat tree
+    * (`postings.parquet/gen=G/cell=N`), and running it against a
+    * two-level tree would not fail fast on its own — an append would
+    * graft a gen/cell layout into a coarse-partitioned tree, and a
+    * DELETE would write `_deletes` that the two-level search arms
+    * never subtract (silently serving takedown-obligated vectors —
+    * the worst failure shape). Presence of `fine_centroids.parquet`
+    * IS the layout marker. Two-level maintenance is the versioned
+    * rebuild ([[rebuildIvfIndexTwoLevelVersioned]]).
+    */
+  private def requireFlatLayout(spark: SparkSession, dir: String,
+      op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/fine_centroids.parquet")
+    require(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p),
+      s"$op: $dir is a TWO-LEVEL index tree — the incremental " +
+        "lifecycle (append/delete/compact/maybeRetrain) is defined " +
+        "over the flat layout only; maintain two-level trees with " +
+        "rebuildIvfIndexTwoLevelVersioned")
+  }
+
   def appendToIvfIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String, vecCol: String, gen: Long): Long = {
     require(gen >= 1, s"gen 0 is the base build; appends start at 1 (got $gen)")
+    requireFlatLayout(spark, dir, "appendToIvfIndex")
     withWriterLock(spark, dir, "appendToIvfIndex") { fence =>
       // centroids read INSIDE the lock: a concurrent rebuild must not
       // swap the quantizer between this read and the generation write
@@ -424,6 +447,7 @@ object AnnIndex {
   def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, del: Long): Long = {
     require(del >= 1, s"delete batches start at 1 (got $del)")
+    requireFlatLayout(spark, dir, "deleteFromIvfIndex")
     withWriterLock(spark, dir, "deleteFromIvfIndex") { fence =>
       require(loadCentroids(spark, dir).nonEmpty, s"empty index at $dir")
       // stage → fence → rename, the writeGeneration discipline: a
@@ -563,8 +587,9 @@ object AnnIndex {
     *
     * Returns the row count of the compacted base generation.
     */
-  def compactIvfIndex(spark: SparkSession, dir: String): Long =
-      withWriterLock(spark, dir, "compactIvfIndex") { fence =>
+  def compactIvfIndex(spark: SparkSession, dir: String): Long = {
+    requireFlatLayout(spark, dir, "compactIvfIndex")
+    withWriterLock(spark, dir, "compactIvfIndex") { fence =>
     val gens = listGenerations(spark, dir)
     require(gens.nonEmpty, s"empty index at $dir — nothing to compact")
     val target = gens.min - 1L
@@ -625,7 +650,7 @@ object AnnIndex {
     StagedCommit.purgeStages(sweepFs, s"$dir/_meta", ".stage_", fence)
     StagedCommit.purgeStages(sweepFs, dir, ".stage_", fence)
     n
-  }
+  }}
 
   /** Appended mass ≥ this fraction of the base ⇒ the frozen coarse
     * quantizer was trained on a corpus that no longer looks like the
@@ -659,6 +684,7 @@ object AnnIndex {
       idCol: String, vecCol: String, nCells: Int,
       tau: Double = DefaultRetrainTau, iters: Int = 2): Boolean = {
     require(tau > 0.0, s"tau must be positive, got $tau")
+    requireFlatLayout(spark, dir, "maybeRetrain")
     if (appendedFraction(spark, dir) >= tau) {
       buildIvfIndex(corpus, idCol, vecCol, dir, nCells, iters = iters)
       true

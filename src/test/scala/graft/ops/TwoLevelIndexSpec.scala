@@ -242,6 +242,40 @@ class TwoLevelIndexSpec extends SparkSpecBase {
     assert((convPairs & ex).size >= (start & ex).size)
   }
 
+  test("every incremental lifecycle mutation REFUSES a two-level tree " +
+      "loudly and mutates nothing (r16 review finding: a delete's " +
+      "tombstones would otherwise be silently ignored by the " +
+      "two-level search arms — served takedown-obligated vectors)") {
+    val dir = Files.createTempDirectory("graft_2lvl_guard").toString
+    val e = corpus(40)
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
+      nCoarse = 4, nFinePerCell = 2)
+    val before = spark.read.parquet(s"$dir/two/postings.parquet")
+      .select("vec_id", "coarse", "fine")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    import spark.implicits._
+    def refused(body: => Any): Unit = {
+      val ex = intercept[IllegalArgumentException](body)
+      assert(ex.getMessage.contains("TWO-LEVEL"), ex.getMessage)
+    }
+    refused(AnnIndex.appendToIvfIndex(spark, s"$dir/two",
+      Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", gen = 1L))
+    refused(AnnIndex.deleteFromIvfIndex(spark, s"$dir/two",
+      Seq(1L).toDF("vec_id"), "vec_id", del = 1L))
+    refused(AnnIndex.compactIvfIndex(spark, s"$dir/two"))
+    refused(AnnIndex.maybeRetrain(spark, s"$dir/two", e,
+      "vec_id", "embedding", nCells = 4))
+    val after = spark.read.parquet(s"$dir/two/postings.parquet")
+      .select("vec_id", "coarse", "fine")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(after == before, "a refused mutation must touch nothing")
+    assert(!new java.io.File(s"$dir/two/_deletes").exists(),
+      "no tombstone dir may appear on a two-level tree")
+    // ... and the refused writers left no lock behind
+    assert(!new java.io.File(s"$dir/two/_writer_lock").exists())
+  }
+
   test("zero-downtime versioned rebuild composes: the published tree " +
       "searches identically to a direct build under the same coarse " +
       "centroids") {

@@ -186,7 +186,7 @@ object RecallProbe {
       {
         val dir2 = s"$gridRoot/two8x8"
         AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", dir2,
-          nCoarse = 8, nFinePerCell = 8, iters = 3)
+          nCoarse = 8, nFinePerCell = 8, iters = 3, pqM = Some(8))
         val line = Seq((2, 4), (4, 4), (4, 8), (8, 8)).map {
           case (pc, pf) =>
             val got = AnnIndex.searchIvfIndexTwoLevel(spark, dir2, qWide,
@@ -200,6 +200,47 @@ object RecallProbe {
         }.mkString(" ")
         println(s"[recall-probe] sf=$sfDir ivf2 coarse=8 fine=8 " +
           s"mean_recall@5 [pc,pf(frac):recall] $line")
+        // the converged ladder on the same tree (coarse-width dial,
+        // fine exhaustive — terminal exactness), and the quantized
+        // codes-shortlist arm at the half-fraction point
+        val cv = AnnIndex.searchIvfIndexTwoLevelConverged(spark, dir2,
+            qWide, "vec_id", "embedding", k = 5, nProbeCoarse0 = 1)
+          .select("query_id", "neighbor_id", "n_probe_used")
+          .as[(Long, Long, Int)].collect()
+        val cvSets = cv.groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+        val cvRs = exactWide.map { case (qid, ex) =>
+          (cvSets.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+        val cvUsed = cv.groupBy(_._1).view.mapValues(_.head._3).toMap
+        val cvMean = cvUsed.values.sum.toDouble / math.max(cvUsed.size, 1)
+        println(f"[recall-probe] sf=$sfDir ivf2_converged coarse=8 " +
+          f"fine=8 nPC0=1: mean_recall@5=${cvRs.sum / cvRs.size}%.3f " +
+          f"mean_coarse_width=$cvMean%.1f " +
+          f"(mean coarse frac=${cvMean / 8}%.2f)")
+        val qz = AnnIndex.searchIvfIndexTwoLevelQuantized(spark, dir2,
+            qWide, "vec_id", "embedding", k = 5,
+            nProbeCoarse = 4, nProbeFine = 8, rerankFactor = 4)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val qzRs = exactWide.map { case (qid, ex) =>
+          (qz.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+        println(f"[recall-probe] sf=$sfDir ivf2_quantized coarse=8 " +
+          f"fine=8 pc=4 pf=8 rerank=4: " +
+          f"mean_recall@5=${qzRs.sum / qzRs.size}%.3f " +
+          f"(exact arm at the same point: the frac-0.50 ivf2 value)")
+        // the PQ codes-shortlist arm at the same point: m=8 BYTES per
+        // candidate across the join (8× narrower than int8, 32× than
+        // float) — the recall cost of that narrowing at rerank=4
+        val pq = AnnIndex.searchIvfIndexTwoLevelPq(spark, dir2,
+            qWide, "vec_id", "embedding", k = 5,
+            nProbeCoarse = 4, nProbeFine = 8, rerankFactor = 4)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val pqRs = exactWide.map { case (qid, ex) =>
+          (pq.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size }
+        println(f"[recall-probe] sf=$sfDir ivf2_pq coarse=8 fine=8 " +
+          f"m=8 ks=256 pc=4 pf=8 rerank=4: " +
+          f"mean_recall@5=${pqRs.sum / pqRs.size}%.3f")
       }
     }
 

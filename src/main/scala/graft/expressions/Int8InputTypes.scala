@@ -65,6 +65,14 @@ trait DoubleArrayInputTypes extends ImplicitCastInputTypes {
     Seq(ArrayType(DoubleType))
 }
 
+/** (LUT array<float>, codes array<tinyint>) input declaration for
+  * [[graft.expressions.PqLutScore]].
+  */
+trait PqLutScoreInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ByteType))
+}
+
 /** (vector, packed centroid matrix) input declaration for
   * [[graft.expressions.NearestPackedCells]]: the vector ANSI-casts to
   * array<double> and the packed matrix to array<array<double>>, the

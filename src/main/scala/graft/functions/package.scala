@@ -190,6 +190,25 @@ package object functions {
       GraftSqlBridge.expression(vec), GraftSqlBridge.expression(packed),
       nProbe))
 
+  /** Native PQ encode against a driver-built (tiny) codebook —
+    * array<byte> of length m, NULL for corrupt vectors.
+    */
+  def pqEncodeNative(vec: Column,
+      cb: graft.expressions.PqCodebook): Column =
+    GraftSqlBridge.column(graft.expressions.PqEncode(
+      GraftSqlBridge.expression(vec), cb))
+
+  /** Native per-query PQ dot lookup table (array<float>, m·ks). */
+  def pqDotLutNative(vec: Column,
+      cb: graft.expressions.PqCodebook): Column =
+    GraftSqlBridge.column(graft.expressions.PqDotLut(
+      GraftSqlBridge.expression(vec), cb))
+
+  /** Native LUT × codes asymmetric-distance score (m lookups). */
+  def pqLutScoreNative(lut: Column, codes: Column, ks: Int): Column =
+    GraftSqlBridge.column(graft.expressions.PqLutScore(
+      GraftSqlBridge.expression(lut), GraftSqlBridge.expression(codes), ks))
+
   /** Native random-hyperplane LSH bucketing
     * (graft.expressions.LshBuckets): all nTables bucket ids of a float
     * vector in one compiled pass — bit-identical to the declarative

@@ -1305,7 +1305,8 @@ object AnnIndex {
       vecCol: String, dir: String, nCoarse: Int, nFinePerCell: Int,
       iters: Int = 2, corpusRowsHint: Option[Long] = None,
       coarseCentroids: Option[Seq[Seq[Double]]] = None,
-      fineTrainCapPerCell: Int = 256): Seq[Seq[Double]] = {
+      fineTrainCapPerCell: Int = 256,
+      pqM: Option[Int] = None, pqKs: Int = 256): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     require(nFinePerCell >= 1, s"nFinePerCell must be ≥ 1, got $nFinePerCell")
     coarseCentroids.foreach(cs => require(cs.length == nCoarse,
@@ -1315,6 +1316,17 @@ object AnnIndex {
       corpus, idCol, vecCol, nCoarse, iters, corpusRowsHint = corpusRowsHint))
     require(coarse.nonEmpty, "buildIvfIndexTwoLevel: no coarse centroids")
     val dim = coarse.head.size
+    // OPT-IN product quantization ([[searchIvfIndexTwoLevelPq]]):
+    // codes ride the postings (m bytes per vector — 8× narrower than
+    // the int8 codes at m=8, dim=64), the codebook persists beside the
+    // quantizers. Trained BEFORE the lock (reads only the corpus).
+    // If dim doesn't divide by the requested m, the largest divisor
+    // ≤ m is used (documented adaptive fallback, never a failure).
+    val pqCb = pqM.map { reqM =>
+      val mEff = (math.min(reqM, dim) to 1 by -1).find(dim % _ == 0).get
+      Similarity.trainPqCodebook(corpus, idCol, vecCol, dim, mEff,
+        ks = pqKs, iters = iters, corpusRowsHint = corpusRowsHint)
+    }
     // the training quarantine ([[Similarity.trainingSample]] predicate)
     val cleanAssigned = corpus
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
@@ -1360,7 +1372,7 @@ object AnnIndex {
           .select(col("coarse").cast("int").as("coarse"),
             col("fine").cast("int").as("fine"), col("centroid")))
       val obs = org.apache.spark.sql.Observation()
-      Similarity.withQuantizedInt8(
+      val basePosted = Similarity.withQuantizedInt8(
           corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
           "vec")
         .withColumn("coarse",
@@ -1368,6 +1380,8 @@ object AnnIndex {
         .join(packedAll, Seq("coarse"), "left")
         .withColumn("fine", finePick(col("vec"), col("ids"), col("packed")))
         .drop("ids", "packed")
+      pqCb.fold(basePosted)(cb => basePosted.withColumn("pq_codes",
+          graft.functions.pqEncodeNative(col("vec"), cb)))
         .repartition(col("coarse"))
         // coarse prefix satisfies the writer's required partition
         // ordering, so THIS sort is the one retained — fine stays
@@ -1377,6 +1391,24 @@ object AnnIndex {
         .write.mode(SaveMode.Overwrite).partitionBy("coarse")
         .parquet(stagePost)
       val n = obs.get("n").asInstanceOf[Long]
+      val stagePq = pqCb.map { cb =>
+        val p = s"$dir/.stage_pq_$token"
+        spark.createDataFrame(
+          (for (mi <- 0 until cb.m; k <- 0 until cb.ks) yield Row(mi, k,
+            (0 until cb.subDim).map(j =>
+              cb.data(mi * cb.ks * cb.subDim + k * cb.subDim + j))))
+            .asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("mi",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("centroid",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType), nullable = false))))
+          .write.mode(SaveMode.Overwrite).parquet(p)
+        p
+      }
       val stageMeta = s"$dir/.stage_build_meta_$token"
       spark.range(1).select(lit(n).as("n_vectors"))
         .write.mode(SaveMode.Overwrite).parquet(stageMeta)
@@ -1384,6 +1416,7 @@ object AnnIndex {
       fence.verify()
       hadoopDelete(spark, s"$dir/postings.parquet")
       hadoopDelete(spark, s"$dir/fine_centroids.parquet")
+      hadoopDelete(spark, s"$dir/pq_codebook.parquet")
       hadoopDelete(spark, s"$dir/_meta")
       hadoopDelete(spark, s"$dir/_deletes")
       StagedCommit.commitStaged(fs, fence, stageCents,
@@ -1392,9 +1425,94 @@ object AnnIndex {
         s"$dir/fine_centroids.parquet")
       StagedCommit.commitStaged(fs, fence, stagePost,
         s"$dir/postings.parquet")
+      stagePq.foreach(p =>
+        StagedCommit.commitStaged(fs, fence, p, s"$dir/pq_codebook.parquet"))
       StagedCommit.commitStaged(fs, fence, stageMeta, s"$dir/_meta")
     }
     coarse
+  }
+
+  /** The persisted PQ codebook of a two-level tree built with `pqM` —
+    * bounded (m·ks rows of subDim doubles, KBs). Loud error when the
+    * tree was built without PQ.
+    */
+  def loadPqCodebook(spark: SparkSession,
+      dir: String): graft.expressions.PqCodebook = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pq_codebook.parquet")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p),
+      s"no PQ codebook at $dir — build with " +
+        "buildIvfIndexTwoLevel(..., pqM = Some(m)) to enable the PQ arm")
+    val rows = spark.read.parquet(s"$dir/pq_codebook.parquet")
+      .orderBy("mi", "k").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    val subDim = rows.head._3.size
+    val data = new Array[Double](m * ks * subDim)
+    rows.foreach { case (mi, k, c) =>
+      var j = 0
+      while (j < subDim) {
+        data(mi * ks * subDim + k * subDim + j) = c(j); j += 1
+      }
+    }
+    new graft.expressions.PqCodebook(m, ks, subDim, data)
+  }
+
+  /** PQ search on the two-level tree — the narrowest candidate join
+    * the index family offers: candidates are scored from `pq_codes`
+    * (m BYTES each — 8× narrower than the int8 codes at m=8, dim=64,
+    * 32× narrower than the float vectors) against a per-query dot
+    * LOOKUP TABLE computed once per query ([[graft.expressions
+    * .PqDotLut]] — ks·dim mults), so each candidate costs m array
+    * lookups. A `rerankFactor·k` shortlist survives to the exact
+    * cosine re-rank off the pruned scan. With a shortlist generous
+    * enough to hold every candidate the result is IDENTICAL to
+    * [[searchIvfIndexTwoLevel]] (spec-pinned — the q126 plumbing
+    * contract); at production factors recall is measured in
+    * RecallProbe's `ivf2_pq` line. Corrupt stored vectors carry null
+    * pq codes and never enter the shortlist.
+    */
+  def searchIvfIndexTwoLevelPq(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2,
+      rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be ≥ 1, got $rerankFactor")
+    val cb = loadPqCodebook(spark, dir)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("queryv"))
+      .withColumn("query_lut",
+        graft.functions.pqDotLutNative(col("queryv"), cb))
+    val (qf, postings) = twoLevelProbed(spark, dir, q,
+      nProbeCoarse, nProbeFine)
+    val qa = qf.select(col("query_id"), col("queryv"), col("query_lut"),
+      compositeCell(col("coarse"), col("fine")).as("cell"))
+    val posts = postings.select(
+      compositeCell(col("coarse"), col("fine")).as("cell"),
+      col("vec_id"), col("vec"), col("pq_codes"))
+    val cands = posts
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("pq_codes"))
+      .join(qa.select(col("query_id"), col("query_lut"), col("cell")),
+        Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = Similarity.rankTopK(
+      cands.select(col("query_id"), col("neighbor_id"),
+        graft.functions.pqLutScoreNative(col("query_lut"),
+          col("pq_codes"), cb.ks).as("approx")),
+      k * rerankFactor, "approx")
+      .select("query_id", "neighbor_id")
+    val rerank = shortlist
+      .join(qf.select("query_id", "queryv").dropDuplicates("query_id"),
+        Seq("query_id"))
+      .join(posts.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("neighborv")), Seq("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    Similarity.rankTopK(
+      rerank.select(col("query_id"), col("neighbor_id"),
+        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+      k, "cosine")
   }
 
   /** Search the two-level index. Probing is hierarchical: queries

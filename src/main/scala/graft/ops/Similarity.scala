@@ -682,6 +682,50 @@ object Similarity {
     * (no join, no shuffle) followed by one k-row groupBy whose
     * partial aggregation runs map-side.
     */
+  /** Train a PRODUCT-QUANTIZATION codebook: the `dim`-dim space split
+    * into `m` contiguous sub-spaces, each clustered into `ks`
+    * sub-centroids by the SAME bounded-sample Lloyd discipline as the
+    * coarse quantizer (one [[trainIvfCentroids]] run per sub-space
+    * over the sliced sub-vectors — hash-seeded deterministic sample,
+    * decimal sums; the m× re-sampling is a build-time cost, not a
+    * state cost). Driver state: ks·dim doubles — tiny (128 KB at
+    * ks=256, dim=64); the compression lives in the per-vector CODES
+    * (m bytes vs dim·4 float bytes — 32× narrower than vectors, 8×
+    * narrower than int8 codes at m=8, dim=64).
+    *
+    * If the bounded sample is smaller than `ks`, every sub-space
+    * yields the same smaller count (same sample rows) and the
+    * codebook's effective ks is that count. `dim` must divide by `m`
+    * (callers with odd dims pick the largest divisor — see
+    * [[graft.ops.AnnIndex.buildIvfIndexTwoLevel]]).
+    */
+  def trainPqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ks: Int = 256, iters: Int = 2,
+      trainSampleCap: Int = DefaultTrainSampleCap,
+      corpusRowsHint: Option[Long] = None): graft.expressions.PqCodebook = {
+    require(m >= 1 && dim % m == 0,
+      s"trainPqCodebook: dim $dim must divide by m=$m")
+    require(ks >= 1 && ks <= 256, s"ks must be in [1,256], got $ks")
+    val subDim = dim / m
+    val subCents: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      trainIvfCentroids(
+        df.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"),
+            mi * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", ks, iters, trainSampleCap, corpusRowsHint)
+    }
+    val ksEff = subCents.head.size
+    require(ksEff >= 1, "trainPqCodebook: empty training corpus")
+    require(subCents.forall(_.size == ksEff),
+      "trainPqCodebook: sub-space centroid counts diverged " +
+        s"(${subCents.map(_.size).mkString(",")}) — the sample must be " +
+        "identical across sub-spaces")
+    val data = new Array[Double](m * ksEff * subDim)
+    for (mi <- 0 until m; k <- 0 until ksEff; j <- 0 until subDim)
+      data(mi * ksEff * subDim + k * subDim + j) = subCents(mi)(k)(j)
+    new graft.expressions.PqCodebook(m, ksEff, subDim, data)
+  }
+
   def trainIvfCentroids(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int,

@@ -165,6 +165,21 @@ object Calibration {
     */
   val Ivf2HalfFracRecallFloor = 0.6
 
+  /** PQ arm recall at the same half-fraction operating point
+    * (m=8 one-byte sub-codes, ks=256, rerankFactor=4) vs exact
+    * cosine: measured 0.756/0.708/0.600 at sf0.001/0.01/0.1
+    * (RecallProbe `ivf2_pq`), vs the exact two-level arm's
+    * 0.772/0.724/0.736 — the 8-byte codes cost 0.02 recall at small
+    * scale and up to 0.14 at sf0.1 on the isotropic fixtures (more
+    * mass per cell ⇒ more near-ties the coarse reconstruction dot
+    * cannot separate; raise rerankFactor to buy it back — the
+    * generous-shortlist identity law q160 pins means the ceiling is
+    * the exact arm). 0.55 keeps a ≥ 39-hit margin under the enforced
+    * sf0.01 measurement. Re-pin: the `ivf2_pq` probe line, weakest
+    * scale, ≥ 10 hits of margin.
+    */
+  val Ivf2PqRerank4RecallFloor = 0.55
+
   /** The equal-fraction SLACK bound pairing [[Ivf2HalfFracRecallFloor]]:
     * two-level recall at probed fraction 1/2 must sit within this of
     * the flat 64-cell index at the same fraction (measured gaps

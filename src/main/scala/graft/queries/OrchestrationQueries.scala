@@ -1291,6 +1291,66 @@ object OrchestrationQueries {
           .orderBy("query_id")
           .localCheckpoint(true)
       } finally drainAndDelete(s, tmp)
+    },
+
+    // PQ-CODED POSTINGS on the two-level tree — the other half of the
+    // r15 ceiling order: candidates score from m-BYTE product-
+    // quantization codes (8× narrower than int8, 32× than float)
+    // against a per-query dot lookup table, with only a
+    // rerankFactor·k shortlist paying the exact re-rank. Contract
+    // row, per query: (1) results_match — with a shortlist generous
+    // enough to hold EVERY candidate, the PQ arm is IDENTICAL (ids,
+    // ranks, exact cosines) to the exact two-level arm at the same
+    // probes: the shortlist plumbing never invents or loses a
+    // candidate, whatever the codebook quality (the q126 discipline);
+    // (2) codes_m — every posting carries exactly m code bytes;
+    // (3) rerank4_full — the production rerankFactor=4 arm still
+    // fills its top-k (the recall COST of the narrowing is measured
+    // in RecallProbe's ivf2_pq line: 0.756 vs the exact arm's 0.772
+    // at the half-fraction point, sf0.001).
+    "q160_ann_two_level_pq" -> { (s, dir) =>
+      import graft.ops.AnnIndex
+      val tmp = Files.createTempDirectory("graft_q160_")
+      try {
+        val e = Tables.embeddings(s, dir)
+        // iters=1: identity contracts are independent of quantizer
+        // quality (q138's reasoning); ks=64 keeps the PQ training
+        // bounded at every fixture scale
+        AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding",
+          s"$tmp/two", nCoarse = 4, nFinePerCell = 4, iters = 1,
+          pqM = Some(8), pqKs = 64)
+        val q = e.where(col("vec_id") < 10)
+        val exact = AnnIndex.searchIvfIndexTwoLevel(s, s"$tmp/two", q,
+          "vec_id", "embedding", k = 5, nProbeCoarse = 2, nProbeFine = 2)
+        // generous shortlist: every cell-colocated candidate survives
+        val genFactor = (e.count() / 5L + 1L).toInt
+        val viaPq = AnnIndex.searchIvfIndexTwoLevelPq(s, s"$tmp/two", q,
+          "vec_id", "embedding", k = 5, nProbeCoarse = 2, nProbeFine = 2,
+          rerankFactor = genFactor)
+        val matches = viaPq.select(col("query_id"), col("neighbor_id"),
+            col("rank"), col("cosine"))
+          .join(exact.select(col("query_id"), col("neighbor_id"),
+            col("rank").as("rank_r"), col("cosine").as("cos_r")),
+            Seq("query_id", "neighbor_id"), "full_outer")
+          .groupBy("query_id")
+          .agg((count(lit(1)) === 5L &&
+            sum(when(col("rank") === col("rank_r") &&
+              col("cosine") === col("cos_r"), 1L).otherwise(0L)) === 5L)
+            .as("results_match"))
+        val codesM = s.read.parquet(s"$tmp/two/postings.parquet")
+          .select(size(col("pq_codes")).as("n")).distinct().collect()
+          .map(_.getInt(0)).toSeq == Seq(8)
+        val rerank4Full = AnnIndex.searchIvfIndexTwoLevelPq(s,
+            s"$tmp/two", q, "vec_id", "embedding", k = 5,
+            nProbeCoarse = 2, nProbeFine = 2, rerankFactor = 4)
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+          .where(col("n") =!= 5L).isEmpty
+        matches
+          .select(col("query_id"), col("results_match"),
+            lit(codesM).as("codes_m"), lit(rerank4Full).as("rerank4_full"))
+          .orderBy("query_id")
+          .localCheckpoint(true)
+      } finally drainAndDelete(s, tmp)
     }
   )
 
@@ -1380,6 +1440,11 @@ object OrchestrationQueries {
       """SELECT vec_id AS query_id, TRUE AS results_match,
         |  TRUE AS exact_match, TRUE AS fine_per_group_ok,
         |  TRUE AS scan_pruned
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q160_ann_two_level_pq" ->
+      """SELECT vec_id AS query_id, TRUE AS results_match,
+        |  TRUE AS codes_m, TRUE AS rerank4_full
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q156_zero_downtime_rebuild" ->

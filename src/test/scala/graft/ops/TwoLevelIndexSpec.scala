@@ -242,6 +242,61 @@ class TwoLevelIndexSpec extends SparkSpecBase {
     assert((convPairs & ex).size >= (start & ex).size)
   }
 
+  test("PQ arm: a generous shortlist is IDENTICAL to the exact arm; " +
+      "the persisted codebook round-trips; a tree built without PQ " +
+      "refuses the PQ search loudly") {
+    val dir = Files.createTempDirectory("graft_2lvl_pq").toString
+    val e = corpus(60)
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
+      nCoarse = 4, nFinePerCell = 3, iters = 2,
+      pqM = Some(2), pqKs = 16)
+    val cb = AnnIndex.loadPqCodebook(spark, s"$dir/two")
+    assert(cb.m == 2 && cb.subDim == 2 && cb.ks >= 1 && cb.ks <= 16)
+    val post = spark.read.parquet(s"$dir/two/postings.parquet")
+    assert(post.columns.contains("pq_codes"))
+    assert(post.select(size(col("pq_codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(cb.m),
+      "every posting carries m code bytes")
+    val q = e.where(col("vec_id") < 6)
+    val exact = collected(AnnIndex.searchIvfIndexTwoLevel(spark,
+      s"$dir/two", q, "vec_id", "embedding", k = 3,
+      nProbeCoarse = 2, nProbeFine = 2))
+    val viaPq = collected(AnnIndex.searchIvfIndexTwoLevelPq(spark,
+      s"$dir/two", q, "vec_id", "embedding", k = 3,
+      nProbeCoarse = 2, nProbeFine = 2, rerankFactor = 60))
+    assert(viaPq == exact,
+      "a shortlist holding every candidate must reproduce the exact arm")
+    // a no-PQ tree refuses loudly
+    AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding",
+      s"$dir/nopq", nCoarse = 4, nFinePerCell = 3)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvfIndexTwoLevelPq(spark, s"$dir/nopq", q,
+        "vec_id", "embedding", k = 3)
+    }
+    assert(ex.getMessage.contains("pqM"), ex.getMessage)
+  }
+
+  test("PQ arm: corrupt vectors carry NULL pq codes and never enter " +
+      "the shortlist (the int8-arm quarantine, unlike the exact arms " +
+      "where NaN floats scale to 0)") {
+    val dir = Files.createTempDirectory("graft_2lvl_pqc").toString
+    val clean = corpus(40)
+    val bad = Seq((999L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.buildIvfIndexTwoLevel(clean.unionByName(bad),
+      "vec_id", "embedding", s"$dir/two", nCoarse = 4, nFinePerCell = 2,
+      pqM = Some(2), pqKs = 16)
+    val post = spark.read.parquet(s"$dir/two/postings.parquet")
+    assert(post.where(col("vec_id") === 999L)
+      .select(col("pq_codes").isNull).head().getBoolean(0),
+      "the corrupt row must carry null codes")
+    val got = AnnIndex.searchIvfIndexTwoLevelPq(spark, s"$dir/two",
+      clean.where(col("vec_id") < 4), "vec_id", "embedding", k = 3,
+      nProbeCoarse = 4, nProbeFine = 2, rerankFactor = 60)
+    assert(got.where(col("neighbor_id") === 999L).isEmpty,
+      "null codes never rank into a shortlist")
+  }
+
   test("every incremental lifecycle mutation REFUSES a two-level tree " +
       "loudly and mutates nothing (r16 review finding: a delete's " +
       "tombstones would otherwise be silently ignored by the " +

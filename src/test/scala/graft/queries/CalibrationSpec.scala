@@ -239,7 +239,7 @@ class CalibrationSpec extends SparkSpecBase {
     AnnIndex.buildIvfIndex(e, "vec_id", "embedding", s"$dir/flat",
       nCells = 64, iters = 3)
     AnnIndex.buildIvfIndexTwoLevel(e, "vec_id", "embedding", s"$dir/two",
-      nCoarse = 8, nFinePerCell = 8, iters = 3)
+      nCoarse = 8, nFinePerCell = 8, iters = 3, pqM = Some(8))
     val two = meanRecall(AnnIndex.searchIvfIndexTwoLevel(spark,
       s"$dir/two", qWide, "vec_id", "embedding", k = 5,
       nProbeCoarse = 4, nProbeFine = 8))
@@ -254,6 +254,14 @@ class CalibrationSpec extends SparkSpecBase {
         s"two-level recall $two fell more than " +
         s"${Calibration.Ivf2EqualFracSlack} under the flat index's " +
         s"$flat at the same probed fraction"))
+    // the PQ arm at the same point, production rerankFactor
+    val pq = meanRecall(AnnIndex.searchIvfIndexTwoLevelPq(spark,
+      s"$dir/two", qWide, "vec_id", "embedding", k = 5,
+      nProbeCoarse = 4, nProbeFine = 8, rerankFactor = 4))
+    assert(pq >= Calibration.Ivf2PqRerank4RecallFloor,
+      repin("Ivf2PqRerank4RecallFloor",
+        s"PQ arm (m=8, ks=256, rerank=4) mean recall@5 $pq < floor " +
+        s"${Calibration.Ivf2PqRerank4RecallFloor} at sf0.01"))
   }
 
   test("the half-probe floor also holds at sf0.1 — the scale where the " +

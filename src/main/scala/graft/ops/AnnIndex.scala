@@ -699,8 +699,13 @@ object AnnIndex {
     * quantizer. Bounded: ≤ nCells rows collect.
     */
   def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    // cell order established driver-side: an orderBy before a ≤nCells
+    // collect costs a range-partition exchange plus its sampling pass
+    // per call, and every search pays this load (guide §2.4 — remove
+    // shuffles outright)
     spark.read.parquet(s"$dir/centroids.parquet")
-      .orderBy("cell").collect()
+      .select("cell", "centroid").collect()
+      .sortBy(_.getInt(0))
       .map(r => r.getSeq[Double](1).toSeq).toSeq
 
   /** Search the persisted index: queries probe their `nProbe` nearest
@@ -755,8 +760,9 @@ object AnnIndex {
       .join(qa.select(col("query_id"), col("query_codes"),
         col("query_scale"), col("cell")), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val shortlist = Similarity.rankTopK(
+    // multi-probe duplicates carry identical codes ⇒ identical approx
+    // scores — dedup rides the TopK buffer (one exchange, not two)
+    val shortlist = Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
         Similarity.quantizedDot(col("query_codes"), col("query_scale"),
           col("neighbor_codes"), col("neighbor_scale")).as("approx")),
@@ -769,16 +775,14 @@ object AnnIndex {
         Seq("query_id"))
       .join(postings.select(col("vec_id").as("neighbor_id"),
         col("vec").as("neighborv")), Seq("neighbor_id"))
-      // a crash-window MIXED tree holds the same vec_id in two
-      // generations: the vector fetch would fan the shortlist out and
-      // one neighbor could occupy two top-k slots (TopK ranks rows,
-      // it does not dedup keys). Payloads are identical per id, so
-      // collapsing per (query, neighbor) is value-free — and bounded:
-      // it runs over the shortlist (queries × k·factor rows), not the
-      // corpus. Keeps the compaction mixed-tree search-identity
-      // promise on THIS arm too (spec-asserted).
-      .dropDuplicates("query_id", "neighbor_id")
-    Similarity.rankTopK(
+    // a crash-window MIXED tree holds the same vec_id in two
+    // generations: the vector fetch would fan the shortlist out and
+    // one neighbor could occupy two top-k slots. Payloads are
+    // identical per id, so the collapse is value-free — and it now
+    // rides the TopK buffer (rankTopKDistinct) instead of paying its
+    // own exchange. Keeps the compaction mixed-tree search-identity
+    // promise on THIS arm too (spec-asserted).
+    Similarity.rankTopKDistinct(
       rerank.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("queryv"), col("neighborv")).as("cosine")),
       k, "cosine")
@@ -816,6 +820,14 @@ object AnnIndex {
     * TopK on the exact cosine. ONE implementation is what makes the
     * arms' result-identity contract structural rather than maintained
     * by parallel edits.
+    *
+    * r16: the duplicate collapse moved INSIDE the TopK aggregation
+    * buffer ([[Similarity.rankTopKDistinct]]) — the standalone
+    * dropDuplicates was a second full-candidate exchange ahead of the
+    * ranking one, and the dedup precondition (duplicates are exact
+    * value-duplicates) is precisely the multi-probe/mixed-generation
+    * contract already documented here. Plan: 2 Exchange → 1, and the
+    * surviving shuffle carries ≤ k rows per query per partition.
     */
   private def rerankCandidates(qa: DataFrame, postings: DataFrame,
       k: Int): DataFrame = {
@@ -824,8 +836,7 @@ object AnnIndex {
         col("vec").as("neighborv"))
       .join(qa, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    Similarity.rankTopK(
+    Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("queryv"), col("neighborv")).as("cosine")),
       k, "cosine")
@@ -852,8 +863,18 @@ object AnnIndex {
 
   def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = loadCentroids(spark, dir) // bounded ≤ nCells — index metadata
+      k: Int, nProbe: Int = 2): DataFrame =
+    manyQueriesWithCents(spark, dir, queries, idCol, vecCol, k, nProbe,
+      loadCentroids(spark, dir)) // bounded ≤ nCells — index metadata
+
+  /** [[searchIvfIndexManyQueries]] under a caller-loaded quantizer —
+    * the converged ladder re-searches the same tree once per rung, and
+    * reloading ≤nCells metadata per rung was one redundant read+collect
+    * job each (guide §1.2: remove repeated passes first).
+    */
+  private def manyQueriesWithCents(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, s"empty index at $dir")
     // lazy localCheckpoint: qa feeds BOTH the probe-cell build side and
     // the candidate join — without it the nearest-cells assignment (the
@@ -884,8 +905,17 @@ object AnnIndex {
   def searchIvfIndexFiltered(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       allowed: DataFrame, allowedIdCol: String,
-      k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = loadCentroids(spark, dir)
+      k: Int, nProbe: Int = 2): DataFrame =
+    filteredWithCents(spark, dir, queries, idCol, vecCol, allowed,
+      allowedIdCol, k, nProbe, loadCentroids(spark, dir))
+
+  /** [[searchIvfIndexFiltered]] under a caller-loaded quantizer — see
+    * [[manyQueriesWithCents]] for why the ladder wants this.
+    */
+  private def filteredWithCents(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      allowed: DataFrame, allowedIdCol: String,
+      k: Int, nProbe: Int, cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, s"empty index at $dir")
     val qa = assignQueries(queries, idCol, vecCol, cents, nProbe)
       .localCheckpoint(false)
@@ -935,8 +965,17 @@ object AnnIndex {
     */
   def hardNegativesIndexed(spark: SparkSession, dir: String,
       anchors: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      labels: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = loadCentroids(spark, dir)
+      labels: DataFrame, k: Int, nProbe: Int = 2): DataFrame =
+    hardNegativesWithCents(spark, dir, anchors, idCol, vecCol, labelCol,
+      labels, k, nProbe, loadCentroids(spark, dir))
+
+  /** [[hardNegativesIndexed]] under a caller-loaded quantizer — see
+    * [[manyQueriesWithCents]] for why the ladder wants this.
+    */
+  private def hardNegativesWithCents(spark: SparkSession, dir: String,
+      anchors: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      labels: DataFrame, k: Int, nProbe: Int,
+      cents: Seq[Seq[Double]]): DataFrame = {
     require(cents.nonEmpty, s"empty index at $dir")
     // assignQueries + the anchor's own label: the label must survive
     // the probe explosion so the cross-label predicate can run inside
@@ -959,8 +998,10 @@ object AnnIndex {
       .join(qa, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id") &&
         col("__ql") =!= col("__cl"))
-      .dropDuplicates("query_id", "neighbor_id")
-    Similarity.rankTopK(
+    // duplicates (multi-probe, duplicate label rows) carry the same
+    // vector payloads ⇒ identical cosines — dedup rides the TopK
+    // buffer (one exchange, not two)
+    Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("queryv"), col("neighborv")).as("cosine")),
       k, "cosine")
@@ -1020,8 +1061,8 @@ object AnnIndex {
     widenToConvergence(spark, dir,
       queries.select(col(idCol), col(vecCol)), idCol, k, nProbe0,
       maxRounds)(
-      (pending, w) => searchIvfIndexManyQueries(spark, dir, pending,
-        idCol, vecCol, k, w))
+      (pending, w, cents) => manyQueriesWithCents(spark, dir, pending,
+        idCol, vecCol, k, w, cents))
 
   /** [[hardNegativesIndexed]] under the same adaptive probe ladder as
     * [[searchIvfIndexConverged]] — hard-negative mining is exactly
@@ -1041,8 +1082,8 @@ object AnnIndex {
     widenToConvergence(spark, dir,
       anchors.select(col(idCol), col(vecCol), col(labelCol)), idCol, k,
       nProbe0, maxRounds)(
-      (pending, w) => hardNegativesIndexed(spark, dir, pending,
-        idCol, vecCol, labelCol, labels, k, w))
+      (pending, w, cents) => hardNegativesWithCents(spark, dir, pending,
+        idCol, vecCol, labelCol, labels, k, w, cents))
 
   /** [[searchIvfIndexFiltered]] under the adaptive probe ladder —
     * the composition where the ladder's full-k gate earns its keep:
@@ -1061,8 +1102,8 @@ object AnnIndex {
     widenToConvergence(spark, dir,
       queries.select(col(idCol), col(vecCol)), idCol, k, nProbe0,
       maxRounds)(
-      (pending, w) => searchIvfIndexFiltered(spark, dir, pending,
-        idCol, vecCol, allowed, allowedIdCol, k, w))
+      (pending, w, cents) => filteredWithCents(spark, dir, pending,
+        idCol, vecCol, allowed, allowedIdCol, k, w, cents))
 
   /** The doubling ladder both converged modes share: run `searchAt`
     * over the still-pending queries at successive widths, accepting a
@@ -1083,7 +1124,10 @@ object AnnIndex {
   private def widenToConvergence(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, k: Int, nProbe0: Int,
       maxRounds: Int)
-      (searchAt: (DataFrame, Int) => DataFrame): DataFrame = {
+      (searchAt: (DataFrame, Int, Seq[Seq[Double]]) => DataFrame)
+      : DataFrame = {
+    // loaded ONCE for the whole ladder and handed to every rung —
+    // per-rung searches must not re-read the quantizer (guide §1.2)
     val cents = loadCentroids(spark, dir)
     require(cents.nonEmpty, s"empty index at $dir")
     require(nProbe0 >= 1, s"nProbe0 must be >= 1, got $nProbe0")
@@ -1094,7 +1138,7 @@ object AnnIndex {
     val nCells = cents.length
     var width = math.min(nProbe0, nCells)
     var pending = queries.localCheckpoint(false)
-    var cur = searchAt(pending, width).localCheckpoint(false)
+    var cur = searchAt(pending, width, cents).localCheckpoint(false)
     var accepted = List.empty[DataFrame]
     var rounds = 0
     var done = false
@@ -1108,7 +1152,7 @@ object AnnIndex {
         done = true
       } else {
         val wider = math.min(width * 2L, nCells.toLong).toInt
-        val next = searchAt(pending, wider).localCheckpoint(false)
+        val next = searchAt(pending, wider, cents).localCheckpoint(false)
         // STABLE iff the (neighbor, rank, cosine) rows match exactly
         // across the two widths — any add, drop, re-rank, or score
         // change keeps the query pending
@@ -1443,8 +1487,11 @@ object AnnIndex {
       .exists(p),
       s"no PQ codebook at $dir — build with " +
         "buildIvfIndexTwoLevel(..., pqM = Some(m)) to enable the PQ arm")
+    // no orderBy: the fill below indexes the flat array by (mi, k)
+    // directly, so row order is irrelevant — a pre-collect sort only
+    // added a range-partition exchange per codebook load (guide §2.4)
     val rows = spark.read.parquet(s"$dir/pq_codebook.parquet")
-      .orderBy("mi", "k").collect()
+      .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     val m = rows.map(_._1).max + 1
     val ks = rows.map(_._2).max + 1
@@ -1496,8 +1543,9 @@ object AnnIndex {
       .join(qa.select(col("query_id"), col("query_lut"), col("cell")),
         Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val shortlist = Similarity.rankTopK(
+    // duplicate candidates carry identical pq_codes ⇒ identical LUT
+    // scores — dedup rides the TopK buffer (one exchange, not two)
+    val shortlist = Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
         graft.functions.pqLutScoreNative(col("query_lut"),
           col("pq_codes"), cb.ks).as("approx")),
@@ -1508,8 +1556,7 @@ object AnnIndex {
         Seq("query_id"))
       .join(posts.select(col("vec_id").as("neighbor_id"),
         col("vec").as("neighborv")), Seq("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    Similarity.rankTopK(
+    Similarity.rankTopKDistinct(
       rerank.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("queryv"), col("neighborv")).as("cosine")),
       k, "cosine")
@@ -1552,11 +1599,14 @@ object AnnIndex {
     * partitions are read at all.
     */
   private def twoLevelProbed(spark: SparkSession, dir: String,
-      q: DataFrame, nProbeCoarse: Int, nProbeFine: Int)
+      q: DataFrame, nProbeCoarse: Int, nProbeFine: Int,
+      coarseCents: Option[Seq[Seq[Double]]] = None)
       : (DataFrame, DataFrame) = {
     require(nProbeCoarse >= 1 && nProbeFine >= 1,
       s"probe widths must be ≥ 1, got $nProbeCoarse/$nProbeFine")
-    val coarse = loadCentroids(spark, dir)
+    // the converged ladder hands the coarse quantizer in so per-rung
+    // searches don't re-read ≤nCoarse metadata (guide §1.2)
+    val coarse = coarseCents.getOrElse(loadCentroids(spark, dir))
     require(coarse.nonEmpty, s"empty index at $dir")
     val qc = Similarity.ivfAssignProbes(q, "queryv", coarse, nProbeCoarse)
       .withColumn("coarse", col("cell").cast("int")).drop("cell")
@@ -1587,10 +1637,11 @@ object AnnIndex {
 
   def searchIvfIndexTwoLevel(spark: SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbeCoarse: Int = 2, nProbeFine: Int = 2): DataFrame = {
+      nProbeCoarse: Int = 2, nProbeFine: Int = 2,
+      coarseCents: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val (qf, postings) = twoLevelProbed(spark, dir,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv")),
-      nProbeCoarse, nProbeFine)
+      nProbeCoarse, nProbeFine, coarseCents)
     val qa = qf.select(col("query_id"), col("queryv"),
       compositeCell(col("coarse"), col("fine")).as("cell"))
     val posts = postings.select(
@@ -1637,8 +1688,9 @@ object AnnIndex {
       .join(qa.select(col("query_id"), col("query_codes"),
         col("query_scale"), col("cell")), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val shortlist = Similarity.rankTopK(
+    // duplicate candidates carry identical int8 codes ⇒ identical
+    // approx scores — dedup rides the TopK buffer (one exchange)
+    val shortlist = Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
         Similarity.quantizedDot(col("query_codes"), col("query_scale"),
           col("neighbor_codes"), col("neighbor_scale")).as("approx")),
@@ -1649,8 +1701,7 @@ object AnnIndex {
         Seq("query_id"))
       .join(posts.select(col("vec_id").as("neighbor_id"),
         col("vec").as("neighborv")), Seq("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    Similarity.rankTopK(
+    Similarity.rankTopKDistinct(
       rerank.select(col("query_id"), col("neighbor_id"),
         cosineExact(col("queryv"), col("neighborv")).as("cosine")),
       k, "cosine")
@@ -1675,8 +1726,9 @@ object AnnIndex {
     widenToConvergence(spark, dir,
       queries.select(col(idCol), col(vecCol)), idCol, k, nProbeCoarse0,
       maxRounds)(
-      (pending, w) => searchIvfIndexTwoLevel(spark, dir, pending,
-        idCol, vecCol, k, nProbeCoarse = w, nProbeFine = Int.MaxValue))
+      (pending, w, cents) => searchIvfIndexTwoLevel(spark, dir, pending,
+        idCol, vecCol, k, nProbeCoarse = w, nProbeFine = Int.MaxValue,
+        coarseCents = Some(cents)))
 
   /** Zero-downtime versioned rebuild for the two-level index — the
     * capacity tree's maintenance AND serving story (see the section

@@ -58,6 +58,32 @@ object Similarity {
     }
   }
 
+  /** [[rankTopK]] for candidate streams that may carry DUPLICATE
+    * (query_id, neighbor_id) rows with identical scores (multi-probe
+    * cell co-membership, crash-window mixed generations): dedup runs
+    * INSIDE the TopK aggregation buffer instead of as a separate
+    * dropDuplicates ahead of the ranking — one exchange instead of
+    * two, and the shuffle carries ≤ k rows per group per partition
+    * rather than the whole candidate set (guide §2.3/§2.4). The
+    * window fallback (non-integral ids) keeps the explicit dedup:
+    * row_number has no distinct-key form.
+    */
+  def rankTopKDistinct(scored: DataFrame, k: Int, simName: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val nonNull = scored.where(col(simName).isNotNull && !isnan(col(simName)))
+    val idType = scored.schema("neighbor_id").dataType
+    if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+      nonNull
+        .groupBy(col("query_id"))
+        .agg(TopK.topKDistinct(k)(col(simName).cast("double"),
+          col("neighbor_id")).as("__topk"))
+        .select(col("query_id"), posexplode(col("__topk")))
+        .select(col("query_id"), col("col.key").cast(idType).as("neighbor_id"),
+          col("col.value").as(simName), (col("pos") + 1).cast("int").as("rank"))
+    else
+      rankTopK(nonNull.dropDuplicates("query_id", "neighbor_id"), k, simName)
+  }
+
   /** Exact cosine top-k: for each query vector, the k corpus neighbors
     * by descending cosine, tiebroken by corpus id (deterministic).
     * Query side is broadcast; ranking is the bounded TopK aggregate.

@@ -22,10 +22,20 @@ object TopK {
   /** One scored entry: `value` ranks (desc), `key` breaks ties (asc). */
   case class Entry(value: Double, key: Long)
 
-  class TopKAggregator(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
+  class TopKAggregator(k: Int, distinctKeys: Boolean = false)
+      extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
     require(k > 0)
-    private def trim(s: Seq[Entry]): Seq[Entry] =
-      s.sortBy(e => (-e.value, e.key)).take(k)
+    private def trim(s: Seq[Entry]): Seq[Entry] = {
+      // distinctKeys: collapse duplicate keys BEFORE the k-cut — the
+      // caller guarantees duplicates carry the identical value (ANN
+      // multi-probe / mixed-generation candidates), so which survives
+      // cannot change any output value; doing it inside the partial
+      // aggregate replaces a whole pre-ranking dropDuplicates exchange
+      // (2 Exchange → 1) and keeps the shuffle at ≤ k rows per group
+      // per partition instead of the full candidate set (guide §2.3).
+      val d = if (distinctKeys) s.distinctBy(_.key) else s
+      d.sortBy(e => (-e.value, e.key)).take(k)
+    }
     override def zero: Seq[Entry] = Nil
     override def reduce(b: Seq[Entry], a: Entry): Seq[Entry] =
       // keep the buffer bounded at every step, not just at merge
@@ -44,6 +54,16 @@ object TopK {
     */
   def topK(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKAggregator(k))
+    (value, key) => fn(value, key)
+  }
+
+  /** [[topK]] with per-key dedup inside the aggregation buffer.
+    * ONLY for inputs where duplicate keys within a group are exact
+    * value-duplicates (the ANN candidate contract) — it replaces a
+    * dropDuplicates exchange ahead of the ranking.
+    */
+  def topKDistinct(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggregator(k, distinctKeys = true))
     (value, key) => fn(value, key)
   }
 }

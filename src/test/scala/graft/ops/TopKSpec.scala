@@ -35,6 +35,45 @@ class TopKSpec extends SparkSpecBase {
     assert(got == Seq((2.0, 2L), (1.0, 1L)))
   }
 
+  // r16 optimization contract: the distinct variant must equal
+  // dropDuplicates-then-topK whenever duplicate keys are exact
+  // value-duplicates (the ANN candidate precondition) — it exists to
+  // delete that dropDuplicates exchange from the search plans.
+  test("topKDistinct equals dropDuplicates + topK on value-duplicate keys") {
+    // every key appears 3x with the same value, across partitions
+    val dup = (0 until 300)
+      .map(i => (s"g${i % 3}", ((i % 50) / 7).toDouble, (i % 50).toLong))
+      .toDF("g", "v", "id").repartition(8)
+    def run(c: org.apache.spark.sql.Column) = dup.groupBy("g").agg(c.as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.key"), col("pos"))
+      .as[(String, Double, Long, Long)].collect().sorted.toSeq
+    val viaDistinct = run(TopK.topKDistinct(5)(col("v"), col("id")))
+    val viaDrop = dup.dropDuplicates("g", "id").groupBy("g")
+      .agg(TopK.topK(5)(col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.key"), col("pos"))
+      .as[(String, Double, Long, Long)].collect().sorted.toSeq
+    assert(viaDistinct == viaDrop)
+    // and duplicates never occupy two slots: keys unique per group
+    val keys = viaDistinct.groupBy(t => (t._1, t._3)).values.map(_.size)
+    assert(keys.forall(_ == 1))
+  }
+
+  test("topKDistinct without duplicates is plain topK") {
+    val got = data.groupBy("g")
+      .agg(TopK.topKDistinct(3)(col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.key"))
+      .as[(String, Double, Long)].collect().sorted.toSeq
+    val plain = data.groupBy("g")
+      .agg(TopK.topK(3)(col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.key"))
+      .as[(String, Double, Long)].collect().sorted.toSeq
+    assert(got == plain)
+  }
+
   test("partial aggregation appears in the plan (no window sort)") {
     val df = data.groupBy("g").agg(TopK.topK(3)(col("v"), col("id")).as("top"))
     val plan = df.queryExecution.executedPlan.toString

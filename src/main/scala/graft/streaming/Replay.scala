@@ -35,6 +35,43 @@ object Replay {
     s"${sys.props("java.io.tmpdir")}/graft_stream_replay_${tag}_" +
       java.util.UUID.randomUUID().toString
 
+  /** Run `body` (which starts and drains this replay's streaming
+    * queries) under a FEED-SIZED `spark.sql.shuffle.partitions`,
+    * restoring the session value afterwards.
+    *
+    * Why (guide §2.2/§1.2, r16 measurement): a stateful micro-batch
+    * pays one state-store open/commit per shuffle partition per
+    * trigger REGARDLESS of data — at the session's cluster-width
+    * default (32 here) the restart-recovery replay spent 368 executor-
+    * seconds across 640 mostly-empty state tasks on a ~2 MB feed, with
+    * per-task state commits (delta file + CRC) dominating. The honest
+    * partition count for a stream's state is data-derived, exactly
+    * like AQE derives batch partition counts: staged-feed bytes ÷ the
+    * session's AQE advisory partition size, clamped to [1, session
+    * default]. A production-sized feed (≥ advisory × width) keeps the
+    * full session width — nothing here is tuned to the local core
+    * count. Correctness is partition-count-independent (keyed state is
+    * hash-distributed; every contract aggregates or sorts), and
+    * restarts are safe either way: Structured Streaming pins
+    * `shuffle.partitions` in the checkpoint's offset-log metadata at
+    * first start and reuses it on every restart.
+    */
+  private def withFeedSizedShuffle[T](spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    val feedBytes =
+      try fs.getContentSummary(path).getLength
+      catch { case _: Throwable => Long.MaxValue } // unknown ⇒ keep session value
+    val derived = math.max(1L, math.min(before.toLong,
+      (feedBytes + advisory - 1) / advisory))
+    spark.conf.set(key, derived.toString)
+    try body finally spark.conf.set(key, before)
+  }
+
   /** Stamp every not-yet-stamped part file with an explicit strictly-
     * increasing mtime (10 s per batch step): the file source orders
     * and groups files by timestamp, and wall-clock mtimes are NOT
@@ -112,18 +149,20 @@ object Replay {
       val feed = corpus.select(col("doc_id").cast("long").as("doc_id"),
         col("text"))
       stageModBatches(feed, "doc_id", dir, fs, path, nBatches)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val gated = graft.ops.Dedup.bloomScreen(src, "doc_id", "text",
-          benchmark, "text", n, benchShingles)
-        .where(!col("bloom_hit")).select("doc_id")
-      val name = "graft_replay_decontam"
-      spark.catalog.dropTempView(name)
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      (spark.table(name).localCheckpoint(true), dataBatches)
+      withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val gated = graft.ops.Dedup.bloomScreen(src, "doc_id", "text",
+            benchmark, "text", n, benchShingles)
+          .where(!col("bloom_hit")).select("doc_id")
+        val name = "graft_replay_decontam"
+        spark.catalog.dropTempView(name)
+        val q = gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        (spark.table(name).localCheckpoint(true), dataBatches)
+      }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(path, true)
@@ -151,15 +190,17 @@ object Replay {
     if (fs.exists(path)) fs.delete(path, true)
     try {
       stageModBatches(feed, modCol, dir, fs, path, nBatches)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          perBatch(batch, batchId)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val dataBatches = withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            perBatch(batch, batchId)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.count(_.numInputRows > 0)
+      }
       // injected REPLAY of the first batch under its original batchId
       perBatch(feed.where(pmod(col(modCol), lit(nBatches)) === 0), 0L)
       dataBatches
@@ -264,19 +305,21 @@ object Replay {
         b.coalesce(1).write.mode("append").parquet(dir)
         stampBatch(fs, path, seen, base, k)
       }
-      val src = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val name = "graft_replay_latedata"
-      spark.catalog.dropTempView(name)
-      val q = EventStreams.hourlyRollupStream(src, watermark)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dropped = q.recentProgress
-        .flatMap(_.stateOperators)
-        .map(_.numRowsDroppedByWatermark).sum
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      (spark.table(name).localCheckpoint(true), dropped, dataBatches)
+      withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val name = "graft_replay_latedata"
+        spark.catalog.dropTempView(name)
+        val q = EventStreams.hourlyRollupStream(src, watermark)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators)
+          .map(_.numRowsDroppedByWatermark).sum
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        (spark.table(name).localCheckpoint(true), dropped, dataBatches)
+      }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(path, true)
@@ -322,26 +365,29 @@ object Replay {
         b.coalesce(1).write.mode("append").parquet(srcDir)
         stampBatch(fs, srcPath, seen, base, k)
       }
-      val src = spark.readStream.schema(batches.head.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val rolled = EventStreams.hourlyRollupStream(src, watermark)
-      val q = rolled
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", s"$dir/checkpoint")
-        // update mode hands foreachBatch ONLY the groups this trigger
-        // changed — tagging them with the batch id is what makes the
-        // partial-then-final sequence a queryable frame
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode(SaveMode.Append).parquet(updDir)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dropped = q.recentProgress
-        .flatMap(_.stateOperators)
-        .map(_.numRowsDroppedByWatermark).sum
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val (rolled, dropped, dataBatches) =
+          withFeedSizedShuffle(spark, fs, srcPath) {
+        val src = spark.readStream.schema(batches.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val r = EventStreams.hourlyRollupStream(src, watermark)
+        val q = r
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$dir/checkpoint")
+          // update mode hands foreachBatch ONLY the groups this trigger
+          // changed — tagging them with the batch id is what makes the
+          // partial-then-final sequence a queryable frame
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode(SaveMode.Append).parquet(updDir)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (r,
+          q.recentProgress.flatMap(_.stateOperators)
+            .map(_.numRowsDroppedByWatermark).sum,
+          q.recentProgress.count(_.numInputRows > 0))
+      }
       // updDir exists only if some batch actually updated a group —
       // "a batch whose rows were all dropped updates NOTHING" is part
       // of the contract, so an all-dropped run must read as an EMPTY
@@ -453,34 +499,43 @@ object Replay {
       if (stopAfter <= 0) {
         // the one-shot twin: same staged sequence, one uninterrupted run
         stage(batches.indices)
-        val q = start(avail = true)
-        q.awaitTermination()
-        RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
-          rowsIn(q), 0L, -1L, dataBatches(q), 0)
+        withFeedSizedShuffle(spark, fs, srcPath) {
+          val q = start(avail = true)
+          q.awaitTermination()
+          RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
+            rowsIn(q), 0L, -1L, dataBatches(q), 0)
+        }
       } else {
         stage(0 until stopAfter)
         // expected phase-A mass read back off the staged files (the
         // feed frames may be non-deterministic to recount)
         val expectA = spark.read.parquet(srcDir).count()
-        val qa = start(avail = false)
-        val deadline = System.currentTimeMillis() + 180000L
-        while ((rowsIn(qa) < expectA || sinkCount() < 1L) &&
-            System.currentTimeMillis() < deadline)
-          Thread.sleep(100)
-        val gotA = rowsIn(qa)
-        val aBatches = dataBatches(qa)
-        qa.stop()
-        qa.awaitTermination()
-        require(gotA == expectA,
-          s"phase A consumed $gotA of $expectA staged rows before the " +
-            "stop deadline — cannot call this a post-commit kill")
-        val emittedAtStop = sinkCount()
+        // phase A's first start pins the feed-sized partition count in
+        // the checkpoint; phase B reuses the checkpointed value
+        val (gotA, aBatches, emittedAtStop) =
+            withFeedSizedShuffle(spark, fs, srcPath) {
+          val qa = start(avail = false)
+          val deadline = System.currentTimeMillis() + 180000L
+          while ((rowsIn(qa) < expectA || sinkCount() < 1L) &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          val got = rowsIn(qa)
+          val aB = dataBatches(qa)
+          qa.stop()
+          qa.awaitTermination()
+          require(got == expectA,
+            s"phase A consumed $got of $expectA staged rows before the " +
+              "stop deadline — cannot call this a post-commit kill")
+          (got, aB, sinkCount())
+        }
         // the rest of the corpus arrives while the stream is DOWN
         stage(stopAfter until batches.size)
-        val qb = start(avail = true)
-        qb.awaitTermination()
-        RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
-          gotA, rowsIn(qb), emittedAtStop, aBatches, dataBatches(qb))
+        withFeedSizedShuffle(spark, fs, srcPath) {
+          val qb = start(avail = true)
+          qb.awaitTermination()
+          RestartRun(spark.read.parquet(sinkDir).localCheckpoint(true),
+            gotA, rowsIn(qb), emittedAtStop, aBatches, dataBatches(qb))
+        }
       }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
@@ -565,26 +620,31 @@ object Replay {
 
       if (stopAfter <= 0) {
         stage(deltaBatches.indices)
-        val q = start(avail = true)
-        q.awaitTermination()
-        RestartRun(tree(), rowsIn(q), 0L, -1L, dataBatches(q), 0)
+        withFeedSizedShuffle(spark, fs, srcPath) {
+          val q = start(avail = true)
+          q.awaitTermination()
+          RestartRun(tree(), rowsIn(q), 0L, -1L, dataBatches(q), 0)
+        }
       } else {
         require(stopAfter < deltaBatches.size,
           s"stopAfter=$stopAfter leaves nothing for the restarted query")
         stage(0 until stopAfter)
         val expectA = spark.read.parquet(srcDir).count()
-        val qa = start(avail = false)
-        val deadline = System.currentTimeMillis() + 180000L
-        while (rowsIn(qa) < expectA &&
-            System.currentTimeMillis() < deadline)
-          Thread.sleep(100)
-        val gotA = rowsIn(qa)
-        val aBatches = dataBatches(qa)
-        qa.stop()
-        qa.awaitTermination()
-        require(gotA == expectA,
-          s"phase A consumed $gotA of $expectA staged rows before the " +
-            "stop deadline — cannot call this a post-commit kill")
+        val (gotA, aBatches) = withFeedSizedShuffle(spark, fs, srcPath) {
+          val qa = start(avail = false)
+          val deadline = System.currentTimeMillis() + 180000L
+          while (rowsIn(qa) < expectA &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          val got = rowsIn(qa)
+          val aB = dataBatches(qa)
+          qa.stop()
+          qa.awaitTermination()
+          require(got == expectA,
+            s"phase A consumed $got of $expectA staged rows before the " +
+              "stop deadline — cannot call this a post-commit kill")
+          (got, aB)
+        }
         val gensAtStop = AnnIndex.listGenerations(spark, indexDir)
           .count(_ > 0L).toLong
         // hook for reconstructing what a HARD crash (kill -9 — no
@@ -594,10 +654,12 @@ object Replay {
         afterKill()
         // the rest of the corpus arrives while the stream is DOWN
         stage(stopAfter until deltaBatches.size)
-        val qb = start(avail = true)
-        qb.awaitTermination()
-        RestartRun(tree(), gotA, rowsIn(qb), gensAtStop,
-          aBatches, dataBatches(qb))
+        withFeedSizedShuffle(spark, fs, srcPath) {
+          val qb = start(avail = true)
+          qb.awaitTermination()
+          RestartRun(tree(), gotA, rowsIn(qb), gensAtStop,
+            aBatches, dataBatches(qb))
+        }
       }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
@@ -628,16 +690,18 @@ object Replay {
           .coalesce(1).write.mode("append").parquet(dir)
         stampBatch(fs, path, seen, base, k)
       }
-      val src = spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val name = "graft_replay_rollup"
-      spark.catalog.dropTempView(name)
-      val q = EventStreams.hourlyRollupStream(src)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      (spark.table(name), dataBatches)
+      withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val name = "graft_replay_rollup"
+        spark.catalog.dropTempView(name)
+        val q = EventStreams.hourlyRollupStream(src)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        (spark.table(name), dataBatches)
+      }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(path, true)
@@ -717,26 +781,28 @@ object Replay {
         "doc_id", "text", nBuckets = nBuckets)
       stageModBatches(feed, "doc_id", dir, fs, path, nBatches)
       feed.unpersist(blocking = false)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val gated = Selection.scoreWithClassifier(
-          src.withColumn("n_tokens",
-            TextOps.tokenCount(col("text")).cast("long")),
-          "doc_id", "text", w, defw6, nBuckets = nBuckets,
-          keepCols = Seq("n_tokens"))
-        .where(col("keep"))
-        .select("doc_id", "n_tokens")
-      val q = gated.writeStream
-        .foreachBatch(
-          BatchSinks.tokenStreamSink(outDir, "doc_id", "n_tokens", window) _)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      val layout = spark.read.parquet(outDir)
-        .select("doc_id", "n_tokens", "start_offset",
-          "first_window", "last_window")
-        .localCheckpoint(true) // eager: the dirs are deleted below
-      (layout, dataBatches)
+      withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val gated = Selection.scoreWithClassifier(
+            src.withColumn("n_tokens",
+              TextOps.tokenCount(col("text")).cast("long")),
+            "doc_id", "text", w, defw6, nBuckets = nBuckets,
+            keepCols = Seq("n_tokens"))
+          .where(col("keep"))
+          .select("doc_id", "n_tokens")
+        val q = gated.writeStream
+          .foreachBatch(
+            BatchSinks.tokenStreamSink(outDir, "doc_id", "n_tokens", window) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        val layout = spark.read.parquet(outDir)
+          .select("doc_id", "n_tokens", "start_offset",
+            "first_window", "last_window")
+          .localCheckpoint(true) // eager: the dirs are deleted below
+        (layout, dataBatches)
+      }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(path, true)
@@ -791,32 +857,34 @@ object Replay {
         "doc_id", "text", nBuckets = nBuckets)
       stageModBatches(feed, "doc_id", dir, fs, path, nBatches)
       feed.unpersist(blocking = false)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      // gate 1: decontamination (bloom, no false negatives)
-      val screened = graft.ops.Dedup.bloomScreen(src, "doc_id", "text",
-          benchmark, "text", n, benchShingles)
-        .where(!col("bloom_hit"))
-      // gate 2: classifier quality score over the survivors
-      val gated = Selection.scoreWithClassifier(
-          screened.withColumn("n_tokens",
-            TextOps.tokenCount(col("text")).cast("long")),
-          "doc_id", "text", w, defw6, nBuckets = nBuckets,
-          keepCols = Seq("n_tokens"))
-        .where(col("keep"))
-        .select("doc_id", "n_tokens")
-      // sink: exactly-once extension of the persisted loader layout
-      val q = gated.writeStream
-        .foreachBatch(
-          BatchSinks.tokenStreamSink(outDir, "doc_id", "n_tokens", window) _)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      val layout = spark.read.parquet(outDir)
-        .select("doc_id", "n_tokens", "start_offset",
-          "first_window", "last_window")
-        .localCheckpoint(true) // eager: the dirs are deleted below
-      (layout, dataBatches)
+      withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        // gate 1: decontamination (bloom, no false negatives)
+        val screened = graft.ops.Dedup.bloomScreen(src, "doc_id", "text",
+            benchmark, "text", n, benchShingles)
+          .where(!col("bloom_hit"))
+        // gate 2: classifier quality score over the survivors
+        val gated = Selection.scoreWithClassifier(
+            screened.withColumn("n_tokens",
+              TextOps.tokenCount(col("text")).cast("long")),
+            "doc_id", "text", w, defw6, nBuckets = nBuckets,
+            keepCols = Seq("n_tokens"))
+          .where(col("keep"))
+          .select("doc_id", "n_tokens")
+        // sink: exactly-once extension of the persisted loader layout
+        val q = gated.writeStream
+          .foreachBatch(
+            BatchSinks.tokenStreamSink(outDir, "doc_id", "n_tokens", window) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        val layout = spark.read.parquet(outDir)
+          .select("doc_id", "n_tokens", "start_offset",
+            "first_window", "last_window")
+          .localCheckpoint(true) // eager: the dirs are deleted below
+        (layout, dataBatches)
+      }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(path, true)
@@ -860,17 +928,19 @@ object Replay {
           to_timestamp(lit(sentinelTs)).as("ts"))
         .coalesce(1).write.mode("append").parquet(dir)
       stampBatch(fs, path, seen, base, nBatches)
-      val src = spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-        .as[EventStreams.SessionEvent]
-      val name = "graft_replay_sessions"
-      spark.catalog.dropTempView(name)
-      val q = EventStreams.sessionizeStream(src, gapMinutes)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      (spark.table(name), dataBatches)
+      withFeedSizedShuffle(spark, fs, path) {
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .as[EventStreams.SessionEvent]
+        val name = "graft_replay_sessions"
+        spark.catalog.dropTempView(name)
+        val q = EventStreams.sessionizeStream(src, gapMinutes)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        (spark.table(name), dataBatches)
+      }
     } finally {
       org.apache.spark.graft.ListenerDrain.drain(spark)
       fs.delete(path, true)

@@ -39,11 +39,16 @@ object JobProfile {
     val tasks = new AtomicInteger(0)
     val taskTimeMs = new AtomicLong(0L)
     val gcTimeMs = new AtomicLong(0L)
+    val stageWall = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val si = s.stageInfo
+        for (sub <- si.submissionTime; done <- si.completionTime)
+          stageWall.add((si.name.take(60), done - sub))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -66,9 +71,10 @@ object JobProfile {
     System.err.println(
       f"[profile] ${"query"}%-36s ${"sec"}%7s ${"jobs"}%5s ${"stages"}%6s " +
         f"${"tasks"}%6s ${"cpu_s"}%8s ${"gc_s"}%6s")
+    val topStages = sys.env.get("SPARK_GRAFT_PROFILE_STAGES").exists(_ == "1")
     for ((name, fn) <- selected) {
       jobs.set(0); stages.set(0); tasks.set(0)
-      taskTimeMs.set(0L); gcTimeMs.set(0L)
+      taskTimeMs.set(0L); gcTimeMs.set(0L); stageWall.clear()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -80,6 +86,12 @@ object JobProfile {
       System.err.println(
         f"[profile] $name%-36s $dt%7.2f ${jobs.get}%5d ${stages.get}%6d " +
           f"${tasks.get}%6d ${taskTimeMs.get / 1000.0}%8.1f ${gcTimeMs.get / 1000.0}%6.1f")
+      if (topStages) {
+        import scala.jdk.CollectionConverters._
+        stageWall.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (n, ms) =>
+          System.err.println(f"[profile]     ${ms / 1000.0}%6.2f s  $n")
+        }
+      }
     }
     spark.stop()
   }

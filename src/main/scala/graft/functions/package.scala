@@ -139,6 +139,23 @@ package object functions {
     try_divide(decimalDotNative(a, b),
       sqrt(decimalDotNative(a, a)) * sqrt(decimalDotNative(b, b)))
 
+  /** Per-row vector norm for [[cosinePreNormed]] — exactly the
+    * `sqrt(decimalDotNative(v, v))` sub-expression of [[cosineExact]].
+    */
+  def vecNormExact(v: Column): Column = sqrt(decimalDotNative(v, v))
+
+  /** [[cosineExact]] with the two self-dot norms hoisted out of the
+    * pair loop: `an`/`bn` are [[vecNormExact]] computed ONCE PER ROW
+    * map-side; each candidate pair then pays one dot plus a
+    * multiply/divide instead of three dots. `dot/(an·bn)` is
+    * BIT-IDENTICAL to [[cosineExact]] — the same IEEE operations on
+    * the same values, the sqrt just moved from per-pair to per-row
+    * (the measured r7 `Dedup.embeddingNearDupPairs` discipline, now
+    * shared by the ANN candidate re-rank).
+    */
+  def cosinePreNormed(a: Column, b: Column, an: Column, bn: Column): Column =
+    try_divide(decimalDotNative(a, b), an * bn)
+
   /** Native one-pass [min,max] of char k-gram hashes (graft.expressions.GramHashRange). */
   def gramHashRangeNative(c: Column, k: Int): Column =
     GraftSqlBridge.column(

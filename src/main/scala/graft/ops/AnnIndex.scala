@@ -471,13 +471,26 @@ object AnnIndex {
   /** The accumulated tombstone set — (vec_id) rows across every
     * `_deletes/del=D` generation, distinct (the same id tombstoned by
     * two batches subtracts once). None when no delete has ever run.
+    * Pass `idType` (the tree's vec_id type, when the caller knows it
+    * from its query/postings frame) to skip the per-search
+    * schema-inference job on the scan.
     */
-  def loadTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+  def loadTombstones(spark: SparkSession, dir: String,
+      idType: Option[org.apache.spark.sql.types.DataType] = None)
+      : Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$dir/_deletes")
-      .select("vec_id").distinct())
+    else {
+      val reader = idType match {
+        case Some(t) => spark.read.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id", t))))
+        case None => spark.read
+      }
+      Some(reader.parquet(s"$dir/_deletes")
+        .select("vec_id").distinct())
+    }
   }
 
   /** Distinct tombstoned ids not yet purged — the broadcast-size bound
@@ -491,10 +504,13 @@ object AnnIndex {
     * BROADCASTS the tombstone set (takedown-scale by the
     * [[deleteFromIvfIndex]] contract) so the pruned scan stays
     * shuffle-free; absent tombstones cost nothing (no join at all).
+    * The tombstone scan reuses the postings frame's vec_id type, so
+    * it never pays a schema-inference job.
     */
   private def withoutTombstoned(spark: SparkSession, dir: String,
       postings: DataFrame): DataFrame =
-    loadTombstones(spark, dir) match {
+    loadTombstones(spark, dir,
+        Some(postings.schema("vec_id").dataType)) match {
       case Some(t) => postings.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => postings
     }
@@ -698,12 +714,25 @@ object AnnIndex {
   /** Stored centroids in cell order — the search-time coarse
     * quantizer. Bounded: ≤ nCells rows collect.
     */
+  /** The quantizer tree's fixed on-disk schema (what [[buildIvfIndex]]
+    * writes) — declared at read time so the scan skips the per-call
+    * schema-inference job (guide §1.2: the metadata load rides every
+    * single search).
+    */
+  private val CentroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
   def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
     // cell order established driver-side: an orderBy before a ≤nCells
     // collect costs a range-partition exchange plus its sampling pass
     // per call, and every search pays this load (guide §2.4 — remove
     // shuffles outright)
-    spark.read.parquet(s"$dir/centroids.parquet")
+    spark.read.schema(CentroidsSchema)
+      .parquet(s"$dir/centroids.parquet")
       .select("cell", "centroid").collect()
       .sortBy(_.getInt(0))
       .map(r => r.getSeq[Double](1).toSeq).toSeq
@@ -831,14 +860,23 @@ object AnnIndex {
     */
   private def rerankCandidates(qa: DataFrame, postings: DataFrame,
       k: Int): DataFrame = {
+    import graft.functions.{cosinePreNormed, vecNormExact}
+    // self-dot norms are per-ROW facts — computed map-side before the
+    // candidate join, so each pair pays ONE dot + multiply/divide
+    // instead of three dots; dot/(qn·nn) is bit-identical to
+    // cosineExact (same IEEE ops — see [[graft.functions
+    // .cosinePreNormed]]). The r16 stage profile had the pair loop as
+    // the single slowest stage of the many-query searches.
     val cands = postings
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("vec").as("neighborv"))
-      .join(qa, Seq("cell"))
+      .withColumn("__nn", vecNormExact(col("neighborv")))
+      .join(qa.withColumn("__qn", vecNormExact(col("queryv"))), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
     Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
-        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+        cosinePreNormed(col("queryv"), col("neighborv"),
+          col("__qn"), col("__nn")).as("cosine")),
       k, "cosine")
   }
 
@@ -857,8 +895,32 @@ object AnnIndex {
       qa: DataFrame): DataFrame = {
     val probeCells = qa.select("cell").distinct().where(col("cell") >= 0)
     withoutTombstoned(spark, dir,
-      spark.read.parquet(s"$dir/postings.parquet")
+      flatPostings(spark, dir, qa.schema("query_id").dataType,
+        qa.schema("queryv").dataType)
         .join(broadcast(probeCells), Seq("cell"), "left_semi"))
+  }
+
+  /** Flat postings tree reader under the schema the writer fixed
+    * ([[postedFrame]]: vec_id, vec, q_scale, q_codes + the gen/cell
+    * partition columns) — vec_id/vec types derive from the caller's
+    * query frame (the search contract compares query and posting ids
+    * directly, so the types agree by construction). Declaring the
+    * schema skips the per-search schema-inference job the bare
+    * `spark.read.parquet` pays (guide §1.2 — measured one job per
+    * read across every search and lifecycle call).
+    */
+  private def flatPostings(spark: SparkSession, dir: String,
+      idType: org.apache.spark.sql.types.DataType,
+      vecType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("vec_id", idType),
+        StructField("vec", vecType),
+        StructField("q_scale", DoubleType),
+        StructField("q_codes", ArrayType(ByteType)),
+        StructField("cell", IntegerType),
+        StructField("gen", LongType))))
+      .parquet(s"$dir/postings.parquet")
   }
 
   def searchIvfIndexManyQueries(spark: SparkSession, dir: String,
@@ -992,10 +1054,13 @@ object AnnIndex {
     val postings = prunedPostings(spark, dir, qa)
       .join(labels.select(col(idCol).as("vec_id"),
         col(labelCol).as("__cl")), Seq("vec_id"))
+    // per-row norms hoisted out of the pair loop ([[rerankCandidates]])
     val cands = postings
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("vec").as("neighborv"), col("__cl"))
-      .join(qa, Seq("cell"))
+      .withColumn("__nn", graft.functions.vecNormExact(col("neighborv")))
+      .join(qa.withColumn("__qn",
+        graft.functions.vecNormExact(col("queryv"))), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id") &&
         col("__ql") =!= col("__cl"))
     // duplicates (multi-probe, duplicate label rows) carry the same
@@ -1003,7 +1068,8 @@ object AnnIndex {
     // buffer (one exchange, not two)
     Similarity.rankTopKDistinct(
       cands.select(col("query_id"), col("neighbor_id"),
-        cosineExact(col("queryv"), col("neighborv")).as("cosine")),
+        graft.functions.cosinePreNormed(col("queryv"), col("neighborv"),
+          col("__qn"), col("__nn")).as("cosine")),
       k, "cosine")
   }
 
@@ -1205,7 +1271,8 @@ object AnnIndex {
     // bounded collect: ≤ nCells distinct probed cells
     val probed = qa.select("cell").distinct().collect().map(_.getInt(0))
     val postings = withoutTombstoned(spark, dir,
-      spark.read.parquet(s"$dir/postings.parquet")
+      flatPostings(spark, dir, qa.schema("query_id").dataType,
+        qa.schema("queryv").dataType)
         .where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*)))
     rerankCandidates(qa, postings, k)
   }
@@ -1489,10 +1556,18 @@ object AnnIndex {
         "buildIvfIndexTwoLevel(..., pqM = Some(m)) to enable the PQ arm")
     // no orderBy: the fill below indexes the flat array by (mi, k)
     // directly, so row order is irrelevant — a pre-collect sort only
-    // added a range-partition exchange per codebook load (guide §2.4)
-    val rows = spark.read.parquet(s"$dir/pq_codebook.parquet")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    // added a range-partition exchange per codebook load (guide §2.4).
+    // Schema declared (the writer above fixes it) — no inference job.
+    val rows = {
+      import org.apache.spark.sql.types._
+      spark.read.schema(StructType(Seq(
+          StructField("mi", IntegerType),
+          StructField("k", IntegerType),
+          StructField("centroid", ArrayType(DoubleType)))))
+        .parquet(s"$dir/pq_codebook.parquet")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    }
     val m = rows.map(_._1).max + 1
     val ks = rows.map(_._2).max + 1
     val subDim = rows.head._3.size
@@ -1614,11 +1689,19 @@ object AnnIndex {
     val probedCoarse = qc.select("coarse").distinct().collect()
       .map(_.getInt(0))
     // only the probed groups' sub-centroids are READ AT ALL —
-    // partition-pruned scan, the ceiling-breaking property
-    val fine = spark.read.parquet(s"$dir/fine_centroids.parquet")
-      .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*))
-      .select(col("coarse").cast("int").as("coarse"),
-        col("fine").cast("int").as("fine"), col("centroid"))
+    // partition-pruned scan, the ceiling-breaking property. Schema
+    // declared ([[trainFineCentroids]] fixes it) — no inference job.
+    val fine = {
+      import org.apache.spark.sql.types._
+      spark.read.schema(StructType(Seq(
+          StructField("fine", IntegerType),
+          StructField("centroid", ArrayType(DoubleType)),
+          StructField("coarse", IntegerType))))
+        .parquet(s"$dir/fine_centroids.parquet")
+        .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*))
+        .select(col("coarse").cast("int").as("coarse"),
+          col("fine").cast("int").as("fine"), col("centroid"))
+    }
     val qf = qc.join(packFine(fine), Seq("coarse"), "left")
       .withColumn("fine", explode(coalesce(
         transform(graft.functions.nearestPackedCellsNative(
@@ -1629,9 +1712,23 @@ object AnnIndex {
       .localCheckpoint(false)
     val probedFine = qf.select("fine").distinct().collect()
       .map(_.getInt(0))
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-      .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*) &&
-        col("fine").isin(probedFine.map(Integer.valueOf).toSeq: _*))
+    // schema declared ([[buildIvfIndexTwoLevel]] fixes it; pq_codes
+    // reads as null on trees built without PQ — only the PQ arm
+    // selects it, and that arm requires the codebook first)
+    val postings = {
+      import org.apache.spark.sql.types._
+      spark.read.schema(StructType(Seq(
+          StructField("vec_id", q.schema("query_id").dataType),
+          StructField("vec", q.schema("queryv").dataType),
+          StructField("q_scale", DoubleType),
+          StructField("q_codes", ArrayType(ByteType)),
+          StructField("fine", IntegerType),
+          StructField("pq_codes", ArrayType(ByteType)),
+          StructField("coarse", IntegerType))))
+        .parquet(s"$dir/postings.parquet")
+        .where(col("coarse").isin(probedCoarse.map(Integer.valueOf).toSeq: _*) &&
+          col("fine").isin(probedFine.map(Integer.valueOf).toSeq: _*))
+    }
     (qf, postings)
   }
 

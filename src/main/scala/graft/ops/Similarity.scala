@@ -88,20 +88,46 @@ object Similarity {
     * by descending cosine, tiebroken by corpus id (deterministic).
     * Query side is broadcast; ranking is the bounded TopK aggregate.
     */
+  /** Stable reference for [[bruteForceTopK]]'s default similarity —
+    * lets the implementation recognize "default cosine" and take the
+    * per-row-norm fast path (bit-identical; a caller-supplied simFn is
+    * opaque, so norms cannot be hoisted out of it).
+    */
+  private val DefaultCosine: (Column, Column) => Column = cosineExact(_, _)
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true,
-      simFn: (Column, Column) => Column = cosineExact,
+      simFn: (Column, Column) => Column = DefaultCosine,
       simName: String = "cosine"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val joined = c.join(broadcast(q),
-      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-    rankTopK(
-      joined.select(col("query_id"), col("neighbor_id"),
-        simFn(col("qv"), col("cv")).as(simName)),
-      k, simName)
+    if (simFn eq DefaultCosine) {
+      // default-cosine fast path: self-dot norms are per-ROW facts,
+      // hoisted map-side so the queries×corpus pair loop pays ONE dot
+      // + multiply/divide instead of three dots — bit-identical
+      // ([[graft.functions.cosinePreNormed]])
+      import graft.functions.{cosinePreNormed, vecNormExact}
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("__qn", vecNormExact(col("qv")))
+      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("__nn", vecNormExact(col("cv")))
+      val joined = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      rankTopK(
+        joined.select(col("query_id"), col("neighbor_id"),
+          cosinePreNormed(col("qv"), col("cv"),
+            col("__qn"), col("__nn")).as(simName)),
+        k, simName)
+    } else {
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val joined = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      rankTopK(
+        joined.select(col("query_id"), col("neighbor_id"),
+          simFn(col("qv"), col("cv")).as(simName)),
+        k, simName)
+    }
   }
 
   /** Hard-negative mining for embedding/metric training: for each
@@ -126,12 +152,17 @@ object Similarity {
     // unknown, not "different from everything"): plain =!= is null
     // when either side is null, which an inner join treats as
     // non-matching — exactly the wanted semantics
-    val joined = c.join(broadcast(q),
-      col("query_id") =!= col("neighbor_id") &&
-        col("__ql") =!= col("__cl"))
+    // per-row norms hoisted out of the anchors×corpus pair loop —
+    // bit-identical ([[graft.functions.cosinePreNormed]])
+    val joined = c.withColumn("__nn", graft.functions.vecNormExact(col("cv")))
+      .join(broadcast(
+        q.withColumn("__qn", graft.functions.vecNormExact(col("qv")))),
+        col("query_id") =!= col("neighbor_id") &&
+          col("__ql") =!= col("__cl"))
     rankTopK(
       joined.select(col("query_id"), col("neighbor_id"),
-        cosineExact(col("qv"), col("cv")).as("cosine")),
+        graft.functions.cosinePreNormed(col("qv"), col("cv"),
+          col("__qn"), col("__nn")).as("cosine")),
       k, "cosine")
   }
 
@@ -985,7 +1016,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 64, iters: Int = 3, nProbe: Int = 2,
       centroids: Option[Seq[Seq[Double]]] = None,
-      simFn: (Column, Column) => Column = cosineExact,
+      simFn: (Column, Column) => Column = DefaultCosine,
       simName: String = "cosine"): DataFrame = {
     val cents = centroids.getOrElse(
       trainIvfCentroids(corpus, idCol, vecCol, nCells, iters))
@@ -999,11 +1030,28 @@ object Similarity {
       .distinct()
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("queryv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighborv"))
-    val cands = candIds.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
-    rankTopK(
-      cands.select(col("query_id"), col("neighbor_id"),
-        simFn(col("queryv"), col("neighborv")).as(simName)),
-      k, simName)
+    if (simFn eq DefaultCosine) {
+      // default-cosine fast path: per-row norms hoisted out of the
+      // candidate loop — bit-identical ([[graft.functions
+      // .cosinePreNormed]], the bruteForceTopK discipline)
+      import graft.functions.{cosinePreNormed, vecNormExact}
+      val cands = candIds
+        .join(qv.withColumn("__qn", vecNormExact(col("queryv"))),
+          Seq("query_id"))
+        .join(cv.withColumn("__nn", vecNormExact(col("neighborv"))),
+          Seq("neighbor_id"))
+      rankTopK(
+        cands.select(col("query_id"), col("neighbor_id"),
+          cosinePreNormed(col("queryv"), col("neighborv"),
+            col("__qn"), col("__nn")).as(simName)),
+        k, simName)
+    } else {
+      val cands = candIds.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+      rankTopK(
+        cands.select(col("query_id"), col("neighbor_id"),
+          simFn(col("queryv"), col("neighborv")).as(simName)),
+        k, simName)
+    }
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019's ratio

@@ -133,6 +133,14 @@ object BatchSinks extends org.apache.spark.internal.Logging {
     try {
       val laid = graft.ops.Packing.tokenStreamOffsets(
         cached, idCol, tokensCol, window, nBuckets, base)
+      // ONE aggregation job computes both per-batch scalars the sink
+      // needs (row count for file sizing, token total for the totals
+      // row) — they were two separate actions over the cached batch
+      // (r16, guide §1.2: don't pass over the data twice for two
+      // scalars one pass can produce)
+      val scalars = cached.agg(count(lit(1)).as("n"),
+        coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("t")).head()
+      val (nRows, total) = (scalars.getLong(0), scalars.getLong(1))
       // right-size the manifest write: the layout is METADATA (~24 B
       // per doc), so ~4M rows fill a ~100 MB part file — ONE file per
       // micro-batch until a batch carries millions of docs. Without
@@ -142,16 +150,13 @@ object BatchSinks extends org.apache.spark.internal.Logging {
       // the downstream rehydration scan's partition count tracks FILE
       // count at manifest sizes, so the file arithmetic here is what
       // keeps reads bounded by data volume, not batch count.
-      val nFiles = math.max(1L, cached.count() / 4000000L).toInt
+      val nFiles = math.max(1L, nRows / 4000000L).toInt
       laid.repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       // totals AFTER the layout: a crash between the two writes leaves
       // this batch's totals row absent, and the replay (same batchId)
       // rewrites both — prior batches' totals are complete by the time
       // the stream advances past them
-      val total = cached
-        .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)))
-        .head().getLong(0)
       cached.sparkSession.range(1).select(lit(total).as("n_tokens"))
         .write.mode("overwrite").parquet(s"$outDir/_totals/batch_id=$batchId")
     } finally cached.unpersist(blocking = false)

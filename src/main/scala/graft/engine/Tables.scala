@@ -16,8 +16,53 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Declared fixture schemas (TESTDATA.md; types exactly as Spark 4
+    * inference yields on the driver-generated files — timestamps are
+    * TIMESTAMP_NTZ because the writer stamps isAdjustedToUTC=false).
+    * Declaring them skips the per-call schema-inference job a bare
+    * `spark.read.parquet` pays — measured one job per Tables read ×
+    * every query in the bench (r16, guide §1.2). `events` is absent
+    * deliberately: its `ts` physical encoding is fixture-generation
+    * dependent and [[events]] sniffs it per call.
+    */
+  private val Schemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def st(fs: (String, DataType)*) =
+      StructType(fs.map { case (n, t) => StructField(n, t) })
+    Map(
+      "region" -> st("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> st("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> st("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> st("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> st("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> st("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> st("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "documents" -> st("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> st("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+  }
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    Schemas.get(name) match {
+      case Some(schema) =>
+        spark.read.schema(schema).parquet(s"$sfDir/$name.parquet")
+      case None => spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Match scan parallelism to the cluster when the input layout can't
     * — for CPU-BOUND pipelines only.

@@ -1219,36 +1219,41 @@ object AnnIndex {
       } else {
         val wider = math.min(width * 2L, nCells.toLong).toInt
         val next = searchAt(pending, wider, cents).localCheckpoint(false)
-        // STABLE iff the (neighbor, rank, cosine) rows match exactly
-        // across the two widths — any add, drop, re-rank, or score
-        // change keeps the query pending
-        val mismatch = cur
+        // ACCEPT iff STABLE — the (neighbor, rank, cosine) rows match
+        // exactly across the two widths (any add, drop, re-rank, or
+        // score change keeps the query pending) — AND FULL: only a
+        // k-row result has stopped growing for sure; sub-k (and
+        // especially zero-row, which no result-level join can even
+        // see) rides on toward exhaustive. r16: both conditions fold
+        // into ONE full-outer join + ONE aggregation over it (the
+        // mismatch-distinct exchange, the separate full-k groupBy, and
+        // the anti+semi pair used to be four extra shuffles per round
+        // — guide §2.4); n_next counts next's rows because only
+        // next-side rows carry a non-null rank2 in the full outer.
+        val acceptedIds = cur
           .select(col("query_id"), col("neighbor_id"),
             col("rank"), col("cosine"))
           .join(next.select(col("query_id"), col("neighbor_id"),
               col("rank").as("rank2"), col("cosine").as("cos2")),
             Seq("query_id", "neighbor_id"), "full_outer")
-          .where(col("rank").isNull || col("rank2").isNull ||
-            col("rank") =!= col("rank2") || col("cosine") =!= col("cos2"))
-          .select("query_id").distinct()
-        // ... and FULL: only a k-row result has stopped growing for
-        // sure; sub-k (and especially zero-row, which no result-level
-        // join can even see) rides on toward exhaustive
-        val fullIds = next.groupBy("query_id")
-          .agg(count(lit(1)).as("__n")).where(col("__n") >= k)
+          .groupBy("query_id")
+          .agg(
+            max(when(col("rank").isNull || col("rank2").isNull ||
+              col("rank") =!= col("rank2") || col("cosine") =!= col("cos2"),
+              1).otherwise(0)).as("__mismatch"),
+            count(col("rank2")).as("__n_next"))
+          .where(col("__mismatch") === 0 && col("__n_next") >= k)
           .select("query_id")
+          .localCheckpoint(false)
         val acceptedNow = next
-          .join(mismatch, Seq("query_id"), "left_anti")
-          .join(fullIds, Seq("query_id"), "left_semi")
+          .join(acceptedIds, Seq("query_id"), "left_semi")
           .withColumn("n_probe_used", lit(wider))
           .localCheckpoint(false)
         accepted ::= acceptedNow
         // pending shrinks by the ACCEPTED ids — never by the observed
         // ones (a query with no rows on either side was observed by
-        // neither frame and must stay). One distinct, reused by both
-        // anti-joins.
-        val acceptedIds = acceptedNow.select("query_id").distinct()
-          .localCheckpoint(false)
+        // neither frame and must stay). acceptedIds is distinct by
+        // construction (one row per grouped query_id).
         pending = pending.join(
           acceptedIds.select(col("query_id").as(idCol)),
           Seq(idCol), "left_anti").localCheckpoint(false)

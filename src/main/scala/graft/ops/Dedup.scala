@@ -899,7 +899,10 @@ object Dedup {
     require(minShared >= 1 && maxDocFreq >= 2,
       s"minShared/maxDocFreq out of range: $minShared/$maxDocFreq")
     requireIntegralId(docs, idCol, "winnowedPairs")
-    val sel = TextOps.winnowSelections(docs, idCol, textCol, k, w)
+    // fanned like every other pair generator (file-count-bound scans
+    // must not serialize the per-doc rolling-hash work — r16 profile:
+    // the whole selection stage ran on one task of 32)
+    val sel = TextOps.winnowSelections(fanned(docs), idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("id"), col("fp"))
       .distinct()
     val rare = sel.groupBy("fp").agg(count(lit(1)).as("__df"))

@@ -101,6 +101,11 @@ object Similarity {
       excludeSelf: Boolean = true,
       simFn: (Column, Column) => Column = DefaultCosine,
       simName: String = "cosine"): DataFrame = {
+    // fan the STREAMED side: a one-file corpus scan otherwise runs the
+    // whole queries×corpus pair loop on one task (r16 profile); the
+    // fanOut guard makes this a no-op on scans that are already wide,
+    // so no extra shuffle at scale
+    val corpusW = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
     if (simFn eq DefaultCosine) {
       // default-cosine fast path: self-dot norms are per-ROW facts,
       // hoisted map-side so the queries×corpus pair loop pays ONE dot
@@ -109,7 +114,7 @@ object Similarity {
       import graft.functions.{cosinePreNormed, vecNormExact}
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("__qn", vecNormExact(col("qv")))
-      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val c = corpusW.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("__nn", vecNormExact(col("cv")))
       val joined = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
@@ -120,7 +125,7 @@ object Similarity {
         k, simName)
     } else {
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val c = corpusW.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       val joined = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       rankTopK(
@@ -146,7 +151,9 @@ object Similarity {
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
     val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("__ql"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    // fanned streamed side — see [[bruteForceTopK]]
+    val c = graft.engine.Tables.fanOut(corpus.sparkSession, corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col(labelCol).as("__cl"))
     // null-labeled rows match nothing on either side (a null label is
     // unknown, not "different from everything"): plain =!= is null
@@ -1110,7 +1117,9 @@ object Similarity {
         import graft.functions.decimalDotNative
         val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
           .withColumn("sn", sqrt(decimalDotNative(col("sv"), col("sv"))))
-        val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+        // fanned streamed side — see [[bruteForceTopK]]
+        val t = graft.engine.Tables.fanOut(tgt.sparkSession, tgt)
+          .select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
           .withColumn("tn", sqrt(decimalDotNative(col("tv"), col("tv"))))
         val scored = t.join(broadcast(s), lit(true))
           .select(col("src_id"), col("tgt_id"),

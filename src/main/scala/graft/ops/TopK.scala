@@ -36,13 +36,30 @@ object TopK {
       val d = if (distinctKeys) s.distinctBy(_.key) else s
       d.sortBy(e => (-e.value, e.key)).take(k)
     }
+    // Small k (the production search shape) trims on EVERY insert:
+    // the buffer stays sorted, so the k-th-best fast path below can
+    // drop most rows in O(k) with a tight ≤k buffer crossing the
+    // shuffle. Large k (the generous-shortlist identity arms rank
+    // with k ≈ corpus/k) must NOT pay an O(n log n) sort per insert —
+    // that is quadratic in the buffer and was measured as the q160
+    // generous-arm hot spot (r16): inserts append loosely and the
+    // trim amortizes at 2k (O(log k) per row), trading the early-drop
+    // for bounded-by-2k buffers. Top-k is monotone, so trimming a
+    // loose buffer to its best k keeps exactly the global answer.
+    private val perInsertTrim = k <= 64
     override def zero: Seq[Entry] = Nil
     override def reduce(b: Seq[Entry], a: Entry): Seq[Entry] =
-      // keep the buffer bounded at every step, not just at merge
-      if (b.sizeIs >= k && {
-        val w = b.last; a.value < w.value || (a.value == w.value && a.key > w.key)
-      }) b
-      else trim(a +: b)
+      if (perInsertTrim) {
+        // buffer is always trimmed (sorted best-first, ≤ k) here, so
+        // b.last is the current k-th best — the early-drop is sound
+        if (b.sizeIs >= k && {
+          val w = b.last; a.value < w.value || (a.value == w.value && a.key > w.key)
+        }) b
+        else trim(a +: b)
+      } else {
+        val nb = a +: b
+        if (nb.sizeIs >= 2 * k) trim(nb) else nb
+      }
     override def merge(x: Seq[Entry], y: Seq[Entry]): Seq[Entry] = trim(x ++ y)
     override def finish(r: Seq[Entry]): Seq[Entry] = trim(r)
     override def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()

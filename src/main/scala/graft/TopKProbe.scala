@@ -40,6 +40,15 @@ object TopKProbe {
     time("topK")(df.groupBy("g").agg(TopK.topK(5)(col("v"), col("k"))))
     time("topKDistinct")(
       df.groupBy("g").agg(TopK.topKDistinct(5)(col("v"), col("k"))))
+    // r17: native primitive-buffer TopKAgg vs the legacy encoder udaf,
+    // small-k and the loose large-k regime
+    time("topKLegacy")(
+      df.groupBy("g").agg(TopK.topKLegacy(5)(col("v"), col("k"))))
+    time("topKDistLeg")(
+      df.groupBy("g").agg(TopK.topKDistinctLegacy(5)(col("v"), col("k"))))
+    time("topK500")(df.groupBy("g").agg(TopK.topK(500)(col("v"), col("k"))))
+    time("topK500Leg")(
+      df.groupBy("g").agg(TopK.topKLegacy(500)(col("v"), col("k"))))
     spark.stop()
   }
 }

@@ -65,6 +65,25 @@ trait DoubleArrayInputTypes extends ImplicitCastInputTypes {
     Seq(ArrayType(DoubleType))
 }
 
+/** Unary array<string> input declaration for
+  * [[graft.expressions.TermFreqs]].
+  */
+trait StringArrayInputType extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+}
+
+/** (double, long) input declaration for
+  * [[graft.expressions.TopKAgg]]: the ranking value ANSI-casts to
+  * double and the key to long — the same coercions the legacy udaf's
+  * `Entry(value: Double, key: Long)` encoder applied, so integral id
+  * columns of any width keep working unchanged.
+  */
+trait DoubleLongInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, org.apache.spark.sql.types.LongType)
+}
+
 /** (LUT array<float>, codes array<tinyint>) input declaration for
   * [[graft.expressions.PqLutScore]].
   */

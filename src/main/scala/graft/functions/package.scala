@@ -166,6 +166,16 @@ package object functions {
     GraftSqlBridge.column(
       graft.expressions.WordShingles(GraftSqlBridge.expression(c), n))
 
+  /** Native per-document term frequencies over a token array — one
+    * hash-counting pass emitting (term, tf) structs in first-
+    * occurrence order (graft.expressions.TermFreqs); replaces the
+    * |distinct|·|tokens| interpreted `transform(array_distinct, …
+    * filter)` HOF chain of the BM25/TF-IDF postings build.
+    */
+  def termFreqsNative(c: Column): Column =
+    GraftSqlBridge.column(
+      graft.expressions.TermFreqs(GraftSqlBridge.expression(c)))
+
   /** Native codegen'd 64-bit SimHash (graft.expressions.SimHash64). */
   def simhash64Native(c: Column): Column =
     GraftSqlBridge.column(graft.expressions.SimHash64(GraftSqlBridge.expression(c)))

@@ -66,11 +66,21 @@ object LanguageModel {
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(w[i-1] AS a, w[i] AS b))")).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
-    val pairC = grams.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
-      .where(col("n_pair") >= minCount)
+    // one corpus pass builds the unfiltered pair counts; the total
+    // pair count is its exact integer sum (r17, guide §1.2 step 1:
+    // the previous separate grams.count() re-tokenized and re-exploded
+    // the whole corpus for one scalar). The count table is
+    // vocab²-bounded, orders of magnitude smaller than the corpus —
+    // localCheckpoint materializes it ONCE for its two consumers
+    // (neither static exchange reuse nor AQE stage reuse fires across
+    // these subtrees — measured r17, JobProfile q131: the derived
+    // total WITHOUT the checkpoint re-ran the whole explode+agg).
+    val pairCAll = grams.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(false)
+    val pairC = pairCAll.where(col("n_pair") >= minCount)
     val uniC = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
-    val totPairs = grams.agg(count(lit(1)).as("tp"))
+    val totPairs = pairCAll.agg(coalesce(sum(col("n_pair")), lit(0L)).as("tp"))
     val totUni = uniC.agg(coalesce(sum(col("cu")), lit(0L)).as("tu"))
     pairC
       .join(uniC.select(col("t").as("a"), col("cu").as("ca")), Seq("a"))
@@ -106,8 +116,21 @@ object LanguageModel {
           "i -> struct(w[i-1] AS a, w[i] AS b))")).as("g"))
       .select(col("doc"), col("lang"),
         col("g.a").as("a"), col("g.b").as("b"))
+    // the bigram count table is the model — vocab²-bounded, far
+    // smaller than the corpus. localCheckpoint materializes it ONCE
+    // (r17): its two consumers (the scoring broadcast and the c1
+    // marginal below) would otherwise each re-run the whole
+    // tokenize+explode+aggregate corpus pass — neither static
+    // exchange reuse nor AQE stage reuse fires across these subtrees
+    // (measured, JobProfile q83/q89).
     val c2 = grams.groupBy("lang", "a", "b").agg(count(lit(1)).as("c2"))
-    val c1 = grams.groupBy("lang", "a").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    // prefix counts are the exact integer marginal of the bigram
+    // counts — c1(lang,a) = Σ_b c2(lang,a,b) — aggregated from the
+    // checkpointed c2 instead of re-tokenizing and re-exploding the
+    // corpus a second time (guide §1.2 step 1 / §2.3: the aggregate
+    // input is |distinct bigrams| rows, not |bigram occurrences|)
+    val c1 = c2.groupBy("lang", "a").agg(sum(col("c2")).as("c1"))
     val vocab = toks.select(col("lang"), explode(col("w")).as("t"))
       .groupBy("lang").agg(countDistinct(col("t")).as("v"))
     val scored = grams
@@ -177,18 +200,29 @@ object LanguageModel {
     val c3 = trigrams(trainToks)
       .groupBy("lang", "a", "b", "c").agg(count(lit(1)).as("c3"))
     // ALL adjacent pairs (not just trigram prefixes): the bigram arm
-    // scores (b,c) pairs that include the train corpus's final pair
+    // scores (b,c) pairs that include the train corpus's final pair.
+    // c2 and c1 are each consumed by TWO scoring arms (c2ab/c2bc,
+    // c1b/c1c) — and c1 additionally feeds the (N, V) stats — so the
+    // vocab-bounded count tables are localCheckpoint-materialized once
+    // instead of re-running the train-corpus tokenize+explode+agg per
+    // consumer (r17; no exchange/stage reuse fires across the
+    // subtrees — measured, JobProfile q93)
     val c2 = trainToks.where(size(col("w")) >= 2)
       .select(col("lang"), explode(expr(
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(w[i-1] AS a, w[i] AS b))")).as("g"))
       .select(col("lang"), col("g.a").as("a"), col("g.b").as("b"))
       .groupBy("lang", "a", "b").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
     val c1 = trainToks.select(col("lang"), explode(col("w")).as("t"))
       .groupBy("lang", "t").agg(count(lit(1)).as("c1"))
-    val stats = trainToks.select(col("lang"), explode(col("w")).as("t"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("v"))
+      .localCheckpoint(false)
+    // (N, V) are exact integer marginals of the unigram count table —
+    // Σ c1 and its row count — so they aggregate the vocab-bounded c1
+    // instead of re-tokenizing and re-exploding the train corpus a
+    // third time (r17, guide §1.2 step 1)
+    val stats = c1.groupBy("lang")
+      .agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
 
     val g = trigrams(toks(score))
       .join(broadcast(c3), Seq("lang", "a", "b", "c"), "left")

@@ -53,12 +53,16 @@ object Retrieval {
         TextOps.tokens(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")))
     // map-side postings: one row per DISTINCT term of the doc, tf from
-    // the doc's own array — no (doc, term) shuffle
+    // the doc's own array — no (doc, term) shuffle. Native one-pass
+    // counting kernel (r17, guide §1.2 step 2): the declarative
+    // `transform(array_distinct(w), t -> struct(t, size(filter(w,
+    // x -> x = t))))` arm — |distinct|·|tokens| interpreted
+    // comparisons per document, the profiled hot loop of every
+    // retrieval query — stays as the kernel's spec oracle
+    // (TermFreqsSpec).
     val postings = docToks
-      .select(col("doc"), col("dl"), explode(expr(
-        "transform(array_distinct(w), " +
-          "t -> struct(t AS term, size(filter(w, x -> x = t)) AS tf))"))
-        .as("p"))
+      .select(col("doc"), col("dl"),
+        explode(graft.functions.termFreqsNative(col("w"))).as("p"))
       .select(col("doc"), col("dl"), col("p.term").as("term"),
         col("p.tf").as("tf"))
     val qTerms = queries
@@ -408,8 +412,15 @@ object Retrieval {
     val toks = graft.engine.Tables.fanOut(docs.sparkSession, docs)
       .select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("w"))
-    val posting = toks.select(col("doc_id"), explode(col("w")).as("term"))
-    val tf = posting.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // per-(doc, term) counts computed MAP-SIDE by the native
+    // term-frequency kernel (r17): the per-occurrence explode +
+    // groupBy(doc_id, term) it replaces paid a full exchange of one
+    // row per token occurrence — plan: 3 Exchange → 2, and the doc's
+    // own tf needs no shuffle at all (guide §2.4)
+    val tf = toks.select(col("doc_id"),
+        explode(graft.functions.termFreqsNative(col("w"))).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"),
+        col("p.tf").cast("long").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val idf = df.crossJoin(broadcast(n))

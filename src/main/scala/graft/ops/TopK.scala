@@ -68,18 +68,44 @@ object TopK {
 
   /** Untyped-API handle: `df.groupBy(g).agg(TopK.topK(3)(col(v), col(id)))`
     * yields an array<struct<value,key>> column sorted best-first.
+    *
+    * r17: backed by the native primitive-buffer
+    * [[graft.expressions.TopKAgg]] (same TypedImperativeAggregate plan
+    * shape as the udaf it replaces — ObjectHashAggregate, map-side
+    * partial trim to ≤ k rows per group per partition — with the
+    * per-row encoder/boxing/Seq-sort cost deleted; guide §1.2 step 2).
+    * [[TopKAggregator]] above stays as the semantics oracle
+    * (spec-pinned equal in TopKSpec).
     */
-  def topK(k: Int): (Column, Column) => Column = {
-    val fn = udaf(new TopKAggregator(k))
-    (value, key) => fn(value, key)
-  }
+  def topK(k: Int): (Column, Column) => Column = (value, key) =>
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.TopKAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(value),
+        org.apache.spark.sql.GraftSqlBridge.expression(key),
+        k, distinctKeys = false).toAggregateExpression())
 
   /** [[topK]] with per-key dedup inside the aggregation buffer.
     * ONLY for inputs where duplicate keys within a group are exact
     * value-duplicates (the ANN candidate contract) — it replaces a
     * dropDuplicates exchange ahead of the ranking.
     */
-  def topKDistinct(k: Int): (Column, Column) => Column = {
+  def topKDistinct(k: Int): (Column, Column) => Column = (value, key) =>
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.TopKAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(value),
+        org.apache.spark.sql.GraftSqlBridge.expression(key),
+        k, distinctKeys = true).toAggregateExpression())
+
+  /** The legacy encoder-based udaf handles — kept callable so the
+    * spec can pin native == legacy on shared inputs. Not used by any
+    * query path.
+    */
+  def topKLegacy(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggregator(k))
+    (value, key) => fn(value, key)
+  }
+
+  def topKDistinctLegacy(k: Int): (Column, Column) => Column = {
     val fn = udaf(new TopKAggregator(k, distinctKeys = true))
     (value, key) => fn(value, key)
   }

@@ -74,6 +74,66 @@ class TopKSpec extends SparkSpecBase {
     assert(got == plain)
   }
 
+  // r17: the native primitive-buffer TopKAgg must equal the legacy
+  // encoder-based udaf (kept as the oracle) on every regime — sorted
+  // (k ≤ 64), loose (k > 64), distinct, ties, NaN/±0.0 edge values —
+  // across real partial/merge boundaries (repartition(8)).
+  private def runBoth(df: org.apache.spark.sql.DataFrame, k: Int,
+      distinct: Boolean): (Seq[(String, Double, Long, Long)], Seq[(String, Double, Long, Long)]) = {
+    def run(c: org.apache.spark.sql.Column) = df.groupBy("g").agg(c.as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.value"), col("col.key"), col("pos"))
+      .as[(String, Double, Long, Long)].collect().sorted.toSeq
+    val native = run(
+      if (distinct) TopK.topKDistinct(k)(col("v"), col("id"))
+      else TopK.topK(k)(col("v"), col("id")))
+    val legacy = run(
+      if (distinct) TopK.topKDistinctLegacy(k)(col("v"), col("id"))
+      else TopK.topKLegacy(k)(col("v"), col("id")))
+    (native, legacy)
+  }
+
+  test("native == legacy: sorted regime, ties") {
+    val (n, l) = runBoth(data.repartition(8), 3, distinct = false)
+    assert(n == l)
+  }
+
+  test("native == legacy: loose regime (k > 64)") {
+    val (n, l) = runBoth(data.repartition(8), 150, distinct = false)
+    assert(n == l)
+    // k beyond every group size: full groups, ordered
+    val (n2, l2) = runBoth(data.repartition(8), 500, distinct = false)
+    assert(n2 == l2)
+  }
+
+  test("native == legacy: distinct, both regimes") {
+    val dup = (0 until 900)
+      .map(i => (s"g${i % 3}", ((i % 150) / 7).toDouble, (i % 150).toLong))
+      .toDF("g", "v", "id").repartition(8)
+    val (n, l) = runBoth(dup, 5, distinct = true)
+    assert(n == l)
+    val (n2, l2) = runBoth(dup, 100, distinct = true)
+    assert(n2 == l2)
+  }
+
+  test("native == legacy: NaN and signed-zero values rank identically") {
+    val edge = Seq(
+      ("a", Double.NaN, 1L), ("a", 1.0, 2L), ("a", 0.0, 3L),
+      ("a", -0.0, 4L), ("a", Double.PositiveInfinity, 5L),
+      ("a", Double.NegativeInfinity, 6L), ("a", Double.NaN, 7L),
+      ("b", Double.NaN, 1L), ("b", Double.NaN, 2L))
+      .toDF("g", "v", "id").repartition(4)
+    // Scala tuple == on Double is IEEE (NaN != NaN): compare on
+    // canonical bits, which also distinguishes -0.0 from 0.0
+    def bits(s: Seq[(String, Double, Long, Long)]) =
+      s.map(t => (t._1, java.lang.Double.doubleToLongBits(t._2), t._3, t._4))
+        .sorted
+    for (k <- Seq(3, 5, 100)) {
+      val (n, l) = runBoth(edge, k, distinct = false)
+      assert(bits(n) == bits(l), s"k=$k")
+    }
+  }
+
   test("partial aggregation appears in the plan (no window sort)") {
     val df = data.groupBy("g").agg(TopK.topK(3)(col("v"), col("id")).as("top"))
     val plan = df.queryExecution.executedPlan.toString

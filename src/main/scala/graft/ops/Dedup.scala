@@ -364,6 +364,12 @@ object Dedup {
         s"transform(sequence(1, size(w) - ${n - 1}), " +
           s"i -> array_join(slice(w, i, $n), ' '))"))).as("shingle"))
       .distinct()
+      // THREE plan references (both self-join sides + the sizes agg):
+      // each would re-run the tokenize+shingle+distinct SHUFFLE from
+      // scratch — nothing reuses exchanges across subtree copies (r17
+      // finding, OPTIMIZATION_r17.md change 3) — so the distinct
+      // (source, shingle) set materializes once
+      .localCheckpoint(false)
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

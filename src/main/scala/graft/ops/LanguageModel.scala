@@ -78,8 +78,11 @@ object LanguageModel {
     val pairCAll = grams.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
       .localCheckpoint(false)
     val pairC = pairCAll.where(col("n_pair") >= minCount)
+    // unigram counts feed THREE consumers (the total and both join
+    // sides) — vocab-bounded, checkpointed once like pairCAll
     val uniC = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false)
     val totPairs = pairCAll.agg(coalesce(sum(col("n_pair")), lit(0L)).as("tp"))
     val totUni = uniC.agg(coalesce(sum(col("cu")), lit(0L)).as("tu"))
     pairC

@@ -73,8 +73,14 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       (sum(col("dl").cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"))
+    // the matched sliver feeds TWO consumers (the df aggregate and the
+    // scoring join) — checkpointed once: the sliver is postings ×
+    // query-term match rate, far smaller than re-running the full
+    // corpus tokenize+explode+semi pass per consumer (r17; nothing
+    // reuses exchanges across subtrees — OPTIMIZATION_r17.md change 3)
     val matched = postings.join(
       broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .localCheckpoint(false)
     val dfreq = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val tfD = col("tf").cast("double")
     val scored = matched

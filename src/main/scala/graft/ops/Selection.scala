@@ -104,8 +104,17 @@ object Selection {
     // ≡ sum over buckets of cnt·lr6 — exact integer arithmetic).
     val bagCounts = bucketBag(corpus)
       .groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
+    // ct and cr are ≤ nBuckets rows but each fed TWO consumers (the
+    // ratio join and its own total) — without a materialization the
+    // total's scalar aggregate re-runs the whole corpus/target
+    // explode+agg chain (nothing reuses exchanges across subtrees —
+    // r17 finding, OPTIMIZATION_r17.md change 3). bagCounts stays
+    // recomputed: it is corpus-sized, and one extra pass beats
+    // materializing (doc, b) mass at 100 TB.
     val ct = bucketBag(target).groupBy("b").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(false)
     val cr = bagCounts.groupBy("b").agg(sum(col("cnt")).as("cr"))
+      .localCheckpoint(false)
     val nt = ct.agg(sum(col("ct")).as("nt"))
     val nr = cr.agg(sum(col("cr")).as("nr"))
     // bucket → quantized log ratio; buckets unseen in the target exist
@@ -239,10 +248,15 @@ object Selection {
       idCol: String, textCol: String, nBuckets: Int,
       useBigrams: Boolean): (DataFrame, DataFrame) = {
     val bLit = lit(nBuckets.toLong)
+    // ≤ nBuckets rows each, TWO consumers each (weights join + the
+    // np/nn total) — checkpointed so the totals don't re-run the seed
+    // corpus passes (r17, the dsirScores ct/cr reasoning)
     val cp = classifierFeatureBag(positive, idCol, textCol, nBuckets, useBigrams)
       .groupBy("b").agg(count(lit(1)).as("cp"))
+      .localCheckpoint(false)
     val cn = classifierFeatureBag(negative, idCol, textCol, nBuckets, useBigrams)
       .groupBy("b").agg(count(lit(1)).as("cn"))
+      .localCheckpoint(false)
     val np = cp.agg(coalesce(sum(col("cp")), lit(0L)).as("np"))
     val nn = cn.agg(coalesce(sum(col("cn")), lit(0L)).as("nn"))
     val weights = cp.join(cn, Seq("b"), "full_outer")

@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenization. `split` drops no tokens because input is
-    * trimmed first; empty string → single empty token filtered out.
+    * trimmed first; empty string → single empty token removed.
+    *
+    * r17: `array_remove(…, "")` instead of the `filter` HOF — result-
+    * identical (split yields no nulls, and both drop exactly the ""
+    * elements) but array_remove is a codegen'd expression while
+    * higher-order `filter` is CodegenFallback, i.e. an interpreted
+    * per-row island inside every text-scan stage (guide §1.2 step 2;
+    * tokens() sits under ~30 call sites across the text surface).
     */
   def tokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => t =!= "")
+    array_remove(split(trim(c), "\\s+"), "")
 
   /** Token count over whitespace tokens. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -57,7 +64,9 @@ object TextOps {
     * chat logs, SEO keyword walls). 0.0 for documents with no lines.
     */
   def dupLineRatio(c: Column): Column = {
-    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    // array_remove for the "" drop (codegen'd; the transform HOF has
+    // no built-in equivalent for element-wise trim and stays)
+    val lines = array_remove(transform(split(c, "\n"), l => trim(l)), "")
     when(size(lines) <= 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(lines)).cast("double") / size(lines).cast("double"))

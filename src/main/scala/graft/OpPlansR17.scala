@@ -42,6 +42,11 @@ object OpPlansR17 {
         "doc_id", "text", "lang"))
     show("collocationsPmi",
       LanguageModel.collocationsPmi(docs, "doc_id", "text"))
+    show("sourceOverlapExact",
+      graft.ops.Dedup.sourceOverlapExact(docs, "source", "text", 3))
+    show("dsirScores",
+      graft.ops.Selection.dsirScores(docs, docs.where(col("doc_id") < 50),
+        "doc_id", "text"))
     val e = Tables.embeddings(spark, sfDir)
     show("rankTopK_bruteforce",
       Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e,
